@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated synthetic tables
+  * (`/root/testdata/sf*`; see TESTDATA.md). One parquet file per table.
+  *
+  * All loads are plain `spark.read.parquet` so Catalyst gets full
+  * pushdown/pruning; at cluster scale these would be partitioned or
+  * bucketed writes, but reads look identical.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** events.ts is parquet TIMESTAMP(NANOS). Spark has no nanos timestamp
+    * type; with `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a
+    * LongType of epoch-nanos which we convert to microsecond TimestampType
+    * (matching DuckDB's cast of TIMESTAMP_NS to TIMESTAMP: truncation).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    // Set here (runtime conf) rather than at session build so it holds
+    // under the driver's own SparkSession too.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+}
