@@ -1,0 +1,136 @@
+package graft.sparql
+
+import graft.model.TermValue
+
+/** SPARQL algebra IR, mirroring the reference's `Operator` /
+  * `Expression` / `Pattern` / `PPE` / `AE` enums
+  * (`/root/reference/src/calc_data_types.rs:5-205`). Produced by
+  * [[Parser]], consumed by [[Translator]].
+  */
+object Ast {
+
+  // ---- term patterns --------------------------------------------------
+  sealed trait TermPat
+  final case class Var(name: String) extends TermPat // without leading '?'
+  final case class Const(value: TermValue) extends TermPat
+
+  final case class Triple(s: TermPat, p: TermPat, o: TermPat)
+
+  // ---- property path expressions (calc_data_types.rs:15-26) -----------
+  sealed trait Ppe
+  final case class PLink(iri: TermValue) extends Ppe
+  final case class PReverse(inner: Ppe) extends Ppe
+  final case class PSeq(front: Ppe, back: Ppe) extends Ppe
+  final case class PAlt(front: Ppe, back: Ppe) extends Ppe
+  final case class PZeroOrMore(inner: Ppe) extends Ppe
+  final case class POneOrMore(inner: Ppe) extends Ppe
+  final case class PZeroOrOne(inner: Ppe) extends Ppe
+  final case class PNegated(preds: Seq[TermValue]) extends Ppe
+
+  // ---- expressions (calc_data_types.rs:29-58) -------------------------
+  sealed trait Expr
+  final case class EConst(value: TermValue) extends Expr
+  final case class EVar(name: String) extends Expr
+  final case class EOr(l: Expr, r: Expr) extends Expr
+  final case class EAnd(l: Expr, r: Expr) extends Expr
+  final case class EEqual(l: Expr, r: Expr) extends Expr
+  final case class ENotEqual(l: Expr, r: Expr) extends Expr
+  final case class ESameTerm(l: Expr, r: Expr) extends Expr
+  final case class EGreater(l: Expr, r: Expr) extends Expr
+  final case class EGreaterEq(l: Expr, r: Expr) extends Expr
+  final case class ELess(l: Expr, r: Expr) extends Expr
+  final case class ELessEq(l: Expr, r: Expr) extends Expr
+  final case class EIn(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
+  final case class EAdd(l: Expr, r: Expr) extends Expr
+  final case class ESubtract(l: Expr, r: Expr) extends Expr
+  final case class EMultiply(l: Expr, r: Expr) extends Expr
+  final case class EDivide(l: Expr, r: Expr) extends Expr
+  final case class EUnaryPlus(e: Expr) extends Expr
+  final case class EUnaryMinus(e: Expr) extends Expr
+  final case class ENot(e: Expr) extends Expr
+  final case class EExists(op: Op, negated: Boolean) extends Expr
+  final case class EBound(v: Var) extends Expr
+  final case class EIf(cond: Expr, t: Expr, f: Expr) extends Expr
+  final case class ECoalesce(args: Seq[Expr]) extends Expr
+  final case class ECall(fn: Func.Value, args: Seq[Expr]) extends Expr
+
+  /** Scalar function inventory (calc_data_types.rs:222-286). */
+  object Func extends Enumeration {
+    val IsIri, IsBlank, IsLiteral, IsNumeric, Str, Lang, Datatype, Iri,
+        BNode, StrDt, StrLang, Uuid, StrUuid,
+        StrLen, SubStr, UCase, LCase, StrStarts, StrEnds, Contains,
+        StrBefore, StrAfter, EncodeForUri, Concat, LangMatches, Regex, Replace,
+        Abs, Round, Ceil, Floor, Rand,
+        Now, Year, Month, Day, Hours, Minutes, Seconds, Timezone, Tz,
+        Md5, Sha1, Sha256, Sha384, Sha512,
+        GetLabel, GetDescription, GetAlias = Value
+  }
+
+  // ---- aggregates (calc_data_types.rs:77-112) -------------------------
+  sealed trait Agg { def distinct: Boolean }
+  final case class ACount(expr: Option[Expr], distinct: Boolean) extends Agg
+  final case class ASum(expr: Expr, distinct: Boolean) extends Agg
+  final case class AAvg(expr: Expr, distinct: Boolean) extends Agg
+  final case class AMin(expr: Expr, distinct: Boolean) extends Agg
+  final case class AMax(expr: Expr, distinct: Boolean) extends Agg
+  final case class AGroupConcat(expr: Expr, distinct: Boolean, separator: Option[String]) extends Agg
+  final case class ASample(expr: Expr, distinct: Boolean) extends Agg
+
+  // ---- operators (calc_data_types.rs:117-205) -------------------------
+  sealed trait Op
+  final case class Bgp(triples: Seq[Triple]) extends Op
+  final case class PathOp(s: TermPat, path: Ppe, o: TermPat) extends Op
+  final case class Join(left: Op, right: Op) extends Op
+  final case class LeftJoin(left: Op, right: Op, cond: Option[Expr]) extends Op
+  final case class Lateral(left: Op, right: Op) extends Op
+  final case class FilterOp(cond: Expr, inner: Op) extends Op
+  final case class UnionOp(left: Op, right: Op) extends Op
+  final case class Extend(inner: Op, v: Var, expr: Expr) extends Op
+  final case class Minus(left: Op, right: Op) extends Op
+  final case class ValuesOp(vars: Seq[Var], rows: Seq[Seq[Option[TermValue]]]) extends Op
+  final case class OrderBy(inner: Op, keys: Seq[(Expr, Boolean)]) extends Op // (expr, ascending)
+  final case class Project(inner: Op, vars: Seq[Var]) extends Op
+  final case class ProjectExtend(inner: Op, exprs: Seq[(Var, Expr)]) extends Op
+  final case class DistinctOp(inner: Op) extends Op
+  final case class ReducedOp(inner: Op) extends Op
+  final case class Slice(inner: Op, start: Long, length: Option[Long]) extends Op
+  final case class Group(inner: Op, keys: Seq[Var], aggs: Seq[(Var, Agg)]) extends Op
+  final case class Service(name: TermValue, inner: Op, silent: Boolean) extends Op
+
+  /** Query forms (reference implements SELECT only,
+    * `src/interpreter.rs:107-131`; we also execute ASK).
+    */
+  sealed trait Query { def root: Op }
+  final case class SelectQuery(root: Op) extends Query
+  final case class AskQuery(root: Op) extends Query
+
+  /** In-scope variables of an operator tree (used for SELECT *,
+    * projection checks and the label-service rewrite).
+    */
+  def scopeVars(op: Op): Seq[Var] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Var]
+    def tp(p: TermPat): Unit = p match { case v: Var => out += v; case _ => }
+    def walk(o: Op): Unit = o match {
+      case Bgp(ts) => ts.foreach { t => tp(t.s); tp(t.p); tp(t.o) }
+      case PathOp(s, _, o2) => tp(s); tp(o2)
+      case Join(l, r) => walk(l); walk(r)
+      case LeftJoin(l, r, _) => walk(l); walk(r)
+      case Lateral(l, r) => walk(l); walk(r)
+      case FilterOp(_, i) => walk(i)
+      case UnionOp(l, r) => walk(l); walk(r)
+      case Extend(i, v, _) => walk(i); out += v
+      case Minus(l, _) => walk(l)
+      case ValuesOp(vs, _) => out ++= vs
+      case OrderBy(i, _) => walk(i)
+      case Project(_, vs) => out ++= vs
+      case ProjectExtend(_, es) => out ++= es.map(_._1)
+      case DistinctOp(i) => walk(i)
+      case ReducedOp(i) => walk(i)
+      case Slice(i, _, _) => walk(i)
+      case Group(_, ks, as) => out ++= ks; out ++= as.map(_._1)
+      case Service(_, i, _) => walk(i)
+    }
+    walk(op)
+    out.toSeq
+  }
+}

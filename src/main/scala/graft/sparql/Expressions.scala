@@ -1,0 +1,294 @@
+package graft.sparql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Render, Term, TermOps}
+import Ast._
+
+/** Expression → `Column` compiler (reference `calculate_expression` +
+  * `calculate_function_call`, `src/calc_engine.rs:993-2936`).
+  *
+  * Every expression evaluates to a term-struct Column; type errors
+  * produce the Null term (SQL null struct), which EBV treats as false at
+  * filter sites. Pure Column trees — whole-stage codegen applies; no
+  * row-level UDFs anywhere.
+  */
+object Expressions {
+
+  import Term.Kind
+  import TermOps._
+
+  private def kindOf(t: Column) = t.getField("kind")
+  private def strOf(t: Column) = t.getField("str")
+  private def numOf(t: Column) = t.getField("num")
+  private def isStr(t: Column) = kindOf(t) === Kind.Str
+  private def nul = Term.nullTerm
+
+  def eval(e: Expr, resolve: String => Option[Column]): Column = {
+    def go(e: Expr): Column = e match {
+      case EConst(v) => v.toColumn
+      case EVar(name) => resolve(name).getOrElse(nul)
+
+      // Boolean-only logic, no three-valued shortcuts
+      // (calc_engine.rs:1011-1032): non-Boolean operand → Null
+      case EOr(l, r) => binBool(go(l), go(r))(_ || _)
+      case EAnd(l, r) => binBool(go(l), go(r))(_ && _)
+
+      case EEqual(l, r) => boolTerm(termEq(go(l), go(r)))
+      case ENotEqual(l, r) => boolTerm(!termEq(go(l), go(r)))
+      case ESameTerm(l, r) => boolTerm(sameTerm(go(l), go(r)))
+      case EGreater(l, r) => cmpTerm(go(l), go(r))(_ > 0)
+      case EGreaterEq(l, r) => cmpTerm(go(l), go(r))(_ >= 0)
+      case ELess(l, r) => cmpTerm(go(l), go(r))(_ < 0)
+      case ELessEq(l, r) => cmpTerm(go(l), go(r))(_ <= 0)
+
+      // IN uses strict node equality (reference: Vec::contains over
+      // DataValue PartialEq, calc_engine.rs:1070-1082 — no promotion)
+      case EIn(x, list, neg) =>
+        val xc = go(x)
+        val hit =
+          if (list.isEmpty) lit(false)
+          else list.map(i => sameTerm(xc, go(i))).reduce(_ || _)
+        boolTerm(if (neg) !hit else hit)
+
+      case EAdd(l, r) => arith(go(l), go(r))(_ + _)
+      case ESubtract(l, r) => arith(go(l), go(r))(_ - _)
+      case EMultiply(l, r) => arith(go(l), go(r))(_ * _)
+      case EDivide(l, r) => arith(go(l), go(r))(_ / _)
+      // reference quirk: unary plus is abs() (calc_engine.rs:2979-2981)
+      case EUnaryPlus(x) => unArith(go(x))(abs)
+      case EUnaryMinus(x) => unArith(go(x))(c => -c)
+
+      case ENot(x) =>
+        val c = go(x)
+        when(kindOf(c) === Kind.Bool, boolTerm(numOf(c) === 0d)).otherwise(nul)
+
+      case EExists(_, _) =>
+        throw new UnsupportedOperationException(
+          "EXISTS is only supported as a FILTER conjunct (translated to semi/anti join)")
+
+      case EBound(v) =>
+        resolve(v.name) match {
+          case Some(c) => boolTerm(c.isNotNull && kindOf(c) =!= Kind.Null)
+          case None => boolTerm(lit(false))
+        }
+
+      case EIf(c, t, f) =>
+        val cc = go(c)
+        when(kindOf(cc) === Kind.Bool,
+          when(numOf(cc) =!= 0d, go(t)).otherwise(go(f))).otherwise(nul)
+
+      case ECoalesce(args) =>
+        val cols = args.map(go).map(c =>
+          when(c.isNotNull && kindOf(c) =!= Kind.Null, c))
+        coalesce(cols: _*)
+
+      case ECall(fn, args) => call(fn, args.map(go), args)
+    }
+    go(e)
+  }
+
+  private def binBool(a: Column, b: Column)(op: (Column, Column) => Column): Column =
+    when(kindOf(a) === Kind.Bool && kindOf(b) === Kind.Bool,
+      boolTerm(op(numOf(a) =!= 0d, numOf(b) =!= 0d))).otherwise(nul)
+
+  private def cmpTerm(a: Column, b: Column)(test: Column => Column): Column = {
+    val c = cmp(a, b)
+    when(c.isNull, nul).otherwise(boolTerm(test(c)))
+  }
+
+  private def unArith(a: Column)(op: Column => Column): Column =
+    when(isNumeric(a), floatTerm(op(asF32(a)))).otherwise(nul)
+
+  // ------------------------------------------------------------ functions
+
+  /** `calculate_function_call` (`calc_engine.rs:1186-2936`). `raw` gives
+    * access to the original AST for functions that need literal args
+    * (regex flags).
+    */
+  private def call(fn: Func.Value, as: Seq[Column], raw: Seq[Expr]): Column = {
+    def a0 = as(0); def a1 = as(1)
+
+    fn match {
+      // ---- RDF term functions ---------------------------------------
+      case Func.IsIri =>
+        boolTerm(kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.Edge, Kind.NamedEdge))
+      case Func.IsBlank => boolTerm(lit(false)) // no bnodes stored (calc_engine.rs:1204-1208)
+      case Func.IsLiteral =>
+        boolTerm(a0.isNotNull &&
+          !kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.Edge, Kind.NamedEdge, Kind.Null))
+      case Func.IsNumeric => boolTerm(isNumeric(a0))
+      case Func.Str =>
+        // deviation (CONFORMANCE): reference Str returns the *datatype
+        // IRI* (calc_engine.rs:1233-1252, a bug vs SPARQL); we return the
+        // lexical form per spec.
+        when(a0.isNull || kindOf(a0) === Kind.Null, nul).otherwise(strTerm(Render.lex(a0)))
+      case Func.Lang =>
+        strTerm(when(kindOf(a0) === Kind.Mono, a0.getField("lang")).otherwise(lit("")))
+      case Func.Datatype => // reference todo!; implemented per spec subset
+        val dt = Render.datatype(a0)
+        when(dt.isNull, nul).otherwise(strTerm(dt))
+      case Func.Iri =>
+        // reference returns Null (calc_engine.rs:1277-1318); we resolve
+        // known Wikidata IRI shapes from string terms
+        when(kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.NamedEdge), a0)
+          .when(isStr(a0), iriFromString(strOf(a0)))
+          .otherwise(nul)
+      case Func.BNode | Func.StrDt => nul // reference todo! (calc_engine.rs:1319-1331)
+      case Func.StrLang =>
+        when(isStr(a0) && isStr(a1),
+          Term.struct_(lit(Kind.Mono), lit(null).cast(DoubleType), strOf(a0), strOf(a1),
+            concat(lit("mo:"), strOf(a1), lit(":"), strOf(a0)))).otherwise(nul)
+      case Func.Uuid | Func.StrUuid => strTerm(uuid())
+
+      // ---- string functions -----------------------------------------
+      case Func.StrLen => // BYTE length, not characters (calc_engine.rs:1384-1399)
+        when(isStr(a0), intTerm(octet_length(strOf(a0)))).otherwise(nul)
+      case Func.SubStr =>
+        val start = asF32(a1).cast(IntegerType)
+        val out =
+          if (as.length >= 3) substr(strOf(a0), start, asF32(as(2)).cast(IntegerType))
+          else substr(strOf(a0), start, lit(Int.MaxValue))
+        when(isStr(a0) && isNumeric(a1), strTerm(out)).otherwise(nul)
+      case Func.UCase => // ASCII-only case mapping (calc_engine.rs:1484-1517)
+        when(isStr(a0), strTerm(translate(strOf(a0),
+          "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"))).otherwise(nul)
+      case Func.LCase =>
+        when(isStr(a0), strTerm(translate(strOf(a0),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))).otherwise(nul)
+      case Func.StrStarts =>
+        when(isStr(a0) && isStr(a1), boolTerm(strOf(a0).startsWith(strOf(a1)))).otherwise(nul)
+      case Func.StrEnds =>
+        when(isStr(a0) && isStr(a1), boolTerm(strOf(a0).endsWith(strOf(a1)))).otherwise(nul)
+      case Func.Contains =>
+        when(isStr(a0) && isStr(a1), boolTerm(strOf(a0).contains(strOf(a1)))).otherwise(nul)
+      case Func.StrBefore => // not-found → "" (calc_engine.rs:1668-1795)
+        val pos = call_function("instr", strOf(a0), strOf(a1))
+        val out = when(length(strOf(a1)) === 0, lit(""))
+          .when(pos > 0, substr(strOf(a0), lit(1), pos - 1)).otherwise(lit(""))
+        when(isStr(a0) && isStr(a1), strTerm(out)).otherwise(nul)
+      case Func.StrAfter =>
+        val pos = call_function("instr", strOf(a0), strOf(a1))
+        val out = when(length(strOf(a1)) === 0, strOf(a0))
+          .when(pos > 0, substr(strOf(a0), pos + length(strOf(a1)), lit(Int.MaxValue)))
+          .otherwise(lit(""))
+        when(isStr(a0) && isStr(a1), strTerm(out)).otherwise(nul)
+      case Func.EncodeForUri =>
+        // hex-escape every byte except ASCII letters and digits/unreserved
+        // (reference escapes all but ASCII letters, calc_engine.rs:1796-1860;
+        // we keep unreserved marks per RFC 3986 — CONFORMANCE)
+        when(isStr(a0), strTerm(url_encode(strOf(a0)))).otherwise(nul)
+      case Func.Concat => // strings-only else Null (calc_engine.rs:1861-1886)
+        when(as.map(isStr).reduce(_ && _), strTerm(concat(as.map(strOf): _*))).otherwise(nul)
+      case Func.LangMatches =>
+        // reference: lowercase substring containment, not RFC 4647
+        // (calc_engine.rs:1887-1933); "*" matches any non-empty tag
+        val tag = lower(strOf(a0)); val range = lower(strOf(a1))
+        val out = when(strOf(a1) === "*", length(strOf(a0)) > 0)
+          .otherwise(tag.contains(range))
+        when(isStr(a0) && isStr(a1), boolTerm(out)).otherwise(nul)
+      case Func.Regex =>
+        val pat = regexPattern(as, raw)
+        when(isStr(a0) && pat.isNotNull, boolTerm(regexp_like(strOf(a0), pat))).otherwise(nul)
+      case Func.Replace =>
+        val pat = regexPatternAt(as, raw, flagsIdx = 3)
+        when(isStr(a0) && isStr(a1) && isStr(as(2)) && pat.isNotNull,
+          strTerm(regexp_replace(strOf(a0), pat, strOf(as(2))))).otherwise(nul)
+
+      // ---- numeric functions ----------------------------------------
+      case Func.Abs => // type-preserving (calc_engine.rs:2314-2334)
+        when(kindOf(a0) === Kind.Int, intTerm(abs(numOf(a0)).cast(IntegerType)))
+          .when(kindOf(a0) === Kind.Float, floatTerm(abs(asF32(a0))))
+          .otherwise(nul)
+      case Func.Round => // half-away-from-zero, returns float (calc_engine.rs:2335-2380)
+        when(isNumeric(a0), floatTerm(round(asF32(a0).cast(DoubleType), 0).cast(FloatType)))
+          .otherwise(nul)
+      case Func.Ceil =>
+        // deviation (CONFORMANCE): reference ceil(2.0)→3.0 bug
+        // (calc_engine.rs:2381-2411); we use correct ceil
+        when(isNumeric(a0), floatTerm(ceil(asF32(a0).cast(DoubleType)).cast(FloatType))).otherwise(nul)
+      case Func.Floor =>
+        when(isNumeric(a0), floatTerm(floor(asF32(a0).cast(DoubleType)).cast(FloatType))).otherwise(nul)
+      case Func.Rand => floatTerm(rand().cast(FloatType))
+
+      // ---- date/time functions over the time term -------------------
+      // num packs (y, mo, d, h, mi, s) lexicographically; see ingest
+      case Func.Now => // reference todo!; engine extension
+        strTerm(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      case Func.Year => timeField(a0, 1e10, 100000000000L)
+      case Func.Month => timeField2(a0, 1e8, 100)
+      case Func.Day => timeField2(a0, 1e6, 100)
+      case Func.Hours => timeField2(a0, 1e4, 100)
+      case Func.Minutes => timeField2(a0, 1e2, 100)
+      case Func.Seconds => timeField2(a0, 1d, 100)
+      case Func.Timezone => nul // reference todo! (calc_engine.rs:2553-2558)
+      case Func.Tz => // raw minute-offset string (calc_engine.rs:2559-2576)
+        when(kindOf(a0) === Kind.Time,
+          strTerm(split(a0.getField("key"), "\\|").getItem(4))).otherwise(nul)
+
+      // ---- hash functions (hex over strings, calc_engine.rs:2578-2684)
+      case Func.Md5 => hashFn(a0, md5)
+      case Func.Sha1 => hashFn(a0, sha1)
+      case Func.Sha256 => hashFn(a0, c => sha2(c, 256))
+      case Func.Sha384 => hashFn(a0, c => sha2(c, 384))
+      case Func.Sha512 => hashFn(a0, c => sha2(c, 512))
+
+      case Func.GetLabel | Func.GetDescription | Func.GetAlias =>
+        throw new UnsupportedOperationException(
+          "label-service functions are lowered to joins by LabelService (SURVEY §4.1)")
+    }
+  }
+
+  private def hashFn(a: Column, f: Column => Column): Column =
+    when(isStr(a), strTerm(f(strOf(a).cast(BinaryType)))).otherwise(nul)
+
+  /** YEAR(): integer division of the packed time key (works for negative
+    * years because the remainder is always non-negative).
+    */
+  private def timeField(t: Column, div: Double, mod: Long): Column =
+    when(kindOf(t) === Kind.Time, intTerm(floor(numOf(t) / div).cast(LongType).cast(IntegerType)))
+      .otherwise(nul)
+
+  /** Month/day/…: floor-divide then mod 100. */
+  private def timeField2(t: Column, div: Double, mod: Long): Column =
+    when(kindOf(t) === Kind.Time,
+      intTerm(pmod(floor(numOf(t) / div).cast(LongType), lit(100)).cast(IntegerType)))
+      .otherwise(nul)
+
+  /** Runtime IRI → term for the IRI()/URI() function (subset: wd shapes). */
+  private def iriFromString(s: Column): Column = {
+    val q = regexp_extract(s, "^http://www\\.wikidata\\.org/entity/Q(\\d+)", 1)
+    val pd = regexp_extract(s, "^http://www\\.wikidata\\.org/prop/direct/P(\\d+)", 1)
+    when(q =!= "", Term.struct_(lit(Kind.Q), q.cast(DoubleType), lit(null).cast(StringType),
+      lit(null).cast(StringType), concat(lit("Q:"), q)))
+      .when(pd =!= "", Term.struct_(lit(Kind.P), pd.cast(DoubleType), lit(null).cast(StringType),
+        lit(null).cast(StringType), concat(lit("P:"), pd)))
+      .otherwise(strTerm(s))
+  }
+
+  /** Build a Java-regex pattern with SPARQL flags folded in as inline
+    * `(?…)` groups (reference uses Rust's identical syntax,
+    * calc_engine.rs:1934-2069). Literal `q` flag quotes the pattern.
+    */
+  private def regexPattern(as: Seq[Column], raw: Seq[Expr]): Column =
+    regexPatternAt(as, raw, flagsIdx = 2)
+
+  private def regexPatternAt(as: Seq[Column], raw: Seq[Expr], flagsIdx: Int): Column = {
+    val patCol = as(1).getField("str")
+    if (as.length <= flagsIdx) return patCol
+    raw(flagsIdx) match {
+      case EConst(v) if v.kind == Term.Kind.Str =>
+        val flags = v.str.getOrElse("")
+        val inline = flags.filter("ismx".contains(_))
+        val quoted = flags.contains('q')
+        val base = if (quoted) concat(lit("\\Q"), patCol, lit("\\E")) else patCol
+        if (inline.nonEmpty) concat(lit(s"(?$inline)"), base) else base
+      case _ =>
+        // runtime flags: support i/s/m/x composition
+        val f = regexp_replace(as(flagsIdx).getField("str"), "[^ismx]", "")
+        when(length(f) > 0, concat(lit("(?"), f, lit(")"), patCol)).otherwise(patCol)
+    }
+  }
+}

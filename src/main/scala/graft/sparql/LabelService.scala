@@ -1,0 +1,172 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Term, TermOps}
+import Ast._
+
+/** The wikibase:label SERVICE.
+  *
+  * Rewrite (reference `rewrite_label_service` +
+  * `label_service_to_function_calls`, `src/interpreter.rs:784-1057`):
+  * `Join(P, Service<wikibase:label>{ bd:serviceParam wikibase:language
+  * "en,de" … })` becomes `ProjectExtend(P, …)` where every projected
+  * variable maps to itself, except label variables which become
+  * `getLabel/getAlias/getDescription(target, lang…)` calls — explicit
+  * (`?x rdfs:label ?xLabel` inside the service) or implicit (projected
+  * variables named `?xLabel` / `?xDescription` / `?xAltLabel`).
+  *
+  * Lowering (replacing the reference's per-row index probes,
+  * `src/calc_engine.rs:2685-2928`): a broadcast join against the
+  * `labels` DataFrame pre-aggregated to one row per entity — the
+  * language-priority "first match" becomes `min(struct(priority, ord,
+  * text))`. Broadcast is sound at any scale: the label table for the
+  * language subset is bounded by #entities × #requested-langs and the
+  * aggregation happens before the join; for a 100 TB store the same
+  * plan works with the broadcast hint dropped (AQE picks the strategy).
+  */
+object LabelService {
+
+  /** Walk the tree carrying the enclosing projection's variable set,
+    * mirroring the reference's traversal (`src/interpreter.rs:784-917`).
+    */
+  def rewrite(op: Op): Op = rewriteIn(op, Seq.empty)
+
+  private def rewriteIn(op: Op, vars: Seq[Var]): Op = op match {
+    case Join(Service(name, inner, _), other) if isLabelService(name) =>
+      projectExtend(rewriteIn(other, vars), inner, vars)
+    case Join(other, Service(name, inner, _)) if isLabelService(name) =>
+      projectExtend(rewriteIn(other, vars), inner, vars)
+    case Join(l, r) => Join(rewriteIn(l, vars), rewriteIn(r, vars))
+    case LeftJoin(l, r, e) => LeftJoin(rewriteIn(l, vars), rewriteIn(r, vars), e)
+    case Lateral(l, r) => Lateral(rewriteIn(l, vars), rewriteIn(r, vars))
+    case FilterOp(e, i) => FilterOp(e, rewriteIn(i, vars))
+    case UnionOp(l, r) => UnionOp(rewriteIn(l, vars), rewriteIn(r, vars))
+    case Extend(i, v, e) => Extend(rewriteIn(i, vars.filterNot(_ == v)), v, e)
+    case Minus(l, r) => Minus(rewriteIn(l, vars), rewriteIn(r, vars))
+    case OrderBy(i, ks) => OrderBy(rewriteIn(i, vars), ks)
+    case Project(i, vs) => Project(rewriteIn(i, vs), vs)
+    case ProjectExtend(i, es) => ProjectExtend(rewriteIn(i, es.map(_._1)), es)
+    case DistinctOp(i) => DistinctOp(rewriteIn(i, vars))
+    case ReducedOp(i) => ReducedOp(rewriteIn(i, vars))
+    case Slice(i, s, l) => Slice(rewriteIn(i, vars), s, l)
+    case Group(i, ks, as) => Group(rewriteIn(i, vars), ks, as)
+    case other => other
+  }
+
+  private def isLabelService(name: graft.model.TermValue): Boolean =
+    name.key == "s:http://wikiba.se/ontology#label"
+
+  /** Build the ProjectExtend expressions
+    * (`label_service_to_function_calls`, `src/interpreter.rs:919-1057`).
+    */
+  private def projectExtend(other: Op, serviceInner: Op, vars: Seq[Var]): Op = {
+    val triples = serviceInner match {
+      case Bgp(ts) => ts
+      case _ => Seq.empty
+    }
+    var languages = Seq.empty[String]
+    val explicit = scala.collection.mutable.LinkedHashMap.empty[String, (Expr, Func.Value)]
+
+    triples.foreach {
+      case Triple(Const(s), Const(p), Const(o))
+          if s.key == "s:http://www.bigdata.com/rdf#serviceParam" &&
+            p.key == "s:http://wikiba.se/ontology#language" &&
+            o.kind == Term.Kind.Str =>
+        languages = o.str.getOrElse("").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty).filterNot(_.startsWith("[")) // drop [AUTO_LANGUAGE]
+      case Triple(s, Const(p), Var(obj)) =>
+        val target: Expr = s match {
+          case Var(n) => EVar(n)
+          case Const(v) => EConst(v)
+        }
+        p.key match {
+          case "s:http://www.w3.org/2000/01/rdf-schema#label" =>
+            explicit(obj) = (target, Func.GetLabel)
+          case "s:http://www.w3.org/2004/02/skos/core#altLabel" =>
+            explicit(obj) = (target, Func.GetAlias)
+          case "s:http://schema.org/description" =>
+            explicit(obj) = (target, Func.GetDescription)
+          case _ =>
+        }
+      case _ =>
+    }
+
+    if (languages.isEmpty) return other // no language param → no-op (reference returns Vec::new())
+
+    val mappings: Map[String, (Expr, Func.Value)] =
+      if (explicit.nonEmpty) explicit.toMap
+      else vars.flatMap { v =>
+        val n = v.name
+        if (n.endsWith("AltLabel")) Some(n -> ((EVar(n.dropRight(8)): Expr, Func.GetAlias)))
+        else if (n.endsWith("Label")) Some(n -> ((EVar(n.dropRight(5)): Expr, Func.GetLabel)))
+        else if (n.endsWith("Description")) Some(n -> ((EVar(n.dropRight(11)): Expr, Func.GetDescription)))
+        else None
+      }.toMap
+
+    val langArgs = languages.map(l => EConst(graft.model.TermValue.str(l)))
+    val exprs: Seq[(Var, Expr)] = vars.map { v =>
+      mappings.get(v.name) match {
+        case Some((target, fn)) => v -> ECall(fn, target +: langArgs)
+        case None => v -> EVar(v.name)
+      }
+    }
+    ProjectExtend(other, exprs)
+  }
+
+  // ------------------------------------------------------------ lowering
+
+  /** Attach `outName` = getLabel/getDescription/getAlias(target, langs)
+    * to `df` via a broadcast join against the labels table.
+    */
+  def attach(tr: Translator, labels: DataFrame, df: DataFrame, outName: String,
+             fn: Func.Value, args: Seq[Expr]): DataFrame = {
+    val resolve: String => Option[Column] = {
+      val cols = df.columns.toSet
+      n => if (cols.contains(n)) Some(df(n)) else None
+    }
+    val target = Expressions.eval(args.head, resolve)
+    val langs = args.tail.collect { case EConst(v) if v.kind == Term.Kind.Str => v.str.get }
+    if (langs.isEmpty) return df.withColumn(outName, Term.nullTerm)
+
+    val kind = fn match {
+      case Func.GetLabel => "label"
+      case Func.GetDescription => "desc"
+      case Func.GetAlias => "alias"
+      case _ => throw new IllegalArgumentException(s"$fn")
+    }
+    val prio = langs.zipWithIndex.toMap
+    val prioCol = langs.zipWithIndex
+      .foldLeft(lit(Int.MaxValue)) { case (acc, (l, i)) => when(col("lang") === l, i).otherwise(acc) }
+
+    val filtered = labels
+      .filter(col("kind") === kind && col("lang").isin(langs: _*))
+      .select(col("entity_key"), prioCol.as("prio"), col("ord"), col("text"))
+
+    val joinCol = s"__lsv_$outName"
+    val lookup = fn match {
+      case Func.GetAlias =>
+        // ALL matching languages' aliases in (priority, insertion) order,
+        // each with a trailing comma (reference quirk — no break in the
+        // language loop, calc_engine.rs:2863-2917)
+        filtered.groupBy(col("entity_key").as(joinCol))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("prio"), col("ord"), col("text")))),
+            x => concat(x.getField("text"), lit(","))), "").as("__lsv_text"))
+      case _ =>
+        // first label/description over the language priority list
+        filtered.groupBy(col("entity_key").as(joinCol))
+          .agg(min(struct(col("prio"), col("ord"), col("text"))).getField("text").as("__lsv_text"))
+    }
+
+    // only Q/P entities resolve (calc_engine.rs:2700-2711)
+    val targetKey = when(target.getField("kind").isin(Term.Kind.Q, Term.Kind.P),
+      target.getField("key"))
+    val joined = df.join(broadcast(lookup), targetKey === lookup(joinCol), "left_outer")
+    joined
+      .withColumn(outName, TermOps.strTerm(col("__lsv_text")))
+      .drop(joinCol, "__lsv_text")
+  }
+}

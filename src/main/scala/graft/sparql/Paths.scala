@@ -1,0 +1,114 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Term, TermOps}
+import Ast._
+
+/** Property-path evaluation (reference parses the full `PPE` surface
+  * but todo!'s execution — `src/calc_data_types.rs:15-26`,
+  * `src/calc_engine.rs:153-157`; SURVEY §7.5 prescribes this design).
+  *
+  * A path expression compiles to an edge DataFrame with two term
+  * columns `__ps` / `__po`:
+  *   - NamedNode   → predicate-filtered scan (direct view)
+  *   - Reverse     → swap endpoints
+  *   - Sequence    → join chain on a fresh midpoint
+  *   - Alternative → union
+  *   - ZeroOrOne   → union with the identity over graph nodes
+  *   - ZeroOrMore/OneOrMore → iterative frontier join with dedup and
+  *     `localCheckpoint` per round (bounded by graph diameter; at
+  *     cluster scale each round is one shuffle on the frontier key and
+  *     the visited set stays partitioned by destination)
+  *   - NegatedPropertySet → `NOT predicate IN (…)` filter
+  */
+object Paths {
+
+  private val S = "__ps"
+  private val O = "__po"
+
+  def exec(tr: Translator, statements: DataFrame, p: PathOp): DataFrame = {
+    val edges = compile(tr, statements, p.path)
+    // bind endpoints like an ordinary triple pattern
+    var df = edges
+    var binds = List.empty[(String, Column)]
+    p.s match {
+      case Var(n) => binds ::= (n, df(S))
+      case Const(v) => df = df.filter(TermOps.keyOrNull(df(S)) === v.key)
+    }
+    p.o match {
+      case Var(n) => binds ::= (n, df(O))
+      case Const(v) => df = df.filter(TermOps.keyOrNull(df(O)) === v.key)
+    }
+    (p.s, p.o) match {
+      case (Var(a), Var(b)) if a == b => df = df.filter(df(S).getField("key") === df(O).getField("key"))
+      case _ =>
+    }
+    val byVar = binds.reverse.distinctBy(_._1)
+    df.select(byVar.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private[sparql] def compile(tr: Translator, st: DataFrame, p: Ppe): DataFrame = p match {
+    case PLink(iri) =>
+      st.filter(col("p.key") === iri.key).select(col("s").as(S), col("o").as(O))
+    case PNegated(preds) =>
+      st.filter(!col("p.key").isin(preds.map(_.key): _*)).select(col("s").as(S), col("o").as(O))
+    case PReverse(inner) =>
+      compile(tr, st, inner).select(col(O).as(S), col(S).as(O))
+    case PSeq(front, back) =>
+      val f = compile(tr, st, front).withColumnRenamed(O, "__pm")
+      val b = compile(tr, st, back).withColumnRenamed(S, "__pm2")
+      f.join(b, f("__pm").getField("key") === b("__pm2").getField("key"))
+        .select(f(S).as(S), b(O).as(O))
+    case PAlt(front, back) =>
+      compile(tr, st, front).unionByName(compile(tr, st, back)).distinct()
+    case PZeroOrOne(inner) =>
+      compile(tr, st, inner).unionByName(identityPairs(st)).distinct()
+    case PZeroOrMore(inner) =>
+      closure(compile(tr, st, inner)).unionByName(identityPairs(st)).distinct()
+    case POneOrMore(inner) =>
+      closure(compile(tr, st, inner))
+  }
+
+  /** Zero-length path: every graph node relates to itself (subjects and
+    * objects of the store). At 100 TB this is only materialized when a
+    * genuine `p*`/`p?` with both endpoints free is asked — with a bound
+    * endpoint the translator's endpoint filter prunes it to one node.
+    */
+  private def identityPairs(st: DataFrame): DataFrame =
+    st.select(col("s").as(S)).unionByName(st.select(col("o").as(S)))
+      .distinct()
+      .select(col(S), col(S).as(O))
+
+  /** Transitive closure: iterative join-dedup fixpoint with
+    * localCheckpoint per round to cut lineage (SURVEY §7.5).
+    */
+  private def closure(edges0: DataFrame, maxIters: Int = 64): DataFrame = {
+    val spark = edges0.sparkSession
+    var total = edges0.select(
+      col(S), col(O),
+      col(S).getField("key").as("__ks"), col(O).getField("key").as("__ko"))
+      .dropDuplicates("__ks", "__ko")
+      .localCheckpoint(true)
+    var frontier = total
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      iter += 1
+      val step = frontier.alias("f")
+        .join(total.alias("t"), col("f.__ko") === col("t.__ks"))
+        .select(col("f." + S).as(S), col("t." + O).as(O),
+          col("f.__ks").as("__ks"), col("t.__ko").as("__ko"))
+        .dropDuplicates("__ks", "__ko")
+      val fresh = step.join(total.select("__ks", "__ko"), Seq("__ks", "__ko"), "left_anti")
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        total = total.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh
+      }
+    }
+    total.select(col(S), col(O))
+  }
+}

@@ -1,0 +1,406 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Render, Term, TermOps, TermValue}
+import Ast._
+
+/** Algebra → DataFrame translator.
+  *
+  * Each SPARQL variable becomes one term-struct column named after the
+  * variable. Joins are natural joins on shared variable names with
+  * equality on the canonical `key` field (the reference joins on shared
+  * column names over 64-bit node ids,
+  * `src/relation/materialized_relation.rs:593-636`; statement-`ID`
+  * columns never join because scans only expose variables).
+  *
+  * Scale notes: scans are plain filters over the statements Parquet
+  * (predicate/subject `key` equality pushes down to row-group pruning);
+  * joins shuffle on the string keys only, not whole structs; Catalyst +
+  * AQE pick broadcast vs shuffle join and re-plan skew at runtime —
+  * replacing the reference's greedy size-ordered BGP join
+  * (`src/calc_engine.rs:109-151`).
+  */
+final class Translator(spark: SparkSession, statements: DataFrame, labels: DataFrame) {
+
+  import TermOps._
+
+  // ------------------------------------------------------------------ api
+
+  def translate(q: Query): DataFrame = q match {
+    case SelectQuery(root) => exec(LabelService.rewrite(root))
+    case AskQuery(root) =>
+      val any = !exec(LabelService.rewrite(root)).isEmpty
+      spark.range(1).select(lit(any).as("boolean"))
+  }
+
+  // ----------------------------------------------------------- operators
+
+  private[sparql] def exec(op: Op): DataFrame = op match {
+    case Bgp(Nil) => unitDf
+    case Bgp(triples) => triples.map(scan).reduce(naturalJoin(_, _, "inner"))
+    case p: PathOp => Paths.exec(this, statements, p)
+    case Join(l, r) => naturalJoin(exec(l), exec(r), "inner")
+    case Lateral(l, r) => naturalJoin(exec(l), exec(r), "inner") // ref: plain join (calc_engine.rs:194-201)
+    case LeftJoin(l, r, cond) =>
+      // the reference applies the OPTIONAL's filter to the LEFT side
+      // before joining (calc_engine.rs:170-192) — nonstandard vs the
+      // SPARQL spec; replicated for parity (CONFORMANCE).
+      val left = exec(l)
+      val leftF = cond match {
+        case Some(c) => left.filter(ebv(eval(c, colResolver(left))) <=> true)
+        case None => left
+      }
+      naturalJoin(leftF, exec(r), "left_outer")
+    case FilterOp(cond, inner) => execFilter(cond, exec(inner))
+    case UnionOp(l, r) => unionPad(exec(l), exec(r))
+    case Extend(inner, v, expr) =>
+      val df = exec(inner)
+      extendWith(df, v.name, expr)
+    case Minus(l, r) =>
+      val (ld, rd) = (exec(l), exec(r))
+      val shared = ld.columns.intersect(rd.columns).toSeq
+      if (shared.isEmpty) ld
+      else {
+        val rKeys = rd.select(shared.map(c => keyOrNull(rd(c)).as(c)): _*).distinct()
+        val cond = shared.map(c => keyOrNull(ld(c)) === rKeys(c)).reduce(_ && _)
+        ld.join(rKeys, cond, "left_anti")
+      }
+    case v: ValuesOp => valuesDf(v)
+    case OrderBy(inner, keys) =>
+      val df = exec(inner)
+      val sorts = keys.map { case (e, asc) =>
+        val k = sortKey(eval(e, colResolver(df)))
+        if (asc) k.asc else k.desc
+      }
+      df.orderBy(sorts: _*)
+    case Project(inner, vars) =>
+      val df = exec(inner)
+      df.select(vars.map(v =>
+        if (df.columns.contains(v.name)) df(v.name) else Term.nullTerm.as(v.name)): _*)
+    case ProjectExtend(inner, exprs) =>
+      val df = exec(inner)
+      exprs.foldLeft(df) { case (d, (v, e)) => extendWith(d, v.name, e) }
+        .select(exprs.map(_._1.name).map(col): _*)
+    case DistinctOp(inner) => exec(inner).distinct()
+    case ReducedOp(inner) => exec(inner).distinct() // REDUCED permits dedup
+    case Slice(inner, start, len) =>
+      val df = exec(inner)
+      val off = if (start > 0) df.offset(start.toInt) else df
+      len.map(l => off.limit(l.toInt)).getOrElse(off)
+    case Group(inner, keys, aggs) => execGroup(exec(inner), keys, aggs)
+    case Service(_, _, _) =>
+      throw new UnsupportedOperationException(
+        "SERVICE: only wikibase:label is supported (rewritten before translation; " +
+          "reference src/interpreter.rs:659 panics likewise)")
+  }
+
+  /** One empty solution (unit of Join). */
+  private def unitDf: DataFrame = spark.range(1).select()
+
+  // --------------------------------------------------------------- scans
+
+  private val wdsSt = statements
+
+  /** Convert a direct-property term to its statement view: P → ps
+    * (reference `direct_pred_to_stmt_pred`, `calc_engine.rs:3362-3397`;
+    * non-P terms pass through unchanged).
+    */
+  private def pstmtify(c: Column): Column =
+    when(c.getField("kind") === Term.Kind.P,
+      Term.struct_(
+        lit(Term.Kind.Pstmt), c.getField("num"), c.getField("str"), c.getField("lang"),
+        concat(lit("PS:"), c.getField("num").cast(LongType).cast(StringType))))
+      .otherwise(c)
+
+  /** Triple-pattern scan: the 9-way bound/var dispatch with the
+    * wdt:/p:/wds: statement-addressing duality
+    * (`triplepattern_match`, reference `src/calc_engine.rs:3074-3284`).
+    *
+    * Output: one term-struct column per distinct variable; repeated
+    * variables add equality filters (engine extension — the reference's
+    * rename map silently collides).
+    */
+  def scan(t: Triple): DataFrame = {
+    val st = wdsSt
+    val stmtPred = t.p match { case Const(v) => v.kind == Term.Kind.Pstmt; case _ => false }
+    val stmtObj = t.o match { case Const(v) => v.kind == Term.Kind.NamedEdge; case _ => false }
+
+    // the direct-view predicate for a p: constant (calc_engine.rs:3090-3098)
+    val pLocalKey: Option[String] = t.p match {
+      case Const(v) if v.kind == Term.Kind.Pstmt => Some(s"P:${v.num.get.toLong}")
+      case Const(v) => Some(v.key)
+      case _ => None
+    }
+    val sKey = t.s match { case Const(v) => Some(v.key); case _ => None }
+    val oKey = t.o match { case Const(v) => Some(v.key); case _ => None }
+
+    def empty: DataFrame = {
+      val d = st.limit(0)
+      finish(d, Seq())
+    }
+
+    /** project variable bindings; repeated vars → equality filter */
+    def finish(df: DataFrame, binds: Seq[(TermPat, Column)]): DataFrame = {
+      val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      var out = df
+      var conds = List.empty[Column]
+      binds.foreach {
+        case (Var(name), c) =>
+          byVar.get(name) match {
+            case Some(first) => conds ::= (keyOrNull(first) === keyOrNull(c))
+            case None => byVar(name) = c
+          }
+        case _ => // bound positions produce no output column
+      }
+      conds.foreach(c => out = out.filter(c))
+      out.select(byVar.map { case (n, c) => c.as(n) }.toSeq: _*)
+    }
+
+    (t.s, t.p, t.o) match {
+      // (V,V,V): full scan, direct rows (calc_engine.rs:3108-3114)
+      case (s: Var, p: Var, o: Var) =>
+        finish(st, Seq(s -> col("s"), p -> col("p"), o -> col("o")))
+
+      // (V,V,B)
+      case (s: Var, p: Var, _) =>
+        if (stmtObj) // rows of the named statement; predicate in stmt view
+          finish(st.filter(col("id.key") === oKey.get),
+            Seq(s -> col("s"), p -> pstmtify(col("p"))))
+        else
+          finish(st.filter(col("o.key") === oKey.get), Seq(s -> col("s"), p -> col("p")))
+
+      // (V,B,V)
+      case (s: Var, _, o: Var) =>
+        val filtered = st.filter(col("p.key") === pLocalKey.get)
+        if (stmtPred) finish(filtered, Seq(s -> col("s"), o -> col("id")))
+        else finish(filtered, Seq(s -> col("s"), o -> col("o")))
+
+      // (V,B,B)
+      case (s: Var, _, _) =>
+        if (stmtObj && stmtPred)
+          finish(st.filter(col("id.key") === oKey.get && col("p.key") === pLocalKey.get),
+            Seq(s -> col("s")))
+        else if (!stmtObj && !stmtPred)
+          finish(st.filter(col("p.key") === pLocalKey.get && col("o.key") === oKey.get),
+            Seq(s -> col("s")))
+        else empty // misaligned statement addressing (calc_engine.rs:3169-3178)
+
+      // (B,V,V): direct view only. The reference's current code also
+      // chains a statement view (calc_engine.rs:3183-3203), which would
+      // double every row — but its published test corpus expects the
+      // direct count (`wdt:Q31 ?p ?b` = 1354 = the subject's edge count,
+      // test_requests.txt:16-21), so the corpus is the parity anchor
+      // (CONFORMANCE). Statement addressing stays reachable via p:/wds:
+      // constants in the other dispatch arms.
+      case (_, p: Var, o: Var) =>
+        finish(st.filter(col("s.key") === sKey.get), Seq(p -> col("p"), o -> col("o")))
+
+      // (B,V,B)
+      case (_, p: Var, _) =>
+        if (stmtObj)
+          finish(st.filter(col("id.key") === oKey.get && col("s.key") === sKey.get),
+            Seq(p -> pstmtify(col("p"))))
+        else
+          finish(st.filter(col("s.key") === sKey.get && col("o.key") === oKey.get),
+            Seq(p -> col("p")))
+
+      // (B,B,V)
+      case (_, _, o: Var) =>
+        val base = st.filter(col("s.key") === sKey.get && col("p.key") === pLocalKey.get)
+        if (stmtPred) finish(base, Seq(o -> col("id")))
+        else finish(base, Seq(o -> col("o")))
+
+      // (B,B,B): zero-variable existence pattern
+      case (_, _, _) =>
+        if (stmtObj && stmtPred)
+          finish(st.filter(col("id.key") === oKey.get && col("p.key") === pLocalKey.get &&
+            col("s.key") === sKey.get), Seq())
+        else if (!stmtObj && !stmtPred)
+          finish(st.filter(col("s.key") === sKey.get && col("p.key") === pLocalKey.get &&
+            col("o.key") === oKey.get), Seq())
+        else empty
+    }
+  }
+
+  // --------------------------------------------------------------- joins
+
+  /** Natural join on shared variable columns, comparing canonical keys
+    * (null-normalized so unbound == unbound, like the reference's Null
+    * node id 0).
+    */
+  def naturalJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+    val shared = l.columns.intersect(r.columns).toSeq
+    if (l.columns.isEmpty && how == "inner") return r
+    val renamed = shared.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    // no shared variable → every pair of solutions is compatible
+    // (cartesian product; the reference todo!'s this case — implemented)
+    val cond =
+      if (shared.isEmpty) lit(true)
+      else shared.map(c => keyOrNull(l(c)) === keyOrNull(renamed(s"__r_$c"))).reduce(_ && _)
+    val joined = l.join(renamed, cond, how)
+    val outCols =
+      l.columns.map(c =>
+        if (shared.contains(c)) coalesce(joined(c), joined(s"__r_$c")).as(c)
+        else joined(c).as(c)) ++
+        renamed.columns.filterNot(_.startsWith("__r_")).filterNot(l.columns.contains)
+          .map(c => joined(c).as(c))
+    joined.select(outCols.toSeq: _*)
+  }
+
+  /** SPARQL UNION pads unshared variables with unbound (SQL null). */
+  private def unionPad(l: DataFrame, r: DataFrame): DataFrame = {
+    val all = (l.columns ++ r.columns).distinct.toSeq
+    def pad(d: DataFrame) =
+      d.select(all.map(c => if (d.columns.contains(c)) d(c) else Term.nullTerm.as(c)): _*)
+    pad(l).unionByName(pad(r))
+  }
+
+  private def valuesDf(v: ValuesOp): DataFrame = {
+    if (v.vars.isEmpty) return unitDf // unit pattern: one empty solution
+    val rows = v.rows.map { row =>
+      spark.range(1).select(v.vars.zip(row).map { case (va, tv) =>
+        tv.map(_.toColumn).getOrElse(Term.nullTerm).as(va.name)
+      }: _*)
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  // ------------------------------------------------------------- filters
+
+  /** FILTER: conjuncts that are (NOT) EXISTS become semi/anti joins
+    * (strictly more correct than the reference's uncorrelated
+    * row-count check, `calc_engine.rs:1118-1121`; SURVEY §2.3 maps them
+    * to left_semi/left_anti); the rest is EBV with
+    * eval-error → drop row (`calc_engine.rs:215`).
+    */
+  private def execFilter(cond: Expr, df: DataFrame): DataFrame = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case EAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).foldLeft(df) { (d, c) =>
+      c match {
+        case EExists(op, neg) =>
+          val sub = exec(LabelService.rewrite(op))
+          val shared = d.columns.intersect(sub.columns).toSeq
+          val how = if (neg) "left_anti" else "left_semi"
+          if (shared.isEmpty) {
+            val nonEmpty = !sub.isEmpty
+            if (nonEmpty ^ neg) d else d.limit(0)
+          } else {
+            val renamed = shared.foldLeft(sub)((x, cc) => x.withColumnRenamed(cc, s"__e_$cc"))
+            val on = shared.map(cc => keyOrNull(d(cc)) === keyOrNull(renamed(s"__e_$cc"))).reduce(_ && _)
+            d.join(renamed, on, how)
+          }
+        case ENot(EExists(op, _)) =>
+          execFilter(EExists(op, negated = true), d)
+        case other =>
+          d.filter(ebv(eval(other, colResolver(d))) <=> true)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ grouping
+
+  private def execGroup(df: DataFrame, keys: Seq[Var], aggs: Seq[(Var, Agg)]): DataFrame = {
+    val resolver = colResolver(df)
+    def notNullT(c: Column): Column = c.isNotNull && c.getField("kind") =!= Term.Kind.Null
+    def f32of(c: Column): Column = when(isNumeric(c), asF32(c))
+
+    val aggCols: Seq[Column] = aggs.map { case (v, agg) =>
+      val out = agg match {
+        case ACount(None, false) => intTerm(count(lit(1)))
+        case ACount(None, true) =>
+          intTerm(countDistinct(struct(df.columns.map(c => keyOrNull(df(c))).toSeq: _*)))
+        case ACount(Some(e), false) =>
+          // COUNT(expr) counts rows in the reference too (:466-470 treats
+          // plain COUNT as row count); we count non-Null evals per SPARQL
+          val c = eval(e, resolver)
+          intTerm(count(when(notNullT(c), 1)))
+        case ACount(Some(e), true) =>
+          val c = eval(e, resolver)
+          intTerm(countDistinct(when(notNullT(c), keyOrNull(c))))
+        case ASum(e, false) =>
+          val c = eval(e, resolver)
+          floatTerm(coalesce(sum(f32of(c)), lit(0d)).cast(FloatType))
+        case ASum(e, true) =>
+          val c = eval(e, resolver)
+          floatTerm(coalesce(sum_distinct(f32of(c)), lit(0d)).cast(FloatType))
+        case AAvg(e, false) =>
+          val c = eval(e, resolver)
+          floatTerm(avg(f32of(c)).cast(FloatType))
+        case AAvg(e, true) =>
+          // avg(DISTINCT) = sum_distinct / count(distinct) in f32
+          val c = eval(e, resolver)
+          val s = sum_distinct(f32of(c))
+          val n = countDistinct(f32of(c))
+          floatTerm(when(n > 0, (s / n).cast(FloatType)))
+        case AMin(e, _) =>
+          val c = eval(e, resolver)
+          min(when(notNullT(c), struct(sortKey(c).as("k"), c.as("t")))).getField("t")
+        case AMax(e, _) =>
+          val c = eval(e, resolver)
+          max(when(notNullT(c), struct(sortKey(c).as("k"), c.as("t")))).getField("t")
+        case AGroupConcat(e, distinct, sep) =>
+          val c = eval(e, resolver)
+          val form = Render.groupConcatForm(c)
+          val list = if (distinct) collect_set(form) else collect_list(form)
+          // deterministic order (sorted); the reference keeps insertion
+          // order of its stable sort — deviation noted in CONFORMANCE.
+          // Unbounded per-group collect: callers at 100 TB scale must
+          // bound group cardinality (same caveat as reference's
+          // in-memory group materialization).
+          strTerm(concat_ws(sep.getOrElse(""), sort_array(list)))
+        case ASample(e, _) =>
+          val c = eval(e, resolver)
+          min(when(notNullT(c), struct(Render.lex(c).as("k"), c.as("t")))).getField("t")
+      }
+      out.as(v.name)
+    }
+
+    if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else {
+      val keyCols = keys.map(k =>
+        if (df.columns.contains(k.name)) df(k.name) else Term.nullTerm.as(k.name))
+      df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+  }
+
+  // ---------------------------------------------------------- extensions
+
+  private def extendWith(df: DataFrame, name: String, expr: Expr): DataFrame = expr match {
+    case ECall(f @ (Func.GetLabel | Func.GetDescription | Func.GetAlias), args) =>
+      LabelService.attach(this, labels, df, name, f, args)
+    case ECoalesce(args) if args.exists {
+      case ECall(Func.GetLabel | Func.GetDescription | Func.GetAlias, _) => true
+      case _ => false
+    } =>
+      // coalesce over label-service calls: attach each, then coalesce
+      var d = df
+      val parts = args.zipWithIndex.map {
+        case (ECall(f @ (Func.GetLabel | Func.GetDescription | Func.GetAlias), a), i) =>
+          val tmp = s"__ls${i}_$name"
+          d = LabelService.attach(this, labels, d, tmp, f, a)
+          col(tmp)
+        case (e, _) => eval(e, colResolver(d))
+      }
+      d.withColumn(name, coalesce(parts: _*)).drop(d.columns.filter(_.startsWith("__ls")): _*)
+    case _ =>
+      df.withColumn(name, eval(expr, colResolver(df)))
+  }
+
+  // -------------------------------------------------------- expressions
+
+  private def colResolver(df: DataFrame): String => Option[Column] = {
+    val cols = df.columns.toSet
+    name => if (cols.contains(name)) Some(df(name)) else None
+  }
+
+  /** Compile an expression to a term-struct Column
+    * (reference `calculate_expression`, `calc_engine.rs:993-1183`).
+    */
+  def eval(e: Expr, resolve: String => Option[Column]): Column = Expressions.eval(e, resolve)
+}

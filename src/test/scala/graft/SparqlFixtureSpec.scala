@@ -1,0 +1,85 @@
+package graft
+
+import graft.ingest.WikidataIngest
+import graft.sparql.Sparql
+
+/** End-to-end parity on the reference's own fixture and query corpus:
+  * `/root/reference/tests/data/first_5_lines.txt` +
+  * `/root/reference/test_requests.txt` (expected row counts in its
+  * comments) + `query_example.txt`.
+  */
+class SparqlFixtureSpec extends SparkTestBase {
+
+  private lazy val dir = {
+    val d = "/root/repo/data/wikidata"
+    WikidataIngest.statements(spark, d) // builds if absent
+    d
+  }
+
+  private def rows(q: String): Long = Sparql.query(spark, q, dir).count()
+
+  test("ingest produces 3385 quads (test_requests.txt:9-14)") {
+    assert(WikidataIngest.statements(spark, dir).count() === 3385L)
+  }
+
+  test("smoke: Belgium instance-of (query_example.txt:1-3)") {
+    val n = rows("SELECT ?item WHERE { wdt:Q31 wdt:P31 ?item . }")
+    assert(n === 7L) // observed on the fixture (reference publishes no count)
+  }
+
+  test("full scan ?s ?p ?o = 3385 (test_requests.txt:7-12)") {
+    assert(rows("SELECT ?sub ?pred ?obj WHERE { ?sub ?pred ?obj . }") === 3385L)
+  }
+
+  test("wdt:Q31 ?p ?b = 1354 (test_requests.txt:16-21)") {
+    assert(rows("SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }") === 1354L)
+  }
+
+  test("?b ?p2 wdt:Q31 = 1 (test_requests.txt:23-28)") {
+    assert(rows("SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }") === 1L)
+  }
+
+  test("two-pattern join = 1 (test_requests.txt:30-37)") {
+    assert(rows(
+      """SELECT ?p ?b ?p2 WHERE { wdt:Q31 ?p ?b . ?b ?p2 wdt:Q31 . }""") === 1L)
+  }
+
+  test("COUNT / COUNT DISTINCT group-by (test_requests.txt:39-44)") {
+    val df = Sparql.query(spark,
+      """SELECT ?s (COUNT(DISTINCT ?p) as ?dis_number_pred) (COUNT(?p) as ?number_pred)
+        |WHERE { ?s ?p ?x } GROUP BY ?s""".stripMargin, dir)
+    val out = df.collect()
+    // one group per distinct subject (5 entities + qualifier-bearing claim edges)
+    val distinctSubjects = Sparql.query(spark,
+      "SELECT DISTINCT ?s WHERE { ?s ?p ?x }", dir).count()
+    assert(out.length.toLong === distinctSubjects)
+    // every group: count >= distinct count >= 1
+    out.foreach { r =>
+      val dis = r.getStruct(1).getDouble(1)
+      val cnt = r.getStruct(2).getDouble(1)
+      assert(cnt >= dis && dis >= 1d)
+    }
+  }
+
+  test("GROUP_CONCAT / SAMPLE group-by runs (test_requests.txt:47-51)") {
+    val df = Sparql.query(spark,
+      """SELECT ?s (COUNT(?o) as ?count_objects) (GROUP_CONCAT(?o;SEPARATOR = ",") as ?group_concat) (SAMPLE(?o) as ?sample)
+        |WHERE { ?s wdt:P31 ?o } GROUP BY ?s""".stripMargin, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+  }
+
+  test("MAX / MIN group-by (test_requests.txt:54-58)") {
+    val df = Sparql.query(spark,
+      """SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min)
+        |WHERE { ?s wdt:P31 ?o } GROUP BY ?s""".stripMargin, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // max >= min within each group (entity id order)
+    out.foreach { r =>
+      val mx = r.getStruct(1).getDouble(1)
+      val mn = r.getStruct(2).getDouble(1)
+      assert(mx >= mn)
+    }
+  }
+}
