@@ -1,24 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark runner: one warmup pass then median-of-3 timed runs per
+  * query, each fully materialized through the `noop` sink (so every
+  * projection/expression is evaluated — a bare `count()` would let
+  * Catalyst prune unreferenced columns and time only the scan).
+  *
+  * Output contract: exactly ONE JSON line on stdout —
+  * `{"metric":"total","value":…,"unit":"sec","queries":{…},"sf":…}`.
+  * Per-query failures are recorded in an `"errors"` object and make the
+  * exit code nonzero; they never masquerade as fast runs.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.get()
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        timeOnce(fn) // warmup: JVM/codegen/IO cache
+        val runs = Seq.fill(3)(timeOnce(fn)).sorted
+        timings(name) = runs(1) // median
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
+
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    // the metric line is the ONLY stdout output (logs go to stderr)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

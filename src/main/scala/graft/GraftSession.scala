@@ -11,10 +11,13 @@ import org.apache.spark.sql.SparkSession
   * AQE's coalescing), UTC session time for deterministic date math.
   */
 object GraftSession {
-  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft")
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
+    val b = SparkSession.builder()
+    // respect an externally-configured master (spark-submit --master /
+    // cluster deploys); local[N] is only the standalone fallback
+    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
+      b.master(s"local[$cores]")
+    b.appName("graft")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -24,6 +27,7 @@ object GraftSession {
       // with this flag, and Tables.events converts to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -15,12 +15,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q21_multi_join")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator: `sp*` run real SPARQL through
+    * the engine against the reference fixture store (SURVEY §2's SPARQL
+    * operators); `q*` are relational analogs on the synthetic sf tables.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.ExtraQueries.queries ++
+      graft.queries.SparqlQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (rows-only check applies there). */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++
+      graft.queries.ExtraQueries.oracles ++
+      graft.queries.SparqlQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

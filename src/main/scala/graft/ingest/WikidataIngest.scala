@@ -58,11 +58,21 @@ object WikidataIngest {
         col("o.str").as("text"),
         col("ord"))
 
-  /** Ingest `path` and persist both tables under `dir`. */
+  /** Ingest `path` and persist both tables under `dir`. The persisted
+    * statements also carry pre-rendered lexical columns (`s_lex` …) so
+    * external SQL engines (the DuckDB correctness oracle) can produce
+    * output identical to the engine's rendering without re-implementing
+    * it.
+    */
   def build(spark: SparkSession, path: String = fixturePath,
             dir: String = defaultDir): Unit = {
+    import graft.model.Render
     val statements = ingest(spark, path)
     statements
+      .withColumn("s_lex", Render.lex(col("s")))
+      .withColumn("p_lex", Render.lex(col("p")))
+      .withColumn("o_lex", Render.lex(col("o")))
+      .withColumn("id_lex", Render.lex(col("id")))
       .sortWithinPartitions(col("p.key"), col("s.key"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/statements.parquet")

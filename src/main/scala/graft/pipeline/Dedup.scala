@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are pure Column-expression plans: hashing, shingling,
+  * minhashing and banding run inside whole-stage codegen; the only
+  * shuffles are the hash/bucket groupBys, never an all-pairs join. At
+  * 100 TB the shuffle key cardinality is what matters:
+  *   - exact dedup shuffles on content hash (uniform, no skew)
+  *   - MinHash-LSH shuffles on (band, bucket) — bounded bucket sizes;
+  *     candidate verification joins only within buckets
+  *   - SimHash bands likewise
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per sha256(text). One
+    * hash-groupBy shuffle; map-side partial aggregation applies.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), sha2(col(textCol).cast(BinaryType), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Word-level shingle set of a text column (n=1 → word set). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    if (n == 1) array_distinct(words)
+    else array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over the shingle set. 64-bit xxhash64 per seed — all in
+    * expression space (no UDF).
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))): _*)
+
+  /** Banded LSH self-join: documents sharing any (band, band-hash)
+    * bucket become candidate pairs; candidates are then verified with
+    * exact Jaccard over the shingle sets. Never all-pairs: the join is
+    * bucket-equality, and the verify join carries only candidates.
+    *
+    * Recall for threshold t with b bands of r rows: 1-(1-t^r)^b.
+    */
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 1, numHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.7): DataFrame = {
+    val r = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard over two array columns (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(array_union(a, b)).cast(DoubleType)
+    when(uni === 0d, 0d).otherwise(inter / uni)
+  }
+
+  /** N-gram Jaccard near-dup without LSH (for bounded candidate sets or
+    * as the verify kernel); still set-based, no hashing involved.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    withSh.alias("a").join(withSh.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("jaccard", jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the word multiset: per bit, sum +1/-1 weighted
+    * by word hash bits, take the sign. Computed as 64 Column
+    * expressions (codegen-friendly, no UDF).
+    */
+  def simhash(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    val hashes = transform(words, w => xxhash64(w))
+    val bits = (0 until 64).map { i =>
+      // sum of (+1 | -1) per word for bit i; sign decides the bit
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup: candidates share one of four 16-bit bands
+    * (detects Hamming distance ≤ 3 with certainty via pigeonhole when
+    * bands=4); verified by exact Hamming distance.
+    */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+    val banded = withH.select(col("id"), col("h"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bb"))
+    banded.alias("a")
+      .join(banded.alias("b"), col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup: bucketed by random-hyperplane LSH (see
+    * [[Similarity.planeSignature]]), verified by exact cosine.
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.planeSignature(col(vecCol), planes).as("sig"))
+    withSig.alias("a")
+      .join(withSig.alias("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

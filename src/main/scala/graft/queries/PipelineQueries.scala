@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
+  * similarity search, text analysis, multimodal) over the synthetic
+  * `documents` / `embeddings` tables.
+  *
+  * Entries without an oracle (hash-function-specific outputs: SimHash,
+  * LSH buckets) still run under the driver's rows-only check and are
+  * covered by ScalaTest assertions instead.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- pillar 1: dedup --------------------------------------------
+    "p01_exact_dedup" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
+
+    "p02_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 1, numHashes = 128, bands = 32, threshold = 0.9)),
+
+    "p03_ngram_jaccard" -> ((s, d) =>
+      // exact 3-gram jaccard pairs on a bounded slice (quadratic kernel
+      // is the verify step of LSH, never the scale path on full data)
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "text", "doc_id",
+        n = 3, threshold = 0.2)),
+
+    "p04_simhash_neardup" -> ((s, d) => // rows-only: xxhash64 not in DuckDB
+      Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)),
+
+    // ---- pillar 2: similarity search --------------------------------
+    "p05_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    "p06_ann_lsh" -> ((s, d) => { // rows-only; recall asserted in ScalaTest
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, planes = 8)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // ---- pillar 3: text analysis ------------------------------------
+    "p07_text_metrics" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      TextAnalysis.qualityMetrics(t, "text")
+        .withColumn("ws_tokens", TextAnalysis.wsTokenCount(col("text")))
+        .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(col("text")))
+        .withColumn("en_hits", TextAnalysis.langScore(col("text"), "en"))
+        .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+          col("ws_tokens"), col("bpe_tokens"), col("en_hits"))
+    }),
+
+    "p08_lang_id" -> ((s, d) => { // rows-only: argmax in SQL is noisy; ScalaTest covers values
+      val t = Tables.documents(s, d)
+      t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ---- pillar 4: multimodal ---------------------------------------
+    "p09_multimodal" -> ((s, d) => {
+      Multimodal.pipeline(Tables.documents(s, d))
+        .withColumn("feat0", round(element_at(col("features"), 1).cast("double"), 6))
+        .drop("features")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p01_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
+        |FROM DOCS GROUP BY sha256(text)""".stripMargin,
+
+    "p02_minhash_neardup" ->
+      """WITH s AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) sh FROM DOCS)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.9""".stripMargin,
+
+    "p03_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS WHERE doc_id < 100),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
+        |      FROM w)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2""".stripMargin,
+
+    "p05_ann_brute" ->
+      """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB)
+        |SELECT probe_id, neighbor_id, cos FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(p.embedding, c.embedding), 6) AS cos,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC, c.vec_id ASC) rnk
+        |  FROM c JOIN p ON c.vec_id <> p.vec_id)
+        |WHERE rnk <= 10""".stripMargin,
+
+    "p07_text_metrics" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS en_hits
+        |FROM DOCS""".stripMargin,
+
+    "p09_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |    ELSE 'video/mp4' END AS mime,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 60000 AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 3 = 2 THEN (doc_id % 60000) // 1000 + 1 ELSE 0 END AS n_frames,
+        |  round(CAST(CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) / 65535.0 AS FLOAT) AS DOUBLE), 6) AS feat0
+        |FROM DOCS""".stripMargin
+  ).map { case (k, v) =>
+    // the driver's DuckDB session exposes the sf tables as views
+    k -> v.replace("DOCS", "documents").replace("EMB", "embeddings")
+  }
+}

@@ -51,12 +51,14 @@ object RelationalQueries {
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
     }),
 
-    // -- 3-way join + agg; nation/customer are broadcast-sized at any
-    // SF (dims), so only orders streams.
+    // -- 3-way join + agg. nation is a true fixed-size dim (25 rows) →
+    // explicit broadcast; customer SCALES with SF, so its join strategy
+    // is left to size-based planning/AQE (a forced broadcast would OOM
+    // executors at large SF).
     "q03_join_agg" -> ((s, d) => {
       import s.implicits._
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(count(lit(1)).as("n_orders"),

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sparql.Sparql
+
+/** CORRECTNESS entries for the SPARQL engine (SURVEY §2): each key runs
+  * a real SPARQL query through parse → algebra → DataFrame and renders
+  * variables to lexical strings; the paired DuckDB oracle SQL computes
+  * the same result from the exported statement/label parquet.
+  *
+  * The store is the reference's own fixture
+  * (`first_5_lines.txt` → 3385 quads, 4 entities Q31/Q8/Q23/Q24); it is
+  * scale-factor independent, so the `dir` argument from the driver is
+  * ignored (the relational pack covers the sf tables).
+  */
+object SparqlQueries {
+
+  private val ST = "read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')"
+  private val LB = "read_parquet('/root/repo/data/wikidata/labels.parquet/*.parquet')"
+
+  private def q(text: String): (SparkSession, String) => DataFrame =
+    (spark, _) => Sparql.rendered(spark, text)
+
+  /** (sparql, oracle-sql) per entry; split below for SparkEntry. */
+  val entries: Seq[(String, String, String)] = Seq(
+
+    // ---- scans & statement addressing (SURVEY §2.1, §7.3) ------------
+    ("sp01_full_scan",
+      "SELECT ?sub ?pred ?obj WHERE { ?sub ?pred ?obj . }",
+      s"SELECT s_lex AS sub, p_lex AS pred, o_lex AS obj FROM $ST"),
+
+    ("sp02_subject_scan",
+      "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }",
+      s"SELECT p_lex AS p, o_lex AS b FROM $ST WHERE s['key']='Q:31'"),
+
+    ("sp03_reverse_scan",
+      "SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }",
+      s"SELECT p_lex AS p2, s_lex AS b FROM $ST WHERE o['key']='Q:31'"),
+
+    ("sp04_bgp_join",
+      "SELECT ?p ?b ?p2 WHERE { wdt:Q31 ?p ?b . ?b ?p2 wdt:Q31 . }",
+      s"""SELECT a.p_lex AS p, a.o_lex AS b, c.p_lex AS p2
+         |FROM $ST a JOIN $ST c ON a.o['key']=c.s['key']
+         |WHERE a.s['key']='Q:31' AND c.o['key']='Q:31'""".stripMargin),
+
+    ("sp05_stmt_pred",
+      "SELECT ?s ?stmt WHERE { ?s p:P31 ?stmt . }",
+      s"SELECT s_lex AS s, id_lex AS stmt FROM $ST WHERE p['key']='P:31'"),
+
+    ("sp06_wds_lookup",
+      "SELECT ?p WHERE { wd:Q31 ?p wds:q31-B3580D37-D30E-4BC6-A591-2CE49253CAB4 . }",
+      s"""SELECT p_lex AS p FROM $ST
+         |WHERE id['key']='NE:q31-B3580D37-D30E-4BC6-A591-2CE49253CAB4'
+         |  AND s['key']='Q:31'""".stripMargin),
+
+    ("sp07_qualifiers",
+      "SELECT ?q ?v WHERE { wd:Q31 p:P1082 ?stmt . ?stmt ?q ?v . }",
+      s"""SELECT b.p_lex AS q, b.o_lex AS v
+         |FROM $ST a JOIN $ST b ON b.s['key']=a.id['key']
+         |WHERE a.s['key']='Q:31' AND a.p['key']='P:1082'""".stripMargin),
+
+    // ---- projection / distinct / filter (SURVEY §2.2, §2.5) ---------
+    ("sp08_distinct_preds",
+      "SELECT DISTINCT ?p WHERE { ?s ?p ?o . }",
+      s"SELECT DISTINCT p_lex AS p FROM $ST"),
+
+    ("sp09_filter_year",
+      "SELECT ?s ?d WHERE { ?s wdt:P571 ?d . FILTER(YEAR(?d) >= 1800) }",
+      s"""SELECT s_lex AS s, o_lex AS d FROM $ST
+         |WHERE p['key']='P:571' AND floor(o['num']/1e10) >= 1800""".stripMargin),
+
+    ("sp10_filter_contains",
+      "SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(CONTAINS(STR(?o), \"Belg\")) }",
+      s"SELECT s_lex AS s, o_lex AS o FROM $ST WHERE o_lex LIKE '%Belg%'"),
+
+    // ---- optional / union / values / minus / exists (SURVEY §2.3) ---
+    ("sp11_optional",
+      "SELECT ?s ?o ?cap WHERE { ?s wdt:P31 ?o . OPTIONAL { ?s wdt:P36 ?cap } }",
+      s"""SELECT a.s_lex AS s, a.o_lex AS o, b.o_lex AS cap
+         |FROM (SELECT * FROM $ST WHERE p['key']='P:31') a
+         |LEFT JOIN (SELECT * FROM $ST WHERE p['key']='P:36') b
+         |  ON a.s['key']=b.s['key']""".stripMargin),
+
+    ("sp12_union",
+      "SELECT ?x ?o WHERE { { ?x wdt:P36 ?o } UNION { ?x wdt:P37 ?o } }",
+      s"""SELECT s_lex AS x, o_lex AS o FROM $ST WHERE p['key']='P:36'
+         |UNION ALL
+         |SELECT s_lex AS x, o_lex AS o FROM $ST WHERE p['key']='P:37'""".stripMargin),
+
+    ("sp13_values",
+      "SELECT ?s ?o WHERE { VALUES ?s { wd:Q31 wd:Q8 } ?s wdt:P31 ?o . }",
+      s"""SELECT s_lex AS s, o_lex AS o FROM $ST
+         |WHERE p['key']='P:31' AND s['key'] IN ('Q:31','Q:8')""".stripMargin),
+
+    ("sp14_minus",
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o MINUS { ?s wdt:P36 ?c } }",
+      s"""SELECT s_lex AS s, o_lex AS o FROM $ST
+         |WHERE p['key']='P:31' AND s['key'] NOT IN
+         |  (SELECT DISTINCT s['key'] FROM $ST WHERE p['key']='P:36')""".stripMargin),
+
+    ("sp15_not_exists",
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . FILTER NOT EXISTS { ?s wdt:P36 ?c } }",
+      s"""SELECT s_lex AS s, o_lex AS o FROM $ST
+         |WHERE p['key']='P:31' AND s['key'] NOT IN
+         |  (SELECT DISTINCT s['key'] FROM $ST WHERE p['key']='P:36')""".stripMargin),
+
+    ("sp16_exists",
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . FILTER EXISTS { ?s wdt:P36 ?c } }",
+      s"""SELECT s_lex AS s, o_lex AS o FROM $ST
+         |WHERE p['key']='P:31' AND s['key'] IN
+         |  (SELECT DISTINCT s['key'] FROM $ST WHERE p['key']='P:36')""".stripMargin),
+
+    // ---- extend / functions (SURVEY §2.2, §2.7) ----------------------
+    ("sp17_bind_concat",
+      "SELECT ?s ?tag WHERE { ?s wdt:P31 ?o . BIND(CONCAT(STR(?s), \"#x\") AS ?tag) }",
+      s"SELECT s_lex AS s, s_lex || '#x' AS tag FROM $ST WHERE p['key']='P:31'"),
+
+    ("sp18_string_funcs",
+      """SELECT ?d ?len ?up ?h WHERE { wd:Q31 wdt:P1549 ?d .
+        |BIND(STRLEN(STR(?d)) AS ?len) BIND(UCASE(STR(?d)) AS ?up)
+        |BIND(SHA256(STR(?d)) AS ?h) }""".stripMargin,
+      s"""SELECT o_lex AS d, octet_length(encode(o_lex)) AS len,
+         |  translate(o_lex, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS up,
+         |  sha256(o_lex) AS h
+         |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:1549'""".stripMargin),
+
+    ("sp19_arith_values",
+      "SELECT ?a ?n WHERE { VALUES ?a { 3 5 } BIND(?a * 2.5 AS ?n) }",
+      """SELECT CAST(a AS VARCHAR) AS a, CAST(CAST(a*2.5 AS FLOAT) AS VARCHAR) AS n
+        |FROM (VALUES (3),(5)) t(a)""".stripMargin),
+
+    // ---- order / slice (SURVEY §2.5) ---------------------------------
+    ("sp20_order_limit",
+      "SELECT ?s ?o WHERE { ?s wdt:P1082 ?o } ORDER BY DESC(?o) LIMIT 5",
+      s"""SELECT s_lex AS s, o_lex AS o FROM $ST WHERE p['key']='P:1082'
+         |ORDER BY o['num'] DESC NULLS LAST LIMIT 5""".stripMargin),
+
+    ("sp21_order_offset",
+      "SELECT ?o WHERE { wd:Q31 wdt:P47 ?o } ORDER BY ?o OFFSET 2 LIMIT 2",
+      s"""SELECT o_lex AS o FROM $ST WHERE s['key']='Q:31' AND p['key']='P:47'
+         |ORDER BY o['num'] ASC OFFSET 2 LIMIT 2""".stripMargin),
+
+    // ---- aggregates (SURVEY §2.4) ------------------------------------
+    ("sp22_count_global",
+      "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",
+      s"SELECT count(*) AS n FROM $ST"),
+
+    ("sp23_count_by_pred",
+      "SELECT ?p (COUNT(?o) AS ?n) (COUNT(DISTINCT ?o) AS ?nd) WHERE { ?s ?p ?o } GROUP BY ?p",
+      s"""SELECT p_lex AS p,
+         |  count(CASE WHEN o['kind']<>'null' THEN 1 END) AS n,
+         |  count(DISTINCT CASE WHEN o['kind']<>'null' THEN o['key'] END) AS nd
+         |FROM $ST GROUP BY p_lex""".stripMargin),
+
+    ("sp24_group_concat",
+      "SELECT ?s (GROUP_CONCAT(?o;SEPARATOR = \",\") AS ?gc) WHERE { ?s wdt:P31 ?o } GROUP BY ?s",
+      s"""SELECT s_lex AS s,
+         |  string_agg(CAST(CAST(o['num'] AS BIGINT) AS VARCHAR), ','
+         |             ORDER BY CAST(CAST(o['num'] AS BIGINT) AS VARCHAR)) AS gc
+         |FROM $ST WHERE p['key']='P:31' GROUP BY s_lex""".stripMargin),
+
+    ("sp25_min_max",
+      "SELECT ?s (MAX(?o) AS ?max) (MIN(?o) AS ?min) WHERE { ?s wdt:P31 ?o } GROUP BY ?s",
+      s"""SELECT s_lex AS s,
+         |  'http://www.wikidata.org/entity/Q' || CAST(CAST(max(o['num']) AS BIGINT) AS VARCHAR) AS max,
+         |  'http://www.wikidata.org/entity/Q' || CAST(CAST(min(o['num']) AS BIGINT) AS VARCHAR) AS min
+         |FROM $ST WHERE p['key']='P:31' GROUP BY s_lex""".stripMargin),
+
+    ("sp26_sample",
+      "SELECT ?s (SAMPLE(?o) AS ?sample) (COUNT(?o) AS ?n) WHERE { ?s wdt:P31 ?o } GROUP BY ?s",
+      s"""SELECT s_lex AS s, min(o_lex) AS sample, count(*) AS n
+         |FROM $ST WHERE p['key']='P:31' GROUP BY s_lex""".stripMargin),
+
+    ("sp27_avg_sum",
+      "SELECT (AVG(?n) AS ?avg) (SUM(?n) AS ?sum) WHERE { VALUES ?n { 1 2 3 4 } }",
+      """SELECT regexp_replace(CAST(CAST(avg(n) AS FLOAT) AS VARCHAR), '\.0$', '') AS avg,
+        |  regexp_replace(CAST(CAST(sum(n) AS FLOAT) AS VARCHAR), '\.0$', '') AS sum
+        |FROM (VALUES (1),(2),(3),(4)) t(n)""".stripMargin),
+
+    // ---- property paths (SURVEY §2.6, §7.5) --------------------------
+    ("sp28_path_alt",
+      "SELECT ?o WHERE { wd:Q31 (wdt:P36|wdt:P37) ?o }",
+      s"""SELECT o_lex AS o FROM $ST
+         |WHERE s['key']='Q:31' AND p['key'] IN ('P:36','P:37')""".stripMargin),
+
+    ("sp29_path_seq_reverse",
+      "SELECT ?x WHERE { wd:Q31 (wdt:P47/^wdt:P47) ?x }",
+      s"""SELECT c.s_lex AS x
+         |FROM $ST a JOIN $ST c ON a.o['key']=c.o['key'] AND c.p['key']='P:47'
+         |WHERE a.s['key']='Q:31' AND a.p['key']='P:47'""".stripMargin),
+
+    ("sp30_path_star",
+      "SELECT ?x WHERE { wd:Q31 wdt:P47* ?x }",
+      s"""SELECT 'http://www.wikidata.org/entity/Q31' AS x
+         |UNION
+         |SELECT DISTINCT o_lex AS x FROM $ST
+         |WHERE s['key']='Q:31' AND p['key']='P:47'""".stripMargin),
+
+    // ---- label service (SURVEY §4.1) ---------------------------------
+    ("sp31_label_service",
+      """SELECT ?s ?sLabel WHERE { ?s wdt:P31 wd:Q3624078 .
+        |SERVICE wikibase:label { bd:serviceParam wikibase:language "en,de". } }""".stripMargin,
+      s"""SELECT a.s_lex AS s, coalesce(en.text, de.text) AS "sLabel"
+         |FROM (SELECT * FROM $ST WHERE p['key']='P:31' AND o['key']='Q:3624078') a
+         |LEFT JOIN (SELECT entity_key, text FROM $LB WHERE kind='label' AND lang='en') en
+         |  ON a.s['key']=en.entity_key
+         |LEFT JOIN (SELECT entity_key, text FROM $LB WHERE kind='label' AND lang='de') de
+         |  ON a.s['key']=de.entity_key""".stripMargin),
+
+    // ---- ASK (SURVEY §2.9) -------------------------------------------
+    ("sp32_ask",
+      "ASK { wd:Q31 wdt:P31 wd:Q3624078 }",
+      s"""SELECT count(*) > 0 AS boolean FROM $ST
+         |WHERE s['key']='Q:31' AND p['key']='P:31' AND o['key']='Q:3624078'""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map { case (name, sparql, _) => name -> q(sparql) }.toMap
+
+  val oracles: Map[String, String] =
+    entries.map { case (name, _, sql) => name -> sql }.toMap
+}
