@@ -53,20 +53,27 @@ object Dedup {
                      shingleN: Int = 1, numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.7): DataFrame = {
     val r = numHashes / bands
-    val withSig = df
+    // spread the CPU-heavy shingling/minhashing across cores even when
+    // the input is a single parquet split (shuffles tiny id+text rows)
+    val withSh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val banded = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+    // candidate pairs are ID-ONLY: deduping scalar ids is a parallel
+    // hash aggregation; carrying the shingle arrays through the dedup
+    // would force a sort-based aggregate that copies the array buffer
+    // per row (single-task quadratic wall). Shingles re-attach below.
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -113,7 +120,8 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+    val withH = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
     val banded = withH.select(col("id"), col("h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -131,8 +139,9 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        planes: Int = 12, threshold: Double = 0.95): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.planeSignature(col(vecCol), planes).as("sig"))
+    val withSig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.planeSignature(col(vecCol), planes).as("sig"))
     withSig.alias("a")
       .join(withSig.alias("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))

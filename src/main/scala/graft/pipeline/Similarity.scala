@@ -39,12 +39,15 @@ object Similarity {
   private def planeComponent(j: Int, i: Column): Column =
     when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1d).otherwise(-1d)
 
-  /** LSH signature: one bit per hyperplane = sign of the projection. */
-  def planeSignature(v: Column, planes: Int): Column = {
+  /** LSH signature: one bit per hyperplane = sign of the projection.
+    * `seed` offsets the plane family so independent hash tables see
+    * independent hyperplanes.
+    */
+  def planeSignature(v: Column, planes: Int, seed: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(j, i)),
+          (x, i) => x.cast(DoubleType) * planeComponent(seed * 1024 + j, i)),
         lit(0d), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
@@ -58,7 +61,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.alias("c")
+    // parallelize the cosine scoring across cores even for a
+    // single-split corpus file (the probes side is broadcast)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val scored = corpus.repartition(par).alias("c")
       .join(broadcast(probes.alias("p")),
         col(s"c.$idCol") =!= col(s"p.$idCol"))
       .select(
@@ -72,28 +78,41 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"))
   }
 
-  /** Bucketed ANN: corpus bucketed by plane signature; each probe
-    * scans only its bucket. Recall measured against brute force in the
-    * test suite; raise `planes` for smaller buckets, add multi-probe
-    * (bit flips) for higher recall.
+  /** Bucketed ANN: multi-table random-hyperplane LSH (the standard
+    * L-tables construction). The corpus is hashed into `tables`
+    * independent signature families; a probe scans its own bucket in
+    * every table, plus every 1-bit-flip bucket (multi-probe). Candidate
+    * union across tables is what lifts recall: P(collision in ≥1 table)
+    * = 1-(1-p^planes)^tables for per-plane agreement p.
+    *
+    * Scale shape: the corpus is exploded ×tables and shuffled once on
+    * (table, sig); per-bucket candidate lists stay bounded by 2^planes
+    * bucketing, and the probe side is broadcast — no all-pairs join
+    * anywhere.
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame,
               vecCol: String, idCol: String, k: Int, planes: Int = 8,
-              multiProbeBits: Int = 1): DataFrame = {
+              tables: Int = 4, multiProbeBits: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      planeSignature(col(vecCol), planes).as("sig"))
-    val pSig = planeSignature(col(vecCol), planes)
-    // multi-probe: probe its own bucket plus every 1-bit-flip bucket
-    val probeSigs = array(
-      (pSig +: (0 until (if (multiProbeBits >= 1) planes else 0))
-        .map(j => pSig.bitwiseXOR(shiftleft(lit(1L), j)))): _*)
+    val cSigs = array((0 until tables).map(t =>
+      struct(lit(t).as("t"), planeSignature(col(vecCol), planes, t).as("sig"))): _*)
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(cSigs).as("bucket"))
+    val pSigs = array((0 until tables).flatMap { t =>
+      val sig = planeSignature(col(vecCol), planes, t)
+      val flips = if (multiProbeBits >= 1)
+        (0 until planes).map(j => sig.bitwiseXOR(shiftleft(lit(1L), j)))
+      else Seq()
+      (sig +: flips).map(s => struct(lit(t).as("t"), s.as("sig")))
+    }: _*)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      explode(probeSigs).as("sig"))
-    val scored = c.join(broadcast(p), Seq("sig"))
+      explode(pSigs).as("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))
+      .select(col("probe_id"), col("neighbor_id"), col("pv"), col("cv"))
       .dropDuplicates("probe_id", "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -22,7 +22,9 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "de", "es", "un"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
 
-  private def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+  // split of "" yields [""] — filter empties so blank text has 0 words
+  private def words(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), w => length(w) > 0)
 
   /** Per-language marker-hit count. */
   def langScore(text: Column, lang: String): Column = {
@@ -59,8 +61,9 @@ object TextAnalysis {
         when(nWords > 0, langScore(t, "en").cast(DoubleType) / nWords))
   }
 
-  /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count (0 for blank text). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), w => length(w) > 0))
 
   /** BPE-ish token estimate: word pieces + digits + punctuation as
     * separate tokens (a common regex pre-tokenizer shape).

@@ -51,8 +51,10 @@ object PipelineQueries {
     }),
 
     // ---- pillar 3: text analysis ------------------------------------
+    // (documents is a single parquet split at test SFs — repartition so
+    // the per-row text work uses all cores)
     "p07_text_metrics" -> ((s, d) => {
-      val t = Tables.documents(s, d)
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
       TextAnalysis.qualityMetrics(t, "text")
         .withColumn("ws_tokens", TextAnalysis.wsTokenCount(col("text")))
         .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(col("text")))
@@ -62,14 +64,15 @@ object PipelineQueries {
     }),
 
     "p08_lang_id" -> ((s, d) => { // rows-only: argmax in SQL is noisy; ScalaTest covers values
-      val t = Tables.documents(s, d)
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
       t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
-      Multimodal.pipeline(Tables.documents(s, d))
+      Multimodal.pipeline(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
         .withColumn("feat0", round(element_at(col("features"), 1).cast("double"), 6))
         .drop("features")
     })
@@ -114,10 +117,10 @@ object PipelineQueries {
 
     "p07_text_metrics" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0)) AS n_words,
         |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
-        |    len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
-        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0)) AS avg_word_len,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
         |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS en_hits

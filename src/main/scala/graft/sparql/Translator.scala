@@ -298,9 +298,64 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         case ENot(EExists(op, _)) =>
           execFilter(EExists(op, negated = true), d)
         case other =>
-          d.filter(ebv(eval(other, colResolver(d))) <=> true)
+          val (d2, e2, tmps) = hoistComplex(d, other)
+          d2.filter(ebv(eval(e2, colResolver(d2))) <=> true).drop(tmps: _*)
       }
     }
+  }
+
+  /** Hoist function-call and arithmetic subtrees into temp columns
+    * before compiling the surrounding comparison/EBV logic.
+    *
+    * Why: `cmp`/`termEq`/EBV reference each operand ~10× inside their
+    * CASE trees; with computed operands (YEAR(?x), STR(?x)…) the
+    * compiled Column tree grows multiplicatively, overflowing the JVM
+    * 64KB method limit → Spark falls back to interpreted expression
+    * eval. Binding each subtree to a column first means it is
+    * evaluated once and the hot filter stays inside whole-stage
+    * codegen (Catalyst's CollapseProject keeps multi-use aliases
+    * materialized rather than re-inlining them).
+    */
+  private def hoistComplex(df0: DataFrame, e0: Expr): (DataFrame, Expr, Seq[String]) = {
+    var df = df0
+    var tmps = List.empty[String]
+    var n = 0
+    def bind(e: Expr): Expr = {
+      n += 1
+      val name = s"__x$n"
+      df = df.withColumn(name, Expressions.eval(e, colResolver(df)))
+      tmps ::= name
+      EVar(name)
+    }
+    def walk(e: Expr): Expr = e match {
+      // label-service calls are lowered to joins elsewhere; EXISTS is a
+      // semi/anti-join conjunct — both stay as-is
+      case c @ ECall(Func.GetLabel | Func.GetDescription | Func.GetAlias, _) => c
+      case c @ EExists(_, _) => c
+      case ECall(f, args) => bind(ECall(f, args.map(walk)))
+      case EAdd(l, r) => bind(EAdd(walk(l), walk(r)))
+      case ESubtract(l, r) => bind(ESubtract(walk(l), walk(r)))
+      case EMultiply(l, r) => bind(EMultiply(walk(l), walk(r)))
+      case EDivide(l, r) => bind(EDivide(walk(l), walk(r)))
+      case EUnaryPlus(x) => bind(EUnaryPlus(walk(x)))
+      case EUnaryMinus(x) => bind(EUnaryMinus(walk(x)))
+      case EOr(l, r) => EOr(walk(l), walk(r))
+      case EAnd(l, r) => EAnd(walk(l), walk(r))
+      case EEqual(l, r) => EEqual(walk(l), walk(r))
+      case ENotEqual(l, r) => ENotEqual(walk(l), walk(r))
+      case ESameTerm(l, r) => ESameTerm(walk(l), walk(r))
+      case EGreater(l, r) => EGreater(walk(l), walk(r))
+      case EGreaterEq(l, r) => EGreaterEq(walk(l), walk(r))
+      case ELess(l, r) => ELess(walk(l), walk(r))
+      case ELessEq(l, r) => ELessEq(walk(l), walk(r))
+      case EIn(x, list, neg) => EIn(walk(x), list.map(walk), neg)
+      case ENot(x) => ENot(walk(x))
+      case EIf(c, t, f) => EIf(walk(c), walk(t), walk(f))
+      case ECoalesce(args) => ECoalesce(args.map(walk))
+      case other => other // EConst, EVar, EBound
+    }
+    val out = walk(e0)
+    (df, out, tmps.reverse)
   }
 
   // ------------------------------------------------------------ grouping
@@ -389,7 +444,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       }
       d.withColumn(name, coalesce(parts: _*)).drop(d.columns.filter(_.startsWith("__ls")): _*)
     case _ =>
-      df.withColumn(name, eval(expr, colResolver(df)))
+      val (d2, e2, tmps) = hoistComplex(df, expr)
+      d2.withColumn(name, eval(e2, colResolver(d2))).drop(tmps: _*)
   }
 
   // -------------------------------------------------------- expressions

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavior tests for the LLM-data-pipeline operators on controlled
+  * inputs plus the sf0.001 synthetic tables (recall measurement for the
+  * LSH ANN path, detection guarantees for the dedup family).
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  import spark.implicits._
+
+  private lazy val dupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely unrelated text about spark engines and parquet files"),
+    (5L, "")).toDF("doc_id", "text")
+
+  // ---- dedup ----------------------------------------------------------
+
+  test("exact dedup keeps one row per distinct text, lowest id") {
+    val out = Dedup.exact(dupDocs, "text", "doc_id").collect()
+    assert(out.length === 4) // 1/2 collapse
+    val kept = out.map(_.getLong(1)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the exact duplicate pair with jaccard 1.0") {
+    val out = Dedup.minhashNearDup(dupDocs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.9).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 1.0))
+  }
+
+  test("minhash LSH finds the near-dup pair above a lower threshold") {
+    val out = Dedup.minhashNearDup(dupDocs, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.7).collect()
+    // fox/dog vs fox/cat share 8 of 10 distinct words → jaccard 0.8
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+  }
+
+  test("simhash near-dup: identical docs at hamming 0; pairs deduped") {
+    val out = Dedup.simhashNearDup(dupDocs, "text", "doc_id", maxHamming = 3).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+    val pairKeys = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairKeys.distinct.length === pairKeys.length, "banding must not duplicate pairs")
+  }
+
+  test("embedding near-dup finds identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
+      (2L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
+      (3L, Array(-3.0f, 1.0f, 0.5f, 4.0f))).toDF("vec_id", "v")
+    val out = Dedup.embeddingNearDup(vecs, "v", "vec_id", planes = 8, threshold = 0.99)
+      .collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!out.exists(r => r.getLong(1) == 3L))
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  test("LSH ANN recall@10 vs brute force is usable on sf0.001 embeddings") {
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10))
+    // synthetic embeddings are near-random — the hardest case for LSH
+    // (neighbor/non-neighbor cosine gap is tiny). 6 planes × 8 tables
+    // trades candidate volume for recall; real clustered data needs far
+    // fewer candidates for the same recall.
+    val approx = pairs(Similarity.lshTopK(emb, probes, "embedding", "vec_id",
+      k = 10, planes = 6, tables = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, f"LSH recall@10 too low: $recall%.3f")
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-2.0f, 1.0f)))
+      .toDF("a", "b", "c")
+      .select(Similarity.cosine(col("a"), col("b")).as("same"),
+        Similarity.cosine(col("a"), col("c")).as("orth"))
+    val r = df.collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+  }
+
+  // ---- text analysis --------------------------------------------------
+
+  test("language ID picks the marker-dominant language; empty → und") {
+    val df = Seq(
+      (1L, "the cat of the house is big and the dog is small"),
+      (2L, "der hund und die katze ist von dem haus und der stadt"),
+      (3L, "le chat et le chien est un animal de la maison"),
+      (4L, "xyzzy plugh"),
+      (5L, "")).toDF("id", "text")
+      .select(col("id"), TextAnalysis.langId(col("text")).as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "en" && m(2L) === "de" && m(3L) === "fr")
+    assert(m(4L) === "und" && m(5L) === "und")
+  }
+
+  test("token counts and fingerprint are stable and overflow-free") {
+    val longText = (1 to 20000).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, "hello, world! 42"), (2L, longText)).toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) === 3) // hello, | world! | 42
+    // hello , world ! 4 2 → 6 BPE-ish pieces
+    assert(rows(1L).getInt(2) === 6)
+    val fp = rows(2L).getLong(3) // 20k words: must not overflow (mod 1e9+7)
+    assert(fp >= 0L && fp < 1000000007L)
+  }
+
+  test("quality metrics: ratios bounded, empty text yields nulls not errors") {
+    val df = TextAnalysis.qualityMetrics(
+      Seq((1L, "Hello, the world is wide."), (2L, "")).toDF("id", "text"), "text")
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(r1.getAs[Double]("punct_ratio") > 0 && r1.getAs[Double]("punct_ratio") < 0.5)
+    assert(r1.getAs[Double]("stopword_ratio") > 0 && r1.getAs[Double]("stopword_ratio") <= 1)
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("avg_word_len")))
+  }
+
+  // ---- multimodal -----------------------------------------------------
+
+  test("multimodal pipeline: schema contract and deterministic features") {
+    val out = Multimodal.pipeline(docs)
+    assert(out.columns.toSeq ===
+      Seq("media_id", "mime", "payload_bytes", "width", "duration_ms", "n_frames", "features"))
+    val rows = out.limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val feats = r.getSeq[Float](6)
+      assert(feats.length === 8)
+      feats.foreach(f => assert(f >= 0f && f <= 1f))
+      val mime = r.getString(1)
+      val nFrames = r.getInt(5)
+      if (!mime.startsWith("video")) assert(nFrames === 0)
+      else assert(nFrames >= 1) // sequence(0, duration, 1000) ⇒ ≥1 offset
+    }
+  }
+
+  test("frame sampling emits one offset per second of video") {
+    val one = Multimodal.frameSampleOffsets(
+      Multimodal.asMediaTable(Seq((5L, "x")).toDF("doc_id", "text"), "doc_id", "text"))
+    val r = one.select(col("mime"), size(col("frame_offsets_ms")).as("n")).collect()(0)
+    // doc_id 5 % 3 == 2 → video; duration 5 ms → offsets [0] only
+    assert(r.getString(0) === "video/mp4" && r.getInt(1) === 1)
+  }
+
+  // ---- loaders (ADVICE: events nanos→micros) --------------------------
+
+  test("events loader converts nanos to a microsecond timestamp column") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() > 0)
+  }
+}
