@@ -22,9 +22,12 @@ object PipelineQueries {
     "p01_exact_dedup" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
 
+    // 64 hashes / 16 bands keeps r=4 rows per band — the same per-band
+    // collision probability as 128/32 (miss chance at t=0.9 is
+    // (1-0.9^4)^16 ≈ 4e-8) at half the hashing cost
     "p02_minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 1, numHashes = 128, bands = 32, threshold = 0.9)),
+        shingleN = 1, numHashes = 64, bands = 16, threshold = 0.9)),
 
     "p03_ngram_jaccard" -> ((s, d) =>
       // exact 3-gram jaccard pairs on a bounded slice (quadratic kernel

@@ -212,7 +212,85 @@ object SparqlQueries {
     ("sp32_ask",
       "ASK { wd:Q31 wdt:P31 wd:Q3624078 }",
       s"""SELECT count(*) > 0 AS boolean FROM $ST
-         |WHERE s['key']='Q:31' AND p['key']='P:31' AND o['key']='Q:3624078'""".stripMargin)
+         |WHERE s['key']='Q:31' AND p['key']='P:31' AND o['key']='Q:3624078'""".stripMargin),
+
+    // ---- scalar-function long tail (SURVEY §2.7) ---------------------
+    ("sp33_regex_flags",
+      "SELECT ?s ?o WHERE { ?s wdt:P1549 ?o . FILTER(REGEX(STR(?o), \"^belg\", \"i\")) }",
+      s"""SELECT s_lex AS s, o_lex AS o FROM $ST
+         |WHERE p['key']='P:1549' AND regexp_matches(o_lex, '(?i)^belg')""".stripMargin),
+
+    ("sp34_str_before_after",
+      """SELECT ?d ?b ?a ?r WHERE { wd:Q31 wdt:P1549 ?d .
+        |BIND(STRBEFORE(STR(?d), "e") AS ?b) BIND(STRAFTER(STR(?d), "e") AS ?a)
+        |BIND(REPLACE(STR(?d), "e", "_") AS ?r) }""".stripMargin,
+      s"""SELECT o_lex AS d,
+         |  CASE WHEN strpos(o_lex,'e')>0 THEN substr(o_lex,1,strpos(o_lex,'e')-1) ELSE '' END AS b,
+         |  CASE WHEN strpos(o_lex,'e')>0 THEN substr(o_lex,strpos(o_lex,'e')+1) ELSE '' END AS a,
+         |  regexp_replace(o_lex, 'e', '_', 'g') AS r
+         |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:1549'""".stripMargin),
+
+    ("sp35_if_bound",
+      """SELECT ?s ?cap ?flag WHERE { ?s wdt:P31 ?o . OPTIONAL { ?s wdt:P36 ?cap }
+        |BIND(IF(BOUND(?cap), "has-capital", "none") AS ?flag) }""".stripMargin,
+      s"""SELECT a.s_lex AS s, b.o_lex AS cap,
+         |  CASE WHEN b.o_lex IS NOT NULL THEN 'has-capital' ELSE 'none' END AS flag
+         |FROM (SELECT * FROM $ST WHERE p['key']='P:31') a
+         |LEFT JOIN (SELECT * FROM $ST WHERE p['key']='P:36') b
+         |  ON a.s['key']=b.s['key']""".stripMargin),
+
+    ("sp36_in_filter",
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . FILTER(?s IN (wd:Q31, wd:Q8)) }",
+      s"""SELECT s_lex AS s, o_lex AS o FROM $ST
+         |WHERE p['key']='P:31' AND s['key'] IN ('Q:31','Q:8')""".stripMargin),
+
+    ("sp37_term_fns",
+      """SELECT ?o ?iri ?lit ?num ?dt ?lg WHERE { wd:Q31 wdt:P1082 ?o .
+        |BIND(ISIRI(?o) AS ?iri) BIND(ISLITERAL(?o) AS ?lit) BIND(ISNUMERIC(?o) AS ?num)
+        |BIND(DATATYPE(?o) AS ?dt) BIND(LANG(?o) AS ?lg) }""".stripMargin,
+      s"""SELECT o_lex AS o, 'false' AS iri, 'true' AS lit, 'false' AS num,
+         |  'http://www.w3.org/2001/XMLSchema#decimal' AS dt, '' AS lg
+         |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:1082'""".stripMargin),
+
+    ("sp38_numeric_fns",
+      """SELECT ?x ?ab ?rd ?ce ?fl WHERE { VALUES ?x { 2.5 3.7 }
+        |BIND(ABS(0 - ?x) AS ?ab) BIND(ROUND(?x) AS ?rd)
+        |BIND(CEIL(?x) AS ?ce) BIND(FLOOR(?x) AS ?fl) }""".stripMargin,
+      """WITH t(x) AS (VALUES (2.5),(3.7)),
+        |r AS (SELECT x, abs(-x) AS ab, round(x) AS rd, ceil(x) AS ce, floor(x) AS fl FROM t)
+        |SELECT
+        |  regexp_replace(CAST(CAST(x  AS FLOAT) AS VARCHAR), '\.0$', '') AS x,
+        |  regexp_replace(CAST(CAST(ab AS FLOAT) AS VARCHAR), '\.0$', '') AS ab,
+        |  regexp_replace(CAST(CAST(rd AS FLOAT) AS VARCHAR), '\.0$', '') AS rd,
+        |  regexp_replace(CAST(CAST(ce AS FLOAT) AS VARCHAR), '\.0$', '') AS ce,
+        |  regexp_replace(CAST(CAST(fl AS FLOAT) AS VARCHAR), '\.0$', '') AS fl
+        |FROM r""".stripMargin),
+
+    ("sp39_strlang_langmatches",
+      """SELECT ?m ?lg ?lm ?e WHERE { VALUES ?z { 1 }
+        |BIND(STRLANG("hallo", "de") AS ?m) BIND(LANG(?m) AS ?lg)
+        |BIND(LANGMATCHES(LANG(?m), "de") AS ?lm)
+        |BIND(ENCODE_FOR_URI("Ab c/d") AS ?e) }""".stripMargin,
+      "SELECT 'hallo' AS m, 'de' AS lg, 'true' AS lm, 'Ab%20c%2Fd' AS e"),
+
+    // ---- property paths: negation / zero-or-one (SURVEY §2.6) --------
+    ("sp40_path_negated",
+      "SELECT ?o WHERE { wd:Q31 !(wdt:P31|wdt:P47) ?o }",
+      s"""SELECT o_lex AS o FROM $ST
+         |WHERE s['key']='Q:31' AND p['key'] NOT IN ('P:31','P:47')""".stripMargin),
+
+    ("sp41_path_zero_or_one",
+      "SELECT ?x WHERE { wd:Q31 wdt:P47? ?x }",
+      s"""SELECT 'http://www.wikidata.org/entity/Q31' AS x
+         |UNION
+         |SELECT DISTINCT o_lex AS x FROM $ST
+         |WHERE s['key']='Q:31' AND p['key']='P:47'""".stripMargin),
+
+    ("sp42_reduced",
+      "SELECT REDUCED ?p WHERE { wd:Q31 wdt:P31 ?o . ?o ?p ?x . }",
+      s"""SELECT DISTINCT b.p_lex AS p
+         |FROM $ST a JOIN $ST b ON a.o['key']=b.s['key']
+         |WHERE a.s['key']='Q:31' AND a.p['key']='P:31'""".stripMargin)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -178,8 +178,10 @@ object Expressions {
       case Func.EncodeForUri =>
         // hex-escape every byte except ASCII letters and digits/unreserved
         // (reference escapes all but ASCII letters, calc_engine.rs:1796-1860;
-        // we keep unreserved marks per RFC 3986 — CONFORMANCE)
-        when(isStr(a0), strTerm(url_encode(strOf(a0)))).otherwise(nul)
+        // we keep unreserved marks per RFC 3986 — CONFORMANCE). url_encode
+        // is form-encoding (space → '+'); SPARQL requires %20.
+        when(isStr(a0), strTerm(regexp_replace(url_encode(strOf(a0)), "\\+", "%20")))
+          .otherwise(nul)
       case Func.Concat => // strings-only else Null (calc_engine.rs:1861-1886)
         when(as.map(isStr).reduce(_ && _), strTerm(concat(as.map(strOf): _*))).otherwise(nul)
       case Func.LangMatches =>

@@ -298,7 +298,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         case ENot(EExists(op, _)) =>
           execFilter(EExists(op, negated = true), d)
         case other =>
-          val (d2, e2, tmps) = hoistComplex(d, other)
+          val (d2, e2, tmps) = hoistComplex(d, other, barrier = true)
           d2.filter(ebv(eval(e2, colResolver(d2))) <=> true).drop(tmps: _*)
       }
     }
@@ -315,15 +315,27 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * evaluated once and the hot filter stays inside whole-stage
     * codegen (Catalyst's CollapseProject keeps multi-use aliases
     * materialized rather than re-inlining them).
+    *
+    * `barrier` additionally marks each temp nondeterministic (a no-op
+    * `when(rand(seed) > -1, …)` wrapper) so PushDownPredicates cannot
+    * substitute the alias back into a scan filter — without it, a
+    * FILTER over a computed temp is re-inlined ~10× into the parquet
+    * DataFilters, overflowing codegen's 64KB method limit and paying a
+    * compile-attempt-then-fallback on every run. The scan-level `key`
+    * equality filters are produced separately by `scan()` and still
+    * push down.
     */
-  private def hoistComplex(df0: DataFrame, e0: Expr): (DataFrame, Expr, Seq[String]) = {
+  private def hoistComplex(df0: DataFrame, e0: Expr,
+                           barrier: Boolean = false): (DataFrame, Expr, Seq[String]) = {
     var df = df0
     var tmps = List.empty[String]
     var n = 0
     def bind(e: Expr): Expr = {
       n += 1
       val name = s"__x$n"
-      df = df.withColumn(name, Expressions.eval(e, colResolver(df)))
+      val c = Expressions.eval(e, colResolver(df))
+      val guarded = if (barrier) when(rand(42) > lit(-1d), c) else c
+      df = df.withColumn(name, guarded)
       tmps ::= name
       EVar(name)
     }

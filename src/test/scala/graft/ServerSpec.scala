@@ -1,0 +1,78 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+import scala.io.Source
+
+import graft.server.QueryServer
+
+/** HTTP endpoint behavior (reference `src/server.rs`): 200+JSON on
+  * success, 400 on missing param / parse error, CORS on every response.
+  */
+class ServerSpec extends SparkTestBase {
+
+  private lazy val dir = {
+    val d = "/root/repo/data/wikidata"
+    graft.ingest.WikidataIngest.statements(spark, d)
+    d
+  }
+
+  private def get(path: String): (Int, String, Map[String, String]) = {
+    val conn = new URL(s"http://localhost:$port$path").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(120000)
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(stream, "UTF-8").mkString
+    import scala.jdk.CollectionConverters._
+    val headers = conn.getHeaderFields.asScala.collect {
+      case (k, v) if k != null => k -> v.asScala.mkString(",")
+    }.toMap
+    (code, body, headers)
+  }
+
+  private lazy val (server, port) = {
+    dir // force ingest
+    val srv = QueryServer.start(spark, dir, 0) // 0 = ephemeral port
+    (srv, srv.getAddress.getPort)
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  test("GET /query returns SPARQL-Results-JSON with CORS") {
+    val (code, body, headers) =
+      get("/query?query=" + java.net.URLEncoder.encode(
+        "SELECT ?t WHERE { wd:Q31 wdt:P31 ?t } LIMIT 2", "UTF-8"))
+    assert(code === 200)
+    assert(body.startsWith("""{"head":{"vars":["t"]},"results":{"bindings":["""))
+    assert(body.contains(""""type":"uri""""))
+    val cors = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("Access-Control-Allow-Origin") => v
+    }
+    assert(cors === Some("*"))
+  }
+
+  test("ASK renders the boolean form") {
+    val (code, body, _) =
+      get("/query?query=" + java.net.URLEncoder.encode(
+        "ASK { wd:Q999999999 ?p ?o }", "UTF-8"))
+    assert(code === 200)
+    assert(body === """{"head":{"vars":[]},"boolean":false}""")
+  }
+
+  test("parse error → 400 with message (reference src/server.rs:119-128)") {
+    val (code, body, _) =
+      get("/query?query=" + java.net.URLEncoder.encode("SELECT ?x WHERE { broken", "UTF-8"))
+    assert(code === 400)
+    assert(body.startsWith("parse error:"))
+  }
+
+  test("missing query parameter → 400") {
+    val (code, body, _) = get("/query")
+    assert(code === 400)
+    assert(body.contains("missing 'query' parameter"))
+  }
+}

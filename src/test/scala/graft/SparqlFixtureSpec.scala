@@ -69,6 +69,16 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("lexeme fixture is skipped whole, like the reference's strict serde") {
+    // form_sense_example.txt wraps the lexeme in {"entities":{...}} and
+    // has no labels/descriptions/aliases/claims at top level; the
+    // reference's serde schema (parser.rs:62-96, required fields) fails
+    // the line and produces no quads — replicated behavior.
+    val df = WikidataIngest.ingest(spark,
+      "/root/reference/tests/data/form_sense_example.txt")
+    assert(df.count() === 0L)
+  }
+
   test("MAX / MIN group-by (test_requests.txt:54-58)") {
     val df = Sparql.query(spark,
       """SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min)
