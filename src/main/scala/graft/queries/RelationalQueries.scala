@@ -65,14 +65,20 @@ object RelationalQueries {
              dsum($"o_totalprice").as("total_price"))
     }),
 
-    // -- left outer join preserving customers with no orders.
+    // -- left outer join preserving customers with no orders. orders is
+    // pre-aggregated by custkey BEFORE the join, shrinking the shuffled
+    // side by the per-customer fan-out (the 100x-scale plan; joining raw
+    // orders first would shuffle every order row).
     "q04_left_join" -> ((s, d) => {
       import s.implicits._
+      val perCust = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count($"o_orderkey").as("no"), sum(dec($"o_totalprice")).as("ts"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), $"o_custkey" === $"c_custkey", "left")
-        .groupBy($"c_custkey")
-        .agg(count($"o_orderkey").as("n_orders"),
-             coalesce(sum(dec($"o_totalprice")), lit(0)).cast("double").as("total_spent"))
+        .join(perCust, $"o_custkey" === $"c_custkey", "left")
+        .select($"c_custkey",
+          coalesce($"no", lit(0L)).as("n_orders"),
+          coalesce($"ts", lit(0)).cast("double").as("total_spent"))
     }),
 
     // -- semi join (EXISTS). left_semi never duplicates or widens rows.

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.ingest.WikidataParser
+
+/** Structured Streaming extensions (no counterpart in the reference —
+  * SURVEY §2.10 records it as batch-only; this is the north-star
+  * incremental path, not parity).
+  *
+  * Shapes:
+  *   - incremental dump ingest: a stream of dump lines (file source at
+  *     scale, any source in tests) → the same quad rows the batch
+  *     ingest produces → append sink. The parser is reused verbatim, so
+  *     batch and streaming stores are bit-identical for the same lines.
+  *   - watermarked windowed aggregation over the `events` table shape
+  *     (late data bounded by the watermark; state evicts itself)
+  *   - sessionization via `flatMapGroupsWithState` — the canonical
+  *     custom-state operator (per-user gap-based sessions)
+  */
+object StreamingIngest {
+
+  /** Dump lines → quad rows (streaming-safe: same per-line parser the
+    * batch path uses, no global ordinal — streams have no stable line
+    * index, so `ord` is per-line only).
+    */
+  def quadStream(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(line => WikidataParser.parseLine(line)).toDF()
+  }
+
+  /** Start an incremental ingest from a directory of dump-line files
+    * into an append-mode parquet store.
+    */
+  def startIngest(spark: SparkSession, inDir: String, outDir: String,
+                  checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    quadStream(spark.readStream.textFile(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Hourly event counts with a watermark: equivalent of the batch
+    * `q16_events_hourly` as an incremental query. Late events beyond
+    * `lateness` are dropped and window state is evicted — bounded state
+    * at any scale.
+    */
+  def hourlyEventCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  // ---- sessionization (flatMapGroupsWithState) ------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Long, total_value: Double)
+  // not private: Spark's generated encoder code lives outside this
+  // object and needs the accessors
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization: events for a user belong to one session
+    * while consecutive gaps stay under `gapMs`; with
+    * `ProcessingTimeTimeout` idle sessions also flush on a timer (the
+    * production setting — tests use `NoTimeout` because the timeout
+    * keeps the micro-batch engine from quiescing under
+    * `processAllAvailable`). State per user is O(1).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

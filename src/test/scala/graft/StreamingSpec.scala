@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming extensions: incremental dump ingest matches the
+  * batch parser exactly; watermarked windowed aggregation matches the
+  * batch equivalent once the stream drains.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("streaming dump ingest produces the same 3385 quads as batch") {
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    val inDir = Files.createDirectory(java.nio.file.Path.of(tmp, "in"))
+    Files.copy(java.nio.file.Path.of("/root/reference/tests/data/first_5_lines.txt"),
+      inDir.resolve("lines.txt"))
+    val out = s"$tmp/quads"
+    val q = StreamingIngest.startIngest(spark, inDir.toString, out, s"$tmp/ckpt")
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(got.count() === 3385L)
+    // spot-check statement addressing survived the stream path
+    assert(got.filter(col("s.key") === "Q:31").count() ===
+      graft.ingest.WikidataIngest.statements(spark, "/root/repo/data/wikidata")
+        .filter(col("s.key") === "Q:31").count())
+  }
+
+  test("watermarked hourly counts equal the batch aggregation when drained") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.hourlyEventCounts(df, lateness = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2026-01-01 10:05:00")
+    val t1 = Timestamp.valueOf("2026-01-01 10:55:00")
+    val t2 = Timestamp.valueOf("2026-01-01 11:20:00")
+    val late = Timestamp.valueOf("2026-01-01 13:00:00") // advances watermark past 10-11
+    mem.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 5.0))
+    q.processAllAvailable()
+    mem.addData((late, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hourly").collect()
+      .map(r => (r.getAs[Timestamp]("hour").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value")))
+    // the 10:00 click window closed with both events; 11:00/13:00 may
+    // still be open in append mode — only closed windows are emitted
+    assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)))
+  }
+
+  test("sessionization groups events by gap and flushes on new session") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Event]
+    val sessions = StreamingIngest.sessionize(mem.toDS(), gapMs = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ev(u: Long, s: String, v: Double) =
+      StreamingIngest.Event(u, Timestamp.valueOf(s), v)
+    // user 1: two events 30s apart (one session), then a 5-minute gap
+    // (closes it), then one more event (open session, not yet emitted)
+    mem.addData(ev(1, "2026-01-01 10:00:00", 1.0), ev(1, "2026-01-01 10:00:30", 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(1, "2026-01-01 10:05:30", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").as[StreamingIngest.Session].collect()
+    assert(rows.length === 1)
+    assert(rows(0).user_id === 1L && rows(0).n_events === 2L && rows(0).total_value === 3.0)
+    assert(rows(0).start === Timestamp.valueOf("2026-01-01 10:00:00"))
+    assert(rows(0).end === Timestamp.valueOf("2026-01-01 10:00:30"))
+  }
+}
