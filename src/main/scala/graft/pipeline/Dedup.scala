@@ -34,13 +34,37 @@ object Dedup {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the shingle set. 64-bit xxhash64 per seed — all in
-    * expression space (no UDF).
+  /** Deterministic 31-bit affine constants (splitmix-style mixing). */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private val MersP = (1L << 31) - 1 // 2^31-1, Mersenne prime
+
+  /** One base hash per shingle, reduced mod 2^31-1. Stage this as a
+    * column BEFORE fanning out to the per-function minima — each shingle
+    * is then hashed once, not `numHashes` times.
+    */
+  def baseHashes(sh: Column): Column = transform(sh, s => pmod(xxhash64(s), lit(MersP)))
+
+  /** MinHash signature from staged base hashes: h_i = (a_i*h + b_i) mod
+    * (2^31-1) — the standard affine family; a_i*h < 2^62 so the ANSI
+    * long arithmetic cannot overflow.
+    */
+  def minhashSignatureFromHashes(hb: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      val a = (mix(i) & 0x7FFFFFFFL) | 1L
+      val b = mix(i + 100003L) & 0x7FFFFFFFL
+      array_min(transform(hb, h => pmod(h * a + b, lit(MersP))))
+    }: _*)
+
+  /** One-shot signature (convenience; prefer staging [[baseHashes]] as
+    * a column when the signature is referenced more than once).
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))): _*)
+    minhashSignatureFromHashes(baseHashes(sh), numHashes)
 
   /** Banded LSH self-join: documents sharing any (band, band-hash)
     * bucket become candidate pairs; candidates are then verified with
@@ -57,11 +81,18 @@ object Dedup {
     // the input is a single parquet split (shuffles tiny id+text rows)
     val withSh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // base hashes and the signature are STAGED as columns: each is
+    // referenced many times downstream, and an inline expression would
+    // be re-evaluated per reference (64 signature bits × 2 self-join
+    // sides would re-hash every shingle 128×). localCheckpoint
+    // materializes the banded rows once for both sides of the join.
     val banded = withSh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("hb", baseHashes(col("sh")))
+      .withColumn("sig", minhashSignatureFromHashes(col("hb"), numHashes))
       .select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+      .localCheckpoint(false)
     // candidate pairs are ID-ONLY: deduping scalar ids is a parallel
     // hash aggregation; carrying the shingle arrays through the dedup
     // would force a sort-based aggregate that copies the array buffer
@@ -98,21 +129,25 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over the word multiset: per bit, sum +1/-1 weighted
-    * by word hash bits, take the sign. Computed as 64 Column
-    * expressions (codegen-friendly, no UDF).
+  /** 64-bit SimHash from staged word hashes: per bit, sum +1/-1
+    * weighted by the hash bit, take the sign. The hashes column must be
+    * a materialized attribute — the 64 bit expressions each reference
+    * it, and an inline subtree would re-hash every word 64×.
     */
-  def simhash(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    val hashes = transform(words, w => xxhash64(w))
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
-      // sum of (+1 | -1) per word for bit i; sign decides the bit
       val contrib = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(contrib > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
+
+  def wordHashes(text: Column): Column =
+    transform(split(trim(text), "\\s+"), w => xxhash64(w))
+
+  /** One-shot SimHash (prefer staging [[wordHashes]] when reused). */
+  def simhash(text: Column): Column = simhashFromHashes(wordHashes(text))
 
   /** SimHash near-dup: candidates share one of four 16-bit bands
     * (detects Hamming distance ≤ 3 with certainty via pigeonhole when
@@ -121,11 +156,13 @@ object Dedup {
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3): DataFrame = {
     val withH = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+      .withColumn("__wh", wordHashes(col(textCol)))
+      .select(col(idCol).as("id"), simhashFromHashes(col("__wh")).as("h"))
     val banded = withH.select(col("id"), col("h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bb"))
+      .localCheckpoint(false)
     banded.alias("a")
       .join(banded.alias("b"), col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

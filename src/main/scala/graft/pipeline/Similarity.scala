@@ -31,23 +31,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for plane `j`,
-    * dimension `i`: ±1 from the parity of xxhash64(j, i). A ±1 plane
-    * basis is standard sign-random-projection; deterministic across
-    * executors with no broadcast state.
+  /** Deterministic ±1 hyperplane rows, materialized as literal arrays
+    * at plan time (splitmix bits) — no per-element hashing at runtime.
+    * Supports embeddings up to [[MaxDims]] dimensions.
     */
-  private def planeComponent(j: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1d).otherwise(-1d)
+  val MaxDims = 512
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private def planeRow(j: Int): Seq[Double] =
+    (0 until MaxDims).map(i => if ((mix(j.toLong * MaxDims + i) & 1L) == 0L) 1d else -1d)
 
-  /** LSH signature: one bit per hyperplane = sign of the projection.
-    * `seed` offsets the plane family so independent hash tables see
-    * independent hyperplanes.
+  /** LSH signature: one bit per hyperplane = sign of the projection
+    * against a literal ±1 plane row. `seed` offsets the plane family so
+    * independent hash tables see independent hyperplanes.
     */
   def planeSignature(v: Column, planes: Int, seed: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
+      val row = typedLit(planeRow(seed * 1024 + j))
+      // slice to the vector's length — zip_with pads the shorter side
+      // with nulls, which would poison the sum
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(seed * 1024 + j, i)),
+        zip_with(v, slice(row, lit(1), size(v)), (x, c) => x.cast(DoubleType) * c),
         lit(0d), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
