@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+import graft.pipeline.{Dedup, Similarity}
+import graft.sparql.Sparql
+
+/** Physical-plan guards: the properties that make these operators hold
+  * up at scale (scan pushdown, broadcast dimension joins, no all-pairs
+  * joins in the LSH family) asserted against the actual Spark plans so
+  * a regression fails loudly.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/repo/data/wikidata"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("bound-subject triple scan pushes the key equality into the parquet scan") {
+    graft.ingest.WikidataIngest.statements(spark, dir)
+    val df = Sparql.query(spark, "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }", dir)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(s.key,Q:31)"), s"missing pushed filter in:\n$plan")
+  }
+
+  test("bound-predicate scan pushes the predicate key and prunes columns") {
+    val df = Sparql.query(spark,
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }", dir)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(p.key,P:31)"))
+    // projection pruning: the scan must not read the lexical columns
+    assert(!plan.contains("s_lex"), "scan reads pre-rendered lex columns it doesn't need")
+  }
+
+  test("multi-join query plans a broadcast join for the dimension side") {
+    val df = SparkEntry.queries("q21_multi_join")(spark, "/root/testdata/sf0.001")
+    assert(planOf(df).contains("BroadcastHashJoin"))
+  }
+
+  test("LSH near-dup and ANN plans contain no cartesian/nested-loop join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nd = planOf(Dedup.minhashNearDup(docs, "text", "doc_id"))
+    val ann = planOf(Similarity.lshTopK(emb, emb.limit(3), "embedding", "vec_id", k = 5))
+    for ((name, p) <- Seq("minhash" -> nd, "ann" -> ann)) {
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plan has a nested-loop join")
+    }
+  }
+
+  test("SPARQL BGP join shuffles on key columns, not whole term structs") {
+    val df = Sparql.query(spark,
+      "SELECT ?p ?b ?p2 WHERE { wdt:Q31 ?p ?b . ?b ?p2 wdt:Q31 . }", dir)
+    val plan = planOf(df)
+    // the join condition compares coalesced key fields
+    assert(plan.contains("key"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
