@@ -290,7 +290,18 @@ object SparqlQueries {
       "SELECT REDUCED ?p WHERE { wd:Q31 wdt:P31 ?o . ?o ?p ?x . }",
       s"""SELECT DISTINCT b.p_lex AS p
          |FROM $ST a JOIN $ST b ON a.o['key']=b.s['key']
-         |WHERE a.s['key']='Q:31' AND a.p['key']='P:31'""".stripMargin)
+         |WHERE a.s['key']='Q:31' AND a.p['key']='P:31'""".stripMargin),
+
+    // ---- CONSTRUCT / DESCRIBE (SURVEY §2.9; reference todo!) ---------
+    ("sp43_construct",
+      "CONSTRUCT { ?s wdt:P999 ?o } WHERE { ?s wdt:P36 ?o }",
+      s"""SELECT DISTINCT s_lex AS s,
+         |  'http://www.wikidata.org/prop/P999' AS p, o_lex AS o
+         |FROM $ST WHERE p['key']='P:36'""".stripMargin),
+
+    ("sp44_describe",
+      "DESCRIBE wd:Q8",
+      s"SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST WHERE s['key']='Q:8'")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

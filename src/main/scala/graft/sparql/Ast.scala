@@ -97,12 +97,18 @@ object Ast {
   final case class Group(inner: Op, keys: Seq[Var], aggs: Seq[(Var, Agg)]) extends Op
   final case class Service(name: TermValue, inner: Op, silent: Boolean) extends Op
 
-  /** Query forms (reference implements SELECT only,
-    * `src/interpreter.rs:107-131`; we also execute ASK).
+  /** Query forms (reference implements SELECT only and `todo!`s the
+    * rest, `src/interpreter.rs:107-131`; we execute all four — SURVEY
+    * §2.9: ASK = non-emptiness, CONSTRUCT = template instantiation into
+    * (s,p,o) rows, DESCRIBE = subject scan).
     */
   sealed trait Query { def root: Op }
   final case class SelectQuery(root: Op) extends Query
   final case class AskQuery(root: Op) extends Query
+  final case class ConstructQuery(template: Seq[Triple], root: Op) extends Query
+  final case class DescribeQuery(targets: Seq[TermValue]) extends Query {
+    def root: Op = Bgp(Nil)
+  }
 
   /** In-scope variables of an operator tree (used for SELECT *,
     * projection checks and the label-service rewrite).

@@ -175,6 +175,35 @@ object Parser {
       if (eatWord("ASK")) {
         val body = parseGroupGraphPattern()
         AskQuery(body)
+      } else if (eatWord("CONSTRUCT")) {
+        expectPunct("{")
+        val tpl = parseTriplesBlock() match {
+          case Bgp(ts) => ts
+          case _ => throw ParseException("property paths are not allowed in a CONSTRUCT template")
+        }
+        expectPunct("}")
+        eatWord("WHERE")
+        var body = parseGroupGraphPattern()
+        var limit: Option[Long] = None
+        var off = 0L
+        while (peek.isDefined) {
+          if (eatWord("LIMIT"))
+            limit = Some(next() match { case TNum(l, true) => l.toLong; case t => throw ParseException(s"$t") })
+          else if (eatWord("OFFSET"))
+            off = next() match { case TNum(l, true) => l.toLong; case t => throw ParseException(s"$t") }
+          else throw ParseException(s"unexpected token $peek")
+        }
+        if (limit.isDefined || off > 0) body = Slice(body, off, limit)
+        ConstructQuery(tpl, body)
+      } else if (eatWord("DESCRIBE")) {
+        val targets = ArrayBuffer.empty[TermValue]
+        var more = true
+        while (more) peek match {
+          case Some(TIri(_)) | Some(TPName(_, _)) => targets += parseIriTerm()
+          case _ => more = false
+        }
+        if (targets.isEmpty) throw ParseException("DESCRIBE requires at least one IRI")
+        DescribeQuery(targets.toSeq)
       } else {
         expectWord("SELECT")
         parseSelectRest()

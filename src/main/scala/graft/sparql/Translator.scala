@@ -34,6 +34,28 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     case AskQuery(root) =>
       val any = !exec(LabelService.rewrite(root)).isEmpty
       spark.range(1).select(lit(any).as("boolean"))
+    case ConstructQuery(template, root) =>
+      // template instantiation: one (s,p,o) projection per template
+      // triple over the solution set, unioned and deduplicated (RDF
+      // graphs are sets); solutions leaving any position unbound
+      // produce no triple, per spec
+      val df = exec(LabelService.rewrite(root))
+      def termCol(p: TermPat): Column = p match {
+        case Var(n) if df.columns.contains(n) => df(n)
+        case Var(_) => Term.nullTerm
+        case Const(v) => v.toColumn
+      }
+      def bound(c: Column): Column = c.isNotNull && c.getField("kind") =!= Term.Kind.Null
+      template.map { t =>
+        df.select(termCol(t.s).as("s"), termCol(t.p).as("p"), termCol(t.o).as("o"))
+          .filter(bound(col("s")) && bound(col("p")) && bound(col("o")))
+      }.reduce(_.unionByName(_)).distinct()
+    case DescribeQuery(targets) =>
+      // implementation-defined per spec; ours is the subject scan the
+      // SURVEY maps it to (§2.9)
+      statements
+        .filter(col("s.key").isin(targets.map(_.key): _*))
+        .select(col("s"), col("p"), col("o"))
   }
 
   // ----------------------------------------------------------- operators

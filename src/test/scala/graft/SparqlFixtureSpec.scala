@@ -69,6 +69,18 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("CONSTRUCT instantiates its template over the solutions (ref todo!)") {
+    val n = rows("CONSTRUCT { ?s wdt:P999 ?o } WHERE { ?s wdt:P36 ?o }")
+    val distinctPairs = Sparql.query(spark,
+      "SELECT DISTINCT ?s ?o WHERE { ?s wdt:P36 ?o }", dir).count()
+    assert(n === distinctPairs)
+  }
+
+  test("DESCRIBE returns the subject's rows (ref todo!)") {
+    assert(rows("DESCRIBE wd:Q8") ===
+      rows("SELECT ?p ?o WHERE { wd:Q8 ?p ?o }"))
+  }
+
   test("lexeme fixture is skipped whole, like the reference's strict serde") {
     // form_sense_example.txt wraps the lexeme in {"entities":{...}} and
     // has no labels/descriptions/aliases/claims at top level; the
