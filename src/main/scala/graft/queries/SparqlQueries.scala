@@ -301,7 +301,26 @@ object SparqlQueries {
 
     ("sp44_describe",
       "DESCRIBE wd:Q8",
-      s"SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST WHERE s['key']='Q:8'")
+      s"SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST WHERE s['key']='Q:8'"),
+
+    // no shared variable → cartesian product of the two solution sets
+    // (the reference's merge join todo!'s this case; SURVEY §2.3)
+    ("sp45_cross_join",
+      "SELECT ?cap ?t WHERE { { wd:Q31 wdt:P36 ?cap } { wd:Q8 wdt:P31 ?t } }",
+      s"""SELECT a.o_lex AS cap, b.o_lex AS t
+         |FROM (SELECT o_lex FROM $ST WHERE s['key']='Q:31' AND p['key']='P:36') a
+         |CROSS JOIN (SELECT o_lex FROM $ST WHERE s['key']='Q:8' AND p['key']='P:31') b""".stripMargin),
+
+    // OneOrMore transitive closure (fixpoint without the zero-length
+    // identity; SURVEY §7.5)
+    ("sp46_path_plus",
+      "SELECT ?x WHERE { wd:Q31 wdt:P47+ ?x }",
+      s"""WITH RECURSIVE r(k, lex) AS (
+         |  SELECT o['key'], o_lex FROM $ST WHERE s['key']='Q:31' AND p['key']='P:47'
+         |  UNION
+         |  SELECT st.o['key'], st.o_lex FROM $ST st JOIN r ON st.s['key']=r.k
+         |  WHERE st.p['key']='P:47')
+         |SELECT DISTINCT lex AS x FROM r""".stripMargin)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -343,6 +343,10 @@ object Parser {
         } else if (eatWord("MINUS")) {
           val inner = parseGroupGraphPattern()
           current = Some(Minus(current.getOrElse(unitOp), inner))
+        } else if (eatWord("LATERAL")) {
+          // reference executes LATERAL as a plain join (calc_engine.rs:194-201)
+          val inner = parseGroupGraphPattern()
+          current = Some(Lateral(current.getOrElse(unitOp), inner))
         } else if (eatWord("FILTER")) {
           filters += parseConstraint()
         } else if (eatWord("BIND")) {
