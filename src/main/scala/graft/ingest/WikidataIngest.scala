@@ -81,6 +81,45 @@ object WikidataIngest {
       .parquet(s"$dir/labels.parquet")
   }
 
+  /** Predicate-bucket count for the partitioned layout. */
+  val NumPredBuckets = 64
+
+  /** Bucket of a predicate's numeric id (non-entity predicates — label/
+    * description/alias language edges — share the overflow bucket).
+    * Must stay in sync with [[graft.sparql.Translator]]'s plan-time
+    * bucket computation for literal predicates.
+    */
+  def predBucket(num: Long): Long = java.lang.Math.floorMod(num, NumPredBuckets.toLong)
+
+  /** Scale layout (SURVEY §1.6): the same quad table written
+    * `partitionBy(p_bucket)` — the analog of the reference's
+    * `relation_pre` permutation. Bound-predicate scans (the dominant
+    * SPARQL access path) then prune whole partitions instead of reading
+    * every row group; within a partition the `(p.key, s.key)` sort
+    * still gives row-group pruning for the subject.
+    */
+  def buildPartitioned(spark: SparkSession, path: String = fixturePath,
+                       dir: String, buckets: Int = NumPredBuckets): Unit = {
+    import graft.model.Render
+    val statements = ingest(spark, path)
+    statements
+      .withColumn("s_lex", Render.lex(col("s")))
+      .withColumn("p_lex", Render.lex(col("p")))
+      .withColumn("o_lex", Render.lex(col("o")))
+      .withColumn("id_lex", Render.lex(col("id")))
+      .withColumn("p_bucket",
+        when(col("p.num").isNotNull,
+          pmod(col("p.num").cast("long"), lit(buckets.toLong)))
+          .otherwise(lit(buckets.toLong)).cast("int"))
+      .sortWithinPartitions(col("p.key"), col("s.key"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_bucket")
+      .parquet(s"$dir/statements.parquet")
+    labelsView(spark.read.parquet(s"$dir/statements.parquet"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/labels.parquet")
+  }
+
   /** Load the persisted statements table, building it first if absent
     * (keeps `Verify`/`Bench` self-contained on a fresh checkout).
     */

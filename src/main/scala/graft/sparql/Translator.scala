@@ -137,6 +137,24 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         concat(lit("PS:"), c.getField("num").cast(LongType).cast(StringType))))
       .otherwise(c)
 
+  /** True when the statements store uses the predicate-bucket
+    * partitioned layout ([[graft.ingest.WikidataIngest.buildPartitioned]]).
+    */
+  private val hasPredBuckets = statements.columns.contains("p_bucket")
+
+  /** Bound-predicate filter; on a partitioned store it adds the
+    * partition-column equality so whole predicate buckets prune.
+    */
+  private def predKeyFilter(key: String, pPat: TermPat): Column = {
+    val base = col("p.key") === key
+    pPat match {
+      case Const(v) if hasPredBuckets && v.num.isDefined =>
+        base && col("p_bucket") ===
+          graft.ingest.WikidataIngest.predBucket(v.num.get.toLong).toInt
+      case _ => base
+    }
+  }
+
   /** Triple-pattern scan: the 9-way bound/var dispatch with the
     * wdt:/p:/wds: statement-addressing duality
     * (`triplepattern_match`, reference `src/calc_engine.rs:3074-3284`).
@@ -196,17 +214,17 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
 
       // (V,B,V)
       case (s: Var, _, o: Var) =>
-        val filtered = st.filter(col("p.key") === pLocalKey.get)
+        val filtered = st.filter(predKeyFilter(pLocalKey.get, t.p))
         if (stmtPred) finish(filtered, Seq(s -> col("s"), o -> col("id")))
         else finish(filtered, Seq(s -> col("s"), o -> col("o")))
 
       // (V,B,B)
       case (s: Var, _, _) =>
         if (stmtObj && stmtPred)
-          finish(st.filter(col("id.key") === oKey.get && col("p.key") === pLocalKey.get),
+          finish(st.filter(col("id.key") === oKey.get && predKeyFilter(pLocalKey.get, t.p)),
             Seq(s -> col("s")))
         else if (!stmtObj && !stmtPred)
-          finish(st.filter(col("p.key") === pLocalKey.get && col("o.key") === oKey.get),
+          finish(st.filter(predKeyFilter(pLocalKey.get, t.p) && col("o.key") === oKey.get),
             Seq(s -> col("s")))
         else empty // misaligned statement addressing (calc_engine.rs:3169-3178)
 
@@ -231,17 +249,17 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
 
       // (B,B,V)
       case (_, _, o: Var) =>
-        val base = st.filter(col("s.key") === sKey.get && col("p.key") === pLocalKey.get)
+        val base = st.filter(col("s.key") === sKey.get && predKeyFilter(pLocalKey.get, t.p))
         if (stmtPred) finish(base, Seq(o -> col("id")))
         else finish(base, Seq(o -> col("o")))
 
       // (B,B,B): zero-variable existence pattern
       case (_, _, _) =>
         if (stmtObj && stmtPred)
-          finish(st.filter(col("id.key") === oKey.get && col("p.key") === pLocalKey.get &&
+          finish(st.filter(col("id.key") === oKey.get && predKeyFilter(pLocalKey.get, t.p) &&
             col("s.key") === sKey.get), Seq())
         else if (!stmtObj && !stmtPred)
-          finish(st.filter(col("s.key") === sKey.get && col("p.key") === pLocalKey.get &&
+          finish(st.filter(col("s.key") === sKey.get && predKeyFilter(pLocalKey.get, t.p) &&
             col("o.key") === oKey.get), Seq())
         else empty
     }

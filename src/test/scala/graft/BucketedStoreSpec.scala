@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.WikidataIngest
+import graft.sparql.Sparql
+
+/** The predicate-bucket partitioned layout (SURVEY §1.6, the analog of
+  * the reference's `relation_pre` permutation): identical query results
+  * to the flat layout, and bound-predicate scans prune partitions.
+  */
+class BucketedStoreSpec extends SparkTestBase {
+
+  private lazy val flatDir = {
+    val d = "/root/repo/data/wikidata"
+    WikidataIngest.statements(spark, d)
+    d
+  }
+
+  private lazy val partDir = {
+    val d = Files.createTempDirectory("graft-part").toFile.getAbsolutePath
+    WikidataIngest.buildPartitioned(spark, WikidataIngest.fixturePath, d)
+    d
+  }
+
+  test("partitioned store returns identical results for every scan shape") {
+    val queries = Seq(
+      "SELECT ?sub ?pred ?obj WHERE { ?sub ?pred ?obj . }",
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }",
+      "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }",
+      "SELECT ?s ?stmt WHERE { ?s p:P31 ?stmt . }",
+      "SELECT ?q ?v WHERE { wd:Q31 p:P1082 ?stmt . ?stmt ?q ?v . }")
+    for (q <- queries) {
+      val flat = Sparql.rendered(spark, q, flatDir).collect().map(_.toString).sorted
+      val part = Sparql.rendered(spark, q, partDir).collect().map(_.toString).sorted
+      assert(flat.sameElements(part), s"result mismatch for: $q")
+    }
+  }
+
+  test("bound-predicate scan prunes predicate-bucket partitions") {
+    val df = Sparql.query(spark, "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }", partDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val expected = WikidataIngest.predBucket(31L)
+    assert(plan.contains(s"p_bucket = $expected") || plan.contains("PartitionFilters"),
+      s"no partition pruning in:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(p_bucket"), plan)
+  }
+}
