@@ -320,7 +320,27 @@ object SparqlQueries {
          |  UNION
          |  SELECT st.o['key'], st.o_lex FROM $ST st JOIN r ON st.s['key']=r.k
          |  WHERE st.p['key']='P:47')
-         |SELECT DISTINCT lex AS x FROM r""".stripMargin)
+         |SELECT DISTINCT lex AS x FROM r""".stripMargin),
+
+    // date-field extraction over the packed time key (SURVEY §2.7;
+    // num packs y*1e10 + mo*1e8 + d*1e6 + h*1e4 + mi*1e2 + s)
+    ("sp47_date_fns",
+      """SELECT ?d ?y ?m ?dd WHERE { wd:Q31 wdt:P571 ?d .
+        |BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) BIND(DAY(?d) AS ?dd) }""".stripMargin,
+      s"""SELECT o_lex AS d,
+         |  CAST(CAST(floor(o['num']/1e10) AS BIGINT) AS VARCHAR) AS y,
+         |  CAST(CAST(floor(o['num']/1e8) AS BIGINT) % 100 AS VARCHAR) AS m,
+         |  CAST(CAST(floor(o['num']/1e6) AS BIGINT) % 100 AS VARCHAR) AS dd
+         |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:571'""".stripMargin),
+
+    ("sp48_substr_lcase",
+      """SELECT ?d ?sub ?low ?md5 WHERE { wd:Q31 wdt:P1549 ?d .
+        |BIND(SUBSTR(STR(?d), 1, 3) AS ?sub) BIND(LCASE(STR(?d)) AS ?low)
+        |BIND(MD5(STR(?d)) AS ?md5) }""".stripMargin,
+      s"""SELECT o_lex AS d, substr(o_lex, 1, 3) AS sub,
+         |  translate(o_lex, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS low,
+         |  md5(o_lex) AS md5
+         |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:1549'""".stripMargin)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
