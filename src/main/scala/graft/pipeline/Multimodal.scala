@@ -66,6 +66,31 @@ object Multimodal {
       when(col("mime").startsWith("video"),
         sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
 
+  /** Partition-wise decode: the shape a real media decoder runs in —
+    * one partition of payload rows at a time through `mapPartitions`
+    * (a narrow map: no shuffle, and per-partition init is where codec
+    * handles / model weights load once). The decode body here is a
+    * clearly-marked deterministic STUB (payload bytes → [0,1) floats);
+    * swapping it for a real codec changes nothing about the plan
+    * shape, batching, or output schema.
+    */
+  def decodePartitionwise(df: DataFrame, dims: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema.add("features", ArrayType(FloatType))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition initialization point (codec/model setup in prod)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val feats = Array.tabulate(dims) { i => // STUB decode
+          if (payload == null || payload.isEmpty) 0f
+          else (payload(i % payload.length) & 0xFF) / 255.0f
+        }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Full demo pipeline over a text table standing in for media blobs. */
   def pipeline(docs: DataFrame): DataFrame =
     frameSampleOffsets(asMediaTable(docs, "doc_id", "text"))

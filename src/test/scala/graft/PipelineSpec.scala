@@ -150,6 +150,19 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("partition-wise decode is a narrow map with the contracted schema") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.decodePartitionwise(media, dims = 4)
+    assert(out.schema.fieldNames.last === "features")
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r.getSeq[Float](r.length - 1)).toMap
+    assert(rows(1L).length === 4 && rows(1L).forall(f => f >= 0f && f <= 1f))
+    assert(rows(2L).forall(_ === 0f)) // empty payload → zero features
+  }
+
   test("frame sampling emits one offset per second of video") {
     val one = Multimodal.frameSampleOffsets(
       Multimodal.asMediaTable(Seq((5L, "x")).toDF("doc_id", "text"), "doc_id", "text"))
