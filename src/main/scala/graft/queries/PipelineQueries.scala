@@ -22,12 +22,15 @@ object PipelineQueries {
     "p01_exact_dedup" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
 
-    // 64 hashes / 16 bands keeps r=4 rows per band — the same per-band
-    // collision probability as 128/32 (miss chance at t=0.9 is
-    // (1-0.9^4)^16 ≈ 4e-8) at half the hashing cost
+    // 3-gram shingles, not word sets: the synthetic docs share so much
+    // vocabulary that 1-gram jaccard averages 0.63 across ALL pairs —
+    // word-set LSH would bucket nearly everything together (candidate
+    // set ≈ all-pairs, the scale failure mode). Word 3-grams are
+    // discriminative, so only true near-dups collide. 64 hashes / 16
+    // bands keeps r=4 (miss chance at t=0.9 is (1-0.9^4)^16 ≈ 4e-8).
     "p02_minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 1, numHashes = 64, bands = 16, threshold = 0.9)),
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)),
 
     "p03_ngram_jaccard" -> ((s, d) =>
       // exact 3-gram jaccard pairs on a bounded slice (quadratic kernel
@@ -87,7 +90,10 @@ object PipelineQueries {
         |FROM DOCS GROUP BY sha256(text)""".stripMargin,
 
     "p02_minhash_neardup" ->
-      """WITH s AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) sh FROM DOCS)
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
+        |      FROM w)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id id_a, b.doc_id id_b,
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
