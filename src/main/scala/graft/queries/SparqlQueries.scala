@@ -333,6 +333,23 @@ object SparqlQueries {
          |  CAST(CAST(floor(o['num']/1e6) AS BIGINT) % 100 AS VARCHAR) AS dd
          |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:571'""".stripMargin),
 
+    // HAVING over a grouped aggregate (filters after grouping)
+    ("sp49_having",
+      """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s wdt:P31 ?o }
+        |GROUP BY ?s HAVING(COUNT(?o) > 1)""".stripMargin,
+      s"""SELECT s_lex AS s, count(*) AS n FROM $ST
+         |WHERE p['key']='P:31' GROUP BY s_lex HAVING count(*) > 1""".stripMargin),
+
+    // DISTINCT aggregate flags (AE distinct, calc_data_types.rs:77-112)
+    ("sp50_distinct_aggs",
+      """SELECT (SUM(DISTINCT ?n) AS ?sd) (AVG(DISTINCT ?n) AS ?ad)
+        |  (COUNT(DISTINCT ?n) AS ?cd)
+        |WHERE { VALUES ?n { 1 2 2 3 3 3 } }""".stripMargin,
+      """SELECT regexp_replace(CAST(CAST(sum(DISTINCT n) AS FLOAT) AS VARCHAR), '\.0$', '') AS sd,
+        |  regexp_replace(CAST(CAST(avg(DISTINCT n) AS FLOAT) AS VARCHAR), '\.0$', '') AS ad,
+        |  CAST(count(DISTINCT n) AS VARCHAR) AS cd
+        |FROM (VALUES (1),(2),(2),(3),(3),(3)) t(n)""".stripMargin),
+
     ("sp48_substr_lcase",
       """SELECT ?d ?sub ?low ?md5 WHERE { wd:Q31 wdt:P1549 ?d .
         |BIND(SUBSTR(STR(?d), 1, 3) AS ?sub) BIND(LCASE(STR(?d)) AS ?low)
