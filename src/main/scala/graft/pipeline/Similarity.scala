@@ -33,9 +33,11 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane rows, materialized as literal arrays
     * at plan time (splitmix bits) — no per-element hashing at runtime.
-    * Supports embeddings up to [[MaxDims]] dimensions.
+    * Supports embeddings up to [[MaxDims]] dimensions (vectors beyond
+    * that are truncated by the slice — raise the constant for wider
+    * embeddings; it linearly grows plan size).
     */
-  val MaxDims = 512
+  val MaxDims = 128
   private def mix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -107,15 +109,20 @@ object Similarity {
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         explode(cSigs).as("bucket"))
+    // probe signatures are STAGED as columns: the 1-bit-flip multiprobe
+    // references each signature planes+1 times, and inlining would copy
+    // the plane-literal projection per reference (plan-size blowup)
+    var pSt = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    for (t <- 0 until tables)
+      pSt = pSt.withColumn(s"__sig$t", planeSignature(col("pv"), planes, t))
     val pSigs = array((0 until tables).flatMap { t =>
-      val sig = planeSignature(col(vecCol), planes, t)
+      val sig = col(s"__sig$t")
       val flips = if (multiProbeBits >= 1)
         (0 until planes).map(j => sig.bitwiseXOR(shiftleft(lit(1L), j)))
       else Seq()
       (sig +: flips).map(s => struct(lit(t).as("t"), s.as("sig")))
     }: _*)
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      explode(pSigs).as("bucket"))
+    val p = pSt.select(col("probe_id"), col("pv"), explode(pSigs).as("bucket"))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), col("pv"), col("cv"))
