@@ -135,11 +135,16 @@ object WikidataIngest {
     spark.read.parquet(s"$dir/labels.parquet")
   }
 
+  /** `runMain graft.ingest.WikidataIngest [path] [dir] [--partitioned]`
+    * — the create-db / create-index analog (reference `src/main.rs`).
+    */
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get()
-    val path = if (args.length > 0) args(0) else fixturePath
-    val dir = if (args.length > 1) args(1) else defaultDir
-    build(spark, path, dir)
+    val positional = args.filterNot(_.startsWith("--"))
+    val path = positional.headOption.getOrElse(fixturePath)
+    val dir = positional.lift(1).getOrElse(defaultDir)
+    if (args.contains("--partitioned")) buildPartitioned(spark, path, dir)
+    else build(spark, path, dir)
     val n = spark.read.parquet(s"$dir/statements.parquet").count()
     println(s"ingested $n quads from $path into $dir")
     spark.stop()

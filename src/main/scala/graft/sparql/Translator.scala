@@ -62,7 +62,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
 
   private[sparql] def exec(op: Op): DataFrame = op match {
     case Bgp(Nil) => unitDf
-    case Bgp(triples) => triples.map(scan).reduce(naturalJoin(_, _, "inner"))
+    case Bgp(triples) =>
+      orderPatterns(triples).map(scan).reduce(naturalJoin(_, _, "inner"))
     case p: PathOp => Paths.exec(this, statements, p)
     case Join(l, r) => naturalJoin(exec(l), exec(r), "inner")
     case Lateral(l, r) => naturalJoin(exec(l), exec(r), "inner") // ref: plain join (calc_engine.rs:194-201)
@@ -121,6 +122,36 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
 
   /** One empty solution (unit of Join). */
   private def unitDf: DataFrame = spark.range(1).select()
+
+  /** Greedy BGP join ordering (the reference's strategy, translated to
+    * plan time: start small, always join a connected relation next —
+    * `src/calc_engine.rs:109-151`). Without table statistics Catalyst
+    * keeps inner joins in written order, so the translator picks it:
+    * most-bound pattern first (boundness proxies scan selectivity),
+    * then repeatedly the most-bound pattern sharing a variable with
+    * what's already joined — avoiding accidental cartesian products
+    * from naive left-to-right folding. Inner natural joins commute, so
+    * results are unchanged.
+    */
+  private[sparql] def orderPatterns(ts: Seq[Triple]): Seq[Triple] = {
+    if (ts.size <= 1) return ts
+    def boundCount(t: Triple) = Seq(t.s, t.p, t.o).count(_.isInstanceOf[Const])
+    def vars(t: Triple) = Seq(t.s, t.p, t.o).collect { case Var(n) => n }.toSet
+    val remaining = scala.collection.mutable.ArrayBuffer(ts: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
+    val first = remaining.maxBy(boundCount)
+    out += first
+    remaining -= first
+    var seen = vars(first)
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(t => vars(t).intersect(seen).nonEmpty)
+      val next = (if (connected.nonEmpty) connected else remaining.toSeq).maxBy(boundCount)
+      out += next
+      remaining -= next
+      seen ++= vars(next)
+    }
+    out.toSeq
+  }
 
   // --------------------------------------------------------------- scans
 

@@ -1,0 +1,50 @@
+package graft.sparql
+
+import graft.model.TermValue
+import Ast._
+
+/** The greedy BGP join ordering (reference `src/calc_engine.rs:109-151`
+  * at translation time): most-bound first, then always a pattern
+  * connected by a shared variable, so naive left-to-right folding never
+  * manufactures an avoidable cartesian product.
+  */
+class BgpOrderingSpec extends graft.SparkTestBase {
+
+  // two chained edges: Q1 -P2-> Q3 -P5-> Q6
+  private lazy val statements = {
+    val q1 = spark.range(1).select(
+      TermValue.entityQ(1).toColumn.as("s"), TermValue.propDirect(2).toColumn.as("p"),
+      TermValue.entityQ(3).toColumn.as("o"), TermValue.namedEdge("e1").toColumn.as("id"))
+    val q2 = spark.range(1).select(
+      TermValue.entityQ(3).toColumn.as("s"), TermValue.propDirect(5).toColumn.as("p"),
+      TermValue.entityQ(6).toColumn.as("o"), TermValue.namedEdge("e2").toColumn.as("id"))
+    q1.unionByName(q2)
+  }
+
+  private lazy val tr = new Translator(spark, statements, statements.limit(0))
+
+  private val a = Triple(Var("a"), Const(TermValue.propDirect(2)), Var("b"))
+  private val b = Triple(Var("x"), Const(TermValue.propDirect(2)), Var("y"))
+  private val c = Triple(Var("b"), Const(TermValue.propDirect(5)), Var("c"))
+
+  test("connected pattern is pulled ahead of a disconnected one") {
+    // written order (a, b, c) would cross-join a×b before c links them
+    assert(tr.orderPatterns(Seq(a, b, c)) === Seq(a, c, b))
+  }
+
+  test("a fully-bound pattern leads regardless of position") {
+    val bound = Triple(Const(TermValue.entityQ(1)), Const(TermValue.propDirect(2)),
+      Const(TermValue.entityQ(3)))
+    assert(tr.orderPatterns(Seq(a, c, bound)).head === bound)
+  }
+
+  test("reordered BGP evaluates to the same solutions") {
+    val df = tr.exec(Bgp(Seq(a, b, c)))
+    val rows = df.collect()
+    assert(rows.length === 1)
+    val byName = df.columns.zipWithIndex.toMap
+    assert(rows(0).getStruct(byName("a")).getAs[String]("key") === "Q:1")
+    assert(rows(0).getStruct(byName("c")).getAs[String]("key") === "Q:6")
+    assert(rows(0).getStruct(byName("x")).getAs[String]("key") === "Q:1")
+  }
+}
