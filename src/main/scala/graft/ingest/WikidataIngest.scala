@@ -79,6 +79,7 @@ object WikidataIngest {
     labelsView(spark.read.parquet(s"$dir/statements.parquet"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/labels.parquet")
+    invalidate(dir)
   }
 
   /** Predicate-bucket count for the partitioned layout. */
@@ -118,22 +119,38 @@ object WikidataIngest {
     labelsView(spark.read.parquet(s"$dir/statements.parquet"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/labels.parquet")
+    invalidate(dir)
   }
+
+  // DataFrames are immutable, so the resolved scan relation can be
+  // shared across queries in a session — repeated `spark.read.parquet`
+  // would re-list files and re-read footers per query, a fixed
+  // per-query planning cost that grows with the store's file count.
+  private val readCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop cached reads under `dir` after a rebuild (the cached file
+    * listing would otherwise point at deleted parquet parts).
+    */
+  private def invalidate(dir: String): Unit =
+    readCache.keys.filter(_._2.startsWith(dir)).foreach(readCache.remove)
 
   /** Load the persisted statements table, building it first if absent
     * (keeps `Verify`/`Bench` self-contained on a fresh checkout).
     */
-  def statements(spark: SparkSession, dir: String = defaultDir): DataFrame = {
-    val p = new java.io.File(s"$dir/statements.parquet")
-    if (!p.exists()) build(spark, fixturePath, dir)
-    spark.read.parquet(s"$dir/statements.parquet")
-  }
+  def statements(spark: SparkSession, dir: String = defaultDir): DataFrame =
+    readCache.getOrElseUpdate((spark, s"$dir/statements.parquet"), {
+      val p = new java.io.File(s"$dir/statements.parquet")
+      if (!p.exists()) build(spark, fixturePath, dir)
+      spark.read.parquet(s"$dir/statements.parquet")
+    })
 
-  def labels(spark: SparkSession, dir: String = defaultDir): DataFrame = {
-    val p = new java.io.File(s"$dir/labels.parquet")
-    if (!p.exists()) build(spark, fixturePath, dir)
-    spark.read.parquet(s"$dir/labels.parquet")
-  }
+  def labels(spark: SparkSession, dir: String = defaultDir): DataFrame =
+    readCache.getOrElseUpdate((spark, s"$dir/labels.parquet"), {
+      val p = new java.io.File(s"$dir/labels.parquet")
+      if (!p.exists()) build(spark, fixturePath, dir)
+      spark.read.parquet(s"$dir/labels.parquet")
+    })
 
   /** `runMain graft.ingest.WikidataIngest [path] [dir] [--partitioned]`
     * — the create-db / create-index analog (reference `src/main.rs`).

@@ -69,10 +69,16 @@ object PipelineQueries {
           col("ws_tokens"), col("bpe_tokens"), col("en_hits"))
     }),
 
-    "p08_lang_id" -> ((s, d) => { // rows-only: argmax in SQL is noisy; ScalaTest covers values
+    "p08_lang_id" -> ((s, d) => {
       val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
-      t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+    }),
+
+    // rows-only: the rolling fingerprint is built on xxhash64, which
+    // DuckDB does not provide — values asserted in PipelineSpec
+    "p10_fingerprint" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      t.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
     // ---- pillar 4: multimodal ---------------------------------------
@@ -134,6 +140,29 @@ object PipelineQueries {
         |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS en_hits
         |FROM DOCS""".stripMargin,
+
+    // marker-hit scoring + argmax, mirroring TextAnalysis.langId: the
+    // greatest(struct(score, lang)) tie-break picks the lexicographically
+    // larger language, hence ORDER BY score DESC, lang DESC here
+    "p08_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |s AS (
+        |  SELECT w.doc_id, l.lang,
+        |         len(list_filter(w.ws, x -> list_contains(l.words, x))) AS score
+        |  FROM w CROSS JOIN (VALUES
+        |    ('de', ['der','die','das','und','ist','von','zu']),
+        |    ('en', ['the','a','of','and','to','in','is']),
+        |    ('es', ['el','la','los','y','de','es','un']),
+        |    ('fr', ['le','la','les','et','de','est','un']),
+        |    ('zh', ['的','是','在','了','和','有','我'])) l(lang, words))
+        |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_id
+        |FROM (SELECT doc_id, lang, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |      FROM s) t
+        |WHERE rn = 1""".stripMargin,
 
     "p09_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -149,8 +149,8 @@ object SparqlQueries {
     ("sp23_count_by_pred",
       "SELECT ?p (COUNT(?o) AS ?n) (COUNT(DISTINCT ?o) AS ?nd) WHERE { ?s ?p ?o } GROUP BY ?p",
       s"""SELECT p_lex AS p,
-         |  count(CASE WHEN o['kind']<>'null' THEN 1 END) AS n,
-         |  count(DISTINCT CASE WHEN o['kind']<>'null' THEN o['key'] END) AS nd
+         |  CAST(count(CASE WHEN o['kind']<>'null' THEN 1 END) AS VARCHAR) AS n,
+         |  CAST(count(DISTINCT CASE WHEN o['kind']<>'null' THEN o['key'] END) AS VARCHAR) AS nd
          |FROM $ST GROUP BY p_lex""".stripMargin),
 
     ("sp24_group_concat",
@@ -357,7 +357,53 @@ object SparqlQueries {
       s"""SELECT o_lex AS d, substr(o_lex, 1, 3) AS sub,
          |  translate(o_lex, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS low,
          |  md5(o_lex) AS md5
-         |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:1549'""".stripMargin)
+         |FROM $ST WHERE s['key']='Q:31' AND p['key']='P:1549'""".stripMargin),
+
+    // implicit ?xAltLabel synthesis (interpreter.rs:919-1057) + the
+    // all-matching-languages trailing-comma alias quirk
+    // (calc_engine.rs:2863-2917): every alias of every requested
+    // language, (priority, insertion) order, each with a trailing comma
+    ("sp51_label_alias",
+      """SELECT ?s ?sAltLabel WHERE { VALUES ?s { wd:Q8 wd:Q23 wd:Q24 wd:Q31 }
+        |SERVICE wikibase:label { bd:serviceParam wikibase:language "en,de". } }""".stripMargin,
+      s"""SELECT v.s AS s, x.al AS "sAltLabel"
+         |FROM (VALUES ('http://www.wikidata.org/entity/Q8','Q:8'),
+         |             ('http://www.wikidata.org/entity/Q23','Q:23'),
+         |             ('http://www.wikidata.org/entity/Q24','Q:24'),
+         |             ('http://www.wikidata.org/entity/Q31','Q:31')) v(s, k)
+         |LEFT JOIN (
+         |  SELECT entity_key,
+         |         string_agg(text || ',', '' ORDER BY CASE lang WHEN 'en' THEN 0 ELSE 1 END, ord) AS al
+         |  FROM $LB WHERE kind='alias' AND lang IN ('en','de') GROUP BY entity_key
+         |) x ON v.k = x.entity_key""".stripMargin),
+
+    // explicit schema:description triple inside the service; "grc,en"
+    // exercises the language-priority first-match (calc_engine.rs:2763-2836)
+    ("sp52_label_description",
+      """SELECT ?s ?d WHERE { VALUES ?s { wd:Q8 wd:Q23 wd:Q24 wd:Q31 }
+        |SERVICE wikibase:label { bd:serviceParam wikibase:language "grc,en".
+        |  ?s schema:description ?d . } }""".stripMargin,
+      s"""SELECT v.s AS s, x.text AS d
+         |FROM (VALUES ('http://www.wikidata.org/entity/Q8','Q:8'),
+         |             ('http://www.wikidata.org/entity/Q23','Q:23'),
+         |             ('http://www.wikidata.org/entity/Q24','Q:24'),
+         |             ('http://www.wikidata.org/entity/Q31','Q:31')) v(s, k)
+         |LEFT JOIN (
+         |  SELECT entity_key, text FROM (
+         |    SELECT entity_key, text,
+         |           row_number() OVER (PARTITION BY entity_key
+         |             ORDER BY CASE lang WHEN 'grc' THEN 0 ELSE 1 END, ord) AS rn
+         |    FROM $LB WHERE kind='desc' AND lang IN ('grc','en')) t
+         |  WHERE rn = 1
+         |) x ON v.k = x.entity_key""".stripMargin),
+
+    // GROUP_CONCAT DISTINCT + custom separator (collect_set path;
+    // reference AE distinct flags, calc_data_types.rs:77-112)
+    ("sp53_group_concat_distinct",
+      """SELECT (GROUP_CONCAT(DISTINCT ?n; SEPARATOR="|") AS ?gc)
+        |WHERE { VALUES ?n { 3 1 2 3 1 } }""".stripMargin,
+      """SELECT string_agg(DISTINCT CAST(n AS VARCHAR), '|' ORDER BY CAST(n AS VARCHAR)) AS gc
+        |FROM (VALUES (3),(1),(2),(3),(1)) t(n)""".stripMargin)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

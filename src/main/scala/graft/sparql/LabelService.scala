@@ -22,10 +22,11 @@ import Ast._
   * `src/calc_engine.rs:2685-2928`): a broadcast join against the
   * `labels` DataFrame pre-aggregated to one row per entity — the
   * language-priority "first match" becomes `min(struct(priority, ord,
-  * text))`. Broadcast is sound at any scale: the label table for the
-  * language subset is bounded by #entities × #requested-langs and the
-  * aggregation happens before the join; for a 100 TB store the same
-  * plan works with the broadcast hint dropped (AQE picks the strategy).
+  * text))`. The broadcast hint is applied only when the optimizer's
+  * size estimate for the aggregated lookup fits under
+  * `spark.sql.autoBroadcastJoinThreshold`; above it (a full-Wikidata
+  * store has ~100M labeled entities) the strategy is left to AQE, which
+  * picks shuffle hash/sort-merge from runtime sizes.
   */
 object LabelService {
 
@@ -164,7 +165,18 @@ object LabelService {
     // only Q/P entities resolve (calc_engine.rs:2700-2711)
     val targetKey = when(target.getField("kind").isin(Term.Kind.Q, Term.Kind.P),
       target.getField("key"))
-    val joined = df.join(broadcast(lookup), targetKey === lookup(joinCol), "left_outer")
+    // Broadcast only when the optimizer's size estimate fits under the
+    // configured threshold: a full-Wikidata store has ~100M labeled
+    // entities, far beyond broadcast limits, and a hard hint would
+    // override AQE there. Below the threshold the hint guarantees the
+    // small-lookup plan without waiting for runtime stats.
+    val conf = df.sparkSession.sessionState.conf
+    val estimate = lookup.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rhs =
+      if (conf.autoBroadcastJoinThreshold > 0 && estimate <= conf.autoBroadcastJoinThreshold)
+        broadcast(lookup)
+      else lookup
+    val joined = df.join(rhs, targetKey === lookup(joinCol), "left_outer")
     joined
       .withColumn(outName, TermOps.strTerm(col("__lsv_text")))
       .drop(joinCol, "__lsv_text")

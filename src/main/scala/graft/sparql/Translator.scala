@@ -68,15 +68,21 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     case Join(l, r) => naturalJoin(exec(l), exec(r), "inner")
     case Lateral(l, r) => naturalJoin(exec(l), exec(r), "inner") // ref: plain join (calc_engine.rs:194-201)
     case LeftJoin(l, r, cond) =>
-      // the reference applies the OPTIONAL's filter to the LEFT side
-      // before joining (calc_engine.rs:170-192) — nonstandard vs the
-      // SPARQL spec; replicated for parity (CONFORMANCE).
+      // Default (parity): the reference applies the OPTIONAL's filter to
+      // the LEFT side before joining (calc_engine.rs:170-192) —
+      // nonstandard vs the SPARQL spec; replicated (CONFORMANCE #6).
+      // spark.graft.optional.specFilter=true switches to the
+      // spec-correct LeftJoin: the filter is evaluated over each joined
+      // solution as part of the join condition, so a left row whose
+      // matches all fail the filter survives unbound.
       val left = exec(l)
-      val leftF = cond match {
-        case Some(c) => left.filter(ebv(eval(c, colResolver(left))) <=> true)
-        case None => left
+      val specMode = spark.conf.get("spark.graft.optional.specFilter", "false").toBoolean
+      cond match {
+        case Some(c) if specMode => naturalJoin(left, exec(r), "left_outer", joinFilter = Some(c))
+        case Some(c) => naturalJoin(left.filter(ebv(eval(c, colResolver(left))) <=> true),
+          exec(r), "left_outer")
+        case None => naturalJoin(left, exec(r), "left_outer")
       }
-      naturalJoin(leftF, exec(r), "left_outer")
     case FilterOp(cond, inner) => execFilter(cond, exec(inner))
     case UnionOp(l, r) => unionPad(exec(l), exec(r))
     case Extend(inner, v, expr) =>
@@ -93,12 +99,18 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       }
     case v: ValuesOp => valuesDf(v)
     case OrderBy(inner, keys) =>
-      val df = exec(inner)
+      // hoist computed sort-key operands so `sortKey`'s CASE tree (which
+      // references its operand ~12×) compiles over a column ref, not a
+      // duplicated subtree (same rationale as hoistComplex for filters)
+      var df = exec(inner)
+      var tmps = List.empty[String]
       val sorts = keys.map { case (e, asc) =>
-        val k = sortKey(eval(e, colResolver(df)))
+        val (d2, e2, ts) = hoistComplex(df, e)
+        df = d2; tmps ++= ts
+        val k = sortKey(eval(e2, colResolver(df)))
         if (asc) k.asc else k.desc
       }
-      df.orderBy(sorts: _*)
+      df.orderBy(sorts: _*).drop(tmps: _*)
     case Project(inner, vars) =>
       val df = exec(inner)
       df.select(vars.map(v =>
@@ -302,15 +314,28 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * (null-normalized so unbound == unbound, like the reference's Null
     * node id 0).
     */
-  def naturalJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+  def naturalJoin(l: DataFrame, r: DataFrame, how: String,
+                  joinFilter: Option[Expr] = None): DataFrame = {
     val shared = l.columns.intersect(r.columns).toSeq
     if (l.columns.isEmpty && how == "inner") return r
     val renamed = shared.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
     // no shared variable → every pair of solutions is compatible
     // (cartesian product; the reference todo!'s this case — implemented)
-    val cond =
+    val keyCond =
       if (shared.isEmpty) lit(true)
       else shared.map(c => keyOrNull(l(c)) === keyOrNull(renamed(s"__r_$c"))).reduce(_ && _)
+    // spec-correct OPTIONAL: the filter sees the joined solution —
+    // shared vars equal on key, so the left copy stands in for both
+    val cond = joinFilter match {
+      case Some(f) =>
+        val resolve: String => Option[Column] = { n =>
+          if (l.columns.contains(n)) Some(l(n))
+          else if (r.columns.contains(n)) Some(renamed(n))
+          else None
+        }
+        keyCond && (ebv(Expressions.eval(f, resolve)) <=> true)
+      case None => keyCond
+    }
     val joined = l.join(renamed, cond, how)
     val outCols =
       l.columns.map(c =>
@@ -443,7 +468,22 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
 
   // ------------------------------------------------------------ grouping
 
-  private def execGroup(df: DataFrame, keys: Seq[Var], aggs: Seq[(Var, Agg)]): DataFrame = {
+  private def execGroup(df0: DataFrame, keys: Seq[Var], aggs0: Seq[(Var, Agg)]): DataFrame = {
+    // hoist computed aggregate operands into temp columns first — each
+    // agg references its operand several times (f32 coercion, null
+    // guards, sort keys), so a computed operand would otherwise be
+    // duplicated into every reference. Temps vanish with the groupBy.
+    var df = df0
+    def prep(e: Expr): Expr = { val (d2, e2, _) = hoistComplex(df, e); df = d2; e2 }
+    val aggs: Seq[(Var, Agg)] = aggs0.map {
+      case (v, ACount(eo, d)) => (v, ACount(eo.map(prep), d))
+      case (v, ASum(e, d)) => (v, ASum(prep(e), d))
+      case (v, AAvg(e, d)) => (v, AAvg(prep(e), d))
+      case (v, AMin(e, d)) => (v, AMin(prep(e), d))
+      case (v, AMax(e, d)) => (v, AMax(prep(e), d))
+      case (v, AGroupConcat(e, d, s)) => (v, AGroupConcat(prep(e), d, s))
+      case (v, ASample(e, d)) => (v, ASample(prep(e), d))
+    }
     val resolver = colResolver(df)
     def notNullT(c: Column): Column = c.isNotNull && c.getField("kind") =!= Term.Kind.Null
     def f32of(c: Column): Column = when(isNumeric(c), asF32(c))
@@ -488,10 +528,17 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
           val list = if (distinct) collect_set(form) else collect_list(form)
           // deterministic order (sorted); the reference keeps insertion
           // order of its stable sort — deviation noted in CONFORMANCE.
-          // Unbounded per-group collect: callers at 100 TB scale must
-          // bound group cardinality (same caveat as reference's
-          // in-memory group materialization).
-          strTerm(concat_ws(sep.getOrElse(""), sort_array(list)))
+          // spark.graft.groupConcat.maxElements (default 0 = unbounded,
+          // matching the reference's in-memory grouping) caps the
+          // concatenated element count so one skewed group cannot emit
+          // an unbounded string at 100 TB. The slice bounds the result,
+          // not the aggregation buffer — a fully bounded collect would
+          // need a custom TypedImperativeAggregate (CONFORMANCE #12).
+          val maxElems = df.sparkSession.conf
+            .get("spark.graft.groupConcat.maxElements", "0").toInt
+          val sorted = sort_array(list)
+          val bounded = if (maxElems > 0) slice(sorted, lit(1), lit(maxElems)) else sorted
+          strTerm(concat_ws(sep.getOrElse(""), bounded))
         case ASample(e, _) =>
           val c = eval(e, resolver)
           min(when(notNullT(c), struct(Render.lex(c).as("k"), c.as("t")))).getField("t")

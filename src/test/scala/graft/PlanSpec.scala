@@ -51,6 +51,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("label-service lookup still broadcasts at fixture scale without a hard hint") {
+    val df = Sparql.query(spark,
+      """SELECT ?country ?countryLabel WHERE {
+        |  ?country wdt:P31 wd:Q6256 .
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "en" . }
+        |}""".stripMargin, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"label lookup not broadcast at fixture scale:\n$plan")
+  }
+
+  test("label-service drops the broadcast hint when the lookup exceeds the threshold") {
+    graft.ingest.WikidataIngest.statements(spark, dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Sparql.query(spark,
+        """SELECT ?country ?countryLabel WHERE {
+          |  ?country wdt:P31 wd:Q6256 .
+          |  SERVICE wikibase:label { bd:serviceParam wikibase:language "en" . }
+          |}""".stripMargin, dir)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.toLowerCase.contains("hint"),
+        s"hard broadcast hint present with threshold off:\n$analyzed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SPARQL BGP join shuffles on key columns, not whole term structs") {
     val df = Sparql.query(spark,
       "SELECT ?p ?b ?p2 WHERE { wdt:Q31 ?p ?b . ?b ?p2 wdt:Q31 . }", dir)

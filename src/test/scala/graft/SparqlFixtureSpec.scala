@@ -22,6 +22,36 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(WikidataIngest.statements(spark, dir).count() === 3385L)
   }
 
+  test("spec-correct OPTIONAL filter mode diverges from reference parity mode") {
+    // Textbook case (SPARQL spec §6.2-style): the filter references a
+    // variable bound only inside the OPTIONAL.
+    val q =
+      """SELECT ?a ?b WHERE {
+        |  VALUES ?a { 1 2 }
+        |  OPTIONAL { VALUES (?a ?b) { (1 10) (2 20) } FILTER(?b > 15) }
+        |}""".stripMargin
+    // parity (default): the reference evaluates the filter over the LEFT
+    // side, where ?b is unbound → EBV error → every row dropped
+    assert(Sparql.query(spark, q, dir).count() === 0L)
+    // spec mode: the filter sees each joined solution; a=1's only match
+    // fails it and survives unbound, a=2's match passes
+    spark.conf.set("spark.graft.optional.specFilter", "true")
+    try {
+      val rs = Sparql.rendered(spark, q, dir).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rs === Set(("1", None), ("2", Some("20"))))
+    } finally spark.conf.set("spark.graft.optional.specFilter", "false")
+  }
+
+  test("GROUP_CONCAT max-elements guard bounds a pathological group") {
+    val q = "SELECT (GROUP_CONCAT(?n; SEPARATOR=\",\") AS ?gc) WHERE { VALUES ?n { 5 4 3 2 1 } }"
+    def gc(): String = Sparql.rendered(spark, q, dir).collect().head.getString(0)
+    assert(gc() === "1,2,3,4,5")
+    spark.conf.set("spark.graft.groupConcat.maxElements", "3")
+    try assert(gc() === "1,2,3")
+    finally spark.conf.set("spark.graft.groupConcat.maxElements", "0")
+  }
+
   test("smoke: Belgium instance-of (query_example.txt:1-3)") {
     val n = rows("SELECT ?item WHERE { wdt:Q31 wdt:P31 ?item . }")
     assert(n === 7L) // observed on the fixture (reference publishes no count)
