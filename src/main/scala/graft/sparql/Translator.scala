@@ -533,7 +533,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
           // concatenated element count so one skewed group cannot emit
           // an unbounded string at 100 TB. The slice bounds the result,
           // not the aggregation buffer — a fully bounded collect would
-          // need a custom TypedImperativeAggregate (CONFORMANCE #12).
+          // need a custom TypedImperativeAggregate (CONFORMANCE #10).
           val maxElems = df.sparkSession.conf
             .get("spark.graft.groupConcat.maxElements", "0").toInt
           val sorted = sort_array(list)
