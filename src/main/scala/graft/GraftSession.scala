@@ -18,6 +18,10 @@ object GraftSession {
     if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
       b.master(s"local[$cores]")
     b.appName("graft")
+      // custom catalyst expressions (e.g. the optimizer fence the
+      // SPARQL compiler uses to keep hoisted operands from being
+      // re-inlined into filter predicates)
+      .withExtensions(graft.functions.OptimizerFence.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

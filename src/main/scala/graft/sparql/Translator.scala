@@ -412,14 +412,16 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * codegen (Catalyst's CollapseProject keeps multi-use aliases
     * materialized rather than re-inlining them).
     *
-    * `barrier` additionally marks each temp nondeterministic (a no-op
-    * `when(rand(seed) > -1, …)` wrapper) so PushDownPredicates cannot
-    * substitute the alias back into a scan filter — without it, a
-    * FILTER over a computed temp is re-inlined ~10× into the parquet
-    * DataFilters, overflowing codegen's 64KB method limit and paying a
-    * compile-attempt-then-fallback on every run. The scan-level `key`
-    * equality filters are produced separately by `scan()` and still
-    * push down.
+    * `barrier` additionally wraps each temp in
+    * [[graft.functions.OptimizerFence]] (a zero-cost pass-through that
+    * reports nondeterminism) so PushDownPredicates cannot substitute
+    * the alias back into a FILTER/HAVING condition — without it, a
+    * FILTER over a computed temp is re-inlined ~10× into the
+    * condition, overflowing codegen's 64KB method limit and paying a
+    * generate-then-fallback on every run. (A `when(rand > -1, …)`
+    * wrapper used to serve; Spark 4.1 folds it away.) The scan-level
+    * `key` equality filters are produced separately by `scan()` and
+    * still push down.
     */
   private def hoistComplex(df0: DataFrame, e0: Expr,
                            barrier: Boolean = false): (DataFrame, Expr, Seq[String]) = {
@@ -430,7 +432,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       n += 1
       val name = s"__x$n"
       val c = Expressions.eval(e, colResolver(df))
-      val guarded = if (barrier) when(rand(42) > lit(-1d), c) else c
+      val guarded = if (barrier) call_function(graft.functions.OptimizerFence.name, c) else c
       df = df.withColumn(name, guarded)
       tmps ::= name
       EVar(name)

@@ -85,4 +85,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("key"), plan)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("optimizer fence keeps hoisted FILTER operands from re-inlining") {
+    // YEAR(?d) is hoisted to a temp; without the fence,
+    // PushPredicateThroughNonJoin substitutes the temp's defining CASE
+    // tree into every one of the comparison's ~30 operand references
+    // (74KB optimized plan, codegen 64KB overflow, ~2s per run).
+    val df = Sparql.query(spark,
+      "SELECT ?s ?d WHERE { ?s wdt:P571 ?d . FILTER(YEAR(?d) >= 1800) }", dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_fence"), "fence optimized away")
+    val floors = "FLOOR".r.findAllIn(optimized).length
+    assert(floors <= 4,
+      s"YEAR operand duplicated $floors times — fence not blocking inlining")
+    // the scan-level predicate still reaches parquet
+    assert(planOf(df).contains("EqualTo(p.key,P:571)"))
+  }
 }
