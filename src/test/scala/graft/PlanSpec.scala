@@ -45,7 +45,9 @@ class PlanSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val nd = planOf(Dedup.minhashNearDup(docs, "text", "doc_id"))
     val ann = planOf(Similarity.lshTopK(emb, emb.limit(3), "embedding", "vec_id", k = 5))
-    for ((name, p) <- Seq("minhash" -> nd, "ann" -> ann)) {
+    val ivf = planOf(Similarity.ivfTopK(emb, emb.limit(3), "embedding", "vec_id", k = 5))
+    val end = planOf(Dedup.embeddingNearDup(emb, "embedding", "vec_id"))
+    for ((name, p) <- Seq("minhash" -> nd, "ann" -> ann, "ivf" -> ivf, "embdup" -> end)) {
       assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plan has a nested-loop join")
     }
