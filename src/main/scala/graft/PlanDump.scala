@@ -15,6 +15,25 @@ object PlanDump {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.get()
+
+    // ad-hoc SPARQL timing: PlanDump sparql:'<query>' splits parse vs
+    // translate (both driver-side) for compile-cost investigations
+    if (name.startsWith("sparql:")) {
+      val text = name.stripPrefix("sparql:")
+      for (i <- 0 until reps) {
+        val t0 = System.nanoTime()
+        val ast = graft.sparql.Parser.parse(text)
+        val t1 = System.nanoTime()
+        val st = graft.ingest.WikidataIngest.statements(spark, "/root/repo/data/wikidata")
+        val lb = graft.ingest.WikidataIngest.labels(spark, "/root/repo/data/wikidata")
+        val df = new graft.sparql.Translator(spark, st, lb).translate(ast)
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        println(f"[sparql rep$i] parse ${(t1 - t0) / 1e9}%.3f  translate ${(t2 - t1) / 1e9}%.3f  exec ${(t3 - t2) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
 
     for (i <- 0 until reps) {

@@ -97,6 +97,82 @@ object TermOps {
   def gt(a: Column, b: Column): Column = cmp(a, b) > 0
   def ge(a: Column, b: Column): Column = cmp(a, b) >= 0
 
+  // ---- constant-specialized comparisons -------------------------------
+  //
+  // When one comparison operand is a query literal, its kind is known at
+  // compile time and all but one or two of the generic trees' branches
+  // are statically dead. Catalyst does fold them away eventually
+  // (GetStructField-of-literal-struct + constant folding), but the full
+  // tree is built, analyzed, and carried on the driver first — on
+  // FILTER-heavy queries that analysis is the dominant per-query cost.
+  // These variants emit only the live branches. Semantics are pinned
+  // identical to the generic trees by TermOpsSpec/ExpressionsSpec and
+  // the sp gate.
+
+  /** [[termEq]] against a compile-time constant. */
+  def termEqConst(a: Column, b: TermValue): Column = {
+    val bNum = b.num.map(lit(_)).getOrElse(lit(null).cast(DoubleType))
+    b.kind match {
+      case Kind.Int =>
+        when(k(a) === Kind.Int, num(a) === bNum)
+          .when(k(a) === Kind.Float, asF32(a) === bNum.cast(FloatType))
+          .otherwise(keyOrNull(a) === lit(b.key))
+      case Kind.Float =>
+        when(isNumeric(a), asF32(a) === bNum.cast(FloatType))
+          .otherwise(keyOrNull(a) === lit(b.key))
+      case _ => // non-numeric constant: promotion impossible → node eq
+        keyOrNull(a) === lit(b.key)
+    }
+  }
+
+  /** [[sameTerm]] against a compile-time constant (keys are never null
+    * for literals, so the coalesce collapses).
+    */
+  def sameTermConst(a: Column, b: TermValue): Column =
+    keyOrNull(a) === lit(b.key)
+
+  /** [[cmp]] against a compile-time constant right operand. For a
+    * constant LEFT operand use `-cmpConst(b, const)` — the partial
+    * order is antisymmetric and negation propagates the incomparable
+    * null.
+    */
+  def cmpConst(a: Column, b: TermValue): Column = {
+    val nullInt = lit(null).cast(IntegerType)
+    val bNum = b.num.map(lit(_)).getOrElse(lit(null).cast(DoubleType))
+    val bStr = b.str.map(lit(_)).getOrElse(lit(null).cast(StringType))
+    val byNum = sign(num(a) - bNum).cast(IntegerType)
+    val byF32 = sign((asF32(a) - bNum.cast(FloatType)).cast(DoubleType)).cast(IntegerType)
+    val byStr = when(str(a) < bStr, -1).when(str(a) > bStr, 1).otherwise(0)
+    val base = when(keyOrNull(a) === lit(b.key), 0)
+    val withKind = b.kind match {
+      case Kind.Int =>
+        base.when(k(a) === Kind.Int, byNum).when(k(a) === Kind.Float, byF32)
+      case Kind.Float =>
+        base.when(isNumeric(a), byF32)
+      case Kind.Q | Kind.P | Kind.L | Kind.Pstmt =>
+        base.when(k(a) === b.kind, byNum)
+      case Kind.Str =>
+        base.when(k(a) === Kind.Str, byStr)
+      case Kind.Edge | Kind.NamedEdge =>
+        base.when(k(a) === b.kind, byStr)
+      case Kind.Mono =>
+        val sameLang = b.lang.map(l => a.getField("lang") === lit(l))
+          .getOrElse(lit(null).cast(BooleanType))
+        base.when(k(a) === Kind.Mono, when(sameLang, byStr).otherwise(nullInt))
+      case Kind.Quantity =>
+        val parts = b.key.split("\\|")
+        val bUnit = if (parts.length > 1) lit(parts(1)) else lit(null).cast(StringType)
+        val unitA = split(a.getField("key"), "\\|").getItem(1)
+        base.when(k(a) === Kind.Quantity, when(unitA === bUnit, byNum).otherwise(nullInt))
+      case Kind.Time =>
+        val bCal = lit(b.key.split("\\|").last)
+        val calA = element_at(split(a.getField("key"), "\\|"), -1)
+        base.when(k(a) === Kind.Time, when(calA === bCal, byNum).otherwise(nullInt))
+      case _ => base // no ordered branch for this kind (Bool, Url, …)
+    }
+    withKind.otherwise(nullInt)
+  }
+
   /** Boolean term constructors (results of logical expressions). */
   def boolTerm(b: Column): Column =
     when(b.isNull, Term.nullTerm).otherwise(

@@ -36,13 +36,13 @@ object Expressions {
       case EOr(l, r) => binBool(go(l), go(r))(_ || _)
       case EAnd(l, r) => binBool(go(l), go(r))(_ && _)
 
-      case EEqual(l, r) => boolTerm(termEq(go(l), go(r)))
-      case ENotEqual(l, r) => boolTerm(!termEq(go(l), go(r)))
-      case ESameTerm(l, r) => boolTerm(sameTerm(go(l), go(r)))
-      case EGreater(l, r) => cmpTerm(go(l), go(r))(_ > 0)
-      case EGreaterEq(l, r) => cmpTerm(go(l), go(r))(_ >= 0)
-      case ELess(l, r) => cmpTerm(go(l), go(r))(_ < 0)
-      case ELessEq(l, r) => cmpTerm(go(l), go(r))(_ <= 0)
+      case EEqual(l, r) => boolTerm(eqOf(l, r))
+      case ENotEqual(l, r) => boolTerm(!eqOf(l, r))
+      case ESameTerm(l, r) => boolTerm(stOf(l, r))
+      case EGreater(l, r) => cmpTerm(cmpOf(l, r))(_ > 0)
+      case EGreaterEq(l, r) => cmpTerm(cmpOf(l, r))(_ >= 0)
+      case ELess(l, r) => cmpTerm(cmpOf(l, r))(_ < 0)
+      case ELessEq(l, r) => cmpTerm(cmpOf(l, r))(_ <= 0)
 
       // IN uses strict node equality (reference: Vec::contains over
       // DataValue PartialEq, calc_engine.rs:1070-1082 — no promotion)
@@ -50,7 +50,10 @@ object Expressions {
         val xc = go(x)
         val hit =
           if (list.isEmpty) lit(false)
-          else list.map(i => sameTerm(xc, go(i))).reduce(_ || _)
+          else list.map {
+            case EConst(v) => sameTermConst(xc, v)
+            case i => sameTerm(xc, go(i))
+          }.reduce(_ || _)
         boolTerm(if (neg) !hit else hit)
 
       case EAdd(l, r) => arith(go(l), go(r))(_ + _)
@@ -87,6 +90,24 @@ object Expressions {
 
       case ECall(fn, args) => call(fn, args.map(go), args)
     }
+    // constant-specialized comparison dispatch (TermOps *Const): when
+    // one side is a query literal only the branches live for its kind
+    // are compiled — identical semantics, ~5× smaller trees
+    def eqOf(l: Expr, r: Expr): Column = (l, r) match {
+      case (_, EConst(v)) => termEqConst(go(l), v)
+      case (EConst(v), _) => termEqConst(go(r), v)
+      case _ => termEq(go(l), go(r))
+    }
+    def stOf(l: Expr, r: Expr): Column = (l, r) match {
+      case (_, EConst(v)) => sameTermConst(go(l), v)
+      case (EConst(v), _) => sameTermConst(go(r), v)
+      case _ => sameTerm(go(l), go(r))
+    }
+    def cmpOf(l: Expr, r: Expr): Column = (l, r) match {
+      case (_, EConst(v)) => cmpConst(go(l), v)
+      case (EConst(v), _) => -cmpConst(go(r), v) // antisymmetric; null propagates
+      case _ => cmp(go(l), go(r))
+    }
     go(e)
   }
 
@@ -94,10 +115,8 @@ object Expressions {
     when(kindOf(a) === Kind.Bool && kindOf(b) === Kind.Bool,
       boolTerm(op(numOf(a) =!= 0d, numOf(b) =!= 0d))).otherwise(nul)
 
-  private def cmpTerm(a: Column, b: Column)(test: Column => Column): Column = {
-    val c = cmp(a, b)
+  private def cmpTerm(c: Column)(test: Column => Column): Column =
     when(c.isNull, nul).otherwise(boolTerm(test(c)))
-  }
 
   private def unArith(a: Column)(op: Column => Column): Column =
     when(isNumeric(a), floatTerm(op(asF32(a)))).otherwise(nul)

@@ -394,7 +394,18 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         case ENot(EExists(op, _)) =>
           execFilter(EExists(op, negated = true), d)
         case other =>
-          val (d2, e2, tmps) = hoistComplex(d, other, barrier = true)
+          // HAVING: a Filter directly over an Aggregate routes through
+          // the analyzer's ResolveAggregateFunctions (it may reference
+          // grouping/aggregate exprs), which re-runs sub-analyses and
+          // costs ~1.7s of driver time per query. Our compiler already
+          // resolved aggregates to output columns, so an identity
+          // Project in between keeps the filter on the cheap path.
+          val dp = d.queryExecution.logical match {
+            case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              d.select(d.columns.map(d(_)).toIndexedSeq: _*)
+            case _ => d
+          }
+          val (d2, e2, tmps) = hoistComplex(dp, other, barrier = true)
           d2.filter(ebv(eval(e2, colResolver(d2))) <=> true).drop(tmps: _*)
       }
     }

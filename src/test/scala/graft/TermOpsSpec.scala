@@ -143,6 +143,38 @@ class TermOpsSpec extends SparkTestBase {
     }
   }
 
+  test("const-specialized eq/sameTerm/cmp agree with the generic trees") {
+    // representative constant per kind family, incl. the branch-y ones
+    val consts = Seq(
+      TermValue.int(7), TermValue.int(-3), TermValue.float(2.5f),
+      TermValue.float(7.0f), TermValue.str("abc"), TermValue.str(""),
+      TermValue.entityQ(31), TermValue.propDirect(5),
+      TermValue.mono("hi", "en"), TermValue.mono("hi", "fr"),
+      TermValue.bool(true), TermValue.url("http://x"), TermValue.nullValue,
+      TermValue(Kind.Quantity, Some(5d), None, None, "q:5|u1"),
+      TermValue(Kind.Time, Some(1.8e13), None, None, "t:123|greg"))
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq("ak" -> StringType, "an" -> DoubleType,
+      "as" -> StringType, "al" -> StringType, "akey" -> StringType)
+      .map { case (n, t) => StructField(n, t) })
+    val rows: java.util.List[Row] = pairs.map(_._1).map { a =>
+      Row(a.kind, a.num.map(Double.box).orNull, a.str.orNull, a.lang.orNull, a.key)
+    }.asJava
+    val df = spark.createDataFrame(rows, schema)
+    val a = Term.struct_(col("ak"), col("an"), col("as"), col("al"), col("akey"))
+    val checks = consts.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        (TermOps.termEq(a, c.toColumn) <=> TermOps.termEqConst(a, c)).as(s"eq_$i"),
+        (TermOps.sameTerm(a, c.toColumn) <=> TermOps.sameTermConst(a, c)).as(s"st_$i"),
+        (TermOps.cmp(a, c.toColumn) <=> TermOps.cmpConst(a, c)).as(s"cmp_$i"),
+        (TermOps.cmp(c.toColumn, a) <=> -TermOps.cmpConst(a, c)).as(s"neg_$i"))
+    }
+    val bad = df.select(checks: _*).collect().zip(Iterator.continually(pairs.map(_._1)).flatten)
+    for ((r, _) <- bad; i <- 0 until r.length if !r.getBoolean(i))
+      fail(s"const-specialized mismatch at ${r.schema.fieldNames(i)} " +
+        s"(const ${consts(i / 4)})")
+  }
+
   test("promotion cases: int n equals float n; NaN has false EBV") {
     import spark.implicits._
     val df = Seq(1).toDF("x").select(
