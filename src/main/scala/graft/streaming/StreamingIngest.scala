@@ -59,6 +59,21 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the incremental counterpart of
+    * [[graft.pipeline.Dedup.exact]] for continuously-arriving corpora.
+    * Keyed by content hash; `dropDuplicatesWithinWatermark` bounds the
+    * dedup state to the watermark horizon (a plain streaming
+    * `dropDuplicates` keeps every key forever and OOMs on an unbounded
+    * feed), so the horizon is the explicit dedup-recency contract:
+    * duplicates arriving within it are suppressed exactly.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ---- sessionization (flatMapGroupsWithState) ------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

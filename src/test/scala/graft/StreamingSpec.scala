@@ -57,6 +57,24 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)))
   }
 
+  test("streaming dedup suppresses duplicate content within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingIngest.dedupStream(df, "text", "ts", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 10:10:00") // same text, in horizon
+    val t2 = Timestamp.valueOf("2026-01-01 10:15:00")
+    mem.addData((t0, 1L, "alpha doc"), (t1, 2L, "alpha doc"), (t2, 3L, "beta doc"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2026-01-01 10:20:00"), 4L, "alpha doc"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.toSeq === Seq(1L, 3L), s"expected first-seen docs only, got ${ids.toSeq}")
+  }
+
   test("sessionization groups events by gap and flushes on new session") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Event]
