@@ -21,7 +21,7 @@ object GraftSession {
       // custom catalyst expressions (e.g. the optimizer fence the
       // SPARQL compiler uses to keep hoisted operands from being
       // re-inlined into filter predicates)
-      .withExtensions(graft.functions.OptimizerFence.register)
+      .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** All of the engine's custom catalyst expressions, registered through
+  * SparkSessionExtensions (the public route from Column code to a
+  * custom Expression, via `call_function`). Every session factory —
+  * GraftSession, Verify, the test base — installs this.
+  */
+object GraftFunctions {
+  def register(ext: SparkSessionExtensions): Unit = {
+    inject(ext, OptimizerFence.name, classOf[OptimizerFence],
+      exprs => OptimizerFence(exprs.head))
+    inject(ext, VecDot.name, classOf[VecDot],
+      exprs => VecDot(exprs(0), exprs(1)))
+  }
+
+  private def inject(ext: SparkSessionExtensions, name: String, cls: Class[_],
+                     builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
+      builder))
+}

@@ -27,10 +27,15 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two numeric-array columns, accumulated in double.
+    * Backed by the native [[graft.functions.VecDot]] expression — a
+    * codegen'd primitive loop. The `aggregate(zip_with(...))` HOF
+    * formulation computes the same value but is CodegenFallback
+    * (interpreted lambda + boxing per element), which is the wrong
+    * shape for the corpus-side hot loop at 100 TB.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0d), (acc, x) => acc + x)
+    call_function(graft.functions.VecDot.name, a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -109,6 +109,23 @@ class PipelineSpec extends SparkTestBase {
     assert(cells.count() >= 1)
   }
 
+  test("native vec_dot matches the HOF formulation and null-poisons") {
+    import org.apache.spark.sql.types.DoubleType
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(4d, 5d, 6d)),
+      (Seq(0f, 0f), Seq(0d, 0d)),
+      (Seq(-1.5f, 2.25f), Seq(2d, 4d))).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0d), (acc, x) => acc + x)
+    val rows = df.select(Similarity.dot(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // null array → null result
+    val nullRow = Seq((null.asInstanceOf[Seq[Float]], Seq(1d)))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-2.0f, 1.0f)))
       .toDF("a", "b", "c")

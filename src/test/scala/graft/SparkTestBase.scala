@@ -16,7 +16,7 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
-      .withExtensions(graft.functions.OptimizerFence.register)
+      .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
