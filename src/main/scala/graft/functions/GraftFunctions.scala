@@ -15,6 +15,15 @@ object GraftFunctions {
       exprs => OptimizerFence(exprs.head))
     inject(ext, VecDot.name, classOf[VecDot],
       exprs => VecDot(exprs(0), exprs(1)))
+    inject(ext, MinHashSig.name, classOf[MinHashSig],
+      exprs => MinHashSig(exprs(0), foldToInt(exprs(1))))
+    inject(ext, SimHashSig.name, classOf[SimHashSig],
+      exprs => SimHashSig(exprs.head))
+  }
+
+  private def foldToInt(e: Expression): Int = {
+    require(e.foldable, "numHashes must be a literal")
+    e.eval().asInstanceOf[Number].intValue
   }
 
   private def inject(ext: SparkSessionExtensions, name: String, cls: Class[_],

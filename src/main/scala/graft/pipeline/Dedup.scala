@@ -50,15 +50,13 @@ object Dedup {
   def baseHashes(sh: Column): Column = transform(sh, s => pmod(xxhash64(s), lit(MersP)))
 
   /** MinHash signature from staged base hashes: h_i = (a_i*h + b_i) mod
-    * (2^31-1) — the standard affine family; a_i*h < 2^62 so the ANSI
-    * long arithmetic cannot overflow.
+    * (2^31-1) — the standard affine family; a_i*h < 2^62 so the long
+    * arithmetic cannot overflow. Backed by the native codegen'd
+    * [[graft.functions.MinHashSig]] (one primitive pass per document;
+    * the HOF formulation pays numHashes interpreted passes).
     */
   def minhashSignatureFromHashes(hb: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      val a = (mix(i) & 0x7FFFFFFFL) | 1L
-      val b = mix(i + 100003L) & 0x7FFFFFFFL
-      array_min(transform(hb, h => pmod(h * a + b, lit(MersP))))
-    }: _*)
+    call_function(graft.functions.MinHashSig.name, hb, lit(numHashes))
 
   /** One-shot signature (convenience; prefer staging [[baseHashes]] as
     * a column when the signature is referenced more than once).
@@ -130,18 +128,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash from staged word hashes: per bit, sum +1/-1
-    * weighted by the hash bit, take the sign. The hashes column must be
-    * a materialized attribute — the 64 bit expressions each reference
-    * it, and an inline subtree would re-hash every word 64×.
+    * weighted by the hash bit, take the sign. Backed by the native
+    * codegen'd [[graft.functions.SimHashSig]] (one primitive pass;
+    * the HOF formulation was 64 interpreted aggregates per document).
     */
-  def simhashFromHashes(hashes: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(contrib > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def simhashFromHashes(hashes: Column): Column =
+    call_function(graft.functions.SimHashSig.name, hashes)
 
   def wordHashes(text: Column): Column =
     transform(split(trim(text), "\\s+"), w => xxhash64(w))

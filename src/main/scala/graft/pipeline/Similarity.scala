@@ -64,11 +64,9 @@ object Similarity {
   def planeSignature(v: Column, planes: Int, seed: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
       val row = typedLit(planeRow(seed * 1024 + j))
-      // slice to the vector's length — zip_with pads the shorter side
-      // with nulls, which would poison the sum
-      val proj = aggregate(
-        zip_with(v, slice(row, lit(1), size(v)), (x, c) => x.cast(DoubleType) * c),
-        lit(0d), (acc, x) => acc + x)
+      // native dot runs over the shorter operand, so the plane row
+      // needs no pre-slice to the vector's length
+      val proj = dot(v, row)
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))

@@ -109,6 +109,43 @@ class PipelineSpec extends SparkTestBase {
     assert(cells.count() >= 1)
   }
 
+  test("native minhash/simhash signatures match the HOF formulations") {
+    // the HOF pipelines the natives replaced, re-stated inline as the
+    // value oracle (same splitmix constants)
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val mersP = (1L << 31) - 1
+    val nh = 16
+    val hofMinhash = array((0 until nh).map { i =>
+      val a = (mix(i) & 0x7FFFFFFFL) | 1L
+      val b = mix(i + 100003L) & 0x7FFFFFFFL
+      array_min(transform(col("hb"), h => pmod(h * a + b, lit(mersP))))
+    }: _*)
+    val hofSimhash = (0 until 64).map { i =>
+      val contrib = aggregate(col("wh"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val base = docs.limit(50)
+      .withColumn("hb", Dedup.baseHashes(Dedup.shingles(col("text"), 3)))
+      .withColumn("wh", Dedup.wordHashes(col("text")))
+    val rows = base.select(
+      (Dedup.minhashSignatureFromHashes(col("hb"), nh) <=> hofMinhash).as("mh_ok"),
+      (Dedup.simhashFromHashes(col("wh")) <=> hofSimhash).as("sh_ok")).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+    // empty input parity: minhash → array of nulls, simhash → 0
+    val empty = Seq(Seq.empty[Long]).toDF("hb")
+    val er = empty.select(
+      Dedup.minhashSignatureFromHashes(col("hb"), 4).as("mh"),
+      Dedup.simhashFromHashes(col("hb")).as("sh")).collect()(0)
+    assert(er.getSeq[Any](0).forall(_ == null))
+    assert(er.getLong(1) === 0L)
+  }
+
   test("native vec_dot matches the HOF formulation and null-poisons") {
     import org.apache.spark.sql.types.DoubleType
     val df = Seq(
