@@ -19,6 +19,19 @@ object GraftFunctions {
       exprs => MinHashSig(exprs(0), foldToInt(exprs(1))))
     inject(ext, SimHashSig.name, classOf[SimHashSig],
       exprs => SimHashSig(exprs.head))
+    inject(ext, BoundedSortedConcat.name, classOf[BoundedSortedConcat],
+      exprs => BoundedSortedConcat(exprs(0),
+        foldToString(exprs(1)), foldToInt(exprs(2)), foldToBool(exprs(3))))
+  }
+
+  private def foldToString(e: Expression): String = {
+    require(e.foldable, "separator must be a literal")
+    String.valueOf(e.eval())
+  }
+
+  private def foldToBool(e: Expression): Boolean = {
+    require(e.foldable, "distinct flag must be a literal")
+    e.eval().asInstanceOf[Boolean]
   }
 
   private def foldToInt(e: Expression): Int = {

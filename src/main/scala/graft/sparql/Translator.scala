@@ -538,20 +538,25 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         case AGroupConcat(e, distinct, sep) =>
           val c = eval(e, resolver)
           val form = Render.groupConcatForm(c)
-          val list = if (distinct) collect_set(form) else collect_list(form)
           // deterministic order (sorted); the reference keeps insertion
           // order of its stable sort — deviation noted in CONFORMANCE.
           // spark.graft.groupConcat.maxElements (default 0 = unbounded,
           // matching the reference's in-memory grouping) caps the
-          // concatenated element count so one skewed group cannot emit
-          // an unbounded string at 100 TB. The slice bounds the result,
-          // not the aggregation buffer — a fully bounded collect would
-          // need a custom TypedImperativeAggregate (CONFORMANCE #10).
+          // concatenated element count so one skewed group cannot OOM
+          // an executor at 100 TB: the BoundedSortedConcat aggregate
+          // trims its buffer on every insert, so per-group state is
+          // O(maxElements) even map-side (CONFORMANCE #10).
           val maxElems = df.sparkSession.conf
             .get("spark.graft.groupConcat.maxElements", "0").toInt
-          val sorted = sort_array(list)
-          val bounded = if (maxElems > 0) slice(sorted, lit(1), lit(maxElems)) else sorted
-          strTerm(concat_ws(sep.getOrElse(""), bounded))
+          val out =
+            if (maxElems > 0)
+              call_function(graft.functions.BoundedSortedConcat.name,
+                form, lit(sep.getOrElse("")), lit(maxElems), lit(distinct))
+            else {
+              val list = if (distinct) collect_set(form) else collect_list(form)
+              concat_ws(sep.getOrElse(""), sort_array(list))
+            }
+          strTerm(out)
         case ASample(e, _) =>
           val c = eval(e, resolver)
           min(when(notNullT(c), struct(Render.lex(c).as("k"), c.as("t")))).getField("t")

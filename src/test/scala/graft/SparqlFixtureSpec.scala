@@ -44,12 +44,21 @@ class SparqlFixtureSpec extends SparkTestBase {
   }
 
   test("GROUP_CONCAT max-elements guard bounds a pathological group") {
+    def gc(q: String): String = Sparql.rendered(spark, q, dir).collect().head.getString(0)
     val q = "SELECT (GROUP_CONCAT(?n; SEPARATOR=\",\") AS ?gc) WHERE { VALUES ?n { 5 4 3 2 1 } }"
-    def gc(): String = Sparql.rendered(spark, q, dir).collect().head.getString(0)
-    assert(gc() === "1,2,3,4,5")
+    assert(gc(q) === "1,2,3,4,5")
     spark.conf.set("spark.graft.groupConcat.maxElements", "3")
-    try assert(gc() === "1,2,3")
+    try assert(gc(q) === "1,2,3")
     finally spark.conf.set("spark.graft.groupConcat.maxElements", "0")
+    // the bounded aggregate keeps duplicates under the bound and
+    // applies DISTINCT before bounding (buffer stays O(max) either way)
+    val qDup = "SELECT (GROUP_CONCAT(?n; SEPARATOR=\",\") AS ?gc) WHERE { VALUES ?n { 3 1 2 1 2 1 } }"
+    val qDist = "SELECT (GROUP_CONCAT(DISTINCT ?n; SEPARATOR=\",\") AS ?gc) WHERE { VALUES ?n { 3 1 2 1 2 1 } }"
+    spark.conf.set("spark.graft.groupConcat.maxElements", "4")
+    try {
+      assert(gc(qDup) === "1,1,1,2")
+      assert(gc(qDist) === "1,2,3")
+    } finally spark.conf.set("spark.graft.groupConcat.maxElements", "0")
   }
 
   test("smoke: Belgium instance-of (query_example.txt:1-3)") {
