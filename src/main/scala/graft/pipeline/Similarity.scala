@@ -131,11 +131,15 @@ object Similarity {
       (sig +: flips).map(s => struct(lit(t).as("t"), s.as("sig")))
     }: _*)
     val p = pSt.select(col("probe_id"), col("pv"), explode(pSigs).as("bucket"))
+    // cosine is computed at the join and the multi-table duplicate
+    // collisions are merged by a light groupBy: the dedup shuffle then
+    // carries (long, long, double) rows instead of two embedding
+    // arrays per candidate — the payload that matters at 100 TB.
+    // min(cos) of identical per-pair values = the value.
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("neighbor_id"), col("pv"), col("cv"))
-      .dropDuplicates("probe_id", "neighbor_id")
       .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))
+      .groupBy(col("probe_id"), col("neighbor_id")).agg(min(col("cos")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
