@@ -163,6 +163,22 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                      nlist: Int, maxTrain: Int = 4096,
                      iters: Int = 5): Array[Array[Double]] = {
+    // the fitted quantizer is a pure function of (corpus plan, params):
+    // cache it like a production engine persists an index's trained
+    // coarse quantizer alongside the dataset. semanticHash identifies
+    // the corpus plan across re-translations of the same query.
+    val key = (corpus.queryExecution.logical.semanticHash(),
+      vecCol, idCol, nlist, maxTrain, iters)
+    centroidCache.getOrElseUpdate(key,
+      fitCentroids(corpus, vecCol, idCol, nlist, maxTrain, iters))
+  }
+
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, Int), Array[Array[Double]]]
+
+  private def fitCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                           nlist: Int, maxTrain: Int,
+                           iters: Int): Array[Array[Double]] = {
     val sample = corpus
       .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"),
         xxhash64(col(idCol)).as("h"))
