@@ -26,13 +26,12 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
 
   /** Word-level shingle set of a text column (n=1 → word set). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
-    if (n == 1) array_distinct(words)
-    else array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+  /** Distinct word n-gram shingles — native codegen'd expression
+    * ([[graft.functions.WordNgrams]]); one primitive pass per document
+    * instead of an interpreted slice+concat per position.
+    */
+  def shingles(text: Column, n: Int): Column =
+    call_function(graft.functions.WordNgrams.name, text, lit(n))
 
   /** Deterministic 31-bit affine constants (splitmix-style mixing). */
   private def mix(x0: Long): Long = {

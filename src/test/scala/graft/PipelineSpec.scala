@@ -109,6 +109,25 @@ class PipelineSpec extends SparkTestBase {
     assert(cells.count() >= 1)
   }
 
+  test("native shingles match the HOF formulation incl. edge cases") {
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(trim(text), "\\s+")
+      if (n == 1) array_distinct(words)
+      else array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
+    val edges = Seq("", " ", "a", "a b", "a b c d", "a  b\tc", "x x x x",
+      "  padded  ends  ").toDF("text")
+    val corpus = docs.limit(50).select(col("text")).unionByName(edges)
+    for (n <- Seq(1, 2, 3)) {
+      val bad = corpus.select(
+        (Dedup.shingles(col("text"), n) <=> hofShingles(col("text"), n)).as("ok"),
+        col("text")).filter(!col("ok")).collect()
+      assert(bad.isEmpty, s"n=$n mismatches: ${bad.map(_.getString(1)).mkString("|")}")
+    }
+  }
+
   test("native minhash/simhash signatures match the HOF formulations") {
     // the HOF pipelines the natives replaced, re-stated inline as the
     // value oracle (same splitmix constants)
