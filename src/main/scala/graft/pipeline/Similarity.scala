@@ -43,9 +43,10 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane rows, materialized as literal arrays
     * at plan time (splitmix bits) — no per-element hashing at runtime.
-    * Supports embeddings up to [[MaxDims]] dimensions (vectors beyond
-    * that are truncated by the slice — raise the constant for wider
-    * embeddings; it linearly grows plan size).
+    * Supports embeddings up to [[MaxDims]] dimensions (wider vectors
+    * project onto their first MaxDims coordinates — the native dot
+    * runs over the shorter operand; raise the constant for wider
+    * embeddings, it linearly grows the literal plan payload).
     */
   val MaxDims = 128
   private def mix(x0: Long): Long = {
