@@ -33,14 +33,9 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     call_function(graft.functions.WordNgrams.name, text, lit(n))
 
-  /** Deterministic 31-bit affine constants (splitmix-style mixing). */
-  private def mix(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-  private val MersP = (1L << 31) - 1 // 2^31-1, Mersenne prime
+  // 2^31-1, Mersenne prime; the affine permutation family lives in
+  // graft.functions.MinHashSig (splitmix constants over this modulus)
+  private val MersP = (1L << 31) - 1
 
   /** One base hash per shingle, reduced mod 2^31-1. Stage this as a
     * column BEFORE fanning out to the per-function minima — each shingle
