@@ -397,6 +397,29 @@ object SparqlQueries {
          |  WHERE rn = 1
          |) x ON v.k = x.entity_key""".stripMargin),
 
+    // sub-SELECT (spargebra nested Project; the reference interpreter
+    // maps it like any operator, interpreter.rs:210-213): aggregate
+    // subquery joined with an outer OPTIONAL on the projected variable
+    ("sp54_subquery_agg",
+      """SELECT ?s ?n ?cap WHERE {
+        |  { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s wdt:P31 ?o } GROUP BY ?s }
+        |  OPTIONAL { ?s wdt:P36 ?cap } }""".stripMargin,
+      s"""SELECT g.s AS s, g.n AS n, b.o_lex AS cap
+         |FROM (SELECT s_lex AS s, any_value(s['key']) AS k, CAST(count(*) AS VARCHAR) AS n
+         |      FROM $ST WHERE p['key']='P:31' GROUP BY s_lex) g
+         |LEFT JOIN (SELECT * FROM $ST WHERE p['key']='P:36') b ON g.k=b.s['key']""".stripMargin),
+
+    // sub-SELECT with its own ORDER BY + LIMIT, re-joined outside (the
+    // inner modifiers must not leak into the outer query's scope)
+    ("sp55_subquery_topk",
+      """SELECT ?s ?o WHERE {
+        |  { SELECT ?s WHERE { ?s wdt:P1082 ?pop } ORDER BY DESC(?pop) LIMIT 3 }
+        |  ?s wdt:P31 ?o . }""".stripMargin,
+      s"""WITH topk AS (SELECT s_lex AS s, s['key'] AS k FROM $ST
+         |              WHERE p['key']='P:1082' ORDER BY o['num'] DESC LIMIT 3)
+         |SELECT t.s AS s, b.o_lex AS o
+         |FROM topk t JOIN $ST b ON b.s['key']=t.k AND b.p['key']='P:31'""".stripMargin),
+
     // GROUP_CONCAT DISTINCT + custom separator (collect_set path;
     // reference AE distinct flags, calc_data_types.rs:77-112)
     ("sp53_group_concat_distinct",

@@ -15,9 +15,10 @@ import Ast._
   * Grammar coverage (the reference's executed surface + its todo!'d
   * operators, which we implement): SELECT/ASK, BGP with `;` `,` `a`,
   * property paths, FILTER, OPTIONAL (with the filter-fusion rule),
-  * UNION, MINUS, BIND, VALUES, SERVICE, GROUP BY + aggregates, HAVING,
-  * ORDER BY, LIMIT/OFFSET, DISTINCT/REDUCED, and the full expression /
-  * built-in function grammar of `calc_data_types.rs:222-286`.
+  * UNION, MINUS, BIND, VALUES, SERVICE, sub-SELECT, GROUP BY +
+  * aggregates, HAVING, ORDER BY, LIMIT/OFFSET, DISTINCT/REDUCED, and
+  * the full expression / built-in function grammar of
+  * `calc_data_types.rs:222-286`.
   */
 object Parser {
 
@@ -210,7 +211,14 @@ object Parser {
       }
     }
 
-    private def parseSelectRest(): Query = {
+    /** SELECT tail (after the SELECT keyword). `stopAtBrace` bounds the
+      * solution-modifier loop at the enclosing group's `}` for
+      * sub-SELECTs. Aggregates are scoped per SELECT: a subquery's
+      * aggregate list must not leak into (or clobber) the outer query's.
+      */
+    private def parseSelectRest(stopAtBrace: Boolean = false): Query = {
+      val outerAggs = aggs.toList
+      aggs.clear()
       var distinct = false
       var reduced = false
       if (eatWord("DISTINCT")) distinct = true
@@ -249,7 +257,7 @@ object Parser {
       var offset: Long = 0L
       var grouped = false
 
-      while (peek.isDefined) {
+      while (peek.isDefined && !(stopAtBrace && isPunct("}"))) {
         if (eatWord("GROUP")) {
           expectWord("BY")
           grouped = true
@@ -318,12 +326,27 @@ object Parser {
       if (distinct) op = DistinctOp(op)
       if (reduced) op = ReducedOp(op)
       if (limit.isDefined || offset > 0) op = Slice(op, offset, limit)
+      aggs.clear(); aggs ++= outerAggs
       SelectQuery(op)
     }
 
     // -- group graph pattern -------------------------------------------
     private def parseGroupGraphPattern(): Op = {
       expectPunct("{")
+      // GroupGraphPattern ::= '{' (SubSelect | GroupGraphPatternSub) '}'
+      // — spargebra parses a sub-SELECT into a nested Project that the
+      // reference interpreter maps like any other operator
+      // (interpreter.rs:210-213), so it joins with the enclosing group
+      // on its projected variables.
+      if (isWord("SELECT")) {
+        next()
+        val sub = parseSelectRest(stopAtBrace = true) match {
+          case SelectQuery(op) => op
+          case q => throw ParseException(s"unexpected subquery form $q")
+        }
+        expectPunct("}")
+        return sub
+      }
       var current: Option[Op] = None
       val filters = ArrayBuffer.empty[Expr]
 

@@ -130,6 +130,44 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(df.count() === 0L)
   }
 
+  test("sub-SELECT projects only its selected variables into the outer scope") {
+    val df = Sparql.query(spark,
+      "SELECT * WHERE { { SELECT ?s WHERE { ?s wdt:P1082 ?pop } } }", dir)
+    assert(df.columns.toSeq === Seq("s")) // ?pop is scoped to the subquery
+    assert(df.count() === 114L)
+  }
+
+  test("aggregate sub-SELECT is equivalent to the flat aggregate query") {
+    val flat = Sparql.rendered(spark,
+      "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s wdt:P31 ?o } GROUP BY ?s", dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val nested = Sparql.rendered(spark,
+      "SELECT ?s ?n WHERE { { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s wdt:P31 ?o } GROUP BY ?s } }", dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(nested === flat)
+    assert(flat.size === 5)
+  }
+
+  test("sub-SELECT ORDER BY/LIMIT stays inside the subquery scope") {
+    // top-3 population readings (all Q31) joined with Q31's 7 P31 rows
+    val df = Sparql.query(spark,
+      """SELECT ?s ?o WHERE {
+        |  { SELECT ?s WHERE { ?s wdt:P1082 ?pop } ORDER BY DESC(?pop) LIMIT 3 }
+        |  ?s wdt:P31 ?o . }""".stripMargin, dir)
+    assert(df.count() === 21L)
+  }
+
+  test("sub-SELECT inside OPTIONAL and UNION arms parses and runs") {
+    val opt = Sparql.query(spark,
+      """SELECT ?s ?n WHERE { ?s wdt:P36 ?c .
+        |  OPTIONAL { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s wdt:P31 ?o } GROUP BY ?s } }""".stripMargin, dir)
+    assert(opt.count() === 1L)
+    val uni = Sparql.query(spark,
+      """SELECT ?s WHERE {
+        |  { SELECT ?s WHERE { ?s wdt:P36 ?c } } UNION { SELECT ?s WHERE { ?s wdt:P37 ?c } } }""".stripMargin, dir)
+    assert(uni.count() === 4L)
+  }
+
   test("MAX / MIN group-by (test_requests.txt:54-58)") {
     val df = Sparql.query(spark,
       """SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min)
