@@ -157,6 +157,69 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph: returns
+    * `(doc_id, cluster_id)` for every document that appears in at least
+    * one pair, where `cluster_id` is the minimum doc id reachable
+    * through pairs.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (a) every node takes the minimum label among itself and its
+    * neighbors (one shuffle on the edge key), then (b) every node jumps
+    * to its label's label (one shuffle on the label key). The jump
+    * halves chain lengths, so convergence is O(log diameter) rounds —
+    * near-dup graphs are usually small cliques/chains, but the log
+    * bound means a pathological 1M-node chain still converges in ~20
+    * rounds rather than 1M. Labels only ever decrease, so the fixpoint
+    * is exact; localCheckpoint per round cuts lineage.
+    */
+  def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIters: Int = 48): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round
+    var labels = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("cid"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      iter += 1
+      // (a) neighbor min: candidate label for dst = min label among its srcs
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("cid")).as("ncid"))
+      val stepped = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), least(col("cid"), coalesce(col("ncid"), col("cid"))).as("cid"))
+      // (b) pointer jump: label(v) := label(label(v)) (labels shrink, so
+      // the label's own label is always <= the label)
+      val next = stepped.alias("x")
+        .join(stepped.select(col("id").as("cid"), col("cid").as("cid2")).alias("y"),
+          Seq("cid"), "left")
+        .select(col("id"), coalesce(col("cid2"), col("cid")).as("cid"))
+        .localCheckpoint(true)
+      done = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cid") < col("o.cid"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+  }
+
+  /** Keep one canonical document per near-dup cluster: drops every
+    * member of `pairs`' connected components except the minimum-id one.
+    * Documents in no pair pass through untouched (a left-anti join on
+    * the non-canonical member ids — one broadcast-able side when the
+    * dup rate is low, which is the common case).
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = nearDupClusters(pairs, idA, idB)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: bucketed by random-hyperplane LSH (see
     * [[Similarity.planeSignature]]), verified by exact cosine.
     */

@@ -42,6 +42,20 @@ object PipelineQueries {
     "p04_simhash_neardup" -> ((s, d) => // rows-only: xxhash64 not in DuckDB
       Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)),
 
+    // clusters over the p02 near-dup pairs (min reachable id per doc)
+    "p13_neardup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9))),
+
+    // end-to-end near-dup removal: one canonical doc per cluster
+    "p14_drop_neardups" -> ((s, d) =>
+      Dedup.dropNearDups(
+        Tables.documents(s, d),
+        Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9),
+        "doc_id").select(col("doc_id"))),
+
     // ---- pillar 2: similarity search --------------------------------
     "p05_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -107,22 +121,46 @@ object PipelineQueries {
     })
   )
 
+  // exact 3-gram Jaccard pairs at >= 0.9 — the ground truth the p02 LSH
+  // plan must reproduce; reused as the edge set of the cluster oracles
+  private val neardupPairsSql =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS),
+      |s AS (SELECT doc_id,
+      |        list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
+      |      FROM w)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id id_a, b.doc_id id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.9""".stripMargin
+
+  // connected components of the pair graph via a recursive CTE: every
+  // doc in a pair labeled with the least id it can reach
+  private val clustersSql =
+    s"""WITH RECURSIVE pairs AS ($neardupPairsSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+       |FROM reach GROUP BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
         |FROM DOCS GROUP BY sha256(text)""".stripMargin,
 
-    "p02_minhash_neardup" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS),
-        |s AS (SELECT doc_id,
-        |        list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
-        |      FROM w)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id id_a, b.doc_id id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.9""".stripMargin,
+    "p02_minhash_neardup" -> neardupPairsSql,
+
+    "p13_neardup_clusters" -> clustersSql,
+
+    "p14_drop_neardups" ->
+      s"""SELECT doc_id FROM DOCS
+         |WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM ($clustersSql) c WHERE c.doc_id <> c.cluster_id)""".stripMargin,
 
     "p03_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS WHERE doc_id < 100),

@@ -52,6 +52,33 @@ class PipelineSpec extends SparkTestBase {
     assert(pairKeys.distinct.length === pairKeys.length, "banding must not duplicate pairs")
   }
 
+  test("near-dup clusters: chains, cliques and singletons get min-id labels") {
+    // components: {1,2,3,4} (a chain), {5,6}, {8,9,10}; 7 in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (8L, 9L), (9L, 10L), (8L, 10L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("near-dup clusters: pointer jumping converges a long chain fast") {
+    // a 64-node chain has diameter 63; pointer jumping must label it
+    // min-id well inside the default iteration budget
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(chain, maxIters = 12).collect()
+    assert(got.length === 64)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
+  test("dropNearDups keeps the canonical member and untouched docs") {
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 7L, 8L, 9L, 10L))
+  }
+
   test("embedding near-dup finds identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
