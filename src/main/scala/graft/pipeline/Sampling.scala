@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines.
+  *
+  * All draws are content-addressed: a row's inclusion depends only on
+  * the md5 of its id (+ salt), never on partitioning or row order. That
+  * makes samples (a) reproducible across runs and engines, (b) stable
+  * under repartitioning — `rand(seed)` is per-partition-deterministic
+  * only, so a repartition reshuffles the sample — and (c) consistent
+  * across tables: sampling two tables by the same key draws the same
+  * ids, so joins between samples stay dense. Every operator here is a
+  * narrow map (no shuffle); at 100 TB the sample predicate evaluates
+  * inside the scan stage and rows are dropped before anything moves.
+  */
+object Sampling {
+
+  /** Uniform [0,1) draw from md5(id ++ salt): the first 8 hex chars as
+    * a 32-bit integer over 2^32. Portable to any engine with md5.
+    */
+  def hashDraw(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast(StringType), lit(salt))), 1, 8), 16, 10)
+      .cast(LongType) / lit(4294967296.0)
+
+  /** Deterministic Bernoulli sample: keep rows whose draw < fraction. */
+  def sample(df: DataFrame, idCol: String, fraction: Double,
+             salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    df.filter(hashDraw(col(idCol), salt) < fraction)
+  }
+
+  /** Assign every row to a named split (e.g. train/val/test) by carving
+    * [0,1) into cumulative-weight intervals over the hash draw. Weights
+    * must sum to 1 so every row lands in exactly one split.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val u = hashDraw(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    var e: Column = lit(splits.last._1) // the tail interval absorbs rounding
+    for (((name, _), c) <- splits.zip(cum).init.reverse)
+      e = when(u < c, lit(name)).otherwise(e)
+    df.withColumn("split", e)
+  }
+
+  /** Per-stratum Bernoulli sample: keep a row if its draw < the
+    * fraction configured for its key (e.g. downsample the dominant
+    * language, keep the rare ones whole). Keys without a configured
+    * fraction fall back to `default`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, keyCol: Column,
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) {
+      case (acc, (k, f)) => when(keyCol === k, lit(f)).otherwise(acc)
+    }
+    df.filter(hashDraw(col(idCol), salt) < frac)
+  }
+}

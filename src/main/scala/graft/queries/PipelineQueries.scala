@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -112,6 +112,22 @@ object PipelineQueries {
       t.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // deterministic hash-based train/val/test assignment (md5 draw —
+    // reproducible across engines, stable under repartitioning)
+    "p15_split_assign" -> ((s, d) =>
+      Sampling.assignSplits(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+        .select(col("doc_id"), col("split"))),
+
+    // stratified sample keyed on language ID: downsample the dominant
+    // language, keep the rest whole
+    "p16_stratified_sample" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      Sampling.stratifiedSample(t, "doc_id", TextAnalysis.langId(col("text")),
+        Map("en" -> 0.5, "und" -> 0.1), default = 1.0, salt = "s2")
+        .select(col("doc_id"))
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -147,6 +163,33 @@ object PipelineQueries {
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
        |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
        |FROM reach GROUP BY id""".stripMargin
+
+  // marker-hit scoring + argmax, mirroring TextAnalysis.langId: the
+  // greatest(struct(score, lang)) tie-break picks the lexicographically
+  // larger language, hence ORDER BY score DESC, lang DESC here
+  private val langIdSql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM DOCS),
+      |s AS (
+      |  SELECT w.doc_id, l.lang,
+      |         len(list_filter(w.ws, x -> list_contains(l.words, x))) AS score
+      |  FROM w CROSS JOIN (VALUES
+      |    ('de', ['der','die','das','und','ist','von','zu']),
+      |    ('en', ['the','a','of','and','to','in','is']),
+      |    ('es', ['el','la','los','y','de','es','un']),
+      |    ('fr', ['le','la','les','et','de','est','un']),
+      |    ('zh', ['的','是','在','了','和','有','我'])) l(lang, words))
+      |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_id
+      |FROM (SELECT doc_id, lang, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      |      FROM s) t
+      |WHERE rn = 1""".stripMargin
+
+  // Sampling.hashDraw's engine-portable form (p09's hex-parse idiom)
+  private def drawSql(salt: String): String =
+    s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), 1, 8) AS BIGINT) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
     "p01_exact_dedup" ->
@@ -196,28 +239,22 @@ object PipelineQueries {
         |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS en_hits
         |FROM DOCS""".stripMargin,
 
-    // marker-hit scoring + argmax, mirroring TextAnalysis.langId: the
-    // greatest(struct(score, lang)) tie-break picks the lexicographically
-    // larger language, hence ORDER BY score DESC, lang DESC here
-    "p08_lang_id" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
-        |  FROM DOCS),
-        |s AS (
-        |  SELECT w.doc_id, l.lang,
-        |         len(list_filter(w.ws, x -> list_contains(l.words, x))) AS score
-        |  FROM w CROSS JOIN (VALUES
-        |    ('de', ['der','die','das','und','ist','von','zu']),
-        |    ('en', ['the','a','of','and','to','in','is']),
-        |    ('es', ['el','la','los','y','de','es','un']),
-        |    ('fr', ['le','la','les','et','de','est','un']),
-        |    ('zh', ['的','是','在','了','和','有','我'])) l(lang, words))
-        |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_id
-        |FROM (SELECT doc_id, lang, score,
-        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
-        |      FROM s) t
-        |WHERE rn = 1""".stripMargin,
+    "p08_lang_id" -> langIdSql,
+
+    // the split oracle re-derives the same md5 draw: first 8 hex chars
+    // over 2^32, cumulative-weight CASE
+    "p15_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${drawSql("s1")} AS u FROM DOCS) t""".stripMargin,
+
+    "p16_stratified_sample" ->
+      s"""WITH lang AS ($langIdSql),
+         |d AS (SELECT doc_id, ${drawSql("s2")} AS u FROM DOCS)
+         |SELECT d.doc_id FROM d JOIN lang ON d.doc_id = lang.doc_id
+         |WHERE d.u < CASE lang.lang_id WHEN 'en' THEN 0.5
+         |            WHEN 'und' THEN 0.1 ELSE 1.0 END""".stripMargin,
 
     "p09_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators on controlled
   * inputs plus the sf0.001 synthetic tables (recall measurement for the
@@ -22,6 +22,47 @@ class PipelineSpec extends SparkTestBase {
     (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
     (4L, "completely unrelated text about spark engines and parquet files"),
     (5L, "")).toDF("doc_id", "text")
+
+  // ---- sampling / splitting -------------------------------------------
+
+  test("hash split partitions every row, deterministically, repartition-stable") {
+    val ids = spark.range(1000).withColumnRenamed("id", "doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.assignSplits(ids, "doc_id", splits, salt = "s1")
+    val byName = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum === 1000L) // total partition: nothing dropped
+    assert(byName("train") > 700L && byName("train") < 880L)
+    // the assignment is a pure function of the id — repartitioning must
+    // not move any row to a different split (rand(seed) would)
+    val s2 = Sampling.assignSplits(ids.repartition(7), "doc_id", splits, salt = "s1")
+    assert(s1.alias("a").join(s2.alias("b"), "doc_id")
+      .filter(col("a.split") =!= col("b.split")).isEmpty)
+  }
+
+  test("hash sample: bounds, subset, and cross-table consistency") {
+    val ids = spark.range(1000).withColumnRenamed("id", "doc_id")
+    assert(Sampling.sample(ids, "doc_id", 0.0).count() === 0L)
+    assert(Sampling.sample(ids, "doc_id", 1.0).count() === 1000L)
+    val a = Sampling.sample(ids, "doc_id", 0.3, "x").collect().map(_.getLong(0)).toSet
+    assert(a.size > 200 && a.size < 400)
+    // the same ids are drawn from any table keyed the same way, so
+    // joins between independently sampled tables stay dense
+    val other = ids.withColumn("payload", col("doc_id") * 2)
+    val b = Sampling.sample(other, "doc_id", 0.3, "x").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("stratified sample keeps fraction-1 strata whole and drops fraction-0") {
+    val df = spark.range(200)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "common").otherwise("rare").as("k"))
+    val out = Sampling.stratifiedSample(df, "doc_id", col("k"),
+      Map("common" -> 0.0, "rare" -> 1.0), default = 0.0)
+    val kept = out.collect().map(_.getLong(0))
+    assert(kept.length === 100)
+    assert(kept.forall(_ % 2 === 1))
+  }
 
   // ---- dedup ----------------------------------------------------------
 
