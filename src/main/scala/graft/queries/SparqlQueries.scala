@@ -60,6 +60,14 @@ object SparqlQueries {
          |FROM $ST a JOIN $ST b ON b.s['key']=a.id['key']
          |WHERE a.s['key']='Q:31' AND a.p['key']='P:1082'""".stripMargin),
 
+    // blank-node pattern: _:st scans like a variable and joins on its
+    // repeated label, but is not projectable (calc_engine.rs:2996-3001)
+    ("sp56_blank_nodes",
+      "SELECT ?q ?v WHERE { wd:Q31 p:P1082 _:st . _:st ?q ?v . }",
+      s"""SELECT b.p_lex AS q, b.o_lex AS v
+         |FROM $ST a JOIN $ST b ON b.s['key']=a.id['key']
+         |WHERE a.s['key']='Q:31' AND a.p['key']='P:1082'""".stripMargin),
+
     // ---- projection / distinct / filter (SURVEY §2.2, §2.5) ---------
     ("sp08_distinct_preds",
       "SELECT DISTINCT ?p WHERE { ?s ?p ?o . }",

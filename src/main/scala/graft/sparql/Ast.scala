@@ -110,12 +110,25 @@ object Ast {
     def root: Op = Bgp(Nil)
   }
 
+  /** Column-name prefix for blank nodes in query patterns. The
+    * reference renames scan columns to the blank node's label exactly
+    * like a variable (`pattern_to_str`, calc_engine.rs:2996-3001), so a
+    * repeated label joins within the BGP; but blank nodes are not
+    * variables — they cannot be projected and are excluded from
+    * `SELECT *` (hence the reserved prefix).
+    */
+  val BnodePrefix = "__bnode_"
+
   /** In-scope variables of an operator tree (used for SELECT *,
-    * projection checks and the label-service rewrite).
+    * projection checks and the label-service rewrite). Blank-node
+    * pseudo-variables are not in scope.
     */
   def scopeVars(op: Op): Seq[Var] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[Var]
-    def tp(p: TermPat): Unit = p match { case v: Var => out += v; case _ => }
+    def tp(p: TermPat): Unit = p match {
+      case v: Var if !v.name.startsWith(BnodePrefix) => out += v
+      case _ =>
+    }
     def walk(o: Op): Unit = o match {
       case Bgp(ts) => ts.foreach { t => tp(t.s); tp(t.p); tp(t.o) }
       case PathOp(s, _, o2) => tp(s); tp(o2)

@@ -133,6 +133,7 @@ object Parser {
     private var pos = 0
     private var prefixes: Map[String, String] = Iris.defaultPrefixes
     private var aggCounter = 0
+    private var bnodeCounter = 0
     private val aggs = ArrayBuffer.empty[(Var, Agg)]
 
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
@@ -445,6 +446,14 @@ object Parser {
     private def parseTermPat(): TermPat = next() match {
       case TVar(v) => Var(v)
       case TIri(iri) => Const(Iris.resolve(iri))
+      // blank nodes scan like variables (reference renames the column to
+      // the label, calc_engine.rs:2996-3001) but are excluded from
+      // SELECT * via the reserved prefix; `[]` mints a fresh one
+      case TPName("_", l) => Var(BnodePrefix + l)
+      case TPunct("[") =>
+        expectPunct("]")
+        bnodeCounter += 1
+        Var(s"${BnodePrefix}g$bnodeCounter")
       case TPName(p, l) => Const(Iris.resolve(resolvePName(p, l)))
       case TStr(s) => Const(parseLiteralTail(s))
       case TNum(lex, isInt) => Const(numericLiteral(lex, isInt))

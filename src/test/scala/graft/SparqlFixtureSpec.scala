@@ -168,6 +168,18 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(uni.count() === 4L)
   }
 
+  test("blank nodes scan like variables but stay out of SELECT *") {
+    // [] as an anonymous subject ≈ sp03's ?b
+    assert(rows("SELECT ?p2 WHERE { [] ?p2 wdt:Q31 . }") === 1L)
+    // a repeated label joins within the BGP (statement node via _:st),
+    // same shape as sp07's qualifiers query
+    assert(rows("SELECT ?q ?v WHERE { wd:Q31 p:P1082 _:st . _:st ?q ?v . }") === 115L)
+    // bnodes are not variables: SELECT * must not project them
+    val df = Sparql.query(spark,
+      "SELECT * WHERE { wd:Q31 p:P1082 _:st . _:st ?q ?v . }", dir)
+    assert(df.columns.toSeq === Seq("q", "v"))
+  }
+
   test("MAX / MIN group-by (test_requests.txt:54-58)") {
     val df = Sparql.query(spark,
       """SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min)
