@@ -120,15 +120,14 @@ object Ast {
   val BnodePrefix = "__bnode_"
 
   /** In-scope variables of an operator tree (used for SELECT *,
-    * projection checks and the label-service rewrite). Blank-node
-    * pseudo-variables are not in scope.
+    * projection checks and the label-service rewrite). Names with the
+    * reserved `__` prefix (blank-node pseudo-variables, unnamed group
+    * keys, synthesized aggregate slots) are internal and never in
+    * scope.
     */
   def scopeVars(op: Op): Seq[Var] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[Var]
-    def tp(p: TermPat): Unit = p match {
-      case v: Var if !v.name.startsWith(BnodePrefix) => out += v
-      case _ =>
-    }
+    def tp(p: TermPat): Unit = p match { case v: Var => out += v; case _ => }
     def walk(o: Op): Unit = o match {
       case Bgp(ts) => ts.foreach { t => tp(t.s); tp(t.p); tp(t.o) }
       case PathOp(s, _, o2) => tp(s); tp(o2)
@@ -150,6 +149,6 @@ object Ast {
       case Service(_, i, _) => walk(i)
     }
     walk(op)
-    out.toSeq
+    out.toSeq.filterNot(_.name.startsWith("__"))
   }
 }

@@ -178,14 +178,30 @@ object Parser {
         val body = parseGroupGraphPattern()
         AskQuery(body)
       } else if (eatWord("CONSTRUCT")) {
-        expectPunct("{")
-        val tpl = parseTriplesBlock() match {
-          case Bgp(ts) => ts
-          case _ => throw ParseException("property paths are not allowed in a CONSTRUCT template")
-        }
-        expectPunct("}")
-        eatWord("WHERE")
-        var body = parseGroupGraphPattern()
+        // CONSTRUCT WHERE { triples } shorthand: the pattern IS the
+        // template (SPARQL 1.1 §10.2.3)
+        val shorthand = isWord("WHERE")
+        var body: Op = null
+        val tpl =
+          if (shorthand) {
+            next()
+            body = parseGroupGraphPattern()
+            body match {
+              case Bgp(ts) => ts
+              case _ => throw ParseException(
+                "CONSTRUCT WHERE shorthand allows only triple patterns")
+            }
+          } else {
+            expectPunct("{")
+            val t = parseTriplesBlock() match {
+              case Bgp(ts) => ts
+              case _ => throw ParseException("property paths are not allowed in a CONSTRUCT template")
+            }
+            expectPunct("}")
+            eatWord("WHERE")
+            body = parseGroupGraphPattern()
+            t
+          }
         var limit: Option[Long] = None
         var off = 0L
         while (peek.isDefined) {
@@ -267,11 +283,21 @@ object Parser {
             peek match {
               case Some(TVar(v)) => next(); groupKeys += Var(v)
               case Some(TPunct("(")) =>
+                // GroupCondition '(' Expression ('AS' Var)? ')' — an
+                // unnamed key gets a hidden variable (it groups but is
+                // not referenceable, so projection drops it)
                 next()
                 val e = parseExpression()
-                expectWord("AS")
-                val v = next() match { case TVar(x) => Var(x); case t => throw ParseException(s"$t") }
+                val v =
+                  if (eatWord("AS"))
+                    next() match { case TVar(x) => Var(x); case t => throw ParseException(s"$t") }
+                  else freshGroupVar()
                 expectPunct(")")
+                groupKeys += v; groupKeyExprs += ((v, e))
+              case Some(TWord(w)) if builtinNames.contains(w.toUpperCase) =>
+                // GroupCondition ::= BuiltInCall (bare, unnamed)
+                val e = parsePrimaryExpression()
+                val v = freshGroupVar()
                 groupKeys += v; groupKeyExprs += ((v, e))
               case _ => more = false
             }
@@ -312,7 +338,8 @@ object Parser {
       }
       val outVars = ArrayBuffer.empty[Var]
       if (star) {
-        if (useGroup) outVars ++= groupKeys
+        // hidden names (unnamed group keys, blank nodes) never project
+        if (useGroup) outVars ++= groupKeys.filterNot(_.name.startsWith("__"))
         else outVars ++= scopeVars(op)
       }
       for ((v, eOpt) <- items) {
@@ -457,9 +484,17 @@ object Parser {
       case TPName(p, l) => Const(Iris.resolve(resolvePName(p, l)))
       case TStr(s) => Const(parseLiteralTail(s))
       case TNum(lex, isInt) => Const(numericLiteral(lex, isInt))
+      case TPunct("-") => Const(signedNumber("-"))
+      case TPunct("+") => Const(signedNumber("+"))
       case TWord(w) if w.equalsIgnoreCase("true") => Const(TermValue.bool(true))
       case TWord(w) if w.equalsIgnoreCase("false") => Const(TermValue.bool(false))
       case t => throw ParseException(s"expected term, got $t")
+    }
+
+    private def signedNumber(sign: String): TermValue = next() match {
+      case TNum(lex, isInt) =>
+        numericLiteral(if (sign == "-") "-" + lex else lex, isInt)
+      case t => throw ParseException(s"expected number after '$sign', got $t")
     }
 
     private def numericLiteral(lex: String, isInt: Boolean): TermValue =
@@ -567,6 +602,8 @@ object Parser {
         case TPName(p, l) => Iris.resolve(resolvePName(p, l))
         case TStr(s) => parseLiteralTail(s)
         case TNum(lex, isInt) => numericLiteral(lex, isInt)
+        case TPunct("-") => signedNumber("-")
+        case TPunct("+") => signedNumber("+")
         case TWord(w) if w.equalsIgnoreCase("true") => TermValue.bool(true)
         case TWord(w) if w.equalsIgnoreCase("false") => TermValue.bool(false)
         case t => throw ParseException(s"expected data value, got $t")
@@ -677,6 +714,9 @@ object Parser {
       "UUID" -> Func.Uuid, "STRUUID" -> Func.StrUuid)
 
     private def freshAggVar(): Var = { aggCounter += 1; Var(s"__agg$aggCounter") }
+
+    private var groupKeyCounter = 0
+    private def freshGroupVar(): Var = { groupKeyCounter += 1; Var(s"__gk$groupKeyCounter") }
 
     private def parsePrimaryExpression(): Expr = peek match {
       case Some(TPunct("(")) =>

@@ -564,11 +564,15 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       out.as(v.name)
     }
 
-    if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-    else {
+    if (keys.isEmpty) {
+      if (aggCols.isEmpty) df.limit(1).select() // degenerate: one empty solution
+      else df.agg(aggCols.head, aggCols.tail: _*)
+    } else {
       val keyCols = keys.map(k =>
         if (df.columns.contains(k.name)) df(k.name) else Term.nullTerm.as(k.name))
-      df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // no aggregates: grouping yields one row per distinct key tuple
+      if (aggCols.isEmpty) df.select(keyCols: _*).distinct()
+      else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
     }
   }
 

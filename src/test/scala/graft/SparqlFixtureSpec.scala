@@ -180,6 +180,44 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("q", "v"))
   }
 
+  test("signed numeric literals parse in term and VALUES positions") {
+    val vals = Sparql.rendered(spark,
+      "SELECT ?n WHERE { VALUES ?n { -3 +2 -1.5 } }", dir)
+      .collect().map(_.getString(0)).toSet
+    assert(vals === Set("-3", "2", "-1.5"))
+    // object position: no match expected, but it must parse and run
+    assert(rows("SELECT ?s WHERE { ?s wdt:P1082 -1 . }") === 0L)
+  }
+
+  test("GROUP BY accepts unnamed expressions and bare builtin calls") {
+    // (expr) without AS — groups by string length, two buckets for
+    // VALUES "aa" "bb" "c" → counts {2, 1}
+    val a = Sparql.rendered(spark,
+      """SELECT (COUNT(?x) AS ?n) WHERE { VALUES ?x { "aa" "bb" "c" } }
+        |GROUP BY (STRLEN(?x))""".stripMargin, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(a === Set("2", "1"))
+    // bare BuiltInCall form
+    val b = Sparql.rendered(spark,
+      """SELECT (COUNT(?x) AS ?n) WHERE { VALUES ?x { "aa" "bb" "c" } }
+        |GROUP BY STRLEN(?x)""".stripMargin, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(b === Set("2", "1"))
+    // the hidden key must not leak into SELECT *
+    val star = Sparql.query(spark,
+      """SELECT * WHERE { VALUES ?x { "aa" "bb" "c" } } GROUP BY (STRLEN(?x))""", dir)
+    assert(star.columns.isEmpty || !star.columns.exists(_.startsWith("__")))
+  }
+
+  test("CONSTRUCT WHERE shorthand uses the pattern as its template") {
+    val full = Sparql.rendered(spark,
+      "CONSTRUCT { ?s wdt:P36 ?o } WHERE { ?s wdt:P36 ?o }", dir).collect()
+    val short = Sparql.rendered(spark,
+      "CONSTRUCT WHERE { ?s wdt:P36 ?o }", dir).collect()
+    assert(short.map(_.toString).sorted === full.map(_.toString).sorted)
+    assert(short.nonEmpty)
+  }
+
   test("MAX / MIN group-by (test_requests.txt:54-58)") {
     val df = Sparql.query(spark,
       """SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min)
