@@ -74,6 +74,74 @@ object StreamingIngest {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  // ---- streaming near-dup candidates ----------------------------------
+
+  final case class BandRow(id: Long, ts: java.sql.Timestamp, band: Int, bucket: Long)
+  final case class Candidate(id_a: Long, id_b: Long, band: Int)
+  // not private: Spark's generated encoder code needs the accessors
+  final case class BucketState(firstId: Long, lastMs: Long)
+
+  /** Streaming near-dup candidate pairs — the incremental counterpart
+    * of [[graft.pipeline.Dedup.minhashNearDup]]'s banded candidate
+    * generation. Documents are shingled/minhashed/banded exactly like
+    * the batch path; per-(band, bucket) state remembers the first
+    * document that claimed the bucket within the event-time horizon,
+    * and every later arrival in the same bucket emits a
+    * `(owner, newcomer)` candidate pair. State is O(1) per active
+    * bucket and evicts via EventTimeTimeout once the watermark passes
+    * `lastMs + horizon`, so an unbounded feed cannot grow state without
+    * bound — the horizon is the explicit dedup-recency contract, like
+    * [[dedupStream]]. Near-identical docs collide in several bands, so
+    * a pair can appear once per band; verification (exact Jaccard over
+    * the two texts) and pair dedup are the consumer's step, same as
+    * the batch LSH → verify split.
+    */
+  def nearDupCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        tsCol: String, horizon: String = "1 hour",
+                        shingleN: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): Dataset[Candidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val r = numHashes / bands
+    val banded = docs
+      .withColumn("__sh", Dedup.shingles(col(textCol), shingleN))
+      .withColumn("__hb", Dedup.baseHashes(col("__sh")))
+      .withColumn("__sig", Dedup.minhashSignatureFromHashes(col("__hb"), numHashes))
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("__sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("ts"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withWatermark("ts", horizon)
+      .as[BandRow]
+    banded
+      .groupByKey(row => (row.band, row.bucket))
+      .flatMapGroupsWithState[BucketState, Candidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(x => (x.ts.getTime, x.id))
+            var owner = state.getOption.map(_.firstId)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            val out = List.newBuilder[Candidate]
+            sorted.foreach { x =>
+              owner match {
+                case None => owner = Some(x.id)
+                case Some(f) if f != x.id => out += Candidate(f, x.id, x.band)
+                case _ =>
+              }
+              lastMs = math.max(lastMs, x.ts.getTime)
+            }
+            state.update(BucketState(owner.get, lastMs))
+            state.setTimeoutTimestamp(lastMs, horizon)
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- sessionization (flatMapGroupsWithState) ------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -75,6 +75,29 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.toSeq === Seq(1L, 3L), s"expected first-seen docs only, got ${ids.toSeq}")
   }
 
+  test("streaming near-dup candidates pair newcomers with bucket owners across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val cands = StreamingIngest.nearDupCandidates(df, "text", "doc_id", "ts",
+      horizon = "30 minutes")
+    val q = cands.writeStream.format("memory").queryName("cands")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, base),
+      (Timestamp.valueOf("2026-01-01 10:01:00"), 3L,
+        "completely unrelated text about spark engines and parquet files today"))
+    q.processAllAvailable()
+    // the near-dup arrives in a LATER micro-batch: state must carry over
+    mem.addData((Timestamp.valueOf("2026-01-01 10:10:00"), 2L, base))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("cands").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((1L, 2L)), s"expected only the near-dup pair, got $pairs")
+  }
+
   test("sessionization groups events by gap and flushes on new session") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Event]
