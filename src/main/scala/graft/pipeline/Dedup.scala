@@ -183,6 +183,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var done = false
+    var curSum = labelSum(labels)
     while (!done && iter < maxIters) {
       iter += 1
       // (a) neighbor min: candidate label for dst = min label among its srcs
@@ -197,14 +198,20 @@ object Dedup {
           Seq("cid"), "left")
         .select(col("id"), coalesce(col("cid2"), col("cid")).as("cid"))
         .localCheckpoint(true)
-      done = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cid") < col("o.cid"))
-        .isEmpty
+      // labels only ever decrease, so the label sum strictly decreases
+      // iff anything changed — one aggregation instead of a join per
+      // round (decimal sum: overflow-free for any realistic id range)
+      val nextSum = labelSum(next)
+      done = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("cid").as("cluster_id"))
   }
+
+  private def labelSum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("cid").cast(DecimalType(38, 0))))
+      .head.getDecimal(0)
 
   /** Keep one canonical document per near-dup cluster: drops every
     * member of `pairs`' connected components except the minimum-id one.

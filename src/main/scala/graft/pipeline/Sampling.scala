@@ -57,9 +57,17 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, keyCol: Column,
                        fractions: Map[String, Double], default: Double = 0.0,
                        salt: String = ""): DataFrame = {
+    // stage the key once behind the optimizer fence: the when-chain
+    // references it per configured stratum, and predicate pushdown
+    // would otherwise substitute the full key expression (often a large
+    // tree like language-ID) into every branch
+    val key = col("__strat_key")
     val frac = fractions.foldLeft(lit(default)) {
-      case (acc, (k, f)) => when(keyCol === k, lit(f)).otherwise(acc)
+      case (acc, (k, f)) => when(key === k, lit(f)).otherwise(acc)
     }
-    df.filter(hashDraw(col(idCol), salt) < frac)
+    df.withColumn("__strat_key",
+        call_function(graft.functions.OptimizerFence.name, keyCol))
+      .filter(hashDraw(col(idCol), salt) < frac)
+      .drop("__strat_key")
   }
 }

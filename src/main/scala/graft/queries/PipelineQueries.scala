@@ -122,7 +122,8 @@ object PipelineQueries {
     // stratified sample keyed on language ID: downsample the dominant
     // language, keep the rest whole
     "p16_stratified_sample" -> ((s, d) => {
-      val t = Tables.documents(s, d)
+      // single parquet split at test SFs — spread the langId work
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
       Sampling.stratifiedSample(t, "doc_id", TextAnalysis.langId(col("text")),
         Map("en" -> 0.5, "und" -> 0.1), default = 1.0, salt = "s2")
         .select(col("doc_id"))
