@@ -428,6 +428,13 @@ object SparqlQueries {
          |SELECT t.s AS s, b.o_lex AS o
          |FROM topk t JOIN $ST b ON b.s['key']=t.k AND b.p['key']='P:31'""".stripMargin),
 
+    // aggregate expression as a sort key (parsed into a hidden
+    // aggregate slot, ordered after grouping)
+    ("sp57_order_by_agg",
+      "SELECT ?s WHERE { ?s wdt:P31 ?o } GROUP BY ?s ORDER BY DESC(COUNT(?o)) LIMIT 2",
+      s"""SELECT s_lex AS s FROM $ST WHERE p['key']='P:31'
+         |GROUP BY s_lex ORDER BY count(*) DESC LIMIT 2""".stripMargin),
+
     // GROUP_CONCAT DISTINCT + custom separator (collect_set path;
     // reference AE distinct flags, calc_data_types.rs:77-112)
     ("sp53_group_concat_distinct",
