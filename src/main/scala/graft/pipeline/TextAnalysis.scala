@@ -82,6 +82,79 @@ object TextAnalysis {
     aggregate(transform(words(text), w => xxhash64(w)),
       lit(0L), (acc, h) => pmod(acc * 31L + pmod(h, lit(fpMod)), lit(fpMod)))
 
+  /** Gopher-style within-document repetition signals: the fraction of
+    * words taken by the most frequent word, the duplicate-word
+    * fraction, and the fraction of word bigrams taken by the most
+    * frequent bigram. High values flag degenerate/spammy documents.
+    *
+    * Shape: explode → per-(doc, gram) count → per-doc aggregate — two
+    * shuffle stages with map-side combine, the canonical distributed
+    * mode computation (a per-row HOF mode would re-scan the array per
+    * distinct word).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
+    val wordStats = base.select(col("__id"), explode(col("__ws")).as("w"))
+      .groupBy("__id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("__id").agg(sum("c").as("n_words"), max("c").as("top_word_n"),
+        count(lit(1)).as("n_distinct"))
+    val bigrams = zip_with(
+      slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+      slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bigramStats = base.select(col("__id"), explode(bigrams).as("bg"))
+      .groupBy("__id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("__id").agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+    wordStats.join(bigramStats, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        round(col("top_word_n").cast(DoubleType) / col("n_words"), 6).as("top_word_frac"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_words"), 6).as("dup_word_frac"),
+        round(col("top_bigram_n").cast(DoubleType) / col("n_bigrams"), 6).as("top_bigram_frac"))
+  }
+
+  /** C4-style corpus-level boilerplate removal: drop every line that
+    * occurs in at least `minDocs` distinct documents (navigation
+    * chrome, share buttons, license footers), keeping each document's
+    * surviving lines in order. Documents whose every line is
+    * boilerplate survive with empty text.
+    *
+    * Scale shape: one shuffle on the line to find boilerplate (the
+    * result is small — only lines crossing the threshold), an anti
+    * join AQE can broadcast, and a per-doc rebuild keyed by id.
+    */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("line")
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      .select(col(idCol),
+        concat_ws("\n", transform(col("ls"), x => x.getField("line"))).as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  /** PII redaction patterns (RE2-safe: no backrefs or lookaround, so
+    * the same patterns run in any engine): emails, NANP-style phone
+    * numbers, IPv4 addresses.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b", "<PHONE>"),
+    ("\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** Replace every PII match with its tag — a narrow map, applied in
+    * pattern order (emails first so phone/IP fragments inside them
+    * cannot be half-redacted).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
   /** The full per-document analysis frame used by the pipeline entry. */
   def analyze(df: DataFrame, textCol: String, idCol: String): DataFrame =
     qualityMetrics(df, textCol)

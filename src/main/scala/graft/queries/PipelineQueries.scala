@@ -129,6 +129,35 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals over the raw documents
+    "p17_repetition" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      TextAnalysis.repetitionSignals(t, "text", "doc_id")
+    }),
+
+    // C4-style boilerplate-line removal. The synthetic docs are
+    // single-line, so boilerplate is PLANTED deterministically (a
+    // share-bar in every doc, a section tag shared by ~1/7th) and the
+    // op must strip exactly the planted lines, restoring the original.
+    "p18_boilerplate" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\nSHARE THIS ARTICLE\nsection "),
+            pmod(col("doc_id"), lit(7))).as("text"))
+      TextAnalysis.removeBoilerplateLines(t, "text", "doc_id", minDocs = 30L)
+    }),
+
+    // PII redaction over planted synthetic PII (the corpus has none);
+    // the oracle states the expected redacted suffix directly
+    "p19_pii_redact" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      t.select(col("doc_id"),
+        TextAnalysis.redactPii(
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567 at 192.168.0."),
+            pmod(col("doc_id"), lit(256)))).as("text"))
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -256,6 +285,35 @@ object PipelineQueries {
          |SELECT d.doc_id FROM d JOIN lang ON d.doc_id = lang.doc_id
          |WHERE d.u < CASE lang.lang_id WHEN 'en' THEN 0.5
          |            WHEN 'und' THEN 0.1 ELSE 1.0 END""".stripMargin,
+
+    "p17_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |wr AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM wr GROUP BY doc_id, w),
+        |wstat AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_n,
+        |                 count(*) AS n_distinct FROM wc GROUP BY doc_id),
+        |br AS (SELECT doc_id,
+        |         unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS bg
+        |       FROM w),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM br GROUP BY doc_id, bg),
+        |bstat AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+        |          FROM bc GROUP BY doc_id)
+        |SELECT wstat.doc_id,
+        |  round(top_word_n * 1.0 / n_words, 6) AS top_word_frac,
+        |  round(1.0 - n_distinct * 1.0 / n_words, 6) AS dup_word_frac,
+        |  round(top_bigram_n * 1.0 / n_bigrams, 6) AS top_bigram_frac
+        |FROM wstat LEFT JOIN bstat ON wstat.doc_id = bstat.doc_id""".stripMargin,
+
+    // planted boilerplate stripped → the original single-line text
+    "p18_boilerplate" -> "SELECT doc_id, text FROM DOCS",
+
+    "p19_pii_redact" ->
+      """SELECT doc_id,
+        |  text || ' contact <EMAIL> or <PHONE> at <IP>' AS text
+        |FROM DOCS""".stripMargin,
 
     "p09_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -290,6 +290,44 @@ class PipelineSpec extends SparkTestBase {
     assert(fp >= 0L && fp < 1000000007L)
   }
 
+  test("repetition signals: top-word, dup-word and top-bigram fractions") {
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text", "doc_id").collect().head
+    assert(r.getDouble(1) === 0.75) // "a" takes 3 of 4 words
+    assert(r.getDouble(2) === 0.5) // 2 distinct of 4 words → 1 - 0.5
+    assert(r.getDouble(3) === 0.666667) // "a a" twice of 3 bigrams, rounded to 6
+    // single-word doc: no bigrams → null fraction, no crash
+    val one = TextAnalysis.repetitionSignals(
+      Seq((2L, "solo")).toDF("doc_id", "text"), "text", "doc_id").collect().head
+    assert(one.getDouble(1) === 1.0 && one.isNullAt(3))
+  }
+
+  test("boilerplate lines shared across enough docs are stripped in order") {
+    val df = Seq(
+      (1L, "keep one\nSHARE\nkeep two"),
+      (2L, "other body\nSHARE"),
+      (3L, "third\nSHARE"),
+      (4L, "SHARE")) // all-boilerplate doc survives empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(df, "text", "doc_id", minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "keep one\nkeep two", 2L -> "other body",
+      3L -> "third", 4L -> ""))
+  }
+
+  test("PII redaction replaces emails, phones and IPv4s with tags") {
+    val df = Seq((1L,
+      "mail me at jane.doe+x@corp.example.org or 555-123-4567, host 10.0.0.1 ok"))
+      .toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.redactPii(col("text"))).collect().head.getString(0)
+    assert(got === "mail me at <EMAIL> or <PHONE>, host <IP> ok")
+    // clean text passes through untouched
+    val clean = "no personal data in this sentence"
+    val same = Seq((2L, clean)).toDF("doc_id", "text")
+      .select(TextAnalysis.redactPii(col("text"))).collect().head.getString(0)
+    assert(same === clean)
+  }
+
   test("quality metrics: ratios bounded, empty text yields nulls not errors") {
     val df = TextAnalysis.qualityMetrics(
       Seq((1L, "Hello, the world is wide."), (2L, "")).toDF("id", "text"), "text")
