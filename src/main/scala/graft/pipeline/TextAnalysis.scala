@@ -155,6 +155,22 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
 
+  /** Benchmark decontamination: drop every document whose word
+    * `n`-gram shingles intersect the contamination set (eval-set
+    * n-grams that must not leak into training data). The shingle
+    * explode joins against the gram table — small by construction, so
+    * AQE broadcasts it — and the doc-id hit list anti-joins back, so
+    * no document body ever moves through a shuffle.
+    */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+                    grams: DataFrame, gramCol: String, n: Int): DataFrame = {
+    val hits = docs
+      .select(col(idCol), explode(Dedup.shingles(lower(col(textCol)), n)).as("__g"))
+      .join(grams.select(lower(col(gramCol)).as("__g")), Seq("__g"))
+      .select(col(idCol)).distinct()
+    docs.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** The full per-document analysis frame used by the pipeline entry. */
   def analyze(df: DataFrame, textCol: String, idCol: String): DataFrame =
     qualityMetrics(df, textCol)

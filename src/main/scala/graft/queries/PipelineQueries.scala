@@ -158,6 +158,19 @@ object PipelineQueries {
             pmod(col("doc_id"), lit(256)))).as("text"))
     }),
 
+    // benchmark decontamination against a fixed 3-gram blocklist
+    "p20_decontaminate" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val grams = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("slow fast table"),
+          org.apache.spark.sql.Row("batch window spark")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gram",
+            org.apache.spark.sql.types.StringType))))
+      TextAnalysis.decontaminate(t, "text", "doc_id", grams, "gram", n = 3)
+        .select(col("doc_id"))
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -309,6 +322,17 @@ object PipelineQueries {
 
     // planted boilerplate stripped → the original single-line text
     "p18_boilerplate" -> "SELECT doc_id, text FROM DOCS",
+
+    "p20_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |s AS (SELECT doc_id,
+        |        [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)] AS sh
+        |      FROM w)
+        |SELECT doc_id FROM s
+        |WHERE NOT list_has_any(sh, ['slow fast table', 'batch window spark'])""".stripMargin,
 
     "p19_pii_redact" ->
       """SELECT doc_id,

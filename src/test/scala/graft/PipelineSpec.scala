@@ -328,6 +328,17 @@ class PipelineSpec extends SparkTestBase {
     assert(same === clean)
   }
 
+  test("decontamination drops docs containing blocklisted n-grams, case-insensitively") {
+    val docs = Seq(
+      (1L, "the Quick Brown Fox jumps"),
+      (2L, "nothing to see here at all"),
+      (3L, "ends with quick brown fox")).toDF("doc_id", "text")
+    val grams = Seq("quick brown fox").toDF("gram")
+    val kept = TextAnalysis.decontaminate(docs, "text", "doc_id", grams, "gram", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
+
   test("quality metrics: ratios bounded, empty text yields nulls not errors") {
     val df = TextAnalysis.qualityMetrics(
       Seq((1L, "Hello, the world is wide."), (2L, "")).toDF("id", "text"), "text")
