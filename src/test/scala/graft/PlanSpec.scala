@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.broadcast
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sparql.Sparql
 
 /** Physical-plan guards: the properties that make these operators hold
@@ -86,6 +86,23 @@ class PlanSpec extends SparkTestBase {
     // the join condition compares coalesced key fields
     assert(plan.contains("key"), plan)
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("curation ops: no all-pairs joins, anti-join shapes, narrow sampling") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p1 = planOf(TextAnalysis.decontaminate(docs, "text", "doc_id",
+      Seq("slow fast table").toDF("gram"), "gram", 3))
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"))
+    assert(p1.contains("LeftAnti"), "decontaminate must anti-join the hit list")
+    val p2 = planOf(TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", 3L))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"))
+    val p3 = planOf(Dedup.dropNearDups(docs, Seq((1L, 2L)).toDF("id_a", "id_b"), "doc_id"))
+    assert(p3.contains("LeftAnti"), "dropNearDups must anti-join the losers")
+    // hash sampling is a narrow map: the predicate evaluates in the
+    // scan stage, nothing shuffles
+    val p4 = planOf(Sampling.sample(docs, "doc_id", 0.5))
+    assert(!p4.contains("Exchange"), s"hash sample must not shuffle:\n$p4")
   }
 
   test("optimizer fence keeps hoisted FILTER operands from re-inlining") {
