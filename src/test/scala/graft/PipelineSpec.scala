@@ -112,6 +112,35 @@ class PipelineSpec extends SparkTestBase {
     assert(got.forall(_.getLong(1) == 0L))
   }
 
+  test("near-dup clusters match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minOf = (0 until n).groupBy(find).map { case (r, ms) => r -> ms.min.toLong }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> minOf(find(id.toInt))).toMap
+      val got = Dedup.nearDupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("hash sampling is monotone in the fraction (nested samples)") {
+    val ids = spark.range(500).withColumnRenamed("id", "doc_id")
+    val small = Sampling.sample(ids, "doc_id", 0.2, "m").collect().map(_.getLong(0)).toSet
+    val big = Sampling.sample(ids, "doc_id", 0.6, "m").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big)) // threshold draws nest: a 20% sample is inside the 60%
+    assert(small.nonEmpty && big.size < 500)
+  }
+
   test("dropNearDups keeps the canonical member and untouched docs") {
     val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -218,6 +218,24 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(short.nonEmpty)
   }
 
+  test("label service works inside a sub-SELECT (rewrite recurses)") {
+    val q =
+      """SELECT ?s ?sLabel WHERE { { SELECT ?s ?sLabel WHERE {
+        |  ?s wdt:P31 wd:Q3624078 .
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "en,de". } } } }""".stripMargin
+    val rows = Sparql.rendered(spark, q, dir).collect()
+    assert(rows.length === 1)
+    assert(Option(rows.head.getString(1)).exists(_.nonEmpty))
+  }
+
+  test("property path inside OPTIONAL composes with the left join") {
+    val q =
+      """SELECT ?s ?x WHERE { ?s wdt:P31 wd:Q3624078 .
+        |OPTIONAL { ?s wdt:P47+ ?x } }""".stripMargin
+    // Q31 has 6 P47+ reachable nodes (sp46) → 6 joined rows
+    assert(rows(q) === 6L)
+  }
+
   test("MAX / MIN group-by (test_requests.txt:54-58)") {
     val df = Sparql.query(spark,
       """SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min)
