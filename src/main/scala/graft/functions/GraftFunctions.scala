@@ -21,6 +21,8 @@ object GraftFunctions {
       exprs => SimHashSig(exprs.head))
     inject(ext, WordNgrams.name, classOf[WordNgrams],
       exprs => WordNgrams(exprs(0), foldToInt(exprs(1))))
+    inject(ext, LangIdSig.name, classOf[LangIdSig],
+      exprs => LangIdSig(exprs.head))
     inject(ext, BoundedSortedConcat.name, classOf[BoundedSortedConcat],
       exprs => BoundedSortedConcat(exprs(0),
         foldToString(exprs(1)), foldToInt(exprs(2)), foldToBool(exprs(3))))

@@ -13,14 +13,10 @@ object TextAnalysis {
   /** Tiny per-language marker word lists for the n-gram/stopword
     * language-ID heuristic (real pipelines would load fastText-style
     * models via a broadcast table; the *operator shape* — score per
-    * language, argmax — is the same).
+    * language, argmax — is the same). The table lives with the native
+    * expression; this alias keeps the public API stable.
     */
-  val markers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "de", "est", "un"),
-    "es" -> Seq("el", "la", "los", "y", "de", "es", "un"),
-    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+  val markers: Map[String, Seq[String]] = graft.functions.LangIdSig.markers
 
   // split of "" yields [""] — filter empties so blank text has 0 words
   private def words(text: Column): Column =
@@ -32,15 +28,14 @@ object TextAnalysis {
     size(filter(words(text), w => w.isin(set: _*)))
   }
 
-  /** Argmax language over [[markers]]; ties resolve alphabetically;
-    * zero hits → "und" (undetermined).
+  /** Argmax language over [[markers]]; ties resolve to the
+    * lexicographically larger code; zero hits → "und" (undetermined).
+    * Backed by the native codegen'd [[graft.functions.LangIdSig]] (one
+    * hash-probe pass per document; the `greatest`-over-`filter`
+    * formulation paid one interpreted pass per language).
     */
-  def langId(text: Column): Column = {
-    val scored = markers.keys.toSeq.sorted.map(l =>
-      struct(langScore(text, l).as("score"), lit(l).as("lang")))
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    call_function(graft.functions.LangIdSig.name, words(text))
 
   /** Quality metrics: length, word stats, punctuation/stopword ratios.
     * The standard cheap pre-filters for web-scale corpora.

@@ -262,6 +262,29 @@ class PipelineSpec extends SparkTestBase {
     assert(er.getLong(1) === 0L)
   }
 
+  test("native lang_id matches the greatest-over-filters formulation") {
+    // the pre-native Column formulation, rebuilt for the parity pin
+    def oldLangId(text: org.apache.spark.sql.Column) = {
+      val scored = TextAnalysis.markers.keys.toSeq.sorted.map(l =>
+        struct(TextAnalysis.langScore(text, l).as("score"), lit(l).as("lang")))
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    }
+    val texts = Seq(
+      "the the of and in", // en
+      "la de un est", // fr beats es via the shared markers + est
+      "la de un", // exact fr/es tie → lexicographically larger (fr)
+      "el los y la de un", // es
+      "的 是 the", // zh vs en, zh wins 2-1
+      "no markers here xyz", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"),
+      oldLangId(col("text")).as("o")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}"))
+    assert(got.map(_.getString(1)).toSeq ===
+      Seq("en", "fr", "fr", "es", "zh", "und", "und"))
+  }
+
   test("native vec_dot matches the HOF formulation and null-poisons") {
     import org.apache.spark.sql.types.DoubleType
     val df = Seq(
