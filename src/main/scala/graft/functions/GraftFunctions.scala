@@ -23,6 +23,8 @@ object GraftFunctions {
       exprs => WordNgrams(exprs(0), foldToInt(exprs(1))))
     inject(ext, LangIdSig.name, classOf[LangIdSig],
       exprs => LangIdSig(exprs.head))
+    inject(ext, WinnowSig.name, classOf[WinnowSig],
+      exprs => WinnowSig(exprs(0), foldToInt(exprs(1))))
     inject(ext, BoundedSortedConcat.name, classOf[BoundedSortedConcat],
       exprs => BoundedSortedConcat(exprs(0),
         foldToString(exprs(1)), foldToInt(exprs(2)), foldToBool(exprs(3))))

@@ -102,6 +102,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Ordered (non-distinct) word k-grams — winnowing needs positions,
+    * so this is NOT [[shingles]] (which dedups). Texts with fewer than
+    * k words yield no grams.
+    */
+  def orderedKgrams(text: Column, k: Int): Column = {
+    val ws = filter(split(trim(text), "\\s+"), x => length(x) > 0)
+    filter(
+      transform(ws, (wd, i) => when(i <= size(ws) - k,
+        concat_ws(" ", Seq(wd) ++ (1 until k).map(j => element_at(ws, i + j + 1)): _*))),
+      g => g.isNotNull)
+  }
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5. Slower than
+    * xxhash64 but reproducible in any engine with md5, which is what
+    * lets the winnowing entries be oracle-checked end-to-end.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Winnowed fingerprints of a document (MOSS): sorted distinct
+    * sliding-window minima over the ordered k-gram hashes — see
+    * [[graft.functions.WinnowSig]]. Any shared word substring of at
+    * least w+k-1 words yields at least one shared fingerprint.
+    */
+  def winnowedFingerprints(text: Column, k: Int, w: Int,
+                           hashFn: Column => Column = xxhash64(_)): Column =
+    call_function(graft.functions.WinnowSig.name,
+      transform(orderedKgrams(lower(text), k), hashFn), lit(w))
+
+  /** Containment / partial-overlap candidate pairs: documents sharing
+    * at least `minShared` winnowed fingerprints. Detects copied
+    * passages and quotes that whole-document similarity misses (a doc
+    * containing another still shares its fingerprints even though the
+    * Jaccard is low). Shape: fingerprint-equality self-join on exploded
+    * id+fingerprint rows — bucketed, never all-pairs — then a count
+    * per pair.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, w: Int = 4, minShared: Int = 2,
+                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val fps = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(winnowedFingerprints(col(textCol), k, w, hashFn)).as("fp"))
+      .localCheckpoint(false)
+    fps.alias("a")
+      .join(fps.alias("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact Jaccard over two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

@@ -158,6 +158,12 @@ object PipelineQueries {
             pmod(col("doc_id"), lit(256)))).as("text"))
     }),
 
+    // containment / partial-overlap pairs via winnowed fingerprints
+    // (md5-based hash so the oracle can re-derive them)
+    "p21_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+        k = 3, w = 4, minShared = 2, hashFn = Dedup.md5Hash60)),
+
     // benchmark decontamination against a fixed 3-gram blocklist
     "p20_decontaminate" -> ((s, d) => {
       val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
@@ -322,6 +328,29 @@ object PipelineQueries {
 
     // planted boilerplate stripped → the original single-line text
     "p18_boilerplate" -> "SELECT doc_id, text FROM DOCS",
+
+    // winnowing re-derived in SQL: ordered 3-grams → 60-bit md5 hashes
+    // → distinct minima of every 4-hash window → pair join on shared
+    // fingerprints (window clamps to the array when shorter than w)
+    "p21_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |g AS (SELECT doc_id,
+        |        [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)] AS grams
+        |      FROM w),
+        |h AS (SELECT doc_id,
+        |        list_transform(grams, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+        |      FROM g),
+        |m AS (SELECT doc_id,
+        |        list_distinct([list_min(hs[i:i+3])
+        |          FOR i IN range(1, greatest(len(hs)-2, CASE WHEN len(hs) > 0 THEN 2 ELSE 1 END))]) AS fps
+        |      FROM h),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "p20_decontaminate" ->
       """WITH w AS (

@@ -380,6 +380,42 @@ class PipelineSpec extends SparkTestBase {
     assert(same === clean)
   }
 
+  test("winnowed fingerprints: window minima, clamping, and gram edges") {
+    // known hashes: windows of 4 → minima {1, 0}; shorter-than-w input
+    // clamps to one global-min fingerprint; empty input → empty
+    val df = Seq(Tuple1(Seq(9L, 5L, 1L, 7L, 8L, 6L, 0L))).toDF("hs")
+    val got = df.select(call_function("graft_winnow_sig", col("hs"), lit(4)))
+      .collect().head.getSeq[Long](0)
+    assert(got === Seq(0L, 1L)) // sorted distinct window minima
+    val short = Seq(Tuple1(Seq(5L, 3L))).toDF("hs")
+      .select(call_function("graft_winnow_sig", col("hs"), lit(4)))
+      .collect().head.getSeq[Long](0)
+    assert(short === Seq(3L))
+    // fewer than k words → no grams → no fingerprints
+    val none = Seq(Tuple1("two words")).toDF("text")
+      .select(Dedup.winnowedFingerprints(col("text"), k = 3, w = 4))
+      .collect().head.getSeq[Long](0)
+    assert(none.isEmpty)
+  }
+
+  test("containment pairs catch a copied passage whole-doc similarity misses") {
+    val passage = "the sly copper fox slipped across the frozen river at dawn"
+    val docs = Seq(
+      (1L, s"opening words before the quote $passage and some closing words after it"),
+      (2L, s"a totally different article that embeds $passage inside other prose entirely"),
+      (3L, "no shared passage here just independent content about something else")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id",
+      k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"copied passage not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair is INVISIBLE to whole-doc minhash at 0.9
+    val mh = Dedup.minhashNearDup(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9).collect()
+    assert(mh.isEmpty)
+  }
+
   test("decontamination drops docs containing blocklisted n-grams, case-insensitively") {
     val docs = Seq(
       (1L, "the Quick Brown Fox jumps"),
