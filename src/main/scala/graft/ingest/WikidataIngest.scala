@@ -98,24 +98,39 @@ object WikidataIngest {
     * SPARQL access path) then prune whole partitions instead of reading
     * every row group; within a partition the `(p.key, s.key)` sort
     * still gives row-group pruning for the subject.
+    *
+    * A second copy partitioned by `o_bucket` and sorted `(o.key,
+    * p.key)` — the `relation_obj` analog — serves bound-object
+    * (reverse) scans, which would otherwise read the whole store; the
+    * translator routes to it when only the object is bound. Storage
+    * doubles, exactly the trade the reference makes with its four
+    * sorted permutations.
     */
   def buildPartitioned(spark: SparkSession, path: String = fixturePath,
                        dir: String, buckets: Int = NumPredBuckets): Unit = {
     import graft.model.Render
     val statements = ingest(spark, path)
-    statements
+    val rendered = statements
       .withColumn("s_lex", Render.lex(col("s")))
       .withColumn("p_lex", Render.lex(col("p")))
       .withColumn("o_lex", Render.lex(col("o")))
       .withColumn("id_lex", Render.lex(col("id")))
-      .withColumn("p_bucket",
-        when(col("p.num").isNotNull,
-          pmod(col("p.num").cast("long"), lit(buckets.toLong)))
-          .otherwise(lit(buckets.toLong)).cast("int"))
+    def bucketOf(term: String) =
+      when(col(s"$term.num").isNotNull,
+        pmod(col(s"$term.num").cast("long"), lit(buckets.toLong)))
+        .otherwise(lit(buckets.toLong)).cast("int")
+    rendered
+      .withColumn("p_bucket", bucketOf("p"))
       .sortWithinPartitions(col("p.key"), col("s.key"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("p_bucket")
       .parquet(s"$dir/statements.parquet")
+    rendered
+      .withColumn("o_bucket", bucketOf("o"))
+      .sortWithinPartitions(col("o.key"), col("p.key"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_bucket")
+      .parquet(s"$dir/statements_obj.parquet")
     labelsView(spark.read.parquet(s"$dir/statements.parquet"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/labels.parquet")
@@ -151,6 +166,14 @@ object WikidataIngest {
       if (!p.exists()) build(spark, fixturePath, dir)
       spark.read.parquet(s"$dir/labels.parquet")
     })
+
+  /** The object-partitioned copy, when the store has one (only
+    * [[buildPartitioned]] writes it — the flat fixture store doesn't).
+    */
+  def statementsObj(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
+    if (!new java.io.File(s"$dir/statements_obj.parquet").exists()) None
+    else Some(readCache.getOrElseUpdate((spark, s"$dir/statements_obj.parquet"),
+      spark.read.parquet(s"$dir/statements_obj.parquet")))
 
   /** `runMain graft.ingest.WikidataIngest [path] [dir] [--partitioned]`
     * — the create-db / create-index analog (reference `src/main.rs`).

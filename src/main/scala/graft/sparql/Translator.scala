@@ -23,7 +23,8 @@ import Ast._
   * replacing the reference's greedy size-ordered BGP join
   * (`src/calc_engine.rs:109-151`).
   */
-final class Translator(spark: SparkSession, statements: DataFrame, labels: DataFrame) {
+final class Translator(spark: SparkSession, statements: DataFrame, labels: DataFrame,
+                       statementsObj: Option[DataFrame] = None) {
 
   import TermOps._
 
@@ -198,6 +199,20 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     }
   }
 
+  /** Bound-object (reverse) scan: routes to the object-partitioned
+    * store copy when one exists (the `relation_obj` analog — SURVEY
+    * §1.6), pruning to the object's bucket; otherwise the main store
+    * with an `o.key` filter (row-group pruning only).
+    */
+  private def objKeyScan(v: graft.model.TermValue): DataFrame = statementsObj match {
+    case Some(so) =>
+      val bucket = v.num.map(n =>
+        graft.ingest.WikidataIngest.predBucket(n.toLong).toInt)
+        .getOrElse(graft.ingest.WikidataIngest.NumPredBuckets)
+      so.filter(col("o_bucket") === bucket && col("o.key") === v.key)
+    case None => wdsSt.filter(col("o.key") === v.key)
+  }
+
   /** Triple-pattern scan: the 9-way bound/var dispatch with the
     * wdt:/p:/wds: statement-addressing duality
     * (`triplepattern_match`, reference `src/calc_engine.rs:3074-3284`).
@@ -252,8 +267,10 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         if (stmtObj) // rows of the named statement; predicate in stmt view
           finish(st.filter(col("id.key") === oKey.get),
             Seq(s -> col("s"), p -> pstmtify(col("p"))))
-        else
-          finish(st.filter(col("o.key") === oKey.get), Seq(s -> col("s"), p -> col("p")))
+        else {
+          val Const(ov) = t.o: @unchecked
+          finish(objKeyScan(ov), Seq(s -> col("s"), p -> col("p")))
+        }
 
       // (V,B,V)
       case (s: Var, _, o: Var) =>

@@ -28,6 +28,7 @@ class BucketedStoreSpec extends SparkTestBase {
       "SELECT ?sub ?pred ?obj WHERE { ?sub ?pred ?obj . }",
       "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }",
       "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }",
+      "SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }", // reverse scan → obj copy
       "SELECT ?s ?stmt WHERE { ?s p:P31 ?stmt . }",
       "SELECT ?q ?v WHERE { wd:Q31 p:P1082 ?stmt . ?stmt ?q ?v . }")
     for (q <- queries) {
@@ -35,6 +36,17 @@ class BucketedStoreSpec extends SparkTestBase {
       val part = Sparql.rendered(spark, q, partDir).collect().map(_.toString).sorted
       assert(flat.sameElements(part), s"result mismatch for: $q")
     }
+  }
+
+  test("bound-object reverse scan routes to the object copy and prunes its bucket") {
+    val df = Sparql.query(spark, "SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }", partDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val expected = WikidataIngest.predBucket(31L)
+    assert(plan.contains("statements_obj"), s"reverse scan not routed to obj copy:\n$plan")
+    assert(plan.matches(s"(?s).*o_bucket#\\d+ = $expected.*"),
+      s"missing o_bucket partition filter:\n$plan")
+    assert(df.count() === 1L) // same result as the flat store (sp03)
   }
 
   test("bound-predicate scan prunes predicate-bucket partitions") {
