@@ -131,8 +131,12 @@ object WikidataIngest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("o_bucket")
       .parquet(s"$dir/statements_obj.parquet")
+    // the label service always filters kind + lang, so partitioning on
+    // both prunes a full-Wikidata label table to the exact (kind, lang)
+    // slices a query's language priority list names
     labelsView(spark.read.parquet(s"$dir/statements.parquet"))
       .write.mode(SaveMode.Overwrite)
+      .partitionBy("kind", "lang")
       .parquet(s"$dir/labels.parquet")
     invalidate(dir)
   }

@@ -49,6 +49,24 @@ class BucketedStoreSpec extends SparkTestBase {
     assert(df.count() === 1L) // same result as the flat store (sp03)
   }
 
+  test("label service on the partitioned store prunes (kind, lang) partitions") {
+    val q =
+      """SELECT ?s ?sLabel WHERE { ?s wdt:P31 wd:Q3624078 .
+        |SERVICE wikibase:label { bd:serviceParam wikibase:language "en,de". } }""".stripMargin
+    val df = Sparql.query(spark, q, partDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*kind#\\d+ = label.*"),
+      s"missing kind partition filter:\n$plan")
+    assert(plan.matches("(?s).*lang#\\d+ IN \\(en,de\\).*") ||
+      plan.matches("(?s).*lang#\\d+ = en.*"),
+      s"missing lang partition filter:\n$plan")
+    // same result as the flat store (sp31)
+    val flat = Sparql.rendered(spark, q, flatDir).collect().map(_.toString).sorted
+    val part = Sparql.rendered(spark, q, partDir).collect().map(_.toString).sorted
+    assert(flat.sameElements(part))
+  }
+
   test("bound-predicate scan prunes predicate-bucket partitions") {
     val df = Sparql.query(spark, "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }", partDir)
     val plan = df.queryExecution.explainString(
