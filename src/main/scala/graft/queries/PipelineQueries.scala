@@ -177,6 +177,28 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // the flagship composition: near-dup removal → benchmark
+    // decontamination → minimum-quality filter → deterministic split
+    // assignment, all chained on the same frame (each stage is one of
+    // the gated operators above — this entry proves they compose)
+    "p22_curation_pipeline" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.minhashNearDup(docs0, "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      val docs1 = Dedup.dropNearDups(docs0, pairs, "doc_id")
+      val grams = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("slow fast table"),
+          org.apache.spark.sql.Row("batch window spark")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gram",
+            org.apache.spark.sql.types.StringType))))
+      val docs2 = TextAnalysis.decontaminate(docs1, "text", "doc_id", grams, "gram", n = 3)
+      val docs3 = docs2.filter(TextAnalysis.wsTokenCount(col("text")) >= 10)
+      Sampling.assignSplits(docs3, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+        .select(col("doc_id"), col("split"))
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -328,6 +350,27 @@ object PipelineQueries {
 
     // planted boilerplate stripped → the original single-line text
     "p18_boilerplate" -> "SELECT doc_id, text FROM DOCS",
+
+    // the same four stages chained in SQL: survivors of the near-dup
+    // clusters, minus blocklisted docs, minus short docs, then the
+    // cumulative-weight split over the md5 draw
+    "p22_curation_pipeline" ->
+      s"""WITH surv AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ws
+         |  FROM DOCS
+         |  WHERE doc_id NOT IN (
+         |    SELECT doc_id FROM ($clustersSql) c WHERE c.doc_id <> c.cluster_id)),
+         |clean AS (
+         |  SELECT doc_id FROM surv
+         |  WHERE NOT list_has_any(
+         |          [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)],
+         |          ['slow fast table', 'batch window spark'])
+         |    AND len(ws) >= 10)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${drawSql("s1")} AS u FROM clean) t""".stripMargin,
 
     // winnowing re-derived in SQL: ordered 3-grams → 60-bit md5 hashes
     // → distinct minima of every 4-hash window → pair join on shared
