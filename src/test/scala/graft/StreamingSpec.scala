@@ -98,6 +98,25 @@ class StreamingSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)), s"expected only the near-dup pair, got $pairs")
   }
 
+  test("narrow curation ops (lang-ID, PII redaction, token counts) run on streams as-is") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.langId(col("text")).as("lang"),
+        graft.pipeline.TextAnalysis.redactPii(col("text")).as("clean"),
+        graft.pipeline.TextAnalysis.wsTokenCount(col("text")).as("toks"))
+    val q = df.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    mem.addData((1L, "the quick fox of the north, mail a@b.example.com"))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("curated").collect().head
+    assert(r.getString(1) === "en")
+    assert(r.getString(2) === "the quick fox of the north, mail <EMAIL>")
+    assert(r.getInt(3) === 8)
+  }
+
   test("sessionization groups events by gap and flushes on new session") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Event]
