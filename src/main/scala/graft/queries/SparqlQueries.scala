@@ -428,6 +428,22 @@ object SparqlQueries {
          |SELECT t.s AS s, b.o_lex AS o
          |FROM topk t JOIN $ST b ON b.s['key']=t.k AND b.p['key']='P:31'""".stripMargin),
 
+    // LATERAL executes as a plain join, like the reference
+    // (calc_engine.rs:194-201 — no correlation semantics)
+    ("sp58_lateral",
+      "SELECT ?s ?cap ?o WHERE { ?s wdt:P36 ?cap . LATERAL { ?s wdt:P31 ?o } }",
+      s"""SELECT a.s_lex AS s, a.o_lex AS cap, b.o_lex AS o
+         |FROM (SELECT * FROM $ST WHERE p['key']='P:36') a
+         |JOIN (SELECT * FROM $ST WHERE p['key']='P:31') b
+         |  ON a.s['key']=b.s['key']""".stripMargin),
+
+    // ASK over an absent pattern → false (the JSON writer's reserved
+    // boolean field, to_json_result.rs:16)
+    ("sp59_ask_false",
+      "ASK { wd:Q999999999 wdt:P31 ?o }",
+      s"""SELECT count(*) > 0 AS boolean FROM $ST
+         |WHERE s['key']='Q:999999999' AND p['key']='P:31'""".stripMargin),
+
     // aggregate expression as a sort key (parsed into a hidden
     // aggregate slot, ordered after grouping)
     ("sp57_order_by_agg",
