@@ -25,6 +25,14 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol))
 
+  /** Full-row exact dedup: keep each hash's lowest-id row with all of
+    * its columns (semi join against [[exact]]'s winners — the winner
+    * set has one scalar row per distinct text, so AQE can broadcast it
+    * when dup rates leave it small).
+    */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(exact(df, textCol, idCol).select(idCol), Seq(idCol), "left_semi")
+
   /** Word-level shingle set of a text column (n=1 → word set). */
   /** Distinct word n-gram shingles — native codegen'd expression
     * ([[graft.functions.WordNgrams]]); one primitive pass per document

@@ -73,6 +73,13 @@ class PipelineSpec extends SparkTestBase {
     assert(kept === Set(1L, 3L, 4L, 5L))
   }
 
+  test("dropExactDups keeps full rows of the lowest-id text per hash") {
+    val kept = Dedup.dropExactDups(dupDocs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet === Set(1L, 3L, 4L, 5L))
+    assert(kept(1L).startsWith("the quick brown fox")) // columns intact
+  }
+
   test("minhash LSH finds the exact duplicate pair with jaccard 1.0") {
     val out = Dedup.minhashNearDup(dupDocs, "text", "doc_id",
       numHashes = 64, bands = 16, threshold = 0.9).collect()

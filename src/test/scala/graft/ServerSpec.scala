@@ -42,6 +42,20 @@ class ServerSpec extends SparkTestBase {
     super.afterAll()
   }
 
+  test("concurrent requests all succeed (shared session, parallel jobs)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val q = "/query?query=" + java.net.URLEncoder.encode(
+      "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 3", "UTF-8")
+    val results = Await.result(
+      Future.sequence(Seq.fill(4)(Future(get(q)))), 120.seconds)
+    results.foreach { case (code, body, _) =>
+      assert(code === 200)
+      assert(body.contains(""""bindings""""))
+    }
+  }
+
   test("GET /query returns SPARQL-Results-JSON with CORS") {
     val (code, body, headers) =
       get("/query?query=" + java.net.URLEncoder.encode(
