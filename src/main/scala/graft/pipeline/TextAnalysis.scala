@@ -67,14 +67,17 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
 
   /** Rolling-hash document fingerprint: polynomial hash over word
-    * xxhashes (order-sensitive, unlike the dedup shingle sets), plus a
-    * winnowing-style min-window selection is left to callers.
-    * Modular (p = 1e9+7) so the accumulator never overflows a long
-    * under ANSI arithmetic: acc < 2^30, acc*31 + h mod p < 2^36.
+    * hashes (order-sensitive, unlike the dedup shingle sets); a
+    * winnowing-style min-window selection lives in
+    * [[Dedup.winnowedFingerprints]]. Modular (p = 1e9+7) so the
+    * accumulator never overflows a long under ANSI arithmetic:
+    * acc < 2^30, acc*31 + h mod p < 2^36. The word hash defaults to
+    * xxhash64 (fastest); pass [[Dedup.md5Hash60]] for an
+    * engine-portable variant any SQL engine can re-derive.
     */
   private val fpMod = 1000000007L
-  def fingerprint(text: Column): Column =
-    aggregate(transform(words(text), w => xxhash64(w)),
+  def fingerprint(text: Column, hashFn: Column => Column = xxhash64(_)): Column =
+    aggregate(transform(words(text), w => hashFn(w)),
       lit(0L), (acc, h) => pmod(acc * 31L + pmod(h, lit(fpMod)), lit(fpMod)))
 
   /** Gopher-style within-document repetition signals: the fraction of

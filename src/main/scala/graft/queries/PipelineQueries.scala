@@ -105,11 +105,13 @@ object PipelineQueries {
       t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
     }),
 
-    // rows-only: the rolling fingerprint is built on xxhash64, which
-    // DuckDB does not provide — values asserted in PipelineSpec
+    // the portable-hash variant so DuckDB re-derives the rolling hash
+    // (the xxhash64 default stays the perf path; parity between the
+    // two shapes is the same aggregate over different word hashes)
     "p10_fingerprint" -> ((s, d) => {
       val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
-      t.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      t.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text"), Dedup.md5Hash60).as("fingerprint"))
     }),
 
     // deterministic hash-based train/val/test assignment (md5 draw —
@@ -350,6 +352,20 @@ object PipelineQueries {
 
     // planted boilerplate stripped → the original single-line text
     "p18_boilerplate" -> "SELECT doc_id, text FROM DOCS",
+
+    // rolling hash re-derived: fold (acc*31 + h) mod 1e9+7 over the
+    // 60-bit md5 word hashes, 0-seeded via list_prepend
+    "p10_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0, list_transform(ws,
+        |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007)),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+        |FROM w""".stripMargin,
 
     // the same four stages chained in SQL: survivors of the near-dup
     // clusters, minus blocklisted docs, minus short docs, then the
