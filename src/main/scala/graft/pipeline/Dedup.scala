@@ -188,20 +188,23 @@ object Dedup {
   def simhashFromHashes(hashes: Column): Column =
     call_function(graft.functions.SimHashSig.name, hashes)
 
-  def wordHashes(text: Column): Column =
-    transform(split(trim(text), "\\s+"), w => xxhash64(w))
+  def wordHashes(text: Column, hashFn: Column => Column = xxhash64(_)): Column =
+    transform(split(trim(text), "\\s+"), w => hashFn(w))
 
   /** One-shot SimHash (prefer staging [[wordHashes]] when reused). */
   def simhash(text: Column): Column = simhashFromHashes(wordHashes(text))
 
   /** SimHash near-dup: candidates share one of four 16-bit bands
     * (detects Hamming distance ≤ 3 with certainty via pigeonhole when
-    * bands=4); verified by exact Hamming distance.
+    * bands=4); verified by exact Hamming distance. The word hash
+    * defaults to xxhash64; [[md5Hash60]] gives the engine-portable
+    * variant the oracle re-derives.
     */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val withH = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("__wh", wordHashes(col(textCol)))
+      .withColumn("__wh", wordHashes(col(textCol), hashFn))
       .select(col(idCol).as("id"), simhashFromHashes(col("__wh")).as("h"))
     val banded = withH.select(col("id"), col("h"),
       explode(array((0 until 4).map(b =>

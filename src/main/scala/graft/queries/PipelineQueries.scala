@@ -10,9 +10,11 @@ import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   * similarity search, text analysis, multimodal) over the synthetic
   * `documents` / `embeddings` tables.
   *
-  * Entries without an oracle (hash-function-specific outputs: SimHash,
-  * LSH buckets) still run under the driver's rows-only check and are
-  * covered by ScalaTest assertions instead.
+  * The only entries without an oracle are the ANN/LSH ones whose
+  * output depends on bucketing recall or a k-means fit (p06, p11,
+  * p12) — those run under the driver's rows-only check with recall
+  * asserted in ScalaTest. Everything hash-dependent is gated through
+  * the portable 60-bit md5 word hash, which DuckDB re-derives.
   */
 object PipelineQueries {
 
@@ -39,8 +41,11 @@ object PipelineQueries {
         Tables.documents(s, d).filter(col("doc_id") < 100), "text", "doc_id",
         n = 3, threshold = 0.2)),
 
-    "p04_simhash_neardup" -> ((s, d) => // rows-only: xxhash64 not in DuckDB
-      Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)),
+    // portable-hash variant (md5-based word hashes) so the oracle can
+    // re-derive the full signature; xxhash64 stays the perf default
+    "p04_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(Tables.documents(s, d), "text", "doc_id", maxHamming = 3,
+        hashFn = Dedup.md5Hash60)),
 
     // clusters over the p02 near-dup pairs (min reachable id per doc)
     "p13_neardup_clusters" -> ((s, d) =>
@@ -352,6 +357,30 @@ object PipelineQueries {
 
     // planted boilerplate stripped → the original single-line text
     "p18_boilerplate" -> "SELECT doc_id, text FROM DOCS",
+
+    // full SimHash re-derivation: per-bit ±1 contributions over the
+    // 60-bit md5 word hashes (bits 60-63 are always 0, so bit 63 can
+    // never set and the BIGINT shift cannot overflow), then the same
+    // 4×16-bit banding + Hamming verify as the Spark plan
+    "p04_simhash_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM DOCS),
+        |h AS (SELECT doc_id,
+        |        list_transform(ws, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+        |      FROM w),
+        |e AS (SELECT doc_id, unnest(hs) AS hh FROM h),
+        |c AS (SELECT doc_id, i.i AS i,
+        |        sum(CASE WHEN (hh >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS contrib
+        |      FROM e CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i),
+        |sig AS (SELECT doc_id,
+        |          sum(CASE WHEN contrib > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sg
+        |        FROM c GROUP BY doc_id),
+        |bb AS (SELECT doc_id, sg, band, (sg >> (band * 16)) & 65535 AS bits
+        |       FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sg AS sga, b.sg AS sgb
+        |         FROM bb a JOIN bb b
+        |           ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(sga, sgb)) AS hamming
+        |FROM cand WHERE bit_count(xor(sga, sgb)) <= 3""".stripMargin,
 
     // rolling hash re-derived: fold (acc*31 + h) mod 1e9+7 over the
     // 60-bit md5 word hashes, 0-seeded via list_prepend
