@@ -24,7 +24,18 @@ object Parser {
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
-  def parse(query: String): Query = new Parser(tokenize(query)).parseQuery()
+  /** Any parser-phase failure surfaces as a [[ParseException]] so
+    * callers (the HTTP 400 path, the CLI exit-2 path) can distinguish
+    * bad queries from engine errors — a malformed query must never
+    * escape as a MatchError/NumberFormatException 500.
+    */
+  def parse(query: String): Query =
+    try new Parser(tokenize(query)).parseQuery()
+    catch {
+      case e: ParseException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw ParseException(s"malformed query (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
 
   // ---------------------------------------------------------------- lexer
 

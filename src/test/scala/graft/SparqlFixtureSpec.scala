@@ -236,6 +236,20 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(rows(q) === 6L)
   }
 
+  test("malformed queries raise ParseException, never engine errors") {
+    import graft.sparql.Parser
+    val bad = Seq(
+      "SELECT ?x WHERE { ?x unknownpfx:P1 ?y }", // undeclared prefix
+      "SELECT ?x WHERE { \"unterminated", // unterminated literal
+      "SELECT (COUNT( AS ?n) WHERE { ?s ?p ?o }", // mangled aggregate
+      "SELECT ?x WHERE { ?x wdt:P31 }", // missing object
+      "ASK { ?s ?p ?o", // unclosed group
+      "SELECT ?x WHERE { VALUES (?a { 1 } }") // mangled VALUES
+    bad.foreach { q =>
+      intercept[Parser.ParseException](Parser.parse(q))
+    }
+  }
+
   test("MAX / MIN group-by (test_requests.txt:54-58)") {
     val df = Sparql.query(spark,
       """SELECT ?s (MAX(?o) as ?max) (MIN(?o) as ?min)
