@@ -30,7 +30,8 @@ class BucketedStoreSpec extends SparkTestBase {
       "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }",
       "SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }", // reverse scan → obj copy
       "SELECT ?s ?stmt WHERE { ?s p:P31 ?stmt . }",
-      "SELECT ?q ?v WHERE { wd:Q31 p:P1082 ?stmt . ?stmt ?q ?v . }")
+      "SELECT ?q ?v WHERE { wd:Q31 p:P1082 ?stmt . ?stmt ?q ?v . }",
+      "SELECT ?x WHERE { wd:Q31 wdt:P47* ?x }") // path fixpoint over the layout
     for (q <- queries) {
       val flat = Sparql.rendered(spark, q, flatDir).collect().map(_.toString).sorted
       val part = Sparql.rendered(spark, q, partDir).collect().map(_.toString).sorted
