@@ -271,9 +271,11 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cid").as("cluster_id"))
   }
 
+  // sum over zero rows is SQL NULL — normalize so the convergence
+  // comparison is total (an empty pair set converges immediately)
   private def labelSum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("cid").cast(DecimalType(38, 0))))
-      .head.getDecimal(0)
+    Option(labels.agg(sum(col("cid").cast(DecimalType(38, 0)))).head.getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
 
   /** Keep one canonical document per near-dup cluster: drops every
     * member of `pairs`' connected components except the minimum-id one.

@@ -140,6 +140,13 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("near-dup clustering and dedup handle an empty pair set") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupClusters(noPairs).count() === 0L)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDups(docs, noPairs, "doc_id").count() === 2L)
+  }
+
   test("hash sampling is monotone in the fraction (nested samples)") {
     val ids = spark.range(500).withColumnRenamed("id", "doc_id")
     val small = Sampling.sample(ids, "doc_id", 0.2, "m").collect().map(_.getLong(0)).toSet
