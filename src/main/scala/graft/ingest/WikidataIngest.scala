@@ -99,12 +99,14 @@ object WikidataIngest {
     * every row group; within a partition the `(p.key, s.key)` sort
     * still gives row-group pruning for the subject.
     *
-    * A second copy partitioned by `o_bucket` and sorted `(o.key,
-    * p.key)` — the `relation_obj` analog — serves bound-object
-    * (reverse) scans, which would otherwise read the whole store; the
-    * translator routes to it when only the object is bound. Storage
-    * doubles, exactly the trade the reference makes with its four
-    * sorted permutations.
+    * Two further copies — `statements_sub` partitioned by `s_bucket`
+    * sorted `(s.key, p.key)`, and `statements_obj` partitioned by
+    * `o_bucket` sorted `(o.key, p.key)` — are the `relation_sub` /
+    * `relation_obj` analogs. The translator routes bound-subject scans
+    * to the first and bound-object (reverse) scans to the second, so
+    * each of the reference's access paths keeps its partition pruning;
+    * storage triples, exactly the trade the reference makes with its
+    * four sorted permutations.
     */
   def buildPartitioned(spark: SparkSession, path: String = fixturePath,
                        dir: String, buckets: Int = NumPredBuckets): Unit = {
@@ -131,6 +133,12 @@ object WikidataIngest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("o_bucket")
       .parquet(s"$dir/statements_obj.parquet")
+    rendered
+      .withColumn("s_bucket", bucketOf("s"))
+      .sortWithinPartitions(col("s.key"), col("p.key"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("s_bucket")
+      .parquet(s"$dir/statements_sub.parquet")
     // the label service always filters kind + lang, so partitioning on
     // both prunes a full-Wikidata label table to the exact (kind, lang)
     // slices a query's language priority list names
@@ -175,9 +183,15 @@ object WikidataIngest {
     * [[buildPartitioned]] writes it — the flat fixture store doesn't).
     */
   def statementsObj(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
-    if (!new java.io.File(s"$dir/statements_obj.parquet").exists()) None
-    else Some(readCache.getOrElseUpdate((spark, s"$dir/statements_obj.parquet"),
-      spark.read.parquet(s"$dir/statements_obj.parquet")))
+    optionalCopy(spark, s"$dir/statements_obj.parquet")
+
+  /** The subject-partitioned copy (see [[statementsObj]]). */
+  def statementsSub(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
+    optionalCopy(spark, s"$dir/statements_sub.parquet")
+
+  private def optionalCopy(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!new java.io.File(path).exists()) None
+    else Some(readCache.getOrElseUpdate((spark, path), spark.read.parquet(path)))
 
   /** `runMain graft.ingest.WikidataIngest [path] [dir] [--partitioned]`
     * — the create-db / create-index analog (reference `src/main.rs`).

@@ -23,7 +23,8 @@ object Sparql {
   def query(spark: SparkSession, text: String, dir: String = WikidataIngest.defaultDir): DataFrame = {
     val statements = WikidataIngest.statements(spark, dir)
     val labels = WikidataIngest.labels(spark, dir)
-    new Translator(spark, statements, labels, WikidataIngest.statementsObj(spark, dir))
+    new Translator(spark, statements, labels,
+      WikidataIngest.statementsObj(spark, dir), WikidataIngest.statementsSub(spark, dir))
       .translate(Parser.parse(text))
   }
 

@@ -24,7 +24,8 @@ import Ast._
   * (`src/calc_engine.rs:109-151`).
   */
 final class Translator(spark: SparkSession, statements: DataFrame, labels: DataFrame,
-                       statementsObj: Option[DataFrame] = None) {
+                       statementsObj: Option[DataFrame] = None,
+                       statementsSub: Option[DataFrame] = None) {
 
   import TermOps._
 
@@ -204,13 +205,25 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * §1.6), pruning to the object's bucket; otherwise the main store
     * with an `o.key` filter (row-group pruning only).
     */
-  private def objKeyScan(v: graft.model.TermValue): DataFrame = statementsObj match {
-    case Some(so) =>
+  private def objKeyScan(v: graft.model.TermValue): DataFrame =
+    permScan(statementsObj, "o_bucket", "o", v)
+
+  /** Bound-subject scan: the `relation_sub` analog. A subject's bucket
+    * is far more selective than any predicate partition (one entity's
+    * edges vs a whole predicate), so every bound-subject arm routes
+    * here when the copy exists.
+    */
+  private def subKeyScan(v: graft.model.TermValue): DataFrame =
+    permScan(statementsSub, "s_bucket", "s", v)
+
+  private def permScan(copy: Option[DataFrame], bucketCol: String,
+                       term: String, v: graft.model.TermValue): DataFrame = copy match {
+    case Some(c) =>
       val bucket = v.num.map(n =>
         graft.ingest.WikidataIngest.predBucket(n.toLong).toInt)
         .getOrElse(graft.ingest.WikidataIngest.NumPredBuckets)
-      so.filter(col("o_bucket") === bucket && col("o.key") === v.key)
-    case None => wdsSt.filter(col("o.key") === v.key)
+      c.filter(col(bucketCol) === bucket && col(s"$term.key") === v.key)
+    case None => wdsSt.filter(col(s"$term.key") === v.key)
   }
 
   /** Triple-pattern scan: the 9-way bound/var dispatch with the
@@ -296,20 +309,24 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       // (CONFORMANCE). Statement addressing stays reachable via p:/wds:
       // constants in the other dispatch arms.
       case (_, p: Var, o: Var) =>
-        finish(st.filter(col("s.key") === sKey.get), Seq(p -> col("p"), o -> col("o")))
+        val Const(sv) = t.s: @unchecked
+        finish(subKeyScan(sv), Seq(p -> col("p"), o -> col("o")))
 
       // (B,V,B)
       case (_, p: Var, _) =>
+        val Const(sv) = t.s: @unchecked
         if (stmtObj)
           finish(st.filter(col("id.key") === oKey.get && col("s.key") === sKey.get),
             Seq(p -> pstmtify(col("p"))))
         else
-          finish(st.filter(col("s.key") === sKey.get && col("o.key") === oKey.get),
-            Seq(p -> col("p")))
+          finish(subKeyScan(sv).filter(col("o.key") === oKey.get), Seq(p -> col("p")))
 
-      // (B,B,V)
+      // (B,B,V) — the subject copy wins over predicate partitioning
+      // (one entity's edges vs a whole predicate), so the p filter is
+      // the plain key equality there
       case (_, _, o: Var) =>
-        val base = st.filter(col("s.key") === sKey.get && predKeyFilter(pLocalKey.get, t.p))
+        val Const(sv) = t.s: @unchecked
+        val base = subKeyScan(sv).filter(col("p.key") === pLocalKey.get)
         if (stmtPred) finish(base, Seq(o -> col("id")))
         else finish(base, Seq(o -> col("o")))
 
@@ -318,10 +335,11 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         if (stmtObj && stmtPred)
           finish(st.filter(col("id.key") === oKey.get && predKeyFilter(pLocalKey.get, t.p) &&
             col("s.key") === sKey.get), Seq())
-        else if (!stmtObj && !stmtPred)
-          finish(st.filter(col("s.key") === sKey.get && predKeyFilter(pLocalKey.get, t.p) &&
+        else if (!stmtObj && !stmtPred) {
+          val Const(sv) = t.s: @unchecked
+          finish(subKeyScan(sv).filter(col("p.key") === pLocalKey.get &&
             col("o.key") === oKey.get), Seq())
-        else empty
+        } else empty
     }
   }
 

@@ -39,6 +39,17 @@ class BucketedStoreSpec extends SparkTestBase {
     }
   }
 
+  test("bound-subject scan routes to the subject copy and prunes its bucket") {
+    val df = Sparql.query(spark, "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }", partDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val expected = WikidataIngest.predBucket(31L)
+    assert(plan.contains("statements_sub"), s"not routed to subject copy:\n$plan")
+    assert(plan.matches(s"(?s).*s_bucket#\\d+ = $expected.*"),
+      s"missing s_bucket partition filter:\n$plan")
+    assert(df.count() === 1354L) // test_requests.txt:16-21
+  }
+
   test("bound-object reverse scan routes to the object copy and prunes its bucket") {
     val df = Sparql.query(spark, "SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }", partDir)
     val plan = df.queryExecution.explainString(
