@@ -51,7 +51,7 @@ object Paths {
 
   private[sparql] def compile(tr: Translator, st: DataFrame, p: Ppe): DataFrame = p match {
     case PLink(iri) =>
-      st.filter(col("p.key") === iri.key).select(col("s").as(S), col("o").as(O))
+      tr.predScan(iri).select(col("s").as(S), col("o").as(O))
     case PNegated(preds) =>
       st.filter(!col("p.key").isin(preds.map(_.key): _*)).select(col("s").as(S), col("o").as(O))
     case PReverse(inner) =>

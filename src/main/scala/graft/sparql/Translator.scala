@@ -216,6 +216,13 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
   private def subKeyScan(v: graft.model.TermValue): DataFrame =
     permScan(statementsSub, "s_bucket", "s", v)
 
+  /** Bound-predicate scan with partition pruning, for path compilation
+    * (the path compiler's steps are ordinary predicate scans and must
+    * keep the p_bucket pruning on partitioned stores).
+    */
+  private[sparql] def predScan(v: graft.model.TermValue): DataFrame =
+    wdsSt.filter(predKeyFilter(v.key, Const(v)))
+
   private def permScan(copy: Option[DataFrame], bucketCol: String,
                        term: String, v: graft.model.TermValue): DataFrame = copy match {
     case Some(c) =>

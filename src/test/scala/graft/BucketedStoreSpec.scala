@@ -79,6 +79,25 @@ class BucketedStoreSpec extends SparkTestBase {
     assert(flat.sameElements(part))
   }
 
+  test("path steps keep predicate-bucket pruning on the partitioned store") {
+    // an alternative path has no closure checkpoint, so both step
+    // scans stay visible in the plan; the fixpoint paths build their
+    // per-round edges from the same predScan
+    val df = Sparql.query(spark,
+      "SELECT ?x WHERE { wd:Q31 (wdt:P47|wdt:P36) ?x }", partDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (p <- Seq(47L, 36L)) {
+      val expected = WikidataIngest.predBucket(p)
+      assert(plan.matches(s"(?s).*p_bucket#\\d+ = $expected.*"),
+        s"path step P$p lost partition pruning:\n$plan")
+    }
+    assert(df.count() > 0)
+    // the fixpoint path still returns the fixture anchor on this layout
+    assert(Sparql.query(spark,
+      "SELECT ?x WHERE { wd:Q31 wdt:P47+ ?x }", partDir).count() === 6L)
+  }
+
   test("bound-predicate scan prunes predicate-bucket partitions") {
     val df = Sparql.query(spark, "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }", partDir)
     val plan = df.queryExecution.explainString(
