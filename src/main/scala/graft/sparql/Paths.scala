@@ -29,7 +29,26 @@ object Paths {
   private val O = "__po"
 
   def exec(tr: Translator, statements: DataFrame, p: PathOp): DataFrame = {
-    val edges = compile(tr, statements, p.path)
+    // A closure with a bound endpoint is a directed BFS from that node
+    // — NOT the all-pairs transitive closure filtered afterwards. At
+    // scale the difference is the whole game: `wd:X wdt:P279* ?y`
+    // touches one node's reachable set, while the all-pairs closure
+    // materializes every chain in the graph. The reverse direction
+    // reuses the same BFS over flipped edges.
+    val fast: Option[DataFrame] = (p.path, p.s, p.o) match {
+      case (PZeroOrMore(inner), Const(v), _) =>
+        Some(reachableFrom(tr, statements, inner, v, includeStart = true))
+      case (POneOrMore(inner), Const(v), _) =>
+        Some(reachableFrom(tr, statements, inner, v, includeStart = false))
+      case (PZeroOrMore(inner), _, Const(v)) =>
+        Some(reachableFrom(tr, statements, PReverse(inner), v, includeStart = true)
+          .select(col(O).as(S), col(S).as(O)))
+      case (POneOrMore(inner), _, Const(v)) =>
+        Some(reachableFrom(tr, statements, PReverse(inner), v, includeStart = false)
+          .select(col(O).as(S), col(S).as(O)))
+      case _ => None
+    }
+    val edges = fast.getOrElse(compile(tr, statements, p.path))
     // bind endpoints like an ordinary triple pattern
     var df = edges
     var binds = List.empty[(String, Column)]
@@ -81,8 +100,58 @@ object Paths {
       .distinct()
       .select(col(S), col(S).as(O))
 
+  /** Directed BFS from a bound start node over the compiled inner-path
+    * edges: per round one shuffle join of the frontier against the
+    * (checkpointed) edge set. Tracks the expanded set (for termination)
+    * separately from the reached set (the answer), so a cycle back to
+    * the start still counts as "reachable in ≥ 1 step" for OneOrMore.
+    * Returns `(S = start, O = reached)` pairs.
+    */
+  private def reachableFrom(tr: Translator, st: DataFrame, inner: Ppe,
+                            start: graft.model.TermValue, includeStart: Boolean,
+                            maxIters: Int = 64): DataFrame = {
+    val spark = st.sparkSession
+    val edges = compile(tr, st, inner).select(
+        col(S), col(O),
+        col(S).getField("key").as("__ks"), col(O).getField("key").as("__ko"))
+      .dropDuplicates("__ks", "__ko")
+      .localCheckpoint(true)
+    val seed = spark.range(1)
+      .select(start.toColumn.as(O), lit(start.key).as("__ko"))
+      .localCheckpoint(true)
+    var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step
+    var expanded = seed // nodes whose out-edges were followed
+    var frontier = seed
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      iter += 1
+      val step = frontier.alias("f")
+        .join(edges.alias("e"), col("f.__ko") === col("e.__ks"))
+        .select(col("e." + O).as(O), col("e.__ko").as("__ko"))
+        .dropDuplicates("__ko")
+        .localCheckpoint(true)
+      val newReached = step.join(reached.select("__ko"), Seq("__ko"), "left_anti")
+      if (!newReached.isEmpty)
+        reached = reached.unionByName(newReached).localCheckpoint(true)
+      val newFrontier = step.join(expanded.select("__ko"), Seq("__ko"), "left_anti")
+        .localCheckpoint(true)
+      if (newFrontier.isEmpty) done = true
+      else {
+        expanded = expanded.unionByName(newFrontier).localCheckpoint(true)
+        frontier = newFrontier
+      }
+    }
+    val result =
+      if (includeStart)
+        reached.unionByName(seed).dropDuplicates("__ko")
+      else reached
+    result.select(start.toColumn.as(S), col(O))
+  }
+
   /** Transitive closure: iterative join-dedup fixpoint with
-    * localCheckpoint per round to cut lineage (SURVEY §7.5).
+    * localCheckpoint per round to cut lineage (SURVEY §7.5) — the
+    * both-endpoints-free case; bound endpoints take [[reachableFrom]].
     */
   private def closure(edges0: DataFrame, maxIters: Int = 64): DataFrame = {
     val spark = edges0.sparkSession

@@ -1,0 +1,66 @@
+package graft.sparql
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+import graft.model.TermValue
+import graft.sparql.Ast._
+
+/** Closure semantics on a controlled cyclic graph: the bound-endpoint
+  * BFS must agree with the all-pairs closure on cycles, dead ends, and
+  * the zero-length case (the fixture store is acyclic, so these edges
+  * need their own graph).
+  */
+class PathsSpec extends SparkTestBase {
+
+  // Q1 -P2-> Q3 -P2-> Q5 -P2-> Q1 (a 3-cycle), plus isolated Q7 via an
+  // unrelated edge so it exists as a graph node
+  private lazy val statements: DataFrame = {
+    val rows = Seq((1L, 3L), (3L, 5L), (5L, 1L)).map { case (a, b) =>
+      (TermValue.entityQ(a), TermValue.propDirect(2), TermValue.entityQ(b))
+    } :+ ((TermValue.entityQ(7), TermValue.propDirect(9), TermValue.entityQ(7)))
+    rows.zipWithIndex.map { case ((s, p, o), i) =>
+      spark.range(1).select(s.toColumn.as("s"), p.toColumn.as("p"),
+        o.toColumn.as("o"), TermValue.namedEdge(i.toString).toColumn.as("id"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private lazy val tr = new Translator(spark, statements, statements.limit(0))
+
+  private def run(p: PathOp): Set[Seq[String]] =
+    tr.exec(p).collect().map(_.toSeq.map(v =>
+      v.asInstanceOf[org.apache.spark.sql.Row].getAs[String]("key"))).map(_.toSeq).toSet
+
+  private val p2 = PLink(TermValue.propDirect(2))
+
+  test("OneOrMore from a cycle member reaches the whole cycle including itself") {
+    val got = run(PathOp(Const(TermValue.entityQ(1)), POneOrMore(p2), Var("x")))
+    assert(got === Set(Seq("Q:3"), Seq("Q:5"), Seq("Q:1")))
+  }
+
+  test("ZeroOrMore from a dead-end node is just the node; OneOrMore is empty") {
+    val zero = run(PathOp(Const(TermValue.entityQ(7)), PZeroOrMore(p2), Var("x")))
+    assert(zero === Set(Seq("Q:7")))
+    val one = run(PathOp(Const(TermValue.entityQ(7)), POneOrMore(p2), Var("x")))
+    assert(one === Set.empty[Seq[String]])
+  }
+
+  test("bound-object closure runs the BFS over reversed edges") {
+    val got = run(PathOp(Var("x"), POneOrMore(p2), Const(TermValue.entityQ(3))))
+    assert(got === Set(Seq("Q:1"), Seq("Q:5"), Seq("Q:3")))
+  }
+
+  test("both endpoints bound: reachability check through the cycle") {
+    val yes = run(PathOp(Const(TermValue.entityQ(1)), POneOrMore(p2), Const(TermValue.entityQ(5))))
+    assert(yes.size === 1) // one empty binding row = true
+    val no = run(PathOp(Const(TermValue.entityQ(1)), POneOrMore(p2), Const(TermValue.entityQ(7))))
+    assert(no.isEmpty)
+  }
+
+  test("free-free closure still takes the all-pairs path and matches BFS per node") {
+    val all = run(PathOp(Var("a"), POneOrMore(p2), Var("b")))
+    // 3-cycle: every member reaches every member (incl. itself) → 9 pairs
+    assert(all.size === 9)
+    assert(all.contains(Seq("Q:1", "Q:1")) && all.contains(Seq("Q:5", "Q:3")))
+  }
+}
