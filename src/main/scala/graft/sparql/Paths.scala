@@ -120,7 +120,6 @@ object Paths {
       .select(start.toColumn.as(O), lit(start.key).as("__ko"))
       .localCheckpoint(true)
     var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step
-    var expanded = seed // nodes whose out-edges were followed
     var frontier = seed
     var iter = 0
     var done = false
@@ -130,17 +129,17 @@ object Paths {
         .join(edges.alias("e"), col("f.__ko") === col("e.__ks"))
         .select(col("e." + O).as(O), col("e.__ko").as("__ko"))
         .dropDuplicates("__ko")
-        .localCheckpoint(true)
+      // the expanded set differs from the reached set only by the seed
+      // (previous frontiers ⊆ reached), so the next frontier is just
+      // the fresh nodes minus the seed — one anti join per round, not
+      // two
       val newReached = step.join(reached.select("__ko"), Seq("__ko"), "left_anti")
+        .localCheckpoint(true)
+      val newFrontier = newReached.filter(col("__ko") =!= start.key)
       if (!newReached.isEmpty)
         reached = reached.unionByName(newReached).localCheckpoint(true)
-      val newFrontier = step.join(expanded.select("__ko"), Seq("__ko"), "left_anti")
-        .localCheckpoint(true)
       if (newFrontier.isEmpty) done = true
-      else {
-        expanded = expanded.unionByName(newFrontier).localCheckpoint(true)
-        frontier = newFrontier
-      }
+      else frontier = newFrontier
     }
     val result =
       if (includeStart)
