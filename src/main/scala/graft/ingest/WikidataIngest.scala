@@ -35,13 +35,19 @@ object WikidataIngest {
              languageFilter: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
     val lines: Dataset[String] = spark.read.textFile(path)
-    // zipWithIndex is deterministic for a fixed input file layout; the
-    // line index seeds the global insertion ordinal (see Quad.ord).
-    val quads = lines.rdd.zipWithIndex.flatMap { case (line, lineIdx) =>
-      WikidataParser.parseLine(line, parseQualifiers, languageFilter)
-        .map(q => q.copy(ord = lineIdx * 1000000L + q.ord))
-    }
-    spark.createDataset(quads).toDF()
+    // Per-quad insertion ordinal, assigned AFTER the flatMap:
+    // parseLine emits a line's quads in ascending per-line seq, flatMap
+    // preserves that order within each split, and
+    // monotonically_increasing_id() is increasing in (partition, row) —
+    // so the ordinal induces exactly the (file, line, in-line) insertion
+    // order the reference's append log records. This replaces
+    // zipWithIndex (whose count job cost a full extra pass over the
+    // input at scale) and the lineIdx*1e6+seq packing (whose silent
+    // <1M-quads-per-line assumption is gone with it — no packing, no
+    // bound, no overflow at any input size).
+    lines.flatMap(line => WikidataParser.parseLine(line, parseQualifiers, languageFilter))
+      .toDF()
+      .withColumn("ord", monotonically_increasing_id())
   }
 
   /** Labels/descriptions/aliases view used by the label service
@@ -82,15 +88,35 @@ object WikidataIngest {
     invalidate(dir)
   }
 
-  /** Predicate-bucket count for the partitioned layout. */
+  /** Default predicate-bucket count for the partitioned layout. The
+    * count actually used by a store is persisted beside it (see
+    * [[storeBuckets]]) so the plan-time bucket computation can never
+    * drift from the layout the store was built with.
+    */
   val NumPredBuckets = 64
 
-  /** Bucket of a predicate's numeric id (non-entity predicates — label/
-    * description/alias language edges — share the overflow bucket).
-    * Must stay in sync with [[graft.sparql.Translator]]'s plan-time
-    * bucket computation for literal predicates.
+  /** Bucket of a term's numeric id under a `buckets`-way layout
+    * (non-entity terms — label/description/alias language edges —
+    * share the overflow bucket `buckets`).
     */
-  def predBucket(num: Long): Long = java.lang.Math.floorMod(num, NumPredBuckets.toLong)
+  def predBucket(num: Long, buckets: Int = NumPredBuckets): Long =
+    java.lang.Math.floorMod(num, buckets.toLong)
+
+  /** Bucket count a partitioned store was built with, read from the
+    * `meta.json` [[buildPartitioned]] writes; older stores without one
+    * fall back to [[NumPredBuckets]] (the only count ever used before
+    * the file existed). Flat stores have no buckets → None.
+    */
+  def storeBuckets(dir: String): Option[Int] = {
+    val meta = new java.io.File(s"$dir/meta.json")
+    if (meta.exists()) {
+      val txt = scala.io.Source.fromFile(meta)
+      try "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt.mkString).map(_.group(1).toInt)
+      finally txt.close()
+    } else if (new java.io.File(s"$dir/statements_sub.parquet").exists())
+      Some(NumPredBuckets)
+    else None
+  }
 
   /** Scale layout (SURVEY §1.6): the same quad table written
     * `partitionBy(p_bucket)` — the analog of the reference's
@@ -146,6 +172,9 @@ object WikidataIngest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("kind", "lang")
       .parquet(s"$dir/labels.parquet")
+    // persist the layout so readers bucket exactly as the writer did
+    val w = new java.io.PrintWriter(s"$dir/meta.json")
+    try w.write(s"""{"buckets": $buckets}""") finally w.close()
     invalidate(dir)
   }
 

@@ -260,9 +260,11 @@ object Dedup {
           Seq("cid"), "left")
         .select(col("id"), coalesce(col("cid2"), col("cid")).as("cid"))
         .localCheckpoint(true)
-      // labels only ever decrease, so the label sum strictly decreases
-      // iff anything changed — one aggregation instead of a join per
-      // round (decimal sum: overflow-free for any realistic id range)
+      // labels only ever decrease, so the label set changes iff anything
+      // changed — one aggregation instead of a join per round. The
+      // checksum hashes (id, cid) so it works for ANY id type (numeric,
+      // string, …); a numeric sum would be NULL for string ids and
+      // falsely report convergence after one round.
       val nextSum = labelSum(next)
       done = nextSum.compareTo(curSum) == 0
       curSum = nextSum
@@ -271,10 +273,15 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cid").as("cluster_id"))
   }
 
-  // sum over zero rows is SQL NULL — normalize so the convergence
-  // comparison is total (an empty pair set converges immediately)
+  // Type-agnostic label checksum: sum of per-row (id, cid) hashes,
+  // decimal so 2^63-scale longs cannot overflow the sum. Equal sums ⇒
+  // unchanged labels (up to a vanishing 64-bit collision chance; labels
+  // are monotone so a false match only stops one round early). Sum over
+  // zero rows is SQL NULL — normalize so an empty pair set converges
+  // immediately.
   private def labelSum(labels: DataFrame): java.math.BigDecimal =
-    Option(labels.agg(sum(col("cid").cast(DecimalType(38, 0)))).head.getDecimal(0))
+    Option(labels.agg(sum(xxhash64(col("id"), col("cid")).cast(DecimalType(38, 0))))
+      .head.getDecimal(0))
       .getOrElse(java.math.BigDecimal.ZERO)
 
   /** Keep one canonical document per near-dup cluster: drops every

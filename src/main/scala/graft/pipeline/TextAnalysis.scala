@@ -96,9 +96,11 @@ object TextAnalysis {
       .groupBy("__id", "w").agg(count(lit(1)).as("c"))
       .groupBy("__id").agg(sum("c").as("n_words"), max("c").as("top_word_n"),
         count(lit(1)).as("n_distinct"))
+    // slice() throws on negative length, so clamp for 0/1-word docs
+    val nBigrams = greatest(size(col("__ws")) - 1, lit(0))
     val bigrams = zip_with(
-      slice(col("__ws"), lit(1), size(col("__ws")) - 1),
-      slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+      slice(col("__ws"), lit(1), nBigrams),
+      slice(col("__ws"), lit(2), nBigrams),
       (a, b) => concat(a, lit(" "), b))
     val bigramStats = base.select(col("__id"), explode(bigrams).as("bg"))
       .groupBy("__id", "bg").agg(count(lit(1)).as("c"))

@@ -36,9 +36,11 @@ object PipelineQueries {
 
     "p03_ngram_jaccard" -> ((s, d) =>
       // exact 3-gram jaccard pairs on a bounded slice (quadratic kernel
-      // is the verify step of LSH, never the scale path on full data)
+      // is the verify step of LSH, never the scale path on full data);
+      // the slice is sized to contain real near-dup pairs so the gate
+      // verifies actual matches, not an empty set
       Dedup.ngramJaccardPairs(
-        Tables.documents(s, d).filter(col("doc_id") < 100), "text", "doc_id",
+        Tables.documents(s, d).filter(col("doc_id") < 350), "text", "doc_id",
         n = 3, threshold = 0.2)),
 
     // portable-hash variant (md5-based word hashes) so the oracle can
@@ -91,6 +93,47 @@ object PipelineQueries {
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "embedding", "vec_id",
         planes = 8, threshold = 0.99)
         .withColumn("cos", round(col("cos"), 6))),
+
+    // ---- recall gates for the three rows-only ANN paths -------------
+    // Each emits one constant-checkable row, so a recall collapse fails
+    // the driver's CORRECTNESS gate, not just ScalaTest. The 0.5 floor
+    // matches PipelineSpec: the synthetic embeddings are near-random
+    // (max pairwise cosine ~0.51) — the hardest case for any ANN index.
+    "p23_lsh_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+      recallGate(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10),
+        Similarity.lshTopK(emb, probes, "embedding", "vec_id", k = 10,
+          planes = 6, tables = 8),
+        bound = 0.5)
+    }),
+
+    "p25_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+      recallGate(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10),
+        Similarity.ivfTopK(emb, probes, "embedding", "vec_id", k = 10,
+          nlist = 16, nprobe = 8),
+        bound = 0.5)
+    }),
+
+    // The corpus has no true near-dup pairs at 0.99 (near-random
+    // vectors), so p11's recall gate PLANTS 20 exact duplicates:
+    // identical vectors agree with every hyperplane, so they collide in
+    // the LSH bucket with probability 1 and the operator must surface
+    // all 20 (original, copy) pairs — deterministically.
+    "p24_embdup_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(emb.unionByName(planted), "embedding", "vec_id",
+        planes = 8, threshold = 0.99)
+        .filter(col("id_b") === col("id_a") + 10000 && col("id_a") < 20)
+        .agg(count(lit(1)).as("n"))
+        .select(when(col("n") === 20, lit("pass")).otherwise(lit("fail")).as("status"))
+    }),
 
     // ---- pillar 3: text analysis ------------------------------------
     // (documents is a single parquet split at test SFs — repartition so
@@ -215,6 +258,17 @@ object PipelineQueries {
     })
   )
 
+  /** In-plan recall@k of `approx` vs the `exact` baseline, folded to a
+    * single pass/fail row (the oracle is the constant "pass" row). A
+    * left join from the exact pairs counts hits; no collect.
+    */
+  private def recallGate(exact: DataFrame, approx: DataFrame, bound: Double): DataFrame =
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(approx.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("probe_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      .select(when(col("recall") >= bound, lit("pass")).otherwise(lit("fail")).as("status"))
+
   // exact 3-gram Jaccard pairs at >= 0.9 — the ground truth the p02 LSH
   // plan must reproduce; reused as the edge set of the cluster oracles
   private val neardupPairsSql =
@@ -284,7 +338,7 @@ object PipelineQueries {
          |  SELECT doc_id FROM ($clustersSql) c WHERE c.doc_id <> c.cluster_id)""".stripMargin,
 
     "p03_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS WHERE doc_id < 100),
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS WHERE doc_id < 350),
         |s AS (SELECT doc_id,
         |        list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
         |      FROM w)
@@ -294,6 +348,13 @@ object PipelineQueries {
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2""".stripMargin,
+
+    // recall gates: the expected outcome is a constant — any bucketing
+    // or quantizer-fit collapse flips the row to 'fail' and breaks the
+    // hash match
+    "p23_lsh_recall" -> "SELECT 'pass' AS status",
+    "p24_embdup_recall" -> "SELECT 'pass' AS status",
+    "p25_ivf_recall" -> "SELECT 'pass' AS status",
 
     "p05_ann_brute" ->
       """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB WHERE vec_id < 5),

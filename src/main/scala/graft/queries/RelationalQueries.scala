@@ -90,11 +90,13 @@ object RelationalQueries {
         .select($"c_custkey", $"c_name", $"c_acctbal")
     }),
 
-    // -- anti join (NOT EXISTS).
+    // -- anti join (NOT EXISTS). Against high-value orders, not all
+    // orders: every customer has SOME order at these SFs, and a gate
+    // that hash-matches on 0 rows exercises the join only weakly.
     "q06_anti_join" -> ((s, d) => {
       import s.implicits._
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select($"o_custkey"),
+        .join(Tables.orders(s, d).filter($"o_totalprice" > 250000).select($"o_custkey"),
               $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
     }),
@@ -124,10 +126,12 @@ object RelationalQueries {
     }),
 
     // -- EXCEPT (set difference, distinct semantics in both engines).
+    // Right side is the high-spend customers, so the difference is
+    // genuinely non-empty (nation-vs-customer keys overlapped fully).
     "q10_except" -> ((s, d) => {
       import s.implicits._
-      Tables.nation(s, d).select($"n_nationkey")
-        .except(Tables.customer(s, d).select($"c_nationkey"))
+      Tables.customer(s, d).select($"c_custkey")
+        .except(Tables.orders(s, d).filter($"o_totalprice" > 250000).select($"o_custkey"))
     }),
 
     // -- COUNT(DISTINCT) — expands to a two-phase aggregate in Spark,
@@ -306,7 +310,7 @@ object RelationalQueries {
 
     "q06_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
 
     "q07_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
@@ -323,7 +327,7 @@ object RelationalQueries {
         |) GROUP BY nk""".stripMargin,
 
     "q10_except" ->
-      "SELECT n_nationkey FROM nation EXCEPT SELECT c_nationkey FROM customer",
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 250000",
 
     "q11_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n

@@ -19,8 +19,14 @@ object SparqlQueries {
   private val ST = "read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')"
   private val LB = "read_parquet('/root/repo/data/wikidata/labels.parquet/*.parquet')"
 
+  /** The sp pack runs against the flat fixture store by default; set
+    * `spark.graft.store.dir` to point it at another layout (Verify's
+    * `SPARK_GRAFT_STORE_DIR` uses this to run the full pack against the
+    * partitioned scale layout).
+    */
   private def q(text: String): (SparkSession, String) => DataFrame =
-    (spark, _) => Sparql.rendered(spark, text)
+    (spark, _) => Sparql.rendered(spark, text,
+      spark.conf.get("spark.graft.store.dir", graft.ingest.WikidataIngest.defaultDir))
 
   /** (sparql, oracle-sql) per entry; split below for SparkEntry. */
   val entries: Seq[(String, String, String)] = Seq(
@@ -294,11 +300,13 @@ object SparqlQueries {
          |SELECT DISTINCT o_lex AS x FROM $ST
          |WHERE s['key']='Q:31' AND p['key']='P:47'""".stripMargin),
 
+    // over Q31's own predicates, which genuinely repeat per object —
+    // the previous two-hop form matched nothing in the 5-entity fixture
+    // and gated REDUCED against an empty set
     ("sp42_reduced",
-      "SELECT REDUCED ?p WHERE { wd:Q31 wdt:P31 ?o . ?o ?p ?x . }",
-      s"""SELECT DISTINCT b.p_lex AS p
-         |FROM $ST a JOIN $ST b ON a.o['key']=b.s['key']
-         |WHERE a.s['key']='Q:31' AND a.p['key']='P:31'""".stripMargin),
+      "SELECT REDUCED ?p WHERE { wd:Q31 ?p ?x . }",
+      s"""SELECT DISTINCT p_lex AS p
+         |FROM $ST WHERE s['key']='Q:31'""".stripMargin),
 
     // ---- CONSTRUCT / DESCRIBE (SURVEY §2.9; reference todo!) ---------
     ("sp43_construct",

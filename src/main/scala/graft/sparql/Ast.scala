@@ -110,6 +110,14 @@ object Ast {
     def root: Op = Bgp(Nil)
   }
 
+  /** Prefix for internal pseudo-variables (blank-node columns, unnamed
+    * group keys, synthesized aggregate slots). `#` cannot appear in a
+    * lexed variable name (the lexer admits letters, digits, `_`, `-`),
+    * so no user variable — including legal names like `?__x` — can ever
+    * collide with an internal one.
+    */
+  val InternalPrefix = "#"
+
   /** Column-name prefix for blank nodes in query patterns. The
     * reference renames scan columns to the blank node's label exactly
     * like a variable (`pattern_to_str`, calc_engine.rs:2996-3001), so a
@@ -117,12 +125,12 @@ object Ast {
     * variables — they cannot be projected and are excluded from
     * `SELECT *` (hence the reserved prefix).
     */
-  val BnodePrefix = "__bnode_"
+  val BnodePrefix = InternalPrefix + "bnode_"
 
   /** In-scope variables of an operator tree (used for SELECT *,
     * projection checks and the label-service rewrite). Names with the
-    * reserved `__` prefix (blank-node pseudo-variables, unnamed group
-    * keys, synthesized aggregate slots) are internal and never in
+    * reserved [[InternalPrefix]] (blank-node pseudo-variables, unnamed
+    * group keys, synthesized aggregate slots) are internal and never in
     * scope.
     */
   def scopeVars(op: Op): Seq[Var] = {
@@ -149,6 +157,6 @@ object Ast {
       case Service(_, i, _) => walk(i)
     }
     walk(op)
-    out.toSeq.filterNot(_.name.startsWith("__"))
+    out.toSeq.filterNot(_.name.startsWith(InternalPrefix))
   }
 }

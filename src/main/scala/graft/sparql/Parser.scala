@@ -350,7 +350,7 @@ object Parser {
       val outVars = ArrayBuffer.empty[Var]
       if (star) {
         // hidden names (unnamed group keys, blank nodes) never project
-        if (useGroup) outVars ++= groupKeys.filterNot(_.name.startsWith("__"))
+        if (useGroup) outVars ++= groupKeys.filterNot(_.name.startsWith(InternalPrefix))
         else outVars ++= scopeVars(op)
       }
       for ((v, eOpt) <- items) {
@@ -724,10 +724,10 @@ object Parser {
       "BNODE" -> Func.BNode, "STRDT" -> Func.StrDt, "STRLANG" -> Func.StrLang,
       "UUID" -> Func.Uuid, "STRUUID" -> Func.StrUuid)
 
-    private def freshAggVar(): Var = { aggCounter += 1; Var(s"__agg$aggCounter") }
+    private def freshAggVar(): Var = { aggCounter += 1; Var(s"${InternalPrefix}agg$aggCounter") }
 
     private var groupKeyCounter = 0
-    private def freshGroupVar(): Var = { groupKeyCounter += 1; Var(s"__gk$groupKeyCounter") }
+    private def freshGroupVar(): Var = { groupKeyCounter += 1; Var(s"${InternalPrefix}gk$groupKeyCounter") }
 
     private def parsePrimaryExpression(): Expr = peek match {
       case Some(TPunct("(")) =>

@@ -23,10 +23,26 @@ import Ast._
   *     the visited set stays partitioned by destination)
   *   - NegatedPropertySet → `NOT predicate IN (…)` filter
   */
+/** A path closure exceeded its configured row/iteration budget — the
+  * fail-fast alternative to OOMing a cluster on a runaway `?x p* ?y`
+  * (CONFORMANCE: the reference never executes paths at all).
+  */
+final class PathBudgetExceeded(msg: String) extends RuntimeException(msg)
+
 object Paths {
 
   private val S = "__ps"
   private val O = "__po"
+
+  /** Row budget for unbounded-path materialization (`?x p* ?y`
+    * closures and the zero-length identity set). Default unlimited;
+    * set `spark.graft.path.maxRows` at cluster scale so a runaway
+    * closure fails fast with [[PathBudgetExceeded]] instead of eating
+    * the cluster. Iteration exhaustion (diameter > maxIters) also
+    * throws — a silently truncated closure would be a wrong answer.
+    */
+  private def maxRowsBudget(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.path.maxRows", Long.MaxValue.toString).toLong
 
   def exec(tr: Translator, statements: DataFrame, p: PathOp): DataFrame = {
     // A closure with a bound endpoint is a directed BFS from that node
@@ -95,10 +111,17 @@ object Paths {
     * genuine `p*`/`p?` with both endpoints free is asked — with a bound
     * endpoint the translator's endpoint filter prunes it to one node.
     */
-  private def identityPairs(st: DataFrame): DataFrame =
-    st.select(col("s").as(S)).unionByName(st.select(col("o").as(S)))
+  private def identityPairs(st: DataFrame): DataFrame = {
+    val ids = st.select(col("s").as(S)).unionByName(st.select(col("o").as(S)))
       .distinct()
-      .select(col(S), col(S).as(O))
+    val budget = maxRowsBudget(st)
+    if (budget < Long.MaxValue) {
+      val n = ids.count()
+      if (n > budget) throw new PathBudgetExceeded(
+        s"zero-length path identity set has $n nodes > spark.graft.path.maxRows=$budget")
+    }
+    ids.select(col(S), col(S).as(O))
+  }
 
   /** Directed BFS from a bound start node over the compiled inner-path
     * edges: per round one shuffle join of the frontier against the
@@ -119,6 +142,8 @@ object Paths {
     val seed = spark.range(1)
       .select(start.toColumn.as(O), lit(start.key).as("__ko"))
       .localCheckpoint(true)
+    val budget = maxRowsBudget(st)
+    var rows = 0L
     var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step
     var frontier = seed
     var iter = 0
@@ -135,12 +160,18 @@ object Paths {
       // two
       val newReached = step.join(reached.select("__ko"), Seq("__ko"), "left_anti")
         .localCheckpoint(true)
+      val n = newReached.count()
+      rows += n
+      if (rows > budget) throw new PathBudgetExceeded(
+        s"path BFS from ${start.key} reached $rows nodes > spark.graft.path.maxRows=$budget")
       val newFrontier = newReached.filter(col("__ko") =!= start.key)
-      if (!newReached.isEmpty)
+      if (n > 0)
         reached = reached.unionByName(newReached).localCheckpoint(true)
       if (newFrontier.isEmpty) done = true
       else frontier = newFrontier
     }
+    if (!done) throw new PathBudgetExceeded(
+      s"path BFS from ${start.key} did not converge in $maxIters rounds")
     val result =
       if (includeStart)
         reached.unionByName(seed).dropDuplicates("__ko")
@@ -153,12 +184,15 @@ object Paths {
     * both-endpoints-free case; bound endpoints take [[reachableFrom]].
     */
   private def closure(edges0: DataFrame, maxIters: Int = 64): DataFrame = {
-    val spark = edges0.sparkSession
+    val budget = maxRowsBudget(edges0)
     var total = edges0.select(
       col(S), col(O),
       col(S).getField("key").as("__ks"), col(O).getField("key").as("__ko"))
       .dropDuplicates("__ks", "__ko")
       .localCheckpoint(true)
+    var rows = total.count()
+    if (rows > budget) throw new PathBudgetExceeded(
+      s"path closure edge set has $rows rows > spark.graft.path.maxRows=$budget")
     var frontier = total
     var iter = 0
     var done = false
@@ -171,12 +205,18 @@ object Paths {
         .dropDuplicates("__ks", "__ko")
       val fresh = step.join(total.select("__ks", "__ko"), Seq("__ks", "__ko"), "left_anti")
         .localCheckpoint(true)
-      if (fresh.isEmpty) done = true
+      val n = fresh.count()
+      rows += n
+      if (rows > budget) throw new PathBudgetExceeded(
+        s"path closure reached $rows pairs > spark.graft.path.maxRows=$budget")
+      if (n == 0) done = true
       else {
         total = total.unionByName(fresh).localCheckpoint(true)
         frontier = fresh
       }
     }
+    if (!done) throw new PathBudgetExceeded(
+      s"path closure did not converge in $maxIters rounds")
     total.select(col(S), col(O))
   }
 }

@@ -24,7 +24,8 @@ object Sparql {
     val statements = WikidataIngest.statements(spark, dir)
     val labels = WikidataIngest.labels(spark, dir)
     new Translator(spark, statements, labels,
-      WikidataIngest.statementsObj(spark, dir), WikidataIngest.statementsSub(spark, dir))
+      WikidataIngest.statementsObj(spark, dir), WikidataIngest.statementsSub(spark, dir),
+      WikidataIngest.storeBuckets(dir).getOrElse(WikidataIngest.NumPredBuckets))
       .translate(Parser.parse(text))
   }
 

@@ -25,7 +25,8 @@ import Ast._
   */
 final class Translator(spark: SparkSession, statements: DataFrame, labels: DataFrame,
                        statementsObj: Option[DataFrame] = None,
-                       statementsSub: Option[DataFrame] = None) {
+                       statementsSub: Option[DataFrame] = None,
+                       buckets: Int = graft.ingest.WikidataIngest.NumPredBuckets) {
 
   import TermOps._
 
@@ -41,8 +42,19 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       // triple over the solution set, unioned and deduplicated (RDF
       // graphs are sets); solutions leaving any position unbound
       // produce no triple, per spec
-      val df = exec(LabelService.rewrite(root))
+      val base = exec(LabelService.rewrite(root))
+      // template blank nodes mint a fresh bnode per solution (SPARQL 1.1
+      // §16.2.1) — same label, same solution → same node; the row id
+      // makes nodes distinct across solutions
+      val rowIdCol = InternalPrefix + "rowid"
+      val hasTmplBnodes = template.exists(t =>
+        Seq(t.s, t.p, t.o).exists { case Var(n) => n.startsWith(BnodePrefix); case _ => false })
+      val df = if (hasTmplBnodes) base.withColumn(rowIdCol, monotonically_increasing_id()) else base
       def termCol(p: TermPat): Column = p match {
+        case Var(n) if n.startsWith(BnodePrefix) =>
+          val label = concat_ws("_", lit(n.stripPrefix(BnodePrefix)), col(rowIdCol).cast(StringType))
+          Term.struct_(lit(Term.Kind.Edge), lit(null).cast(DoubleType), label,
+            lit(null).cast(StringType), concat(lit("bn:"), label))
         case Var(n) if df.columns.contains(n) => df(n)
         case Var(_) => Term.nullTerm
         case Const(v) => v.toColumn
@@ -195,7 +207,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     pPat match {
       case Const(v) if hasPredBuckets && v.num.isDefined =>
         base && col("p_bucket") ===
-          graft.ingest.WikidataIngest.predBucket(v.num.get.toLong).toInt
+          graft.ingest.WikidataIngest.predBucket(v.num.get.toLong, buckets).toInt
       case _ => base
     }
   }
@@ -227,8 +239,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
                        term: String, v: graft.model.TermValue): DataFrame = copy match {
     case Some(c) =>
       val bucket = v.num.map(n =>
-        graft.ingest.WikidataIngest.predBucket(n.toLong).toInt)
-        .getOrElse(graft.ingest.WikidataIngest.NumPredBuckets)
+        graft.ingest.WikidataIngest.predBucket(n.toLong, buckets).toInt)
+        .getOrElse(buckets)
       c.filter(col(bucketCol) === bucket && col(s"$term.key") === v.key)
     case None => wdsSt.filter(col(s"$term.key") === v.key)
   }

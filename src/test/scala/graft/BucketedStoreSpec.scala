@@ -98,6 +98,40 @@ class BucketedStoreSpec extends SparkTestBase {
       "SELECT ?x WHERE { wd:Q31 wdt:P47+ ?x }", partDir).count() === 6L)
   }
 
+  test("a store built with a non-default bucket count still answers correctly") {
+    // the writer persists its bucket count in meta.json and the reader
+    // buckets with it — a drifted count would silently return empty
+    // bound-subject/object scans (round-4 ADVICE)
+    val d = Files.createTempDirectory("graft-part16").toFile.getAbsolutePath
+    WikidataIngest.buildPartitioned(spark, WikidataIngest.fixturePath, d, buckets = 16)
+    assert(WikidataIngest.storeBuckets(d) === Some(16))
+    val queries = Seq(
+      "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }", // subject copy
+      "SELECT ?p2 ?b WHERE { ?b ?p2 wdt:Q31 . }", // object copy
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }") // predicate buckets
+    for (q <- queries) {
+      val flat = Sparql.rendered(spark, q, flatDir).collect().map(_.toString).sorted
+      val b16 = Sparql.rendered(spark, q, d).collect().map(_.toString).sorted
+      assert(flat.sameElements(b16), s"bucket-count drift broke: $q")
+    }
+  }
+
+  test("the full gated sp pack is layout-independent (Verify's --partitioned-store)") {
+    // every driver-gated SPARQL entry, flat vs partitioned — the
+    // CI-side guarantee behind running Verify against the scale layout
+    val spQueries = graft.queries.SparqlQueries.queries.toSeq.sortBy(_._1)
+    def runAll(): Map[String, Seq[String]] = spQueries.map { case (name, fn) =>
+      name -> fn(spark, "/root/testdata/sf0.001").collect().map(_.toString).sorted.toSeq
+    }.toMap
+    val flat = runAll()
+    spark.conf.set("spark.graft.store.dir", partDir)
+    try {
+      val part = runAll()
+      for ((name, rows) <- flat)
+        assert(part(name) === rows, s"layout divergence in $name")
+    } finally spark.conf.unset("spark.graft.store.dir")
+  }
+
   test("bound-predicate scan prunes predicate-bucket partitions") {
     val df = Sparql.query(spark, "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }", partDir)
     val plan = df.queryExecution.explainString(

@@ -366,6 +366,22 @@ class PipelineSpec extends SparkTestBase {
     val one = TextAnalysis.repetitionSignals(
       Seq((2L, "solo")).toDF("doc_id", "text"), "text", "doc_id").collect().head
     assert(one.getDouble(1) === 1.0 && one.isNullAt(3))
+    // zero-word docs (empty / whitespace-only — web corpora have them):
+    // the bigram slice must not evaluate slice() with a negative length
+    val mixed = Seq((1L, ""), (2L, "   "), (3L, "a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(mixed, "text", "doc_id").collect()
+    assert(out.map(_.getLong(0)).toSet === Set(3L)) // wordless docs have no stats rows
+    assert(out.head.getDouble(1) === 0.5)
+  }
+
+  test("near-dup clusters converge for string document ids") {
+    // a 5-node chain needs >1 round; the convergence checksum must work
+    // for non-numeric ids (a numeric sum is NULL → false convergence)
+    val pairs = Seq(("d", "e"), ("a", "b"), ("b", "c"), ("c", "d"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a"))
   }
 
   test("boilerplate lines shared across enough docs are stripped in order") {

@@ -206,7 +206,31 @@ class SparqlFixtureSpec extends SparkTestBase {
     // the hidden key must not leak into SELECT *
     val star = Sparql.query(spark,
       """SELECT * WHERE { VALUES ?x { "aa" "bb" "c" } } GROUP BY (STRLEN(?x))""", dir)
-    assert(star.columns.isEmpty || !star.columns.exists(_.startsWith("__")))
+    assert(star.columns.isEmpty || !star.columns.exists(_.startsWith("#")))
+  }
+
+  test("?__x is a legal user variable and projects like any other") {
+    // internal pseudo-variables use the '#' prefix (which the lexer
+    // rejects in var names), so a user's ?__x must survive SELECT *
+    val df = Sparql.query(spark, "SELECT * WHERE { VALUES ?__x { 1 2 } }", dir)
+    assert(df.columns.toSeq === Seq("__x"))
+    assert(df.count() === 2L)
+  }
+
+  test("CONSTRUCT template blank nodes mint a fresh bnode per solution") {
+    val df = Sparql.query(spark,
+      "CONSTRUCT { ?s wdt:P999 _:b . _:b wdt:P998 ?s } WHERE { VALUES ?s { wd:Q31 wd:Q8 wd:Q23 } }",
+      dir).collect()
+    assert(df.length === 6) // 3 solutions × 2 template triples, none dropped
+    val minted = df.map(_.getAs[org.apache.spark.sql.Row]("o"))
+      .filter(r => r.getAs[String]("kind") == "edge")
+      .map(_.getAs[String]("key"))
+    assert(minted.length === 3 && minted.distinct.length === 3) // fresh per solution
+    // the same label in one solution is the same node: each minted
+    // object reappears as the subject of the second template triple
+    val subs = df.map(_.getAs[org.apache.spark.sql.Row]("s"))
+      .filter(r => r.getAs[String]("kind") == "edge").map(_.getAs[String]("key"))
+    assert(subs.sorted.sameElements(minted.sorted))
   }
 
   test("CONSTRUCT WHERE shorthand uses the pattern as its template") {

@@ -63,4 +63,32 @@ class PathsSpec extends SparkTestBase {
     assert(all.size === 9)
     assert(all.contains(Seq("Q:1", "Q:1")) && all.contains(Seq("Q:5", "Q:3")))
   }
+
+  test("spark.graft.path.maxRows fails a runaway closure fast with a clear error") {
+    spark.conf.set("spark.graft.path.maxRows", "4")
+    try {
+      // the 3-cycle closure needs 9 pairs > budget 4
+      val e = intercept[PathBudgetExceeded] {
+        run(PathOp(Var("a"), POneOrMore(p2), Var("b")))
+      }
+      assert(e.getMessage.contains("spark.graft.path.maxRows=4"))
+      // the bound-endpoint BFS budgets too (3 reached > 2)
+      spark.conf.set("spark.graft.path.maxRows", "2")
+      intercept[PathBudgetExceeded] {
+        run(PathOp(Const(TermValue.entityQ(1)), POneOrMore(p2), Var("x")))
+      }
+      // zero-length identity set: 4 graph nodes > 2
+      intercept[PathBudgetExceeded] {
+        run(PathOp(Var("a"), PZeroOrOne(p2), Var("b")))
+      }
+    } finally spark.conf.unset("spark.graft.path.maxRows")
+  }
+
+  test("a budget above the result size changes nothing") {
+    spark.conf.set("spark.graft.path.maxRows", "1000")
+    try {
+      val all = run(PathOp(Var("a"), POneOrMore(p2), Var("b")))
+      assert(all.size === 9)
+    } finally spark.conf.unset("spark.graft.path.maxRows")
+  }
 }
