@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.ExtraQueries.queries ++
+      graft.queries.TemporalQueries.queries ++
       graft.queries.SparqlQueries.queries ++
       graft.queries.PipelineQueries.queries
 
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.ExtraQueries.oracles ++
+      graft.queries.TemporalQueries.oracles ++
       graft.queries.SparqlQueries.oracles ++
       graft.queries.PipelineQueries.oracles
 }

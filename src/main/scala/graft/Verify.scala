@@ -30,8 +30,13 @@ object Verify {
         graft.ingest.WikidataIngest.buildPartitioned(spark, dir = d)
       spark.conf.set("spark.graft.store.dir", d)
     }
+    // --only=p26,q29 runs a subset (local iteration; driver runs all)
+    val only = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=").split(",").toSet }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // repartition (not coalesce) so upstream computation stays
       // parallel and only the final write is single-file
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")

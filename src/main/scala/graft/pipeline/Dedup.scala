@@ -161,6 +161,41 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Duplicated-span profile — substring-level exact dedup at word
+    * granularity (the signal behind suffix-array substring dedup in
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): hash every ordered k-word span; a span is
+    * duplicated when its hash occurs in >= 2 distinct documents; report
+    * per document the distinct-span count and how many of those spans
+    * are duplicated somewhere else in the corpus.
+    *
+    * Shape: project ids + span hashes (doc bodies never survive the
+    * first select), explode, then two hash-partitioned aggregations —
+    * span-hash cardinality and per-doc counts — joined back by a
+    * semi join. No all-pairs stage anywhere; at 100 TB the shuffle keys
+    * are 60-bit hashes (uniform) and doc ids.
+    */
+  def dupSpanProfile(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 3,
+                     hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(orderedKgrams(lower(col(textCol)), k), hashFn))).as("h"))
+      .localCheckpoint(false) // feeds three branches below
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val totals = grams.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    val dups = grams.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
   /** Exact Jaccard over two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

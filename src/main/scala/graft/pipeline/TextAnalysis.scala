@@ -171,6 +171,29 @@ object TextAnalysis {
     docs.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Corpus vocabulary with document frequency and IDF — the
+    * building block for TF-IDF weighting, stopword discovery, and
+    * vocabulary pruning over a crawl. Words are counted once per
+    * document (document frequency, not term frequency).
+    *
+    * Scale shape: distinct-words-per-doc is a narrow map (the
+    * `array_distinct` runs inside the row), then ONE hash shuffle on
+    * the word with map-side combine; the corpus size joins in as a
+    * broadcast 1-row aggregate, so no driver-side count() action.
+    * Common words are capped at n_docs occurrences by the per-doc
+    * dedup, which also bounds the skew any single word can produce.
+    */
+  def documentFrequency(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val perDocWords = df.select(col(idCol),
+      explode(array_distinct(words(col(textCol)))).as("word"))
+    val total = df.agg(count(lit(1)).as("__n_docs"))
+    perDocWords.groupBy(col("word"))
+      .agg(count(lit(1)).as("df")) // words are distinct per doc
+      .crossJoin(broadcast(total))
+      .select(col("word"), col("df"),
+        round(log(col("__n_docs").cast(DoubleType) / col("df")), 6).as("idf"))
+  }
+
   /** The full per-document analysis frame used by the pipeline entry. */
   def analyze(df: DataFrame, textCol: String, idCol: String): DataFrame =
     qualityMetrics(df, textCol)

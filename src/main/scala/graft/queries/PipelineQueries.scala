@@ -249,6 +249,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("split"))
     }),
 
+    // substring-level exact dedup: per-doc duplicated 3-word-span
+    // profile (portable md5 hash so the oracle re-derives every span)
+    "p26_dup_spans" -> ((s, d) =>
+      Dedup.dupSpanProfile(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id", k = 3, hashFn = Dedup.md5Hash60)),
+
+    // corpus vocabulary: document frequency + IDF, top 100 by df
+    "p27_vocab_idf" -> ((s, d) =>
+      TextAnalysis.documentFrequency(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id")
+        .orderBy(col("df").desc, col("word").asc).limit(100)),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -355,6 +369,42 @@ object PipelineQueries {
     "p23_lsh_recall" -> "SELECT 'pass' AS status",
     "p24_embdup_recall" -> "SELECT 'pass' AS status",
     "p25_ivf_recall" -> "SELECT 'pass' AS status",
+
+    // per-doc duplicated-span profile re-derived in SQL: distinct
+    // 60-bit md5 hashes of ordered 3-grams, spans in >=2 docs
+    "p26_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |g AS (SELECT doc_id,
+        |        list_distinct([CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT)
+        |          FOR i IN range(1, len(ws)-1)]) AS hs
+        |      FROM w),
+        |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
+        |d AS (SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |t AS (SELECT doc_id, count(*) AS n_spans FROM e GROUP BY 1),
+        |c AS (SELECT e.doc_id, count(*) AS n_dup_spans FROM e JOIN d USING (h) GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  coalesce(t.n_spans, 0) AS n_spans,
+        |  coalesce(c.n_dup_spans, 0) AS n_dup_spans
+        |FROM DOCS doc
+        |LEFT JOIN t ON doc.doc_id = t.doc_id
+        |LEFT JOIN c ON doc.doc_id = c.doc_id""".stripMargin,
+
+    // document frequency + IDF, top 100 by df (ties by word)
+    "p27_vocab_idf" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                                   x -> len(x) > 0)) AS ws
+        |  FROM DOCS),
+        |e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |n AS (SELECT count(*) AS n_docs FROM DOCS)
+        |SELECT word, count(*) AS df,
+        |  round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / count(*)), 6) AS idf
+        |FROM e GROUP BY word
+        |ORDER BY df DESC, word LIMIT 100""".stripMargin,
 
     "p05_ann_brute" ->
       """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB WHERE vec_id < 5),

@@ -507,6 +507,30 @@ class PipelineSpec extends SparkTestBase {
     assert(r.getString(0) === "video/mp4" && r.getInt(1) === 1)
   }
 
+  // ---- substring-level dedup / vocabulary -----------------------------
+
+  test("dupSpanProfile counts spans shared across docs, zero for unique/short docs") {
+    val out = Dedup.dupSpanProfile(dupDocs, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1/2 are identical (9 words -> 7 distinct 3-gram spans, all
+    // duplicated); doc 3 shares the 6 spans not touching the last word;
+    // doc 4 is unique; doc 5 is empty (0 spans)
+    assert(out(1L) === ((7L, 7L)) && out(2L) === ((7L, 7L)))
+    assert(out(3L)._2 === 6L)
+    assert(out(4L) === ((7L, 0L)))
+    assert(out(5L) === ((0L, 0L)))
+  }
+
+  test("documentFrequency counts each word once per doc with ln-IDF") {
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.documentFrequency(df, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("a")._1 === 2L) // once per doc, not 3
+    assert(out("b")._1 === 1L && out("c")._1 === 1L)
+    assert(math.abs(out("a")._2 - math.log(3.0 / 2.0)) < 1e-6)
+    assert(math.abs(out("b")._2 - math.log(3.0)) < 1e-6)
+  }
+
   // ---- loaders (ADVICE: events nanos→micros) --------------------------
 
   test("events loader converts nanos to a microsecond timestamp column") {

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** Behavior + plan-shape tests for the temporal operators: backward
+  * as-of join, bucketed range join, gap sessionization.
+  */
+class TemporalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // trades/quotes — the canonical as-of fixture (ts in micros)
+  private lazy val trades = Seq(
+    ("A", 100L, 1), ("A", 200L, 2), ("A", 50L, 3), ("B", 100L, 4))
+    .toDF("sym", "ts", "trade_id")
+    .withColumn("ts", timestamp_micros($"ts"))
+  private lazy val quotes = Seq(
+    ("A", 90L, 9.0), ("A", 200L, 9.5), ("B", 150L, 8.0))
+    .toDF("sym", "ts", "px")
+    .withColumn("ts", timestamp_micros($"ts"))
+
+  test("asofBackward picks the latest right row at-or-before each left ts") {
+    val out = Temporal.asofBackward(trades, quotes, Seq("sym"), "ts")
+      .select($"trade_id", $"r_px").as[(Int, Double)].collect().toMap
+    // trade 1 (A@100) -> quote A@90; trade 2 (A@200) -> quote A@200
+    // (equal ts matches); trade 3 (A@50) has no prior quote -> dropped
+    // (inner); trade 4 (B@100) precedes B's only quote -> dropped
+    assert(out === Map(1 -> 9.0, 2 -> 9.5))
+  }
+
+  test("asofBackward left join keeps unmatched rows with null payload") {
+    val out = Temporal.asofBackward(trades, quotes, Seq("sym"), "ts", joinType = "left")
+    assert(out.count() === 4L)
+    assert(out.filter($"r_px".isNull).select($"trade_id")
+      .as[Int].collect().toSet === Set(3, 4))
+  }
+
+  test("asofBackward plans one shuffle and no join operator") {
+    val out = Temporal.asofBackward(trades, quotes, Seq("sym"), "ts")
+    out.collect() // finalize AQE
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case other => other +: other.children.flatMap(leaves)
+    }
+    val nodes = leaves(out.queryExecution.executedPlan).map(_.nodeName).toSet
+    assert(!nodes.exists(_.contains("Join")), s"unexpected join in $nodes")
+  }
+
+  test("rangeJoin matches the inequality-join semantics incl. boundaries") {
+    val fact = spark.range(1, 51).select($"id".cast("double").as("v"))
+    val ranges = Seq(("low", 1, 10), ("mid", 10, 25), ("high", 25, 41), ("bulk", 41, 51))
+      .toDF("tier", "lo", "hi")
+    val bucketed = Temporal.rangeJoin(fact, "v", ranges, "lo", "hi", binWidth = 7)
+      .select($"v", $"tier")
+    val naive = fact.join(ranges, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"v", $"tier")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    // hi is exclusive, lo inclusive: 10 lands in mid, not low
+    assert(bucketed.filter($"v" === 10.0).select($"tier").as[String].head() === "mid")
+  }
+
+  test("rangeJoin drops values outside every range and empty ranges") {
+    val fact = Seq(0.5, 99.0).toDF("v") // below all ranges / above all
+    val ranges = Seq(("a", 1, 10), ("broken", 5, 5)).toDF("tier", "lo", "hi")
+    assert(Temporal.rangeJoin(fact, "v", ranges, "lo", "hi", 10).count() === 0L)
+  }
+
+  test("sessionize splits on gap > threshold, 1-based per key") {
+    val ev = Seq(
+      ("u1", 0L), ("u1", 60L), ("u1", 3700L), // gap 3640s > 1h -> new session
+      ("u2", 0L))
+      .toDF("user_id", "s")
+      .withColumn("ts", timestamp_micros($"s" * 1000000L)).drop("s")
+    val out = Temporal.sessionize(ev, "user_id", "ts", gapSeconds = 3600)
+      .groupBy($"user_id", $"session_seq").count()
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("u1", 1L, 2L), ("u1", 2L, 1L), ("u2", 1L, 1L)))
+  }
+
+  test("sessionize at exactly the gap threshold stays in-session") {
+    val ev = Seq(0L, 3600L).toDF("s")
+      .withColumn("user_id", lit("u"))
+      .withColumn("ts", timestamp_micros($"s" * 1000000L)).drop("s")
+    val sessions = Temporal.sessionize(ev, "user_id", "ts", gapSeconds = 3600)
+      .select(max($"session_seq")).as[Long].head()
+    assert(sessions === 1L) // gap == threshold is not a break
+  }
+}
