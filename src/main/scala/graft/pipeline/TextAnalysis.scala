@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -192,6 +193,73 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("word"), col("df"),
         round(log(col("__n_docs").cast(DoubleType) / col("df")), 6).as("idf"))
+  }
+
+  /** Per-language corpus statistics with EXACT discrete quantiles of
+    * document word counts — the corpus census step of a curation
+    * pipeline (how much data per language, how long are documents).
+    *
+    * Exact quantiles normally mean a per-group sort, which skews badly
+    * when one language dominates a 100 TB crawl. This takes the
+    * histogram route instead: word counts have bounded cardinality, so
+    * a (lang, n_words) count aggregation — map-side combined, tiny
+    * result — followed by a cumulative-count window over the histogram
+    * rows gives the same exact quantile without ever sorting documents.
+    * The heavy shuffle carries one row per distinct (lang, length),
+    * not one per document.
+    *
+    * The quantile is the discrete lower quantile: the smallest value
+    * whose cumulative count reaches `ceil(q * n)` — integer-only
+    * position arithmetic, so any engine re-derives it bit-for-bit.
+    */
+  def corpusStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val perDoc = df.select(
+      langId(col(textCol)).as("lang"),
+      wsTokenCount(col(textCol)).cast(LongType).as("n_words"),
+      length(col(textCol)).cast(LongType).as("n_chars"))
+    val hist = perDoc.groupBy(col("lang"), col("n_words"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+    val cum = Window.partitionBy("lang").orderBy("n_words")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ceil(n/2) = floor((n+1)/2); ceil(9n/10) = floor((9n+9)/10)
+    val p50pos = floor((col("nd") + 1) / 2)
+    val p90pos = floor((col("nd") * 9 + 9) / 10)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("nd", sum(col("cnt")).over(Window.partitionBy("lang")))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("nd")).as("n_docs"),
+        sum(col("n_words") * col("cnt")).as("total_words"),
+        sum(col("chars")).as("total_chars"),
+        min(col("n_words")).as("min_words"),
+        max(col("n_words")).as("max_words"),
+        min(when(col("cum") >= p50pos, col("n_words"))).as("p50_words"),
+        min(when(col("cum") >= p90pos, col("n_words"))).as("p90_words"))
+  }
+
+  /** Per-document top-`k` terms by TF-IDF — keyword extraction /
+    * topic signals over a crawl. TF is the in-document term count; IDF
+    * comes from [[documentFrequency]] (rounded to 6 decimals first, so
+    * the score `round(tf * idf, 6)` is reproducible in any engine).
+    * Ties break by word ascending, so the top-k set is deterministic.
+    *
+    * Scale shape: term counting is one (doc, word) shuffle with
+    * map-side combine; the IDF join keys on the word (the vocabulary
+    * side is post-aggregation small — AQE broadcasts it); the top-k
+    * window shuffles on the doc id. No stage carries document bodies.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val idf = documentFrequency(df, textCol, idCol).select(col("word"), col("idf"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("word").asc)
+    tf.join(idf, Seq("word"))
+      .withColumn("score", round(col("tf") * col("idf"), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("word"), col("tf"), col("score"))
   }
 
   /** The full per-document analysis frame used by the pipeline entry. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -263,6 +263,36 @@ object PipelineQueries {
         "text", "doc_id")
         .orderBy(col("df").desc, col("word").asc).limit(100)),
 
+    // corpus census: per-language doc/word/char totals + exact
+    // histogram-derived discrete quantiles of document length
+    "p28_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id")),
+
+    // per-document top-5 TF-IDF terms (deterministic word-asc ties)
+    "p29_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id", k = 5)),
+
+    // sketch accuracy gates (p23-p25 pattern: approximate and exact
+    // answers computed in ONE plan, folded to a constant row the
+    // oracle pins — sketches have no SQL-re-derivable output)
+    "p30_hll_vocab_gate" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val w = t.select(explode(
+        filter(split(trim(lower(col("text"))), "\\s+"), x => length(x) > 0)).as("w"))
+      Sketches.distinctCountGate(w, "w", rsd = 0.02, bound = 0.05)
+    }),
+
+    "p31_quantile_gate" -> ((s, d) => {
+      val lens = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(TextAnalysis.wsTokenCount(col("text")).cast("double").as("n_words"))
+      Sketches.quantileGate(lens, "n_words", q = 0.5, accuracy = 10000, bound = 0.05)
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -369,6 +399,8 @@ object PipelineQueries {
     "p23_lsh_recall" -> "SELECT 'pass' AS status",
     "p24_embdup_recall" -> "SELECT 'pass' AS status",
     "p25_ivf_recall" -> "SELECT 'pass' AS status",
+    "p30_hll_vocab_gate" -> "SELECT 'pass' AS status",
+    "p31_quantile_gate" -> "SELECT 'pass' AS status",
 
     // per-doc duplicated-span profile re-derived in SQL: distinct
     // 60-bit md5 hashes of ordered 3-grams, spans in >=2 docs
@@ -405,6 +437,52 @@ object PipelineQueries {
         |  round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / count(*)), 6) AS idf
         |FROM e GROUP BY word
         |ORDER BY df DESC, word LIMIT 100""".stripMargin,
+
+    // the census re-derived over the same langId CTE: histogram of
+    // per-doc word counts, cumulative counts, discrete quantiles at
+    // integer positions ceil(n/2) = (n+1)//2 and ceil(9n/10) = (9n+9)//10
+    "p28_corpus_stats" ->
+      s"""WITH lang AS ($langIdSql),
+         |pd AS (SELECT d.doc_id, l.lang_id AS lang,
+         |         len(list_filter(string_split_regex(trim(d.text), '\\s+'), w -> len(w) > 0)) AS n_words,
+         |         len(d.text) AS n_chars
+         |       FROM DOCS d JOIN lang l ON d.doc_id = l.doc_id),
+         |hist AS (SELECT lang, n_words, count(*) AS cnt, sum(n_chars) AS chars
+         |         FROM pd GROUP BY 1, 2),
+         |c AS (SELECT lang, n_words, cnt, chars,
+         |        sum(cnt) OVER (PARTITION BY lang ORDER BY n_words
+         |                       ROWS UNBOUNDED PRECEDING) AS cum,
+         |        sum(cnt) OVER (PARTITION BY lang) AS nd
+         |      FROM hist)
+         |SELECT lang,
+         |  CAST(max(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words * cnt) AS BIGINT) AS total_words,
+         |  CAST(sum(chars) AS BIGINT) AS total_chars,
+         |  CAST(min(n_words) AS BIGINT) AS min_words,
+         |  CAST(max(n_words) AS BIGINT) AS max_words,
+         |  CAST(min(CASE WHEN cum >= (nd + 1) // 2 THEN n_words END) AS BIGINT) AS p50_words,
+         |  CAST(min(CASE WHEN cum >= (9 * nd + 9) // 10 THEN n_words END) AS BIGINT) AS p90_words
+         |FROM c GROUP BY lang""".stripMargin,
+
+    // TF-IDF re-derived: term counts join the p27 IDF (rounded before
+    // the product, exactly like the Spark side), top-5 per doc with
+    // word-asc tie-break
+    "p29_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM e GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM DOCS),
+        |idf AS (SELECT word,
+        |          round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / count(DISTINCT doc_id)), 6) AS idf
+        |        FROM e GROUP BY word),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, round(tf.tf * idf.idf, 6) AS score
+        |      FROM tf JOIN idf USING (word)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word ASC) AS rank FROM s)
+        |SELECT doc_id, rank, word, tf, score FROM r WHERE rank <= 5""".stripMargin,
 
     "p05_ann_brute" ->
       """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB WHERE vec_id < 5),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators on controlled
   * inputs plus the sf0.001 synthetic tables (recall measurement for the
@@ -529,6 +529,72 @@ class PipelineSpec extends SparkTestBase {
     assert(out("b")._1 === 1L && out("c")._1 === 1L)
     assert(math.abs(out("a")._2 - math.log(3.0 / 2.0)) < 1e-6)
     assert(math.abs(out("b")._2 - math.log(3.0)) < 1e-6)
+  }
+
+  test("corpusStats: exact discrete quantiles per language from the histogram") {
+    // four English docs with word counts 1, 2, 3, 10:
+    // p50 position ceil(4/2)=2 -> 2 words; p90 position ceil(3.6)=4 -> 10
+    val docs = Seq(
+      (1L, "the"), (2L, "the of"), (3L, "the of and"),
+      (4L, "the of and to in is a the of and"),
+      (5L, "der und ist")) // one German doc
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.corpusStats(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) === 4L && en.getLong(2) === 16L) // n_docs, total_words
+    assert(en.getLong(4) === 1L && en.getLong(5) === 10L) // min, max
+    assert(en.getLong(6) === 2L)  // p50
+    assert(en.getLong(7) === 10L) // p90
+    assert(out("de").getLong(1) === 1L && out("de").getLong(6) === 3L)
+  }
+
+  test("tfidfTopTerms ranks by tf*idf with deterministic word-asc ties") {
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // idf: x = ln 3, y = z = ln 1.5; doc 1's top term is x (tf 2)
+    val (w1, tf1, s1) = out((1L, 1L))
+    assert(w1 === "x" && tf1 === 2L)
+    // idf rounds to 6 decimals BEFORE the tf product (engine-portable)
+    val idfX = math.round(math.log(3.0) * 1e6) / 1e6
+    assert(math.abs(s1 - math.round(2 * idfX * 1e6) / 1e6) < 1e-9)
+    // doc 2: y and z tie on tf*idf -> word-asc puts y first
+    assert(out((2L, 1L))._1 === "y" && out((2L, 2L))._1 === "z")
+    // doc 3 has a single term -> exactly one row
+    assert(!out.contains((3L, 2L)) && out((3L, 1L))._1 === "z")
+  }
+
+  // ---- sketch accuracy gates ------------------------------------------
+
+  test("distinctCountGate: HLL++ within bound passes, degenerate bound fails") {
+    val vals = spark.range(0, 50000).select(col("id"))
+    assert(Sketches.distinctCountGate(vals, "id", rsd = 0.02, bound = 0.05)
+      .head().getString(0) === "pass")
+    // a 0 tolerance on 50k distinct values demands bit-exactness from a
+    // 2%-rsd sketch — deterministic, and deterministically not exact
+    assert(Sketches.distinctCountGate(vals, "id", rsd = 0.02, bound = 0.0)
+      .head().getString(0) === "fail")
+  }
+
+  test("approxDistinct groups and approxQuantiles stay near exact values") {
+    val vals = spark.range(0, 10000)
+      .select(col("id"), (col("id") % 2).as("k"), col("id").cast("double").as("v"))
+    val byK = Sketches.approxDistinct(vals, "id", rsd = 0.02, keys = Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK.keySet === Set(0L, 1L))
+    byK.values.foreach(n => assert(math.abs(n - 5000L) <= 250L))
+    val qs = Sketches.approxQuantiles(vals, "v", Seq(0.5, 0.9), accuracy = 10000)
+      .head().getSeq[Double](0)
+    assert(math.abs(qs(0) - 5000.0) <= 10 && math.abs(qs(1) - 9000.0) <= 10)
+  }
+
+  test("quantileGate: GK sketch at high accuracy matches the exact median") {
+    val lens = dupDocs.select(TextAnalysis.wsTokenCount(col("text"))
+      .cast("double").as("n"))
+    assert(Sketches.quantileGate(lens, "n", q = 0.5, accuracy = 10000, bound = 0.05)
+      .head().getString(0) === "pass")
   }
 
   // ---- loaders (ADVICE: events nanos→micros) --------------------------
