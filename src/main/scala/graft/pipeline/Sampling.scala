@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -47,6 +48,28 @@ object Sampling {
     for (((name, _), c) <- splits.zip(cum).init.reverse)
       e = when(u < c, lit(name)).otherwise(e)
     df.withColumn("split", e)
+  }
+
+  /** Cap the number of rows per key (the "domain cap" of crawl
+    * curation: no source may contribute more than `maxPerKey`
+    * documents). Survivors are a deterministic uniform sample of the
+    * key's rows — ranked by the content-addressed hash draw, id as the
+    * total-order tie-break — so the cap composes with [[sample]] /
+    * [[assignSplits]] on the same salt without correlation.
+    *
+    * Scale shape: one shuffle on the key, then a per-key sort feeding
+    * `row_number`. A pathologically dominant key sorts all its rows on
+    * one task; if one key can exceed a task's memory, pre-thin it with
+    * [[stratifiedSample]] (cheap narrow filter) before the exact cap.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, maxPerKey: Int,
+                salt: String = ""): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey $maxPerKey must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashDraw(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__cap_rank", row_number().over(w))
+      .filter(col("__cap_rank") <= maxPerKey)
+      .drop("__cap_rank")
   }
 
   /** Per-stratum Bernoulli sample: keep a row if its draw < the

@@ -195,6 +195,76 @@ object TextAnalysis {
         round(log(col("__n_docs").cast(DoubleType) / col("df")), 6).as("idf"))
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model — the classic cheap fluency/quality proxy (CCNet
+    * scores with a KenLM n-gram model; the self-trained unigram variant
+    * needs no external model and already separates gibberish and
+    * boilerplate-heavy documents from typical text). Lower (more
+    * negative) = rarer words on average.
+    *
+    * Determinism across engines: floating-point addition is not
+    * associative, so a distributed `avg(double)` is order-dependent at
+    * the ULP level. Each word's log-prob is therefore fixed to an
+    * integer number of micro-nats (`round(ln(p)*1e6)` as a long); the
+    * per-doc sum is exact integer arithmetic in any order, and only the
+    * final per-doc division returns to double.
+    *
+    * Scale shape: one word-count shuffle builds the vocabulary (map-side
+    * combined, output is vocabulary-sized); the corpus total joins as a
+    * broadcast 1-row aggregate; scoring joins exploded words to the
+    * vocabulary (post-aggregation small — AQE broadcasts it) and
+    * re-aggregates on the doc id. Document bodies never shuffle.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val total = tok.agg(count(lit(1)).as("__total"))
+    val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("cnt").cast(DoubleType) / col("__total")) * 1e6)
+          .cast(LongType).as("__logp_micro"))
+    tok.join(vocab, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("__logp_micro")) /
+          (count(lit(1)) * lit(1e6)), 6).as("avg_logp"))
+  }
+
+  /** Split each document into fixed-size word windows with `overlap`
+    * carried words — context-window chunking for training-sequence or
+    * retrieval-index construction. Chunk starts are `0, step, 2*step, …`
+    * with `step = size - overlap`, stopping once the previous chunk
+    * already covers the remaining words (a start is emitted only while
+    * `start + overlap < n_words`, plus start 0 always); the final chunk
+    * may be shorter than `size`. Zero-word documents yield no chunks.
+    *
+    * Scale shape: pure narrow map + explode — the chunk arithmetic is a
+    * `sequence`/`slice` expression inside the row, no shuffle at all;
+    * output order/partitioning follows the input scan.
+    */
+  def chunkWords(df: DataFrame, textCol: String, idCol: String,
+                 size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0, s"chunk size $size must be positive")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, $size)")
+    val step = size - overlap
+    // raw whitespace tokens (no lowercasing — chunk text preserves case)
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
+    val nw = org.apache.spark.sql.functions.size(col("__ws"))
+    val starts = when(nw > 0,
+      sequence(lit(0), greatest(nw - overlap - 1, lit(0)), lit(step)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), col("__ws"),
+        posexplode(starts).as(Seq("chunk_id", "start")))
+      .select(col(idCol),
+        col("chunk_id").cast(LongType),
+        col("start").cast(LongType),
+        least(lit(size), nw - col("start")).cast(LongType).as("n_tokens"),
+        array_join(slice(col("__ws"), col("start") + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
+
   /** Per-language corpus statistics with EXACT discrete quantiles of
     * document word counts — the corpus census step of a curation
     * pipeline (how much data per language, how long are documents).

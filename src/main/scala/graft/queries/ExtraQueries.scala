@@ -69,6 +69,26 @@ object ExtraQueries {
         .orderBy($"o_orderkey")
         .offset(10).limit(5)
         .select($"o_orderkey", $"o_custkey")
+    }),
+
+    // ROLLUP hierarchy totals (drill-down telemetry shape); exact
+    // decimal sums per the q01 determinism policy
+    "q32_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // PIVOT with an explicit value list (no extra pass to discover
+    // values — the codegen-friendly form at scale)
+    "q33_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(dec($"o_totalprice")).cast("double"))
     })
   )
 
@@ -102,6 +122,17 @@ object ExtraQueries {
         |WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag""".stripMargin,
     "q28_offset" ->
       """SELECT o_orderkey, o_custkey FROM orders
-        |ORDER BY o_orderkey OFFSET 10 LIMIT 5""".stripMargin
+        |ORDER BY o_orderkey OFFSET 10 LIMIT 5""".stripMargin,
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q33_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O",
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -293,6 +293,26 @@ object PipelineQueries {
       Sketches.quantileGate(lens, "n_words", q = 0.5, accuracy = 10000, bound = 0.05)
     }),
 
+    // domain cap: at most 10 docs per source, deterministic hash-draw
+    // survivors
+    "p32_source_cap" -> ((s, d) =>
+      Sampling.capPerKey(Tables.documents(s, d), "doc_id", "source",
+        maxPerKey = 10, salt = "cap")
+        .select(col("doc_id"), col("source"))),
+
+    // corpus-unigram fluency score (micro-nat integer sums for
+    // engine-portable averaging)
+    "p33_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id")),
+
+    // context-window chunking: 40-word windows, 10 carried words
+    "p34_chunk_words" -> ((s, d) =>
+      TextAnalysis.chunkWords(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id", size = 40, overlap = 10)),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -483,6 +503,46 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, word ASC) AS rank FROM s)
         |SELECT doc_id, rank, word, tf, score FROM r WHERE rank <= 5""".stripMargin,
+
+    // domain cap re-derived: rank per source by the same md5 draw
+    "p32_source_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${drawSql("cap")} ASC, doc_id ASC) AS rn
+         |  FROM DOCS) t
+         |WHERE rn <= 10""".stripMargin,
+
+    // unigram model + micro-nat integer sums, exactly as the Spark side
+    "p33_unigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |t AS (SELECT count(*) AS total FROM e),
+        |v AS (SELECT word,
+        |        CAST(round(ln(CAST(count(*) AS DOUBLE) / (SELECT total FROM t)) * 1e6) AS BIGINT) AS lp
+        |      FROM e GROUP BY word)
+        |SELECT e.doc_id, count(*) AS n_words,
+        |  round(sum(v.lp) / (count(*) * 1e6), 6) AS avg_logp
+        |FROM e JOIN v USING (word) GROUP BY e.doc_id""".stripMargin,
+
+    // chunk starts are multiples of step, so chunk_id = start // step;
+    // DuckDB list slicing is 1-based inclusive and clamps like slice()
+    "p34_chunk_words" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |s AS (SELECT doc_id, ws,
+        |        unnest(generate_series(0, greatest(len(ws) - 10 - 1, 0), 30)) AS start
+        |      FROM w WHERE len(ws) > 0)
+        |SELECT doc_id,
+        |  CAST(start // 30 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(least(40, len(ws) - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[start + 1 : start + 40], ' ') AS chunk_text
+        |FROM s""".stripMargin,
 
     "p05_ann_brute" ->
       """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB WHERE vec_id < 5),

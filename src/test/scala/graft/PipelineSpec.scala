@@ -566,6 +566,65 @@ class PipelineSpec extends SparkTestBase {
     assert(!out.contains((3L, 2L)) && out((3L, 1L))._1 === "z")
   }
 
+  test("capPerKey keeps at most N per key, deterministically, repartition-stable") {
+    val df = spark.range(300).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("src"))
+    val out = Sampling.capPerKey(df, "doc_id", "src", maxPerKey = 7, salt = "t")
+    val byKey = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey.values.forall(_ === 7L) && byKey.size === 3)
+    // caps below the key's population pass through untouched rows only
+    assert(out.columns.toSeq === Seq("doc_id", "src"))
+    // deterministic + repartition-stable (hash-draw rank, not row order)
+    val again = Sampling.capPerKey(df.repartition(11), "doc_id", "src", 7, "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out.collect().map(_.getLong(0)).toSet)
+    // a key with fewer rows than the cap keeps all of them
+    val small = df.filter(col("doc_id") < 5) // key 0 -> {0,3}, 1 -> {1,4}, 2 -> {2}
+    assert(Sampling.capPerKey(small, "doc_id", "src", 7).count() === 5L)
+  }
+
+  test("unigramLogProb scores by corpus unigram frequencies, micro-nat exact") {
+    // corpus: "x x y" + "y z" -> counts x=2 y=2 z=1, total 5
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def micro(p: Double): Long = math.round(math.log(p) * 1e6)
+    // doc 1 is three draws of p=0.4 words, so the mean is micro(0.4)
+    // nats exactly and the 6-decimal round is the identity
+    val expected1 = micro(0.4) / 1e6
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - expected1) < 1e-9)
+    // doc 2 mixes a common and a rare word; rarer words score lower
+    assert(out(2L)._2 < out(1L)._2)
+  }
+
+  test("chunkWords: window arithmetic, overlap, and edge cases") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 words, size 3 overlap 1 -> starts 0,2,4
+      (2L, "a b"),           // fewer than one window -> single chunk
+      (3L, "")               // zero words -> no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWords(df, "text", "doc_id", size = 3, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out.keys.count(_._1 == 1L) === 3)
+    assert(out((1L, 0L)) === ((0L, 3L, "a b c")))
+    assert(out((1L, 1L)) === ((2L, 3L, "c d e")))
+    assert(out((1L, 2L)) === ((4L, 3L, "e f g")))
+    assert(out((2L, 0L)) === ((0L, 2L, "a b")))   // short final-only chunk
+    assert(!out.keys.exists(_._1 == 3L))          // empty doc drops out
+    // a start whose words are fully covered by the previous chunk is
+    // not emitted: 8 words, size 5, overlap 2 -> starts 0, 3 only
+    val two = TextAnalysis.chunkWords(
+      Seq((9L, "a b c d e f g h")).toDF("doc_id", "text"), "text", "doc_id", 5, 2)
+      .collect().map(r => r.getLong(2)).sorted
+    assert(two.toSeq === Seq(0L, 3L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWords(df, "text", "doc_id", size = 3, overlap = 3)
+    }
+  }
+
   // ---- sketch accuracy gates ------------------------------------------
 
   test("distinctCountGate: HLL++ within bound passes, degenerate bound fails") {
