@@ -71,14 +71,10 @@ object WikidataIngest {
     * it.
     */
   def build(spark: SparkSession, path: String = fixturePath,
-            dir: String = defaultDir): Unit = {
-    import graft.model.Render
-    val statements = ingest(spark, path)
-    statements
-      .withColumn("s_lex", Render.lex(col("s")))
-      .withColumn("p_lex", Render.lex(col("p")))
-      .withColumn("o_lex", Render.lex(col("o")))
-      .withColumn("id_lex", Render.lex(col("id")))
+            dir: String = defaultDir,
+            parseQualifiers: Boolean = true,
+            languageFilter: Option[Set[String]] = None): Unit = {
+    rendered(ingest(spark, path, parseQualifiers, languageFilter))
       .sortWithinPartitions(col("p.key"), col("s.key"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/statements.parquet")
@@ -86,6 +82,18 @@ object WikidataIngest {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/labels.parquet")
     invalidate(dir)
+  }
+
+  /** Pre-rendered lexical columns used by the result sink (computed
+    * once at build time instead of per query).
+    */
+  private def rendered(statements: DataFrame): DataFrame = {
+    import graft.model.Render
+    statements
+      .withColumn("s_lex", Render.lex(col("s")))
+      .withColumn("p_lex", Render.lex(col("p")))
+      .withColumn("o_lex", Render.lex(col("o")))
+      .withColumn("id_lex", Render.lex(col("id")))
   }
 
   /** Default predicate-bucket count for the partitioned layout. The
@@ -135,14 +143,30 @@ object WikidataIngest {
     * four sorted permutations.
     */
   def buildPartitioned(spark: SparkSession, path: String = fixturePath,
-                       dir: String, buckets: Int = NumPredBuckets): Unit = {
-    import graft.model.Render
-    val statements = ingest(spark, path)
-    val rendered = statements
-      .withColumn("s_lex", Render.lex(col("s")))
-      .withColumn("p_lex", Render.lex(col("p")))
-      .withColumn("o_lex", Render.lex(col("o")))
-      .withColumn("id_lex", Render.lex(col("id")))
+                       dir: String, buckets: Int = NumPredBuckets,
+                       parseQualifiers: Boolean = true,
+                       languageFilter: Option[Set[String]] = None): Unit =
+    writePartitioned(spark,
+      rendered(ingest(spark, path, parseQualifiers, languageFilter)), dir, buckets)
+
+  /** The reference's `create-index` (`src/main.rs:44-47`): build the
+    * permutation copies over an ALREADY-INGESTED store instead of
+    * re-parsing the dump — read the flat store's quad table (which
+    * carries the rendered lex columns) and write the partitioned
+    * layout to `outDir`.
+    */
+  def createIndex(spark: SparkSession, flatDir: String, outDir: String,
+                  buckets: Int = NumPredBuckets): Unit = {
+    require(new java.io.File(flatDir).getCanonicalPath !=
+      new java.io.File(outDir).getCanonicalPath,
+      "create-index cannot overwrite its input store; pick a different outDir")
+    writePartitioned(spark, statements(spark, flatDir)
+      .drop("p_bucket", "s_bucket", "o_bucket"), outDir, buckets)
+  }
+
+  private def writePartitioned(spark: SparkSession, quads: DataFrame,
+                               dir: String, buckets: Int): Unit = {
+    val rendered = quads
     def bucketOf(term: String) =
       when(col(s"$term.num").isNotNull,
         pmod(col(s"$term.num").cast("long"), lit(buckets.toLong)))

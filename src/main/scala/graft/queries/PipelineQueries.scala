@@ -37,10 +37,11 @@ object PipelineQueries {
     "p03_ngram_jaccard" -> ((s, d) =>
       // exact 3-gram jaccard pairs on a bounded slice (quadratic kernel
       // is the verify step of LSH, never the scale path on full data);
-      // the slice is sized to contain real near-dup pairs so the gate
-      // verifies actual matches, not an empty set
+      // the slice is sized to contain real near-dup pairs at the
+      // gate's sf0.01 — doc_id < 200 holds three such pairs — so the
+      // gate verifies actual matches, not an empty set
       Dedup.ngramJaccardPairs(
-        Tables.documents(s, d).filter(col("doc_id") < 350), "text", "doc_id",
+        Tables.documents(s, d).filter(col("doc_id") < 200), "text", "doc_id",
         n = 3, threshold = 0.2)),
 
     // portable-hash variant (md5-based word hashes) so the oracle can
@@ -402,7 +403,7 @@ object PipelineQueries {
          |  SELECT doc_id FROM ($clustersSql) c WHERE c.doc_id <> c.cluster_id)""".stripMargin,
 
     "p03_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS WHERE doc_id < 350),
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS WHERE doc_id < 200),
         |s AS (SELECT doc_id,
         |        list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
         |      FROM w)

@@ -105,6 +105,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p4.contains("Exchange"), s"hash sample must not shuffle:\n$p4")
   }
 
+  test("new pipeline ops keep their scale shapes: narrow chunking, one-shuffle cap") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // chunking is a pure map + explode: no shuffle at all
+    val p1 = planOf(TextAnalysis.chunkWords(docs, "text", "doc_id", 40, 10))
+    assert(!p1.contains("Exchange"), s"chunkWords must not shuffle:\n$p1")
+    // the per-key cap shuffles exactly once (hash partition on the key
+    // feeding the window; no extra repartition, no cartesian)
+    val p2 = Sampling.capPerKey(docs, "doc_id", "source", 10)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p2).length === 1,
+      s"capPerKey should shuffle once:\n$p2")
+    // unigram scoring joins words to a post-aggregation vocabulary —
+    // never an all-pairs join, and doc bodies don't reach the join. The
+    // one BroadcastNestedLoopJoin allowed is the single-row corpus-total
+    // broadcast (crossJoin(broadcast(1-row agg)) has no other physical
+    // form); the word↔vocab join itself must be a hash join.
+    val lp = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+    val p3 = lp.queryExecution.executedPlan.toString // one line per node
+    assert(!p3.contains("CartesianProduct"), s"unigramLogProb cartesian:\n$p3")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p3).length <= 1,
+      s"only the 1-row total broadcast may be a BNLJ:\n$p3")
+    assert(p3.contains("BroadcastHashJoin") || p3.contains("SortMergeJoin"),
+      s"word-vocab join must be a hash/merge join:\n$p3")
+    // the corpus census shuffles histogram rows, not documents: the
+    // aggregation keyed on (lang, n_words) runs before any window
+    val p4 = planOf(TextAnalysis.corpusStats(docs, "text", "doc_id"))
+    assert(!p4.contains("CartesianProduct"))
+  }
+
   test("optimizer fence keeps hoisted FILTER operands from re-inlining") {
     // YEAR(?d) is hoisted to a temp; without the fence,
     // PushPredicateThroughNonJoin substitutes the temp's defining CASE

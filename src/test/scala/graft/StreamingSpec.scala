@@ -117,6 +117,23 @@ class StreamingSpec extends SparkTestBase {
     assert(r.getInt(3) === 8)
   }
 
+  test("chunkWords is streaming-safe: per-doc windows emitted incrementally") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = graft.pipeline.TextAnalysis.chunkWords(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", size = 3, overlap = 1)
+    val q = df.writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    mem.addData((1L, "a b c d e"))
+    q.processAllAvailable()
+    mem.addData((2L, "x y"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    assert(rows === Set((1L, 0L, "a b c"), (1L, 1L, "c d e"), (2L, 0L, "x y")))
+  }
+
   test("sessionization groups events by gap and flushes on new session") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Event]
