@@ -72,4 +72,62 @@ object Sketches {
         .cast(DoubleType).as("approx"))
       .select(when(abs(col("approx") - col("exact")) / col("exact") <= bound,
         lit("pass")).otherwise(lit("fail")).as("status"))
+
+  /** EXACT heavy hitters without shuffling the tail: every item whose
+    * frequency exceeds `support` of the input, with its exact count.
+    *
+    * A plain `groupBy(item).count()` shuffles one row per DISTINCT
+    * item — at corpus scale that is the entire vocabulary, almost all
+    * of it tail that can never pass the threshold. This instead runs
+    * the two-pass frequent-items scheme: (1) a single-pass bounded
+    * candidate sketch (Spark's Karp-Shenker-Papadimitriou
+    * `stat.freqItems`, ≤ 1/support entries of state per partition,
+    * merged on the driver — no shuffle at all) which guarantees every
+    * item with frequency > support is a candidate (false POSITIVES
+    * possible, false negatives impossible); then (2) an exact recount
+    * of only the candidate set — the `isin` filter compiles to a
+    * codegen'd hash-set probe in the scan stage, so the groupBy
+    * shuffles candidate rows only. The exact recount makes the output
+    * independent of partitioning and sketch internals: exactly the
+    * items with `cnt > support * N`, re-derivable by any engine.
+    *
+    * The candidate pass and the row count run eagerly at call time
+    * (bounded driver state, like the IVF quantizer fit).
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, support: Double,
+                   maxCandidates: Int = 1 << 20): DataFrame = {
+    require(support > 0 && support < 1, s"support $support must be in (0,1)")
+    require(1 / support <= maxCandidates,
+      s"support $support tracks ${(1 / support).toLong} candidates > $maxCandidates")
+    val cands = items.stat.freqItems(Array(itemCol), support)
+      .head().getSeq[Any](0)
+    val n = items.count()
+    val pruned =
+      if (cands.isEmpty) items.limit(0)
+      else items.where(col(itemCol).isin(cands: _*)) // pre-shuffle prune
+    pruned.groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(support) * lit(n))
+  }
+
+  /** Accuracy gate for `approx_top_k` (DataSketches frequent-items):
+    * at least `bound` of the EXACT top-`k` items (count desc, item asc
+    * — a deterministic total order) must appear in the approximate
+    * top-k. With `maxItemsTracked >> k` the sketch's count error is
+    * ≤ ~3.5/maxItemsTracked of the stream, far below top-k count
+    * gaps, so the gate is stable run-to-run.
+    */
+  def topKGate(items: DataFrame, itemCol: String, k: Int,
+               maxItemsTracked: Int, bound: Double): DataFrame = {
+    val approx = items
+      .agg(expr(s"approx_top_k($itemCol, $k, $maxItemsTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), lit(1).as("hit"))
+    val exactTop = items.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(k)
+    exactTop.join(approx, Seq("item"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("overlap"))
+      .select(when(col("overlap") >= bound, lit("pass"))
+        .otherwise(lit("fail")).as("status"))
+  }
 }

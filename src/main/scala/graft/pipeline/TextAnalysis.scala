@@ -265,6 +265,39 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Deterministic sequence packing: assign each document to a
+    * fixed-`budget` token bin by concatenating documents in id order
+    * and cutting at budget boundaries (the concat-and-chop packing of
+    * LM training pipelines). A document's bin is the one its first
+    * token lands in; `bin_pos` is that token's offset within the bin
+    * (a document may spill past its bin's end — the trainer's chop
+    * handles the tail, the assignment only needs the start).
+    *
+    * A single global concatenation order would force a one-partition
+    * window sort. Instead documents pack within bounded `groupSize`
+    * id-range pack groups (`pack_group = id div groupSize`): the
+    * cumulative-token window partitions on the group, so the sort
+    * parallelizes across groups, any group fits one task by
+    * construction, and the output is a pure function of (id,
+    * n_tokens) — repartition-stable and re-derivable by any engine.
+    * Bin identity is the pair (pack_group, bin_id).
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    budget: Int, groupSize: Int = 4096): DataFrame = {
+    require(budget > 0, s"token budget $budget must be positive")
+    require(groupSize > 0, s"pack group size $groupSize must be positive")
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        wsTokenCount(col(textCol)).cast(LongType).as("n_tokens"),
+        expr(s"CAST($idCol AS BIGINT) DIV $groupSize").as("pack_group"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("pack_group"),
+        expr(s"__start DIV ${budget.toLong}").as("bin_id"),
+        pmod(col("__start"), lit(budget.toLong)).as("bin_pos"),
+        col("n_tokens"))
+  }
+
   /** Per-language corpus statistics with EXACT discrete quantiles of
     * document word counts — the corpus census step of a curation
     * pipeline (how much data per language, how long are documents).

@@ -314,6 +314,36 @@ object PipelineQueries {
         Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
         "text", "doc_id", size = 40, overlap = 10)),
 
+    // sequence packing: concat-and-chop bin assignment, 512-token
+    // budget, 128-doc pack groups (parallel window, oracle-exact)
+    "p35_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id", budget = 512, groupSize = 128)),
+
+    // exact heavy hitters above 0.2% support: bounded candidate sketch
+    // + exact recount, so the output is plain-SQL re-derivable even
+    // though the tail never shuffles
+    "p36_heavy_hitters" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(
+          filter(split(trim(lower(col("text"))), "\\s+"), x => length(x) > 0))
+          .as("word"))
+      Sketches.heavyHitters(w, "word", support = 0.002)
+    }),
+
+    // approx_top_k (DataSketches frequent-items) accuracy gate vs the
+    // exact top-20 words
+    "p37_topk_gate" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(
+          filter(split(trim(lower(col("text"))), "\\s+"), x => length(x) > 0))
+          .as("word"))
+      Sketches.topKGate(w, "word", k = 20, maxItemsTracked = 10000, bound = 0.8)
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -544,6 +574,37 @@ object PipelineQueries {
         |  CAST(least(40, len(ws) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(ws[start + 1 : start + 40], ' ') AS chunk_text
         |FROM s""".stripMargin,
+
+    // concat-and-chop packing re-derived: same token count, id-range
+    // pack groups, cumulative-sum window, integer bin arithmetic
+    "p35_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id // 128 AS BIGINT) AS pack_group
+        |  FROM DOCS),
+        |s AS (SELECT *,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |      FROM t)
+        |SELECT doc_id, pack_group,
+        |  CAST(strt // 512 AS BIGINT) AS bin_id,
+        |  CAST(strt % 512 AS BIGINT) AS bin_pos,
+        |  n_tokens
+        |FROM s""".stripMargin,
+
+    // the heavy-hitter output is exact, so the oracle is the plain
+    // HAVING query the candidate-sketch path avoids running at scale
+    "p36_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                            x -> len(x) > 0)) AS word
+        |  FROM DOCS),
+        |n AS (SELECT count(*) AS n FROM w)
+        |SELECT word, count(*) AS cnt FROM w GROUP BY word
+        |HAVING count(*) > 0.002 * (SELECT n FROM n)""".stripMargin,
+
+    "p37_topk_gate" -> "SELECT 'pass' AS status",
 
     "p05_ann_brute" ->
       """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB WHERE vec_id < 5),

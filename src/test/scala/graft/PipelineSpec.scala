@@ -656,6 +656,71 @@ class PipelineSpec extends SparkTestBase {
       .head().getString(0) === "pass")
   }
 
+  test("packSequences: concat-and-chop bin assignment within pack groups") {
+    val df = Seq(
+      (0L, "a b c d e"),   // 5 tokens, start 0  -> bin 0 pos 0
+      (1L, "f g h"),       // 3 tokens, start 5  -> bin 0 pos 5
+      (2L, ""),            // 0 tokens, start 8  -> bin 1 pos 0
+      (3L, "i j"),         // 2 tokens, start 8  -> bin 1 pos 0
+      (4L, "k"),           // 1 token,  start 10 -> bin 1 pos 2
+      (8L, "x y z")        // next pack group (groupSize 8): start 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(df, "text", "doc_id",
+      budget = 8, groupSize = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(0L) === ((0L, 0L, 0L, 5L)))
+    assert(out(1L) === ((0L, 0L, 5L, 3L)))
+    assert(out(2L) === ((0L, 1L, 0L, 0L)))  // zero-token doc still packs
+    assert(out(3L) === ((0L, 1L, 0L, 2L)))
+    assert(out(4L) === ((0L, 1L, 2L, 1L)))
+    assert(out(8L) === ((1L, 0L, 0L, 3L)))  // new group restarts at 0
+    // a doc longer than the whole budget owns its start bin; the next
+    // doc lands in a later bin
+    val big = TextAnalysis.packSequences(
+      Seq((0L, Seq.fill(20)("w").mkString(" ")), (1L, "a b")).toDF("doc_id", "text"),
+      "text", "doc_id", budget = 8, groupSize = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(big(0L) === ((0L, 0L)) && big(1L) === ((2L, 4L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packSequences(df, "text", "doc_id", budget = 0)
+    }
+  }
+
+  test("heavyHitters: exact counts for every item above support, nothing else") {
+    // skewed stream: item i appears 2^(10-i) times -> heavy head, long tail
+    val items = spark.range(0, 10).select(col("id"))
+      .withColumn("reps", pow(lit(2.0), lit(10) - col("id")).cast("int"))
+      .select(col("id"), explode(sequence(lit(1), col("reps"))).as("r"))
+      .select(concat(lit("w"), col("id")).as("item"))
+      .union(spark.range(0, 500).select(concat(lit("tail"), col("id")).as("item")))
+    val n = items.count().toDouble
+    val support = 0.05
+    val got = Sketches.heavyHitters(items, "item", support)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = items.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > support * n).toMap
+    assert(got === exact)
+    assert(got.nonEmpty && !got.keys.exists(_.startsWith("tail")))
+    // a support nobody reaches -> empty result, schema intact
+    val none = Sketches.heavyHitters(items, "item", 0.9)
+    assert(none.columns.toSeq === Seq("item", "cnt") && none.count() === 0)
+  }
+
+  test("topKGate: approx_top_k covers the exact top-k on skewed data") {
+    val items = spark.range(0, 50).select(col("id"))
+      .withColumn("reps", (lit(1000) / (col("id") + 1)).cast("int"))
+      .select(explode(sequence(lit(1), col("reps"))).as("r"), col("id"))
+      .select(concat(lit("w"), col("id")).as("item"))
+    assert(Sketches.topKGate(items, "item", k = 10, maxItemsTracked = 1000,
+      bound = 0.8).head().getString(0) === "pass")
+    // an impossible bound fails loudly rather than passing vacuously
+    assert(Sketches.topKGate(items, "item", k = 10, maxItemsTracked = 1000,
+      bound = 1.1).head().getString(0) === "fail")
+  }
+
   // ---- loaders (ADVICE: events nanos→micros) --------------------------
 
   test("events loader converts nanos to a microsecond timestamp column") {

@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, explode, lower, split}
 
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sparql.Sparql
 
 /** Physical-plan guards: the properties that make these operators hold
@@ -132,6 +132,23 @@ class PlanSpec extends SparkTestBase {
     // aggregation keyed on (lang, n_words) runs before any window
     val p4 = planOf(TextAnalysis.corpusStats(docs, "text", "doc_id"))
     assert(!p4.contains("CartesianProduct"))
+    // sequence packing shuffles once, on the bounded pack group feeding
+    // the cumulative-token window — never a single-partition global sort
+    val p5 = TextAnalysis.packSequences(docs, "text", "doc_id", 512, 128)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p5).length === 1,
+      s"packSequences should shuffle once on pack_group:\n$p5")
+    assert(!p5.contains("Exchange SinglePartition"),
+      s"packSequences must not serialize into one partition:\n$p5")
+    // heavy hitters: the candidate in-set prune runs below the one
+    // aggregation exchange, so only candidate rows ever shuffle
+    val words = docs.select(explode(split(lower(col("text")), "\\s+")).as("word"))
+    val p6 = Sketches.heavyHitters(words, "word", 0.002)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p6).length === 1,
+      s"heavyHitters recount should shuffle once:\n$p6")
+    assert(p6.contains("INSET") || p6.contains(" IN ("),
+      s"candidate prune should compile to a set probe in the scan stage:\n$p6")
   }
 
   test("optimizer fence keeps hoisted FILTER operands from re-inlining") {
