@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** All of the engine's custom catalyst expressions, registered through
@@ -28,6 +29,14 @@ object GraftFunctions {
     inject(ext, BoundedSortedConcat.name, classOf[BoundedSortedConcat],
       exprs => BoundedSortedConcat(exprs(0),
         foldToString(exprs(1)), foldToInt(exprs(2)), foldToBool(exprs(3))))
+    // Spark's own runtime-filter Bloom sketch pair, surfaced as Column
+    // functions: bloom_agg(xxhash64_col, items, bits) folds hashes into
+    // a sketch; bloom_might_contain(sketch_lit, xxhash64_col) probes it
+    // (codegen'd, never a false negative).
+    inject(ext, "bloom_agg", classOf[BloomFilterAggregate],
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)))
+    inject(ext, "bloom_might_contain", classOf[BloomFilterMightContain],
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
   }
 
   private def foldToString(e: Expression): String = {

@@ -347,4 +347,32 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic near-dup pairs: embeddings are assigned
+    * to their nearest k-means cell and only within-cell pairs are
+    * scored by exact cosine (Abbas et al. 2023, "SemDeDup"). Where
+    * [[embeddingNearDup]]'s hyperplane buckets are random, the cells
+    * here track the data distribution, so semantically close vectors
+    * land together even when they straddle random hyperplanes.
+    *
+    * Scale shape: the quadratic kernel is bounded per cell — nlist
+    * grows with the corpus so cells stay roughly constant-size; the
+    * assignment is a narrow map over fitted centroid literals (no
+    * shuffle), and the only shuffle is the equi-join on cell id.
+    * Identical embeddings always share a cell (argmax over identical
+    * scores), so exact duplicates are found with probability 1.
+    */
+  def semanticNearDup(emb: DataFrame, vecCol: String, idCol: String,
+                      nlist: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val cents = Similarity.trainCentroids(emb, vecCol, idCol, nlist)
+    val assigned = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        element_at(Similarity.rankedCells(cents, col(vecCol)), 1).as("cell"))
+    assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
 }

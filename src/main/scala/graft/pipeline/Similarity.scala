@@ -213,6 +213,19 @@ object Similarity {
     cents
   }
 
+  /** Cell ids of fitted centroids ranked by dot product (desc, cell id
+    * as tiebreak) for a vector — an array of (negdot, cell) structs
+    * through sort_array, all plain Column math over centroid literals
+    * (a narrow map, no shuffle). Shared by IVF search (probe the top
+    * nprobe cells) and semantic dedup (assign = top-1 cell).
+    */
+  def rankedCells(cents: Array[Array[Double]], v: Column): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-dot(v, array(c.map(lit): _*))).as("nd"), lit(i).as("cell"))
+    }: _*)
+    transform(sort_array(scored), s => s.getField("cell"))
+  }
+
   /** IVF-Flat ANN (the faiss inverted-file shape): corpus vectors are
     * assigned to their nearest of `nlist` k-means cells; each probe
     * scans only its `nprobe` nearest cells, verified by exact cosine.
@@ -230,20 +243,12 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = trainCentroids(corpus, vecCol, idCol, nlist)
-    // array of (negdot, cell) structs: sort_array ranks cells by dot
-    // desc with cell id as tiebreak — all plain Column math
-    def rankedCells(v: Column): Column = {
-      val scored = array(cents.zipWithIndex.map { case (c, i) =>
-        struct((-dot(v, array(c.map(lit): _*))).as("nd"), lit(i).as("cell"))
-      }: _*)
-      transform(sort_array(scored), s => s.getField("cell"))
-    }
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        element_at(rankedCells(col(vecCol)), 1).as("cell"))
+        element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-        explode(slice(rankedCells(col(vecCol)), 1, nprobe)).as("cell"))
+        explode(slice(rankedCells(cents, col(vecCol)), 1, nprobe)).as("cell"))
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))

@@ -172,6 +172,37 @@ object TextAnalysis {
     docs.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination: the zero-corpus-shuffle variant of
+    * [[decontaminate]], returning the FLAGGED doc ids. The
+    * contamination set's n-gram hashes fold into a Bloom sketch via a
+    * distributed `bloom_agg`; the sketch — a bounded model artifact
+    * like the IVF centroids — ships into the plan as a binary literal,
+    * and each document is flagged by an `exists` probe over its
+    * shingles. The corpus side is a pure narrow map: no explode, no
+    * join, no shuffle — at 100 TB the only data movement is the
+    * benchmark-side aggregate, and the corpus is read once. Bloom
+    * filters have no false negatives, so every truly contaminated
+    * document is flagged; false positives (rate `fpp`) only ever
+    * over-remove, which decontamination tolerates by design.
+    */
+  def bloomContaminated(docs: DataFrame, textCol: String, idCol: String,
+                        grams: DataFrame, gramCol: String, n: Int,
+                        expectedItems: Long = 1L << 20,
+                        fpp: Double = 0.001): DataFrame = {
+    // optimal bit count m = -n ln p / (ln 2)^2 (standard Bloom sizing)
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val sketch = grams
+      .select(xxhash64(lower(col(gramCol))).as("__h"))
+      .agg(call_function("bloom_agg", col("__h"),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (sketch == null) docs.filter(lit(false)).select(col(idCol)) // empty gram set
+    else docs.filter(exists(Dedup.shingles(lower(col(textCol)), n),
+        g => call_function("bloom_might_contain", lit(sketch), xxhash64(g))))
+      .select(col(idCol))
+  }
+
   /** Corpus vocabulary with document frequency and IDF — the
     * building block for TF-IDF weighting, stopword discovery, and
     * vocabulary pruning over a crawl. Words are counted once per

@@ -344,6 +344,44 @@ object PipelineQueries {
       Sketches.topKGate(w, "word", k = 20, maxItemsTracked = 10000, bound = 0.8)
     }),
 
+    // Bloom-filter decontamination gate: the zero-corpus-shuffle
+    // variant must flag every exactly-contaminated doc (Bloom filters
+    // have no false negatives — n_missed is structurally 0; n_exact is
+    // data-dependent and re-derived by the oracle's shingle SQL)
+    "p38_bloom_decontaminate" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val grams = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("slow fast table"),
+          org.apache.spark.sql.Row("batch window spark")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gram",
+            org.apache.spark.sql.types.StringType))))
+      val exact = t.join(
+        TextAnalysis.decontaminate(t, "text", "doc_id", grams, "gram", n = 3)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti").select(col("doc_id"))
+      val flagged = TextAnalysis.bloomContaminated(t, "text", "doc_id",
+        grams, "gram", n = 3)
+      exact.join(flagged.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(when(col("hit").isNull, 1).otherwise(0)), lit(0))
+            .cast("long").as("n_missed"))
+    }),
+
+    // SemDeDup gate (p24 pattern): 20 planted exact-duplicate
+    // embeddings must all surface — identical vectors share a k-means
+    // cell with probability 1 and score cosine 1.0
+    "p39_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Dedup.semanticNearDup(emb.unionByName(planted), "embedding", "vec_id",
+        nlist = 16, threshold = 0.999)
+        .filter(col("id_b") === col("id_a") + 10000 && col("id_a") < 20)
+        .agg(count(lit(1)).as("n"))
+        .select(when(col("n") === 20, lit("pass")).otherwise(lit("fail")).as("status"))
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -766,6 +804,22 @@ object PipelineQueries {
       """SELECT doc_id,
         |  text || ' contact <EMAIL> or <PHONE> at <IP>' AS text
         |FROM DOCS""".stripMargin,
+
+    // n_exact re-derives the contaminated-doc count; n_missed = 0 is
+    // the Bloom no-false-negative guarantee the Spark plan must meet
+    "p38_bloom_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |s AS (SELECT doc_id,
+        |        [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)] AS sh
+        |      FROM w)
+        |SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+        |FROM s
+        |WHERE list_has_any(sh, ['slow fast table', 'batch window spark'])""".stripMargin,
+
+    "p39_semdedup" -> "SELECT 'pass' AS status",
 
     "p09_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -272,6 +272,28 @@ object RelationalQueries {
           min($"o_totalprice").as("min_price"),
           max($"o_totalprice").as("max_price"),
           min($"o_orderstatus").as("min_status"))
+    }),
+
+    // -- INTERSECT (distinct set intersection — the set-op family's
+    // third member next to q09 UNION and q10 EXCEPT). Spark plans a
+    // left-semi join over distinct keys.
+    "q35_intersect" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d).select($"c_nationkey".as("nk"))
+        .intersect(Tables.supplier(s, d).filter($"s_acctbal" > 5000)
+          .select($"s_nationkey".as("nk")))
+    }),
+
+    // -- correlated scalar subquery (via the spark.sql entry path, the
+    // one surface with subquery syntax): customers above their nation's
+    // average balance. Catalyst decorrelates this into one aggregate +
+    // equi-join — never a per-row re-execution — which the PlanSpec
+    // shape test pins.
+    "q36_corr_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      s.sql("""SELECT c_custkey, c_nationkey, c_acctbal FROM graft_customer c
+              |WHERE c_acctbal > (SELECT avg(i.c_acctbal) FROM graft_customer i
+              |                   WHERE i.c_nationkey = c.c_nationkey)""".stripMargin)
     })
   )
 
@@ -407,6 +429,16 @@ object RelationalQueries {
         | min(o_totalprice) AS min_price,
         | max(o_totalprice) AS max_price,
         | min(o_orderstatus) AS min_status
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q35_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000""".stripMargin,
+
+    "q36_corr_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT avg(i.c_acctbal) FROM customer i
+        |                   WHERE i.c_nationkey = c.c_nationkey)""".stripMargin
   )
 }

@@ -62,6 +62,21 @@ object TemporalQueries {
           min(unix_micros($"ts")).as("start_us"),
           max(unix_micros($"ts")).as("end_us"),
           sum(dec($"value")).cast("double").as("total_value"))
+    }),
+
+    // window navigation: prev/next event value, partition-first
+    // timestamp, and quartile bucketing per user timeline — the
+    // lag/lead/first_value/ntile family beyond q13's rank. One
+    // window spec (one shuffle + one sort) serves all four.
+    "q34_lag_lead" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d).select($"event_id", $"user_id",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        first(unix_micros($"ts")).over(w).as("first_us"),
+        ntile(4).over(w).cast("long").as("quartile"))
     })
   )
 
@@ -98,6 +113,17 @@ object TemporalQueries {
         |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
         |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // ORDER BY the micros-cast ts so both engines see the same order
+    // (events.ts is TIMESTAMP_NS raw; Spark surfaces truncated micros)
+    "q34_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  first_value(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS first_us,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin
   )
 }

@@ -457,6 +457,44 @@ class PipelineSpec extends SparkTestBase {
     assert(kept === Set(2L))
   }
 
+  test("bloom decontamination: no false negatives, case-insensitive, empty set safe") {
+    val fix = Seq(
+      (1L, "the Quick Brown Fox jumps"),
+      (2L, "nothing to see here at all"),
+      (3L, "ends with quick brown fox")).toDF("doc_id", "text")
+    val grams = Seq("quick brown fox").toDF("gram")
+    val flagged = TextAnalysis.bloomContaminated(fix, "text", "doc_id", grams, "gram", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 3L)) // deterministic: same sketch, same probes
+    // an empty contamination set flags nothing (null sketch guard)
+    assert(TextAnalysis.bloomContaminated(fix, "text", "doc_id",
+      spark.emptyDataset[String].toDF("gram"), "gram", n = 3).isEmpty)
+    // the no-false-negative guarantee on the real corpus: every doc the
+    // exact shingle join flags, the bloom probe must flag too
+    val bl = Seq("slow fast table", "batch window spark").toDF("gram")
+    val exact = docs.join(
+      TextAnalysis.decontaminate(docs, "text", "doc_id", bl, "gram", n = 3)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti").select("doc_id")
+    val bloom = TextAnalysis.bloomContaminated(docs, "text", "doc_id", bl, "gram", n = 3)
+    assert(exact.join(bloom, Seq("doc_id"), "left_anti").isEmpty,
+      "bloom missed an exactly-contaminated doc")
+  }
+
+  test("semantic near-dup finds planted exact duplicates through the k-means cells") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val pairs = Dedup.semanticNearDup(base.unionByName(planted), "embedding", "vec_id",
+      nlist = 8, threshold = 0.999)
+    // identical vectors share a cell with probability 1 and score ~1.0;
+    // the rest of the corpus is near-random (max pairwise cos ~0.51) so
+    // the planted pairs are the ONLY ones over the threshold
+    assert(pairs.filter(col("id_b") === col("id_a") + 10000 && col("id_a") < 10)
+      .count() === 10L)
+    assert(pairs.count() === 10L)
+  }
+
   test("quality metrics: ratios bounded, empty text yields nulls not errors") {
     val df = TextAnalysis.qualityMetrics(
       Seq((1L, "Hello, the world is wide."), (2L, "")).toDF("id", "text"), "text")

@@ -151,6 +151,37 @@ class PlanSpec extends SparkTestBase {
       s"candidate prune should compile to a set probe in the scan stage:\n$p6")
   }
 
+  test("bloom decontamination is a narrow map; semdedup joins once on cell") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the corpus-side flag path: scan → filter → project, nothing else —
+    // no explode, no join, no shuffle (the sketch is a plan literal)
+    val p1 = TextAnalysis.bloomContaminated(docs, "text", "doc_id",
+      Seq("slow fast table").toDF("gram"), "gram", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Join"), s"bloom flag path must not join:\n$p1")
+    assert(!p1.contains("Exchange"), s"bloom flag path must not shuffle:\n$p1")
+    assert(!p1.contains("Generate"), s"bloom flag path must not explode:\n$p1")
+    // semdedup: the within-cell pair join is an equi-join on cell id,
+    // never an all-pairs plan
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p2 = Dedup.semanticNearDup(emb, "embedding", "vec_id", nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"), s"semdedup all-pairs:\n$p2")
+    assert(!p2.contains("BroadcastNestedLoopJoin"), s"semdedup nested loop:\n$p2")
+  }
+
+  test("correlated scalar subquery decorrelates to an aggregate equi-join") {
+    val df = SparkEntry.queries("q36_corr_subquery")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // Catalyst must rewrite the per-row subquery into one aggregate
+    // joined back on the correlation key — no nested-loop re-execution
+    assert(!p.contains("CartesianProduct"), s"q36 cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q36 nested loop:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), s"q36 no aggregate:\n$p")
+    assert(p.contains("Join"), s"q36 not decorrelated into a join:\n$p")
+  }
+
   test("optimizer fence keeps hoisted FILTER operands from re-inlining") {
     // YEAR(?d) is hoisted to a temp; without the fence,
     // PushPredicateThroughNonJoin substitutes the temp's defining CASE
