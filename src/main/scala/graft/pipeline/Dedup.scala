@@ -110,6 +110,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus (incremental) near-dup: pairs of an `incoming`
+    * document and a `seen` document whose shingle sets exceed the
+    * Jaccard threshold — the shape of deduplicating crawl N against
+    * crawls 1..N−1. Only incoming×seen bucket collisions become
+    * candidates; seen never re-pairs against itself, so the accumulated
+    * corpus costs one signature scan per increment instead of a
+    * quadratic re-pairing. Same banded-LSH + exact-verify kernel as
+    * [[minhashNearDup]]; dropping flagged `id_in`s from `incoming` is
+    * the caller's anti join (cf. [[dropNearDups]]).
+    */
+  def crossCorpusNearDup(incoming: DataFrame, seen: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7): DataFrame = {
+    val r = numHashes / bands
+    def prep(df: DataFrame) =
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    def banded(withSh: DataFrame) = withSh
+      .withColumn("hb", baseHashes(col("sh")))
+      .withColumn("sig", minhashSignatureFromHashes(col("hb"), numHashes))
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+    val in = prep(incoming)
+    val sn = prep(seen)
+    // no a.id < b.id here: the two corpora are distinct relations (ids
+    // may even collide across them), so every incoming×seen collision
+    // is a candidate exactly once
+    val candidates = banded(in).alias("a")
+      .join(banded(sn).alias("b"), col("a.bb") === col("b.bb"))
+      .select(col("a.id").as("id_in"), col("b.id").as("id_seen"))
+      .dropDuplicates("id_in", "id_seen")
+    candidates
+      .join(in.select(col("id").as("id_in"), col("sh").as("sh_in")), Seq("id_in"))
+      .join(sn.select(col("id").as("id_seen"), col("sh").as("sh_seen")), Seq("id_seen"))
+      .withColumn("jaccard", jaccard(col("sh_in"), col("sh_seen")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_in"), col("id_seen"), col("jaccard"))
+  }
+
   /** Ordered (non-distinct) word k-grams — winnowing needs positions,
     * so this is NOT [[shingles]] (which dedups). Texts with fewer than
     * k words yield no grams.

@@ -72,6 +72,24 @@ object Sampling {
       .drop("__cap_rank")
   }
 
+  /** Deterministic global shuffle: a content-addressed total order for
+    * randomizing training-example order. Rows sort by their hash draw
+    * (id as total-order tie-break), exposed as `shuffle_key` so
+    * downstream writers can verify or re-sort; the same (id, salt)
+    * always lands at the same position regardless of partitioning, and
+    * a new salt is a fresh epoch permutation.
+    *
+    * Scale shape: one range-partitioned total sort (Spark samples the
+    * key boundaries) — the standard total-order write path; the draw
+    * keys are uniform by construction, so range partitions are
+    * skew-free no matter how skewed the ids. A LIMIT-k head executes
+    * as take-ordered, never a full sort.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = ""): DataFrame =
+    df.withColumn("shuffle_key", hashDraw(col(idCol), salt))
+      .orderBy(col("shuffle_key").asc, col(idCol).asc)
+
   /** Per-stratum Bernoulli sample: keep a row if its draw < the
     * fraction configured for its key (e.g. downsample the dominant
     * language, keep the rare ones whole). Keys without a configured

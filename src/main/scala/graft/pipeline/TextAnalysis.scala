@@ -261,6 +261,63 @@ object TextAnalysis {
           (count(lit(1)) * lit(1e6)), 6).as("avg_logp"))
   }
 
+  /** DSIR-style hashed-unigram importance log-weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every corpus document by how much more likely its words are
+    * under a target-domain unigram model than under the corpus's own —
+    * `log w(doc) = Σ_words [ln p_target(bucket(w)) − ln p_corpus(bucket(w))]`.
+    * Words hash into `numBuckets` buckets (the hashed-n-gram trick that
+    * bounds both models regardless of vocabulary size) and bucket
+    * probabilities are add-one smoothed, so unseen buckets are defined.
+    * Resampling by these weights then tilts a raw crawl toward the
+    * target domain; the weights compose with [[Sampling.sample]] via
+    * a Gumbel/exp draw or plain thresholding.
+    *
+    * Determinism: per-bucket log-probs are fixed to integer micro-nats
+    * (the [[unigramLogProb]] convention), so the per-doc sum is exact
+    * integer arithmetic in any order and any engine.
+    *
+    * Scale shape: each model is one bucket-count shuffle whose output
+    * is ≤ `numBuckets` rows (map-side combined); the ≤ numBuckets-row
+    * log-ratio table broadcast-joins against the exploded corpus
+    * words, and the per-doc re-aggregation shuffles only (id, ratio)
+    * pairs — document bodies never move. The bucket-domain completion
+    * is a `spark.range(numBuckets)`, not a driver loop.
+    */
+  def dsirLogWeights(corpus: DataFrame, target: DataFrame,
+                     textCol: String, idCol: String,
+                     numBuckets: Int = 1024,
+                     hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(numBuckets > 0, s"numBuckets $numBuckets must be positive")
+    val spark = corpus.sparkSession
+    def bucket(w: Column) = pmod(hashFn(w), lit(numBuckets.toLong))
+    def toks(df: DataFrame) =
+      df.select(col(idCol), explode(words(col(textCol))).as("word"))
+        .select(col(idCol), bucket(col("word")).as("b"))
+    // smoothed per-bucket log-prob over the FULL bucket domain: absent
+    // buckets still get the +1 numerator, so the ratio is total
+    def logProbs(tok: DataFrame, out: String) = {
+      val counts = tok.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("__total"))
+      spark.range(numBuckets).select(col("id").as("b"))
+        .join(counts, Seq("b"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("b"),
+          round(log((coalesce(col("cnt"), lit(0L)) + 1L).cast(DoubleType) /
+              (col("__total") + numBuckets).cast(DoubleType)) * 1e6)
+            .cast(LongType).as(out))
+    }
+    val corpusToks = toks(corpus)
+    val ratio = logProbs(toks(target), "__lp_t")
+      .join(logProbs(corpusToks, "__lp_r"), Seq("b"))
+      .select(col("b"), (col("__lp_t") - col("__lp_r")).as("__lr_micro"))
+    corpusToks
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("__lr_micro")) / 1e6, 6).as("log_weight"))
+  }
+
   /** Split each document into fixed-size word windows with `overlap`
     * carried words — context-window chunking for training-sequence or
     * retrieval-index construction. Chunk starts are `0, step, 2*step, …`

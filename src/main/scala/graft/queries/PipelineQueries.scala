@@ -382,6 +382,35 @@ object PipelineQueries {
         .select(when(col("n") === 20, lit("pass")).otherwise(lit("fail")).as("status"))
     }),
 
+    // DSIR importance weights: target = the English slice, corpus =
+    // everything; 512 hashed buckets, portable md5 bucket hash so the
+    // oracle re-derives both models and every per-doc sum exactly
+    "p40_dsir_weights" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      TextAnalysis.dsirLogWeights(t, t.filter(col("lang") === "en"),
+        "text", "doc_id", numBuckets = 512, hashFn = Dedup.md5Hash60)
+    }),
+
+    // deterministic corpus shuffle: the first 50 positions of the
+    // content-addressed training order (take-ordered head, exact draw
+    // keys re-derived by the oracle)
+    "p41_corpus_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", salt = "epoch0")
+        .select(col("doc_id"), col("shuffle_key")).limit(50)),
+
+    // cross-corpus incremental dedup: docs 250+ (the "new crawl")
+    // against docs <250 (the "seen corpus"); same 3-gram/0.9 regime as
+    // p02 — 13 true cross-pairs at sf0.01, LSH miss chance ≈ 4e-8
+    "p42_cross_dedup" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      Dedup.crossCorpusNearDup(
+        t.filter(col("doc_id") >= 250), t.filter(col("doc_id") < 250),
+        "text", "doc_id", shingleN = 3, numHashes = 64, bands = 16,
+        threshold = 0.9)
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -820,6 +849,55 @@ object PipelineQueries {
         |WHERE list_has_any(sh, ['slow fast table', 'batch window spark'])""".stripMargin,
 
     "p39_semdedup" -> "SELECT 'pass' AS status",
+
+    // both unigram models, the smoothed micro-nat log-probs over the
+    // full 512-bucket domain, and the per-doc integer ratio sums are
+    // re-derived exactly
+    "p40_dsir_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |ec AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(unnest(ws)), 1, 15) AS BIGINT) % 512 AS b
+        |       FROM w),
+        |et AS (SELECT CAST('0x' || substr(md5(unnest(ws)), 1, 15) AS BIGINT) % 512 AS b
+        |       FROM w WHERE lang = 'en'),
+        |dom AS (SELECT range AS b FROM range(512)),
+        |lpt AS (SELECT d.b,
+        |          CAST(round(ln((coalesce(c.cnt, 0) + 1) / (t.total + 512.0)) * 1e6) AS BIGINT) AS lp
+        |        FROM dom d
+        |        LEFT JOIN (SELECT b, count(*) AS cnt FROM et GROUP BY b) c USING (b)
+        |        CROSS JOIN (SELECT count(*) AS total FROM et) t),
+        |lpr AS (SELECT d.b,
+        |          CAST(round(ln((coalesce(c.cnt, 0) + 1) / (t.total + 512.0)) * 1e6) AS BIGINT) AS lp
+        |        FROM dom d
+        |        LEFT JOIN (SELECT b, count(*) AS cnt FROM ec GROUP BY b) c USING (b)
+        |        CROSS JOIN (SELECT count(*) AS total FROM ec) t)
+        |SELECT ec.doc_id, count(*) AS n_words,
+        |  round(sum(lpt.lp - lpr.lp) / 1e6, 6) AS log_weight
+        |FROM ec JOIN lpt USING (b) JOIN lpr USING (b)
+        |GROUP BY ec.doc_id""".stripMargin,
+
+    "p41_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch0'), 1, 8) AS BIGINT)
+        |    / 4294967296.0 AS shuffle_key
+        |FROM DOCS ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
+
+    // exact cross-split Jaccard; LSH recall at 0.9/r=4 makes the
+    // candidate set lossless on this data (cf. p02's regime note)
+    "p42_cross_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
+        |      FROM w)
+        |SELECT id_in, id_seen, jaccard FROM (
+        |  SELECT a.doc_id id_in, b.doc_id id_seen,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id >= 250 AND b.doc_id < 250)
+        |WHERE jaccard >= 0.9""".stripMargin,
 
     "p09_multimodal" ->
       """SELECT doc_id AS media_id,

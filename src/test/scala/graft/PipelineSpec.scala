@@ -759,6 +759,56 @@ class PipelineSpec extends SparkTestBase {
       bound = 1.1).head().getString(0) === "fail")
   }
 
+  // ---- DSIR / shuffle / cross-corpus dedup ----------------------------
+
+  test("DSIR log-weights order documents by target-likeness") {
+    val corpus = Seq((1L, "alpha alpha alpha"), (2L, "omega omega omega"),
+      (3L, "alpha omega"), (4L, "")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha alpha alpha alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirLogWeights(corpus, target, "text", "doc_id",
+      numBuckets = 1024).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // pure-target doc > mixed doc > pure-off-target doc; empty doc drops
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) > out(3L) && out(3L) > out(2L))
+    // weights are content-addressed: repartitioning changes nothing
+    val out2 = TextAnalysis.dsirLogWeights(corpus.repartition(5), target,
+      "text", "doc_id", numBuckets = 1024).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out === out2)
+  }
+
+  test("deterministic shuffle is a salt-keyed, repartition-stable permutation") {
+    val ids = spark.range(500).withColumnRenamed("id", "doc_id")
+    val o1 = Sampling.deterministicShuffle(ids, "doc_id", "e0")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(o1.toSet === (0L until 500L).toSet) // a permutation: nothing lost
+    assert(!o1.sameElements(0L until 500L))    // and actually shuffled
+    val o2 = Sampling.deterministicShuffle(ids.repartition(7), "doc_id", "e0")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(o1.sameElements(o2))                // content-addressed order
+    val o3 = Sampling.deterministicShuffle(ids, "doc_id", "e1")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(!o1.sameElements(o3))               // a new salt is a new epoch
+  }
+
+  test("cross-corpus dedup reports incoming-vs-seen pairs only") {
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // seen-internal dup
+      (3L, "completely unrelated text about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dups seen 1 and 2
+      (11L, "something else entirely about streaming watermarks and state stores"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDup(incoming, seen, "text", "doc_id",
+      shingleN = 3, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the seen-internal (1,2) pair is NOT re-reported, 11 matches nothing
+    assert(out === Set((10L, 1L), (10L, 2L)))
+  }
+
   // ---- loaders (ADVICE: events nanos→micros) --------------------------
 
   test("events loader converts nanos to a microsecond timestamp column") {

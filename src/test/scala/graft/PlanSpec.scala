@@ -171,6 +171,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p2.contains("BroadcastNestedLoopJoin"), s"semdedup nested loop:\n$p2")
   }
 
+  test("DSIR/shuffle/cross-dedup keep scale shapes: broadcast ratio, take-ordered head, bucket equi-join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // DSIR scoring: the ≤numBuckets-row log-ratio table joins the
+    // exploded corpus broadcast; the only nested-loop shapes allowed
+    // are the 1-row total attaches
+    val p1 = TextAnalysis.dsirLogWeights(docs,
+      docs.filter(col("lang") === "en"),
+      "text", "doc_id", numBuckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct"), s"dsir cartesian:\n$p1")
+    assert(p1.contains("BroadcastHashJoin"), s"dsir ratio join not broadcast:\n$p1")
+    // a LIMIT head of the deterministic shuffle is a take-ordered, not
+    // a full range-partitioned sort
+    val p2 = Sampling.deterministicShuffle(docs, "doc_id", "e")
+      .select("doc_id", "shuffle_key").limit(50)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("TakeOrderedAndProject"), s"shuffle head not take-ordered:\n$p2")
+    // cross-corpus candidates come from the (band, bucket) equi-join —
+    // never an all-pairs plan between the corpora
+    val p3 = Dedup.crossCorpusNearDup(
+      docs.filter(col("doc_id") < 30),
+      docs.filter(col("doc_id") >= 30),
+      "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("CartesianProduct"), s"cross-dedup all-pairs:\n$p3")
+    assert(!p3.contains("BroadcastNestedLoopJoin"), s"cross-dedup nested loop:\n$p3")
+  }
+
   test("correlated scalar subquery decorrelates to an aggregate equi-join") {
     val df = SparkEntry.queries("q36_corr_subquery")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
