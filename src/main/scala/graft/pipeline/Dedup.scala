@@ -358,7 +358,7 @@ object Dedup {
   // immediately.
   private def labelSum(labels: DataFrame): java.math.BigDecimal =
     Option(labels.agg(sum(xxhash64(col("id"), col("cid")).cast(DecimalType(38, 0))))
-      .head.getDecimal(0))
+      .head().getDecimal(0))
       .getOrElse(java.math.BigDecimal.ZERO)
 
   /** Keep one canonical document per near-dup cluster: drops every

@@ -220,10 +220,90 @@ object Similarity {
     * nprobe cells) and semantic dedup (assign = top-1 cell).
     */
   def rankedCells(cents: Array[Array[Double]], v: Column): Column = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct((-dot(v, array(c.map(lit): _*))).as("nd"), lit(i).as("cell"))
+    val scored = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct((-dot(v, array(c.toIndexedSeq.map(lit): _*))).as("nd"), lit(i).as("cell"))
     }: _*)
     transform(sort_array(scored), s => s.getField("cell"))
+  }
+
+  /** Symmetric per-vector int8 scalar quantization: codes are
+    * `round(x / scale)` with `scale = max|x| / 127`, so the widest
+    * component maps to ±127 exactly and reconstruction error per
+    * component is ≤ scale/2. 4× smaller than float32 at rest — the
+    * difference between 100 TB and 25 TB of embedding storage — while
+    * cosine on the dequantized vectors stays within ~1e-4 of exact for
+    * typical embedding distributions. Zero vectors quantize to all-zero
+    * codes with scale 0.
+    *
+    * The max|x| reduction uses the native `array_max`/`array_min` pair
+    * (codegen'd); only the per-component transform is a HOF lambda —
+    * acceptable for a write-once storage pass, and the read path
+    * ([[dequantizeInt8]]) feeds the native dot directly.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxabs = greatest(abs(array_max(v)), abs(array_min(v))).cast(DoubleType)
+    val scale = maxabs / 127d
+    struct(scale.as("scale"),
+      when(maxabs === 0d, transform(v, _ => lit(0).cast(ByteType)))
+        .otherwise(transform(v, x => round(x.cast(DoubleType) / scale).cast(ByteType)))
+        .as("codes"))
+  }
+
+  /** Reconstruct a double vector from a [[quantizeInt8]] struct. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast(DoubleType) * q.getField("scale"))
+
+  /** Persist a fitted IVF index: the trained coarse quantizer
+    * (`dir/centroids`, nlist rows) plus the corpus re-written
+    * cell-partitioned (`dir/vectors`, partitioned by `cell`). The
+    * assignment pass runs ONCE at build time; every subsequent query
+    * via [[ivfTopKIndexed]] reads only its probed cells' partitions —
+    * at 100 TB that is the difference between scanning the corpus per
+    * query batch and scanning nprobe/nlist of it.
+    */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    dir: String, nlist: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, vecCol, idCol, nlist)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1) // nlist rows: one file, read whole at query time
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col(idCol), col(vecCol),
+        element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** IVF search against a persisted [[buildIvfIndex]] layout. The
+    * centroid table is a bounded model artifact (nlist rows) collected
+    * once; the vectors table joins on its PARTITION column, so dynamic
+    * partition pruning / the cell equi-join bounds the scan to the
+    * probed cells.
+    */
+  def ivfTopKIndexed(probes: DataFrame, dir: String,
+                     vecCol: String, idCol: String, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = probes.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val c = spark.read.parquet(s"$dir/vectors")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        explode(slice(rankedCells(cents, col(vecCol)), 1, nprobe)).as("cell"))
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"))
   }
 
   /** IVF-Flat ANN (the faiss inverted-file shape): corpus vectors are

@@ -196,7 +196,7 @@ object TextAnalysis {
       .select(xxhash64(lower(col(gramCol))).as("__h"))
       .agg(call_function("bloom_agg", col("__h"),
         lit(expectedItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     if (sketch == null) docs.filter(lit(false)).select(col(idCol)) // empty gram set
     else docs.filter(exists(Dedup.shingles(lower(col(textCol)), n),
         g => call_function("bloom_might_contain", lit(sketch), xxhash64(g))))

@@ -411,6 +411,32 @@ object PipelineQueries {
         threshold = 0.9)
     }),
 
+    // int8 embedding quantization: per-vector scale + integer code sum
+    // (both engine-exact — the oracle re-derives every code)
+    "p43_embed_quant" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+      emb.withColumn("__q", Similarity.quantizeInt8(col("embedding")))
+        .select(col("vec_id"),
+          round(col("__q").getField("scale"), 6).as("scale_r"),
+          aggregate(col("__q").getField("codes"), lit(0L),
+            (a, c) => a + c).as("code_sum"))
+    }),
+
+    // persisted IVF index: build once to a scratch dir, search against
+    // the cell-partitioned layout, and gate recall vs the exact
+    // baseline (the p25 pattern — the fit itself has no SQL oracle)
+    "p44_ivf_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 50)
+      val dir = s"/tmp/graft-ivf-index-${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 16)
+      recallGate(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10),
+        Similarity.ivfTopKIndexed(probes, dir, "embedding", "vec_id",
+          k = 10, nprobe = 8),
+        bound = 0.5)
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -878,6 +904,23 @@ object PipelineQueries {
         |  round(sum(lpt.lp - lpr.lp) / 1e6, 6) AS log_weight
         |FROM ec JOIN lpt USING (b) JOIN lpr USING (b)
         |GROUP BY ec.doc_id""".stripMargin,
+
+    // every int8 code and the per-vector scale re-derived exactly
+    // (float→double casts and round-half-away agree across engines)
+    "p43_embed_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(greatest(abs(list_max(embedding)), abs(list_min(embedding))) AS DOUBLE) AS maxabs
+        |  FROM EMB)
+        |SELECT vec_id,
+        |  round(maxabs / 127.0, 6) AS scale_r,
+        |  CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / (maxabs / 127.0)) AS BIGINT)))
+        |  END AS BIGINT) AS code_sum
+        |FROM q""".stripMargin,
+
+    "p44_ivf_index" -> "SELECT 'pass' AS status",
 
     "p41_corpus_shuffle" ->
       """SELECT doc_id,

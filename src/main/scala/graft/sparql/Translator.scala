@@ -648,7 +648,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
           col(tmp)
         case (e, _) => eval(e, colResolver(d))
       }
-      d.withColumn(name, coalesce(parts: _*)).drop(d.columns.filter(_.startsWith("__ls")): _*)
+      d.withColumn(name, coalesce(parts: _*)).drop(d.columns.filter(_.startsWith("__ls")).toIndexedSeq: _*)
     case _ =>
       val (d2, e2, tmps) = hoistComplex(df, expr)
       d2.withColumn(name, eval(e2, colResolver(d2))).drop(tmps: _*)

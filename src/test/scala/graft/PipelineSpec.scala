@@ -809,6 +809,39 @@ class PipelineSpec extends SparkTestBase {
     assert(out === Set((10L, 1L), (10L, 2L)))
   }
 
+  test("int8 quantization: codes in range, faithful round-trip, zero-vector safe") {
+    val q = emb.withColumn("__q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("recon", Similarity.dequantizeInt8(col("__q")))
+    // reconstruction cosine stays near 1 for every vector
+    val minCos = q.select(Similarity.cosine(col("embedding"), col("recon")).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(minCos > 0.995, s"worst reconstruction cosine $minCos")
+    // every code is a genuine int8 value
+    assert(q.select(explode(col("__q.codes")).as("c"))
+      .filter(abs(col("c")) > 127).count() === 0L)
+    // zero vectors: scale 0, all-zero codes, nothing null/NaN
+    val z = Seq((1L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+      .withColumn("__q", Similarity.quantizeInt8(col("embedding")))
+    val row = z.select(col("__q.scale"), col("__q.codes")).head()
+    assert(row.getDouble(0) === 0.0)
+    assert(row.getSeq[Byte](1).forall(_ === 0))
+  }
+
+  test("persisted IVF index search matches the in-memory IVF path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 8)
+    val probes = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = pairs(Similarity.ivfTopK(emb, probes, "embedding", "vec_id",
+      k = 10, nlist = 8, nprobe = 4))
+    val idx = pairs(Similarity.ivfTopKIndexed(probes, dir, "embedding", "vec_id",
+      k = 10, nprobe = 4))
+    // same trained quantizer (cache), same cells on disk → same answer
+    assert(mem === idx)
+    assert(mem.nonEmpty)
+  }
+
   // ---- loaders (ADVICE: events nanos→micros) --------------------------
 
   test("events loader converts nanos to a microsecond timestamp column") {

@@ -199,6 +199,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p3.contains("BroadcastNestedLoopJoin"), s"cross-dedup nested loop:\n$p3")
   }
 
+  test("quantization is a narrow map; indexed IVF search prunes cell partitions") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // quantize/dequantize: pure per-row math, no shuffle/join/explode
+    val p1 = emb.withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("r", Similarity.dequantizeInt8(col("q")))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"quantization must not shuffle:\n$p1")
+    assert(!p1.contains("Join"), s"quantization must not join:\n$p1")
+    // indexed search: equi-join on the PARTITION column — no all-pairs,
+    // and the vectors scan is partition-filtered (static or dynamic)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 4)
+    val idx = Similarity.ivfTopKIndexed(emb.filter(col("vec_id") < 3), dir,
+      "embedding", "vec_id", k = 5, nprobe = 2)
+    val p2 = idx.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"), s"indexed IVF all-pairs:\n$p2")
+    assert(!p2.contains("BroadcastNestedLoopJoin"), s"indexed IVF nested loop:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p2")
+  }
+
   test("correlated scalar subquery decorrelates to an aggregate equi-join") {
     val df = SparkEntry.queries("q36_corr_subquery")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
