@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation rewrites. AQE's skew-join splitting covers the
+  * sort-merge case at runtime; explicit salting remains the tool when
+  * the skew is in the SHUFFLE KEY itself (one hot key overwhelms any
+  * single reducer no matter how the merge is split) or when a
+  * deterministic, planner-independent layout is required.
+  */
+object Skew {
+
+  /** Equi-join with a salted hot side: the big side's rows get a
+    * deterministic salt in [0, salts) and the small side is replicated
+    * once per salt, so a hot key's rows spread over `salts` reducer
+    * partitions instead of hammering one. The output is EXACTLY the
+    * plain `big.join(small, key, joinType)` rows — salting changes the
+    * physical distribution, never the result.
+    *
+    * The salt is content-addressed (xxhash64 over the big row), not
+    * `rand()`: a retried task re-derives identical salts, so the join
+    * stays deterministic under speculative execution — the same rule
+    * [[graft.pipeline.Sampling]] applies to draws.
+    *
+    * Cost model: the small side shuffles ×`salts` — size salts to the
+    * hot key's dominance (a key holding p of all rows needs ~p·shuffle
+    * partitions spread), not to the partition count.
+    *
+    * `joinType` supports "inner" and "left" (an unmatched big row
+    * keeps exactly one null-padded copy — its (key, salt) pair misses
+    * every replica except none; replication is on the small side only).
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts $salts must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedEquiJoin joinType must be inner|left, got $joinType")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -294,6 +294,20 @@ object RelationalQueries {
       s.sql("""SELECT c_custkey, c_nationkey, c_acctbal FROM graft_customer c
               |WHERE c_acctbal > (SELECT avg(i.c_acctbal) FROM graft_customer i
               |                   WHERE i.c_nationkey = c.c_nationkey)""".stripMargin)
+    }),
+
+    // -- salted skew join: the explicit-salting rewrite for hot shuffle
+    // keys must reproduce the plain equi-join bit-for-bit (the oracle
+    // IS the plain join) — salting moves rows, never changes them
+    "q37_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val big = Tables.orders(s, d)
+        .select($"o_custkey".as("custkey"), $"o_totalprice")
+      val small = Tables.customer(s, d)
+        .select($"c_custkey".as("custkey"), $"c_mktsegment")
+      graft.operators.Skew.saltedEquiJoin(big, small, "custkey", salts = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
     })
   )
 
@@ -439,6 +453,12 @@ object RelationalQueries {
     "q36_corr_subquery" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
         |WHERE c_acctbal > (SELECT avg(i.c_acctbal) FROM customer i
-        |                   WHERE i.c_nationkey = c.c_nationkey)""".stripMargin
+        |                   WHERE i.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    "q37_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -219,6 +219,19 @@ class PlanSpec extends SparkTestBase {
     assert(p2.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p2")
   }
 
+  test("salted join keys the join on (key, salt) and stays an equi-join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dim = docs.select(col("source")).distinct()
+      .withColumn("tag", org.apache.spark.sql.functions.lit("t"))
+    val j = graft.operators.Skew.saltedEquiJoin(
+      docs.select(col("doc_id"), col("source")), dim, "source", salts = 4)
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__salt"), s"salt column missing from join keys:\n$opt")
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join must stay an equi-join:\n$p")
+  }
+
   test("correlated scalar subquery decorrelates to an aggregate equi-join") {
     val df = SparkEntry.queries("q36_corr_subquery")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString

@@ -89,4 +89,31 @@ class TemporalSpec extends SparkTestBase {
       .select(max($"session_seq")).as[Long].head()
     assert(sessions === 1L) // gap == threshold is not a break
   }
+
+  test("salted join reproduces the plain join on skewed data, inner and left") {
+    import graft.operators.Skew
+    // 200 rows on one hot key, a few on others, one key with no match
+    val big = ((1 to 200).map(_ => ("hot", 1)) ++
+      Seq(("a", 2), ("a", 3), ("b", 4), ("orphan", 5))).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("a", "A"), ("b", "B"), ("unused", "U"))
+      .toDF("k", "tag")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+
+    val plainInner = rows(big.join(small, Seq("k")).select($"k", $"v", $"tag"))
+    val saltedInner = rows(Skew.saltedEquiJoin(big, small, "k", salts = 8)
+      .select($"k", $"v", $"tag"))
+    assert(saltedInner === plainInner)
+    // counts too (sets would hide dup/loss among identical hot rows)
+    assert(Skew.saltedEquiJoin(big, small, "k", salts = 8).count() ===
+      big.join(small, Seq("k")).count())
+
+    val plainLeft = rows(big.join(small, Seq("k"), "left").select($"k", $"v", $"tag"))
+    val saltedLeft = rows(Skew.saltedEquiJoin(big, small, "k", salts = 8,
+      joinType = "left").select($"k", $"v", $"tag"))
+    assert(saltedLeft === plainLeft)
+    assert(saltedLeft.exists(_._1 == "orphan")) // unmatched row survives once
+    assert(Skew.saltedEquiJoin(big, small, "k", salts = 8, joinType = "left")
+      .count() === big.count()) // exactly one copy per big row
+  }
 }
