@@ -437,6 +437,29 @@ object PipelineQueries {
         bound = 0.5)
     }),
 
+    // curation v2 — the round-5 ops chained end-to-end: treat docs
+    // 250+ as the incoming crawl, drop cross-corpus near-dups vs the
+    // seen corpus, weight survivors toward the English target with
+    // DSIR, keep positive-weight docs, and emit the first 20 of the
+    // deterministic training order. Fully re-derived by the oracle.
+    "p45_curation_v2" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val seen = t.filter(col("doc_id") < 250)
+      val incoming = t.filter(col("doc_id") >= 250)
+      val flagged = Dedup.crossCorpusNearDup(incoming, seen, "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+        .select(col("id_in").as("doc_id")).distinct()
+      val kept = incoming.join(flagged, Seq("doc_id"), "left_anti")
+      val weights = TextAnalysis.dsirLogWeights(kept,
+        t.filter(col("lang") === "en"), "text", "doc_id",
+        numBuckets = 512, hashFn = Dedup.md5Hash60)
+      Sampling.deterministicShuffle(weights.filter(col("log_weight") > 0),
+        "doc_id", salt = "v2")
+        .select(col("doc_id"), col("n_words"), col("log_weight"),
+          col("shuffle_key"))
+        .limit(20)
+    }),
+
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
@@ -921,6 +944,50 @@ object PipelineQueries {
         |FROM q""".stripMargin,
 
     "p44_ivf_index" -> "SELECT 'pass' AS status",
+
+    // the full chain re-derived: exact cross-split Jaccard flags, the
+    // two 512-bucket DSIR models over kept/target slices, integer
+    // micro-nat sums, and the md5 training order
+    "p45_curation_v2" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM DOCS),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) sh
+        |       FROM w),
+        |flagged AS (
+        |  SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+        |    ON a.doc_id >= 250 AND b.doc_id < 250
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |wlow AS (SELECT doc_id, lang,
+        |           list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |         FROM DOCS),
+        |kept AS (SELECT doc_id FROM DOCS
+        |         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |ec AS (SELECT wl.doc_id,
+        |         CAST('0x' || substr(md5(unnest(wl.ws)), 1, 15) AS BIGINT) % 512 AS b
+        |       FROM wlow wl JOIN kept USING (doc_id)),
+        |et AS (SELECT CAST('0x' || substr(md5(unnest(ws)), 1, 15) AS BIGINT) % 512 AS b
+        |       FROM wlow WHERE lang = 'en'),
+        |dom AS (SELECT range AS b FROM range(512)),
+        |lpt AS (SELECT d.b,
+        |          CAST(round(ln((coalesce(c.cnt, 0) + 1) / (t.total + 512.0)) * 1e6) AS BIGINT) AS lp
+        |        FROM dom d
+        |        LEFT JOIN (SELECT b, count(*) AS cnt FROM et GROUP BY b) c USING (b)
+        |        CROSS JOIN (SELECT count(*) AS total FROM et) t),
+        |lpr AS (SELECT d.b,
+        |          CAST(round(ln((coalesce(c.cnt, 0) + 1) / (t.total + 512.0)) * 1e6) AS BIGINT) AS lp
+        |        FROM dom d
+        |        LEFT JOIN (SELECT b, count(*) AS cnt FROM ec GROUP BY b) c USING (b)
+        |        CROSS JOIN (SELECT count(*) AS total FROM ec) t),
+        |wt AS (SELECT ec.doc_id, count(*) AS n_words,
+        |         round(sum(lpt.lp - lpr.lp) / 1e6, 6) AS log_weight
+        |       FROM ec JOIN lpt USING (b) JOIN lpr USING (b)
+        |       GROUP BY ec.doc_id)
+        |SELECT doc_id, n_words, log_weight,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v2'), 1, 8) AS BIGINT)
+        |    / 4294967296.0 AS shuffle_key
+        |FROM wt WHERE log_weight > 0
+        |ORDER BY shuffle_key, doc_id LIMIT 20""".stripMargin,
 
     "p41_corpus_shuffle" ->
       """SELECT doc_id,
