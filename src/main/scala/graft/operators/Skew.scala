@@ -12,16 +12,18 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join with a salted hot side: the big side's rows get a
-    * deterministic salt in [0, salts) and the small side is replicated
-    * once per salt, so a hot key's rows spread over `salts` reducer
+    * uniform salt in [0, salts) and the small side is replicated once
+    * per salt, so a hot key's rows spread over `salts` reducer
     * partitions instead of hammering one. The output is EXACTLY the
-    * plain `big.join(small, key, joinType)` rows — salting changes the
-    * physical distribution, never the result.
-    *
-    * The salt is content-addressed (xxhash64 over the big row), not
-    * `rand()`: a retried task re-derives identical salts, so the join
-    * stays deterministic under speculative execution — the same rule
-    * [[graft.pipeline.Sampling]] applies to draws.
+    * plain `big.join(small, key, joinType)` rows — every (key, salt)
+    * row matches exactly the one replica carrying its salt, whatever
+    * the salt value, so the RESULT is salt-independent by construction
+    * (which is also why a seeded `rand` draw is safe here where
+    * [[graft.pipeline.Sampling]] forbids it: a draw that changes under
+    * retry changes only which partition a row lands in, never the
+    * rows). A row-content hash would NOT work as the salt: duplicate
+    * rows on the hot key — the norm in a pre-dedup crawl — would all
+    * hash to one salt and re-concentrate the skew.
     *
     * Cost model: the small side shuffles ×`salts` — size salts to the
     * hot key's dominance (a key holding p of all rows needs ~p·shuffle
@@ -36,8 +38,10 @@ object Skew {
     require(salts > 0, s"salts $salts must be positive")
     require(joinType == "inner" || joinType == "left",
       s"saltedEquiJoin joinType must be inner|left, got $joinType")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt is reserved by saltedEquiJoin")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      floor(rand(2654435769L) * salts).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

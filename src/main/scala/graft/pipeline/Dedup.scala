@@ -73,25 +73,46 @@ object Dedup {
     *
     * Recall for threshold t with b bands of r rows: 1-(1-t^r)^b.
     */
-  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     shingleN: Int = 1, numHashes: Int = 64, bands: Int = 16,
-                     threshold: Double = 0.7): DataFrame = {
-    val r = numHashes / bands
-    // spread the CPU-heavy shingling/minhashing across cores even when
-    // the input is a single parquet split (shuffles tiny id+text rows)
-    val withSh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Shingle-prep for the LSH kernels: id + shingle set, spread across
+    * cores, with sub-`shingleN`-word documents dropped — their empty
+    * shingle sets can never verify above any threshold (0/0 jaccard),
+    * but an empty set minhashes to an all-null signature whose bands
+    * all hash to ONE seed-constant bucket, so keeping them would cross
+    * every short doc with every other short doc (the all-pairs failure
+    * mode, at its worst on boilerplate-heavy crawls).
+    */
+  private def shinglePrep(df: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    // base hashes and the signature are STAGED as columns: each is
-    // referenced many times downstream, and an inline expression would
-    // be re-evaluated per reference (64 signature bits × 2 self-join
-    // sides would re-hash every shingle 128×). localCheckpoint
-    // materializes the banded rows once for both sides of the join.
-    val banded = withSh
+      .filter(size(col("sh")) > 0)
+
+  /** Banded LSH bucket rows (id, (band, bucket)) from prepped shingles.
+    * Base hashes and the signature are STAGED as columns: each is
+    * referenced many times downstream, and an inline expression would
+    * be re-evaluated per reference (64 signature bits × 2 join sides
+    * would re-hash every shingle 128×).
+    */
+  private def bandedBuckets(withSh: DataFrame,
+                            numHashes: Int, bands: Int): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands $bands must divide numHashes $numHashes")
+    val r = numHashes / bands
+    withSh
       .withColumn("hb", baseHashes(col("sh")))
       .withColumn("sig", minhashSignatureFromHashes(col("hb"), numHashes))
       .select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+  }
+
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 1, numHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.7): DataFrame = {
+    val withSh = shinglePrep(df, textCol, idCol, shingleN)
+    // localCheckpoint materializes the banded rows once for both sides
+    // of the self-join
+    val banded = bandedBuckets(withSh, numHashes, bands)
       .localCheckpoint(false)
     // candidate pairs are ID-ONLY: deduping scalar ids is a parallel
     // hash aggregation; carrying the shingle arrays through the dedup
@@ -124,24 +145,14 @@ object Dedup {
                          textCol: String, idCol: String,
                          shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {
-    val r = numHashes / bands
-    def prep(df: DataFrame) =
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    def banded(withSh: DataFrame) = withSh
-      .withColumn("hb", baseHashes(col("sh")))
-      .withColumn("sig", minhashSignatureFromHashes(col("hb"), numHashes))
-      .select(col("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
-    val in = prep(incoming)
-    val sn = prep(seen)
+    val in = shinglePrep(incoming, textCol, idCol, shingleN)
+    val sn = shinglePrep(seen, textCol, idCol, shingleN)
     // no a.id < b.id here: the two corpora are distinct relations (ids
     // may even collide across them), so every incoming×seen collision
     // is a candidate exactly once
-    val candidates = banded(in).alias("a")
-      .join(banded(sn).alias("b"), col("a.bb") === col("b.bb"))
+    val candidates = bandedBuckets(in, numHashes, bands).alias("a")
+      .join(bandedBuckets(sn, numHashes, bands).alias("b"),
+        col("a.bb") === col("b.bb"))
       .select(col("a.id").as("id_in"), col("b.id").as("id_seen"))
       .dropDuplicates("id_in", "id_seen")
     candidates

@@ -184,18 +184,41 @@ object TextAnalysis {
     * filters have no false negatives, so every truly contaminated
     * document is flagged; false positives (rate `fpp`) only ever
     * over-remove, which decontamination tolerates by design.
+    *
+    * Sizing: `expectedItems = 0` (the default) counts the gram table —
+    * it is small by construction, and the count keeps the plan-literal
+    * sketch proportional to the REAL set instead of a worst-case
+    * guess. Spark's `BloomFilterAggregate` silently clamps its inputs
+    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`/
+    * `maxNumItems` — a clamped sketch's false-positive rate quietly
+    * collapses toward 1 and the "over-removal is bounded by fpp" claim
+    * with it, so this fails fast instead and tells the caller which
+    * conf to raise.
     */
   def bloomContaminated(docs: DataFrame, textCol: String, idCol: String,
                         grams: DataFrame, gramCol: String, n: Int,
-                        expectedItems: Long = 1L << 20,
+                        expectedItems: Long = 0L,
                         fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(grams.count(), 1L)
     // optimal bit count m = -n ln p / (ln 2)^2 (standard Bloom sizing)
     val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      -items * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4194304").toLong
+    require(numBits <= maxBits && items <= maxItems,
+      s"Bloom sketch for $items grams at fpp=$fpp needs $numBits bits, but " +
+        s"BloomFilterAggregate silently clamps to $maxBits bits / $maxItems items " +
+        "(the clamped filter's false-positive rate collapses); raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems or use " +
+        "the join-based decontaminate")
     val sketch = grams
       .select(xxhash64(lower(col(gramCol))).as("__h"))
       .agg(call_function("bloom_agg", col("__h"),
-        lit(expectedItems), lit(numBits)).as("bf"))
+        lit(items), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     if (sketch == null) docs.filter(lit(false)).select(col(idCol)) // empty gram set
     else docs.filter(exists(Dedup.shingles(lower(col(textCol)), n),
@@ -295,16 +318,18 @@ object TextAnalysis {
       df.select(col(idCol), explode(words(col(textCol))).as("word"))
         .select(col(idCol), bucket(col("word")).as("b"))
     // smoothed per-bucket log-prob over the FULL bucket domain: absent
-    // buckets still get the +1 numerator, so the ratio is total
+    // buckets still get the +1 numerator, so the ratio is total. The
+    // corpus total re-derives from the ≤numBuckets-row counts aggregate
+    // — one shuffle per model, not a second scan of the token stream.
     def logProbs(tok: DataFrame, out: String) = {
       val counts = tok.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-      val total = tok.agg(count(lit(1)).as("__total"))
+      val total = counts.agg(sum(col("cnt")).as("__total"))
       spark.range(numBuckets).select(col("id").as("b"))
         .join(counts, Seq("b"), "left")
         .crossJoin(broadcast(total))
         .select(col("b"),
           round(log((coalesce(col("cnt"), lit(0L)) + 1L).cast(DoubleType) /
-              (col("__total") + numBuckets).cast(DoubleType)) * 1e6)
+              (coalesce(col("__total"), lit(0L)) + numBuckets).cast(DoubleType)) * 1e6)
             .cast(LongType).as(out))
     }
     val corpusToks = toks(corpus)

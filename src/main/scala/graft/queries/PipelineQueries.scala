@@ -422,14 +422,21 @@ object PipelineQueries {
             (a, c) => a + c).as("code_sum"))
     }),
 
-    // persisted IVF index: build once to a scratch dir, search against
-    // the cell-partitioned layout, and gate recall vs the exact
-    // baseline (the p25 pattern — the fit itself has no SQL oracle)
+    // persisted IVF index: build once per (JVM, dataset) into a
+    // process-private scratch dir — Bench constructs every entry
+    // repeatedly, and the eager build jobs must not rerun per
+    // construction or race a concurrent process on a shared path —
+    // then search the cell-partitioned layout and gate recall vs the
+    // exact baseline (the p25 pattern — the fit has no SQL oracle)
     "p44_ivf_index" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") < 50)
-      val dir = s"/tmp/graft-ivf-index-${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 16)
+      val dir = ivfIndexDirs.getOrElseUpdate(d, {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-ivf-gate").toString
+        Similarity.buildIvfIndex(emb, "embedding", "vec_id", scratch, nlist = 16)
+        scratch
+      })
       recallGate(
         Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10),
         Similarity.ivfTopKIndexed(probes, dir, "embedding", "vec_id",
@@ -473,6 +480,10 @@ object PipelineQueries {
     * single pass/fail row (the oracle is the constant "pass" row). A
     * left join from the exact pairs counts hits; no collect.
     */
+  /** One persisted IVF build per (JVM, dataset) for the p44 gate. */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def recallGate(exact: DataFrame, approx: DataFrame, bound: Double): DataFrame =
     exact.select(col("probe_id"), col("neighbor_id"))
       .join(approx.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
