@@ -792,6 +792,41 @@ class PipelineSpec extends SparkTestBase {
     assert(!o1.sameElements(o3))               // a new salt is a new epoch
   }
 
+  test("LSH kernels drop sub-shingle docs instead of bucketing them together") {
+    // two <3-word docs share no 3-gram, but their empty shingle sets
+    // used to minhash into one constant bucket per band — they must
+    // produce no candidate pair and no output
+    val seen = Seq((1L, "hi"), (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "yo"), (11L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDup(incoming, seen, "text", "doc_id",
+      shingleN = 3, threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((11L, 2L)))
+    // self-join path likewise
+    val selfOut = Dedup.minhashNearDup(
+      seen.unionByName(incoming.withColumnRenamed("doc_id", "doc_id")),
+      "text", "doc_id", shingleN = 3, threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selfOut === Set((2L, 11L)))
+  }
+
+  test("bloom decontamination fails fast instead of silently clamping the sketch") {
+    val grams = Seq("a b c").toDF("gram")
+    val prev = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "8")
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.bloomContaminated(docs, "text", "doc_id", grams, "gram", n = 3)
+      }
+      assert(e.getMessage.contains("clamps"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", v)
+      case None => spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    }
+  }
+
   test("cross-corpus dedup reports incoming-vs-seen pairs only") {
     val seen = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
