@@ -117,6 +117,35 @@ class StreamingSpec extends SparkTestBase {
     assert(r.getInt(3) === 8)
   }
 
+  test("bloom probe and int8 quantization run on streams as-is") {
+    implicit val sq = spark.sqlContext
+    // the Bloom sketch is a batch-side model literal; the probe is a
+    // narrow filter, so a streaming corpus passes through unchanged
+    val mem = MemoryStream[(Long, String)]
+    val grams = Seq("quick brown fox").toDF("gram")
+    val flagged = graft.pipeline.TextAnalysis.bloomContaminated(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", grams, "gram", n = 3)
+    val q = flagged.writeStream.format("memory").queryName("bloomed")
+      .outputMode("append").start()
+    mem.addData((1L, "the quick brown fox jumps"), (2L, "nothing shared here at all"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("bloomed").collect().map(_.getLong(0)).toSet === Set(1L))
+    // quantization is a pure per-row map — streaming embeddings quantize
+    val memE = MemoryStream[(Long, Seq[Float])]
+    val qdf = memE.toDF().toDF("vec_id", "embedding")
+      .withColumn("q", graft.pipeline.Similarity.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("q.scale").as("scale"))
+    val q2 = qdf.writeStream.format("memory").queryName("quantized")
+      .outputMode("append").start()
+    memE.addData((1L, Seq(1f, -2f, 0.5f)))
+    q2.processAllAvailable()
+    q2.stop()
+    val row = spark.table("quantized").head()
+    assert(row.getLong(0) === 1L)
+    assert(math.abs(row.getDouble(1) - 2.0 / 127) < 1e-12)
+  }
+
   test("chunkWords is streaming-safe: per-doc windows emitted incrementally") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
