@@ -308,6 +308,20 @@ object RelationalQueries {
       graft.operators.Skew.saltedEquiJoin(big, small, "custkey", salts = 8)
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+    }),
+
+    // -- Z-order layout: the Morton interleave of two bucketed
+    // dimensions, bit-exact vs the oracle's re-derivation — the
+    // write-side ordering that keeps parquet min/max stats tight on
+    // BOTH query axes
+    "q38_zorder" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", pmod($"o_custkey", lit(32L)).as("da"),
+          pmod($"o_orderkey", lit(32L)).as("db"))
+        .withColumn("zval",
+          graft.operators.Layout.zValue($"da", $"db", bitsPerDim = 5))
+        .orderBy($"zval", $"o_orderkey").limit(100)
     })
   )
 
@@ -459,6 +473,14 @@ object RelationalQueries {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q38_zorder" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey % 32 AS da, o_orderkey % 32 AS db
+        |           FROM orders)
+        |SELECT o_orderkey, da, db,
+        |  CAST(list_sum(list_transform(range(5), i ->
+        |    (((da >> i) & 1) << (2*i)) | (((db >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
+        |FROM t ORDER BY zval, o_orderkey LIMIT 100""".stripMargin
   )
 }

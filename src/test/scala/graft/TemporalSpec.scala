@@ -90,6 +90,20 @@ class TemporalSpec extends SparkTestBase {
     assert(sessions === 1L) // gap == threshold is not a break
   }
 
+  test("z-value interleaves bits correctly and stays a narrow map") {
+    import graft.operators.Layout
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 3L), (2L, 1L))
+      .toDF("a", "b")
+    val got = pts.withColumn("z", Layout.zValue($"a", $"b", bitsPerDim = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the canonical Morton curve: (0,0)→0 (1,0)→1 (0,1)→2 (1,1)→3 …
+    assert(got === Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (0L, 1L) -> 2L,
+      (1L, 1L) -> 3L, (3L, 3L) -> 15L, (2L, 1L) -> 6L))
+    val p = pts.withColumn("z", Layout.zValue($"a", $"b", bitsPerDim = 16))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"zValue must not shuffle:\n$p")
+  }
+
   test("salted join reproduces the plain join on skewed data, inner and left") {
     import graft.operators.Skew
     // 200 rows on one hot key, a few on others, one key with no match
