@@ -87,6 +87,50 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** Canonical 256-bit key of a shingle SET: sha256 over the
+    * JSON-encoded sorted array (JSON escaping makes the encoding
+    * injective — no separator-collision hazard). Same trust model as
+    * [[exact]]'s sha256 content hash.
+    */
+  private def setKey(sortedSh: Column): Column = sha2(to_json(sortedSh), 256)
+
+  /** Shingle-prep + signature-group keying: `sh` is canonicalized
+    * (sorted — every consumer is set-based, so order never matters) and
+    * keyed by [[setKey]]. Documents sharing a key have IDENTICAL
+    * shingle sets, hence identical minhash signatures, identical LSH
+    * buckets, and pairwise Jaccard exactly 1.0 — so all-pairs work can
+    * run once per distinct set and expand back to members afterwards.
+    */
+  private def keyedShinglePrep(df: DataFrame, textCol: String, idCol: String,
+                               shingleN: Int): DataFrame =
+    shinglePrep(df, textCol, idCol, shingleN)
+      .withColumn("sh", array_sort(col("sh")))
+      .withColumn("gk", setKey(col("sh")))
+
+  /** Representative election: ONE row per distinct shingle set, carrying
+    * the minimum member id (`first` on `sh` is deterministic — every
+    * member's canonicalized array is identical).
+    */
+  private def electGroups(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("gk"))
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
+
+  /** Per-(band,bucket) candidate cap: drops buckets holding more than
+    * `maxBucket` DISTINCT signature groups. With representative
+    * election already collapsing mass-duplicated content, a bucket can
+    * only exceed the cap through genuinely distinct-but-colliding
+    * sets; each of the `bands` bands gives an independent chance to
+    * recover a dropped pair, so a generous cap trades vanishing recall
+    * for a hard bound on pair fan-out. Default unbounded (exact).
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val big = banded.groupBy(col("bb")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket).select(col("bb"))
+      banded.join(big, Seq("bb"), "left_anti")
+    }
+
   /** Banded LSH bucket rows (id, (band, bucket)) from prepped shingles.
     * Base hashes and the signature are STAGED as columns: each is
     * referenced many times downstream, and an inline expression would
@@ -106,14 +150,36 @@ object Dedup {
           struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
   }
 
+  /** MinHash near-dup pairs with signature-group representative
+    * election: identical shingle sets collapse to ONE representative
+    * before banding, so candidate generation, the bucket self-join and
+    * Jaccard verification all scale with the number of DISTINCT
+    * documents — a mass-duplicated corpus (boilerplate-heavy crawls,
+    * the worst case at 100 TB) can no longer square the pair counts.
+    * Member pairs are reconstructed afterwards: within a group every
+    * pair has Jaccard exactly 1.0 (identical sets — no verification
+    * needed, output-bound expansion only), and across groups the
+    * verified representative Jaccard applies to every member pair
+    * (Jaccard is a function of the two sets). Output is therefore
+    * IDENTICAL to the direct per-document formulation, row for row.
+    *
+    * `maxBucket` optionally drops (band,bucket) buckets holding more
+    * than that many distinct groups (see [[capBuckets]]); default
+    * unbounded = exact.
+    */
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      shingleN: Int = 1, numHashes: Int = 64, bands: Int = 16,
-                     threshold: Double = 0.7): DataFrame = {
-    val withSh = shinglePrep(df, textCol, idCol, shingleN)
-    // localCheckpoint materializes the banded rows once for both sides
-    // of the self-join
-    val banded = bandedBuckets(withSh, numHashes, bands)
+                     threshold: Double = 0.7,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    // localCheckpoint: keyed feeds election + both expansion sides;
+    // groups feed banding + both verify joins; banded feeds both sides
+    // of the bucket self-join
+    val keyed = keyedShinglePrep(df, textCol, idCol, shingleN)
       .localCheckpoint(false)
+    val members = keyed.select(col("gk"), col("id"))
+    val groups = electGroups(keyed).localCheckpoint(false)
+    val banded = capBuckets(
+      bandedBuckets(groups, numHashes, bands).localCheckpoint(false), maxBucket)
     // candidate pairs are ID-ONLY: deduping scalar ids is a parallel
     // hash aggregation; carrying the shingle arrays through the dedup
     // would force a sort-based aggregate that copies the array buffer
@@ -123,12 +189,29 @@ object Dedup {
         col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    // verify ONCE per distinct-set pair, on the representatives
+    val repPairs = candidates
+      .join(groups.select(col("id").as("id_a"), col("gk").as("gk_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(groups.select(col("id").as("id_b"), col("gk").as("gk_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("gk_a"), col("gk_b"), col("jaccard"))
+    // expansion: cross-group member pairs inherit the verified Jaccard;
+    // within-group pairs are exact dups (Jaccard 1.0) by construction
+    val cross = repPairs
+      .join(members.select(col("gk").as("gk_a"), col("id").as("__ia")), Seq("gk_a"))
+      .join(members.select(col("gk").as("gk_b"), col("id").as("__ib")), Seq("gk_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+    val within = members.alias("x")
+      .join(members.alias("y"),
+        col("x.gk") === col("y.gk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    cross.unionByName(within)
   }
 
   /** Cross-corpus (incremental) near-dup: pairs of an `incoming`
@@ -145,21 +228,35 @@ object Dedup {
                          textCol: String, idCol: String,
                          shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {
-    val in = shinglePrep(incoming, textCol, idCol, shingleN)
-    val sn = shinglePrep(seen, textCol, idCol, shingleN)
+    // representative election on BOTH corpora (see [[minhashNearDup]]):
+    // replicated boilerplate on either side collapses to one signature
+    // group, so bucket collisions and verification scale with distinct
+    // content; member expansion restores every incoming×seen pair
+    val in = keyedShinglePrep(incoming, textCol, idCol, shingleN)
+      .localCheckpoint(false)
+    val sn = keyedShinglePrep(seen, textCol, idCol, shingleN)
+      .localCheckpoint(false)
+    val gIn = electGroups(in).localCheckpoint(false)
+    val gSn = electGroups(sn).localCheckpoint(false)
     // no a.id < b.id here: the two corpora are distinct relations (ids
     // may even collide across them), so every incoming×seen collision
     // is a candidate exactly once
-    val candidates = bandedBuckets(in, numHashes, bands).alias("a")
-      .join(bandedBuckets(sn, numHashes, bands).alias("b"),
+    val candidates = bandedBuckets(gIn, numHashes, bands).alias("a")
+      .join(bandedBuckets(gSn, numHashes, bands).alias("b"),
         col("a.bb") === col("b.bb"))
       .select(col("a.id").as("id_in"), col("b.id").as("id_seen"))
       .dropDuplicates("id_in", "id_seen")
-    candidates
-      .join(in.select(col("id").as("id_in"), col("sh").as("sh_in")), Seq("id_in"))
-      .join(sn.select(col("id").as("id_seen"), col("sh").as("sh_seen")), Seq("id_seen"))
+    val repPairs = candidates
+      .join(gIn.select(col("id").as("id_in"), col("gk").as("gk_in"),
+        col("sh").as("sh_in")), Seq("id_in"))
+      .join(gSn.select(col("id").as("id_seen"), col("gk").as("gk_sn"),
+        col("sh").as("sh_seen")), Seq("id_seen"))
       .withColumn("jaccard", jaccard(col("sh_in"), col("sh_seen")))
       .filter(col("jaccard") >= threshold)
+      .select(col("gk_in"), col("gk_sn"), col("jaccard"))
+    repPairs
+      .join(in.select(col("gk").as("gk_in"), col("id").as("id_in")), Seq("gk_in"))
+      .join(sn.select(col("gk").as("gk_sn"), col("id").as("id_seen")), Seq("gk_sn"))
       .select(col("id_in"), col("id_seen"), col("jaccard"))
   }
 
@@ -290,21 +387,40 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3,
-                     hashFn: Column => Column = xxhash64(_)): DataFrame = {
+                     hashFn: Column => Column = xxhash64(_),
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    // representative election directly on the 64-bit simhash: both the
+    // banding and the Hamming verdict are functions of `h` alone, so
+    // pairing runs once per DISTINCT simhash and member expansion
+    // reconstructs the per-document pairs exactly (within a group the
+    // Hamming distance is 0, which every maxHamming >= 0 admits)
     val withH = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__wh", wordHashes(col(textCol), hashFn))
       .select(col(idCol).as("id"), simhashFromHashes(col("__wh")).as("h"))
-    val banded = withH.select(col("id"), col("h"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bb"))
       .localCheckpoint(false)
-    banded.alias("a")
+    val groups = withH.groupBy(col("h")).agg(min(col("id")).as("id"))
+    val banded = capBuckets(
+      groups.select(col("id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bb"))
+        .localCheckpoint(false), maxBucket)
+    val repPairs = banded.alias("a")
       .join(banded.alias("b"), col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("h_a", "h_b")
       .filter(col("hamming") <= maxHamming)
+    val cross = repPairs
+      .join(withH.select(col("h").as("h_a"), col("id").as("__ia")), Seq("h_a"))
+      .join(withH.select(col("h").as("h_b"), col("id").as("__ib")), Seq("h_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val within = withH.alias("x")
+      .join(withH.alias("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Connected components over a near-dup pair graph: returns
