@@ -28,10 +28,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS). Spark has no nanos timestamp
-    * type; with `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a
-    * LongType of epoch-nanos which we convert to microsecond TimestampType
-    * (matching DuckDB's cast of TIMESTAMP_NS to TIMESTAMP: truncation).
+  /** events.ts has shipped in three parquet shapes across testdata
+    * generations; normalize all of them to a microsecond TimestampType:
+    *
+    *  - TIMESTAMP(NANOS): Spark has no nanos type; with
+    *    `spark.sql.legacy.parquet.nanosAsLong` it surfaces as LongType
+    *    epoch-nanos, which we truncate to micros (matching DuckDB's cast
+    *    of TIMESTAMP_NS to TIMESTAMP).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads this as
+    *    TIMESTAMP_NTZ; the session TZ is pinned to UTC
+    *    (GraftSession), so casting to TimestampType is a wall-clock
+    *    identity.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true): already TimestampType.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Set here (runtime conf) rather than at session build so it holds
@@ -41,6 +49,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
