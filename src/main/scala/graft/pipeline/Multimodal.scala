@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata structs.
   *
-  * The Spark-side plumbing — schema, batch shape, partitioning, feature
-  * schema — is real; the actual media DECODE step is a clearly-marked
-  * deterministic STUB (this container has no image/audio codecs). In
-  * production the stub body is replaced by a codec call inside the same
-  * `mapPartitions`/expression shape; nothing else changes.
+  * The IMAGE path is real: [[decodeImages]]/[[resizeImages]] run the
+  * JDK's `javax.imageio` codecs (PNG/GIF/BMP/JPEG) partition-wise —
+  * true pixel dimensions, luminance features, bilinear resize with
+  * PNG re-encode. Audio/video decode still uses the clearly-marked
+  * deterministic STUBs below (this container has no media codecs
+  * beyond the JDK's); swapping a stub body for a codec call inside
+  * the same `mapPartitions` shape changes nothing else.
   */
 object Multimodal {
 
@@ -89,6 +91,109 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ feats)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode for `image/png` (and any other format the JVM's
+    * `javax.imageio` registry reads — PNG/GIF/BMP/JPEG ship with the
+    * JDK): payloads are decoded partition-wise to true pixel
+    * dimensions plus a `dims`-bucket mean-luminance feature vector
+    * (the image split into `dims` vertical strips; each feature is
+    * that strip's mean luma in [0,1]). Rows whose payload does not
+    * decode (non-image mimes, truncated bytes) get null width/height
+    * and a null feature vector — decode failure is data, not an error,
+    * exactly like a corrupt blob in a 100 TB crawl.
+    *
+    * Same plan shape as [[decodePartitionwise]]: a narrow
+    * `mapPartitions` (no shuffle), per-partition init point for codec
+    * state, output schema fixed up front.
+    */
+  def decodeImages(df: DataFrame, dims: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema
+      .add("decoded_width", IntegerType)
+      .add("decoded_height", IntegerType)
+      .add("image_features", ArrayType(FloatType))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // ImageIO scans its plugin registry on first use; touching it here
+      // keeps that per-partition, off the driver.
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (payload == null || payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Double](dims)
+          val counts = new Array[Long](dims)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xFF) * 0.299 +
+                ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+              val strip = math.min(dims - 1, x * dims / w)
+              sums(strip) += luma; counts(strip) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val feats = Array.tabulate(dims)(i =>
+            if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+          Row.fromSeq(r.toSeq ++ Seq(w, h, feats))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image resize for decodable payloads: decode, scale through
+    * `Graphics2D` bilinear interpolation, re-encode as PNG, and update
+    * both the payload bytes and the metadata dimensions. Undecodable
+    * rows pass through unchanged (same corrupt-blob policy as
+    * [[decodeImages]]). Narrow map — the 100 TB shape is one pass over
+    * the payload column, no shuffle.
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    require(w > 0 && h > 0, s"resize target ${w}x$h must be positive")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (payload == null || payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) r
+        else {
+          val scaled = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", out)
+          val oldMeta = r.getStruct(metaIdx)
+          val newMeta = Row(Integer.valueOf(w), Integer.valueOf(h),
+            oldMeta.get(2), oldMeta.get(3))
+          val vals = r.toSeq.toArray
+          vals(payloadIdx) = out.toByteArray
+          vals(metaIdx) = newMeta
+          Row.fromSeq(vals.toSeq)
+        }
+      }
+    }(Encoders.row(df.schema))
   }
 
   /** Full demo pipeline over a text table standing in for media blobs. */

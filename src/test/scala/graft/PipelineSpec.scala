@@ -537,6 +537,65 @@ class PipelineSpec extends SparkTestBase {
     assert(rows(2L).forall(_ === 0f)) // empty payload → zero features
   }
 
+  test("decodeImages reads a real PNG: true dimensions and strip luminance") {
+    // 4x2 PNG: left half black, right half white — encoded with the same
+    // javax.imageio codec the operator decodes with, via in-memory bytes.
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xFFFFFF)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    assert(png.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val media = Seq(
+      (1L, png, "image/png"),
+      (2L, "not an image".getBytes("UTF-8"), "image/png"), // corrupt blob
+      (3L, null.asInstanceOf[Array[Byte]], "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+      .withColumn("meta", struct(lit(4).as("width"), lit(2).as("height"),
+        lit(0L).as("duration_ms"), lit(16000).as("sample_rate")))
+    val out = Multimodal.decodeImages(media, dims = 2)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getAs[Int]("decoded_width") === 4)
+    assert(ok.getAs[Int]("decoded_height") === 2)
+    val feats = ok.getAs[scala.collection.Seq[Float]]("image_features")
+    assert(feats.length === 2)
+    assert(feats(0) < 0.01f && feats(1) > 0.99f) // black strip, white strip
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("decoded_width")))
+    assert(rows(3L).isNullAt(rows(3L).fieldIndex("image_features")))
+  }
+
+  test("resizeImages scales a decodable payload and updates meta; corrupt rows pass through") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x336699)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val media = Seq((1L, buf.toByteArray, "image/png"),
+      (2L, "junk".getBytes("UTF-8"), "image/png"))
+      .toDF("media_id", "payload", "mime")
+      .withColumn("meta", struct(lit(8).as("width"), lit(8).as("height"),
+        lit(0L).as("duration_ms"), lit(16000).as("sample_rate")))
+    val out = Multimodal.resizeImages(media, 3, 5)
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val resized = rows(1L)
+    assert(resized.getStruct(resized.fieldIndex("meta")).getInt(0) === 3)
+    assert(resized.getStruct(resized.fieldIndex("meta")).getInt(1) === 5)
+    // re-encoded payload round-trips at the new dimensions
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      resized.getAs[Array[Byte]]("payload")))
+    assert(back.getWidth === 3 && back.getHeight === 5)
+    assert(back.getRGB(1, 2) === 0xFF336699) // solid color survives resize
+    // corrupt payload unchanged
+    assert(rows(2L).getAs[Array[Byte]]("payload").sameElements("junk".getBytes("UTF-8")))
+    assert(rows(2L).getStruct(rows(2L).fieldIndex("meta")).getInt(0) === 8)
+  }
+
   test("frame sampling emits one offset per second of video") {
     val one = Multimodal.frameSampleOffsets(
       Multimodal.asMediaTable(Seq((5L, "x")).toDF("doc_id", "text"), "doc_id", "text"))
