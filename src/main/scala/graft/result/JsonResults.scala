@@ -32,12 +32,22 @@ object JsonResults {
     sb.toString
   }
 
-  /** Serialize a term-column result (from [[graft.sparql.Sparql.query]]). */
+  /** Serialize a term-column result (from [[graft.sparql.Sparql.query]]).
+    *
+    * The sink is for protocol responses, which are bounded result sets
+    * — but the bound is ENFORCED, never silent: a result with more than
+    * `spark.graft.json.maxRows` rows (default `limit`) raises, it does
+    * not truncate. Rows stream through `toLocalIterator` (one partition
+    * of rendered strings on the driver at a time), so memory is bounded
+    * by a partition, not the result.
+    */
   def toJson(df: DataFrame, limit: Int = 1000000): String = {
     if (df.columns.sameElements(Array("boolean"))) {
       val b = df.head().getBoolean(0)
       return s"""{"head":{"vars":[]},"boolean":$b}"""
     }
+    val maxRows = df.sparkSession.conf
+      .getOption("spark.graft.json.maxRows").map(_.toInt).getOrElse(limit)
     val vars = df.columns.toSeq
     // render per-variable fields distributed, collect only strings
     val rendered = df.select(vars.flatMap { v =>
@@ -49,8 +59,18 @@ object JsonResults {
         Render.datatype(t).as(s"${v}__dt"),
         (t.isNull || t.getField("kind") === "null").as(s"${v}__null"))
     }: _*)
-    val rows = rendered.limit(limit).collect()
-    val bindings = rows.map { row =>
+    // fetch maxRows+1 so overflow is observable, then fail loudly
+    val rows = rendered.limit(maxRows + 1).toLocalIterator()
+    var n = 0
+    val bindings = new scala.collection.mutable.ArrayBuffer[String]()
+    while (rows.hasNext) {
+      val row = rows.next()
+      n += 1
+      if (n > maxRows)
+        throw new IllegalStateException(
+          s"result exceeds spark.graft.json.maxRows=$maxRows rows; " +
+            "raise the limit or add LIMIT to the query")
+      bindings += {
       val fields = vars.zipWithIndex.flatMap { case (v, i) =>
         val base = i * 5
         val isNull = row.getBoolean(base + 4)
@@ -68,6 +88,7 @@ object JsonResults {
         }
       }
       fields.mkString("{", ",", "}")
+      }
     }
     val head = vars.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
     s"""{"head":{"vars":$head},"results":{"bindings":${bindings.mkString("[", ",", "]")}}}"""

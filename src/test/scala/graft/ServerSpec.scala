@@ -89,4 +89,21 @@ class ServerSpec extends SparkTestBase {
     assert(code === 400)
     assert(body.contains("missing 'query' parameter"))
   }
+
+  test("oversize result → 500 with the row-cap message, never silent truncation") {
+    spark.conf.set("spark.graft.json.maxRows", "10")
+    try {
+      val big = "/query?query=" + java.net.URLEncoder.encode(
+        "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", "UTF-8") // 3385 rows > 10
+      val (code, body, _) = get(big)
+      assert(code === 500)
+      assert(body.contains("spark.graft.json.maxRows"))
+      // a result within the cap still serializes completely
+      val small = "/query?query=" + java.net.URLEncoder.encode(
+        "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 9", "UTF-8")
+      val (okCode, okBody, _) = get(small)
+      assert(okCode === 200)
+      assert(okBody.count(_ == '{') > 9) // all 9 bindings present
+    } finally spark.conf.unset("spark.graft.json.maxRows")
+  }
 }
