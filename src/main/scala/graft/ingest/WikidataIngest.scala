@@ -94,6 +94,7 @@ object WikidataIngest {
       .withColumn("p_lex", Render.lex(col("p")))
       .withColumn("o_lex", Render.lex(col("o")))
       .withColumn("id_lex", Render.lex(col("id")))
+      .withColumn("graph_lex", Render.lex(col("graph")))
   }
 
   /** Default predicate-bucket count for the partitioned layout. The

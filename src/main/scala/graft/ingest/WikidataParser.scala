@@ -16,13 +16,17 @@ final case class T(
     lang: Option[String],
     key: String)
 
-/** One statement row: subject, predicate, object, statement id, plus the
-  * ingest ordinal (`ord`) used to reproduce the reference's stable
-  * insertion order for order-sensitive aggregates (SAMPLE /
-  * GROUP_CONCAT — the reference's sort-based grouping is a stable merge
-  * sort over insertion order, `src/relation/materialized_relation.rs:463`).
+/** One statement row: subject, predicate, object, statement id, the
+  * named graph (`graph` = the dump entity document the quad was parsed
+  * from — provenance, the store's named-graph model; qualifiers carry
+  * their parent document's graph even though their subject is the claim
+  * edge), plus the ingest ordinal (`ord`) used to reproduce the
+  * reference's stable insertion order for order-sensitive aggregates
+  * (SAMPLE / GROUP_CONCAT — the reference's sort-based grouping is a
+  * stable merge sort over insertion order,
+  * `src/relation/materialized_relation.rs:463`).
   */
-final case class Quad(s: T, p: T, o: T, id: T, ord: Long)
+final case class Quad(s: T, p: T, o: T, id: T, graph: T, ord: Long)
 
 /** Line-wise Wikidata JSON dump parser.
   *
@@ -198,7 +202,7 @@ object WikidataParser extends Serializable {
     }
 
     def add(s: T, p: T, o: T, id: T): Unit = {
-      quads += Quad(s, p, o, id, seq); seq += 1
+      quads += Quad(s, p, o, id, subject, seq); seq += 1
     }
 
     // labels / descriptions: one edge per language (parser.rs:441-461)

@@ -465,7 +465,33 @@ object SparqlQueries {
       """SELECT (GROUP_CONCAT(DISTINCT ?n; SEPARATOR="|") AS ?gc)
         |WHERE { VALUES ?n { 3 1 2 3 1 } }""".stripMargin,
       """SELECT string_agg(DISTINCT CAST(n AS VARCHAR), '|' ORDER BY CAST(n AS VARCHAR)) AS gc
-        |FROM (VALUES (3),(1),(2),(3),(1)) t(n)""".stripMargin)
+        |FROM (VALUES (3),(1),(2),(3),(1)) t(n)""".stripMargin),
+
+    // ---- GRAPH (SURVEY §2.5; ref IR calc_data_types.rs:149-151, exec
+    // todo! calc_engine.rs:255-259). Named graphs = document
+    // provenance; the default graph is their union (WDQS model), so
+    // these only constrain/bind, never change plain-pattern results.
+    ("sp60_graph_var",
+      "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g",
+      s"""SELECT graph_lex AS g, CAST(count(*) AS VARCHAR) AS n
+         |FROM $ST GROUP BY graph_lex""".stripMargin),
+
+    // constant graph: EVERY quad of Q31's document — including
+    // qualifier rows whose subject is the claim edge, which a plain
+    // subject filter (sp02) misses
+    ("sp61_graph_const",
+      "SELECT ?s ?p ?o WHERE { GRAPH wd:Q31 { ?s ?p ?o } }",
+      s"SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST WHERE graph['key']='Q:31'"),
+
+    // graph variable joins across patterns inside the group and
+    // projects like any other variable
+    ("sp62_graph_join",
+      """SELECT DISTINCT ?g WHERE {
+        |  GRAPH ?g { ?s wdt:P31 ?o . ?s wdt:P1082 ?pop } }""".stripMargin,
+      s"""SELECT DISTINCT a.graph_lex AS g
+         |FROM $ST a JOIN $ST b
+         |   ON a.graph['key']=b.graph['key'] AND a.s['key']=b.s['key']
+         |WHERE a.p['key']='P:31' AND b.p['key']='P:1082'""".stripMargin)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -97,6 +97,24 @@ object Ast {
   final case class Group(inner: Op, keys: Seq[Var], aggs: Seq[(Var, Agg)]) extends Op
   final case class Service(name: TermValue, inner: Op, silent: Boolean) extends Op
 
+  /** `GRAPH <g>/?g { ... }` (reference IR
+    * `src/calc_data_types.rs:149-151`; its exec is `todo!`,
+    * `src/calc_engine.rs:255-259` — we execute it). The store's named
+    * graphs are document-provenance: every quad carries the entity
+    * document it was parsed from, and the default graph is the union of
+    * all named graphs (the Blazegraph/WDQS dataset model). A constant
+    * graph filters every scan inside; a variable binds it per scan and
+    * joins/projects like any other variable.
+    */
+  final case class GraphOp(g: TermPat, inner: Op) extends Op
+
+  /** Internal ([[Translator]] only): the push-down forms GRAPH leaves
+    * behind — a BGP / path whose scans carry the graph constraint.
+    * Never produced by the parser.
+    */
+  final case class GraphBgp(triples: Seq[Triple], g: TermPat) extends Op
+  final case class GraphPath(p: PathOp, g: TermPat) extends Op
+
   /** Query forms (reference implements SELECT only and `todo!`s the
     * rest, `src/interpreter.rs:107-131`; we execute all four — SURVEY
     * §2.9: ASK = non-emptiness, CONSTRUCT = template instantiation into
@@ -155,6 +173,9 @@ object Ast {
       case Slice(i, _, _) => walk(i)
       case Group(_, ks, as) => out ++= ks; out ++= as.map(_._1)
       case Service(_, i, _) => walk(i)
+      case GraphOp(g, i) => tp(g); walk(i)
+      case GraphBgp(ts, g) => ts.foreach { t => tp(t.s); tp(t.p); tp(t.o) }; tp(g)
+      case GraphPath(p, g) => tp(p.s); tp(p.o); tp(g)
     }
     walk(op)
     out.toSeq.filterNot(_.name.startsWith(InternalPrefix))

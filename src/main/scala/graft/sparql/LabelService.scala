@@ -54,6 +54,7 @@ object LabelService {
     case ReducedOp(i) => ReducedOp(rewriteIn(i, vars))
     case Slice(i, s, l) => Slice(rewriteIn(i, vars), s, l)
     case Group(i, ks, as) => Group(rewriteIn(i, vars), ks, as)
+    case GraphOp(g, i) => GraphOp(g, rewriteIn(i, vars))
     case other => other
   }
 

@@ -425,6 +425,13 @@ object Parser {
           val name = parseIriTerm()
           val inner = parseGroupGraphPattern()
           join(Service(name, inner, silent))
+        } else if (eatWord("GRAPH")) {
+          val g: TermPat = peek match {
+            case Some(TVar(v)) => next(); Var(v)
+            case _ => Const(parseIriTerm())
+          }
+          val inner = parseGroupGraphPattern()
+          join(GraphOp(g, inner))
         } else if (isPunct("{")) {
           // nested group, possibly a UNION chain
           var u = parseGroupGraphPattern()

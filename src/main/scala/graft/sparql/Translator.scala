@@ -77,7 +77,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
   private[sparql] def exec(op: Op): DataFrame = op match {
     case Bgp(Nil) => unitDf
     case Bgp(triples) =>
-      orderPatterns(triples).map(scan).reduce(naturalJoin(_, _, "inner"))
+      orderPatterns(triples).map(scan(_)).reduce(naturalJoin(_, _, "inner"))
     case p: PathOp => Paths.exec(this, statements, p)
     case Join(l, r) => naturalJoin(exec(l), exec(r), "inner")
     case Lateral(l, r) => naturalJoin(exec(l), exec(r), "inner") // ref: plain join (calc_engine.rs:194-201)
@@ -144,6 +144,79 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       throw new UnsupportedOperationException(
         "SERVICE: only wikibase:label is supported (rewritten before translation; " +
           "reference src/interpreter.rs:659 panics likewise)")
+
+    // -- GRAPH (SURVEY §2.5; reference IR calc_data_types.rs:149-151,
+    // exec todo! calc_engine.rs:255-259). Named graphs are document
+    // provenance (each quad's `graph` = the dump entity it was parsed
+    // from); the default graph is their union, so GRAPH only ever ADDS
+    // a constraint/binding — pushed into every scan inside the group.
+    case GraphOp(g, inner) => exec(pushGraph(inner, g))
+    case GraphBgp(Nil, g) => g match {
+      // `GRAPH ?g {}` enumerates the named graphs; `GRAPH <g> {}` is
+      // the unit solution iff the graph exists (SPARQL 1.1 §13.3)
+      case v: Var =>
+        if (hasGraphCol) statements.select(col("graph").as(v.name)).distinct()
+        else statements.limit(0).select(graft.model.Term.nullTerm.as(v.name))
+      case Const(gv) =>
+        if (hasGraphCol && !statements.filter(col("graph.key") === gv.key).isEmpty) unitDf
+        else unitDf.limit(0)
+    }
+    case GraphBgp(triples, g) =>
+      orderPatterns(triples).map(scan(_, Some(g))).reduce(naturalJoin(_, _, "inner"))
+    case GraphPath(p, g) => g match {
+      case Const(gv) =>
+        val edges =
+          if (hasGraphCol) statements.filter(col("graph.key") === gv.key)
+          else statements.limit(0)
+        val prev = graphFilterKey
+        graphFilterKey = Some(gv.key) // constrain predScan-routed steps too
+        try Paths.exec(this, edges, p) finally graphFilterKey = prev
+      case _: Var =>
+        // per-named-graph path iteration: out of scope like the
+        // reference (whole-GRAPH todo!) — constant graphs only
+        throw new UnsupportedOperationException(
+          "property path inside GRAPH ?var is not supported; bind the graph to an IRI")
+    }
+  }
+
+  /** True when the store carries the named-graph provenance column
+    * (stores built before it existed fall back to "no named graphs":
+    * GRAPH matches nothing, plain patterns are unchanged).
+    */
+  private val hasGraphCol = statements.columns.contains("graph")
+
+  /** Active constant-graph constraint for [[predScan]] (set only while
+    * executing a path under GRAPH — plan construction is synchronous,
+    * so stack discipline holds; the translator is per-query).
+    */
+  private var graphFilterKey: Option[String] = None
+
+  /** Distribute a GRAPH constraint over `op`: BGPs and paths become
+    * their graph-carrying forms; structural operators recurse; a nested
+    * GRAPH re-scopes (SPARQL 1.1 §5.1.1) so it is left for [[exec]].
+    */
+  private def pushGraph(op: Op, g: TermPat): Op = op match {
+    case Bgp(ts) => GraphBgp(ts, g)
+    case p: PathOp => GraphPath(p, g)
+    case nested: GraphOp => nested
+    case gb: GraphBgp => gb
+    case gp: GraphPath => gp
+    case Join(l, r) => Join(pushGraph(l, g), pushGraph(r, g))
+    case Lateral(l, r) => Lateral(pushGraph(l, g), pushGraph(r, g))
+    case LeftJoin(l, r, c) => LeftJoin(pushGraph(l, g), pushGraph(r, g), c)
+    case FilterOp(c, i) => FilterOp(c, pushGraph(i, g))
+    case UnionOp(l, r) => UnionOp(pushGraph(l, g), pushGraph(r, g))
+    case Extend(i, v, e) => Extend(pushGraph(i, g), v, e)
+    case Minus(l, r) => Minus(pushGraph(l, g), pushGraph(r, g))
+    case v: ValuesOp => v
+    case OrderBy(i, ks) => OrderBy(pushGraph(i, g), ks)
+    case Project(i, vs) => Project(pushGraph(i, g), vs)
+    case ProjectExtend(i, es) => ProjectExtend(pushGraph(i, g), es)
+    case DistinctOp(i) => DistinctOp(pushGraph(i, g))
+    case ReducedOp(i) => ReducedOp(pushGraph(i, g))
+    case Slice(i, s, l) => Slice(pushGraph(i, g), s, l)
+    case Group(i, ks, as) => Group(pushGraph(i, g), ks, as)
+    case s: Service => s
   }
 
   /** One empty solution (unit of Join). */
@@ -232,8 +305,14 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * (the path compiler's steps are ordinary predicate scans and must
     * keep the p_bucket pruning on partitioned stores).
     */
-  private[sparql] def predScan(v: graft.model.TermValue): DataFrame =
-    wdsSt.filter(predKeyFilter(v.key, Const(v)))
+  private[sparql] def predScan(v: graft.model.TermValue): DataFrame = {
+    val base = wdsSt.filter(predKeyFilter(v.key, Const(v)))
+    graphFilterKey match {
+      case Some(k) if hasGraphCol => base.filter(col("graph.key") === k)
+      case Some(_) => base.limit(0) // graph-constrained on a store without graphs
+      case None => base
+    }
+  }
 
   private def permScan(copy: Option[DataFrame], bucketCol: String,
                        term: String, v: graft.model.TermValue): DataFrame = copy match {
@@ -253,7 +332,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * variables add equality filters (engine extension — the reference's
     * rename map silently collides).
     */
-  def scan(t: Triple): DataFrame = {
+  def scan(t: Triple, graph: Option[TermPat] = None): DataFrame = {
     val st = wdsSt
     val stmtPred = t.p match { case Const(v) => v.kind == Term.Kind.Pstmt; case _ => false }
     val stmtObj = t.o match { case Const(v) => v.kind == Term.Kind.NamedEdge; case _ => false }
@@ -272,8 +351,22 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       finish(d, Seq())
     }
 
-    /** project variable bindings; repeated vars → equality filter */
-    def finish(df: DataFrame, binds: Seq[(TermPat, Column)]): DataFrame = {
+    /** project variable bindings; repeated vars → equality filter.
+      * A GRAPH constraint filters (constant) or binds (variable) the
+      * quad's provenance column before projection — a repeated
+      * variable like `GRAPH ?g { ?g ?p ?o }` falls out of the same
+      * equality machinery as any other repeat.
+      */
+    def finish(df0: DataFrame, binds0: Seq[(TermPat, Column)]): DataFrame = {
+      val (df, binds) = graph match {
+        case None => (df0, binds0)
+        case Some(Const(gv)) =>
+          (if (hasGraphCol) df0.filter(col("graph.key") === gv.key)
+           else df0.limit(0), binds0)
+        case Some(v: Var) =>
+          if (hasGraphCol) (df0, binds0 :+ ((v: TermPat) -> col("graph")))
+          else (df0.limit(0), binds0 :+ ((v: TermPat) -> graft.model.Term.nullTerm))
+      }
       val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Column]
       var out = df
       var conds = List.empty[Column]
