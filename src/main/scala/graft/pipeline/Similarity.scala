@@ -263,7 +263,8 @@ object Similarity {
     * query batch and scanning nprobe/nlist of it.
     */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-                    dir: String, nlist: Int = 16): Unit = {
+                    dir: String, nlist: Int = 16,
+                    quantize: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     val cents = trainCentroids(corpus, vecCol, idCol, nlist)
     import spark.implicits._
@@ -271,9 +272,18 @@ object Similarity {
       .toDF("cell", "centroid")
       .repartition(1) // nlist rows: one file, read whole at query time
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.select(col(idCol), col(vecCol),
-        element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))
+    // default layout stores int8 codes ([[quantizeInt8]]): ~4× fewer
+    // vector bytes at rest — at 100 TB of embeddings, the difference
+    // between 100 and 25 TB of index — for ≤ scale/2 per-component
+    // reconstruction error, absorbed by the verify-with-exact-cosine
+    // search contract (recall-gated, p44)
+    val stored =
+      if (quantize)
+        assigned.select(col(idCol), quantizeInt8(col(vecCol)).as("qv"), col("cell"))
+      else assigned
+    stored.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
   /** IVF search against a persisted [[buildIvfIndex]] layout. The
@@ -290,8 +300,15 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    val c = spark.read.parquet(s"$dir/vectors")
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    // both index layouts read identically past this select: quantized
+    // stores dequantize to a numeric array (still a narrow map in the
+    // scan stage), float stores pass through
+    val corpusVec =
+      if (vectors.columns.contains("qv")) dequantizeInt8(col("qv"))
+      else col(vecCol)
+    val c = vectors
+      .select(col(idCol).as("neighbor_id"), corpusVec.as("cv"), col("cell"))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
         explode(slice(rankedCells(cents, col(vecCol)), 1, nprobe)).as("cell"))
