@@ -494,9 +494,43 @@ object SparqlQueries {
          |WHERE a.p['key']='P:31' AND b.p['key']='P:1082'""".stripMargin)
   )
 
+  /** Like [[q]] but with the spec-correlation LATERAL flag on. The conf
+    * is read at translate time only (plan construction), so toggling it
+    * around the call is safe even though the DataFrame runs later.
+    */
+  private def qSpecLateral(text: String): (SparkSession, String) => DataFrame =
+    (spark, _) => {
+      spark.conf.set("spark.graft.lateral.spec", "true")
+      try Sparql.rendered(spark, text,
+        spark.conf.get("spark.graft.store.dir", graft.ingest.WikidataIngest.defaultDir))
+      finally spark.conf.unset("spark.graft.lateral.spec")
+    }
+
+  /** Correlated LATERAL: the per-left-solution LIMIT — top-3 "described
+    * by source" (P1343) values per entity, ordered by entity id. In the
+    * reference's plain-join reading (sp58 semantics) the LIMIT would
+    * apply once globally; here the oracle re-derives the per-subject
+    * slice with a SQL window, so the entry only matches under real
+    * correlation.
+    */
+  private val sp63Sparql =
+    """SELECT ?s ?src WHERE { ?s wdt:P31 ?o .
+      |  LATERAL { SELECT ?s ?src WHERE { ?s wdt:P1343 ?src } ORDER BY ?src LIMIT 3 } }""".stripMargin
+  private val sp63Oracle =
+    s"""WITH l AS (SELECT s['key'] AS sk, s_lex FROM $ST WHERE p['key']='P:31'),
+       |r AS (SELECT s['key'] AS sk, o_lex,
+       |        row_number() OVER (PARTITION BY s['key']
+       |          ORDER BY coalesce(o['num'], 0), coalesce(o['str'], ''),
+       |                   coalesce(o['key'], '')) AS rn
+       |      FROM $ST WHERE p['key']='P:1343')
+       |SELECT l.s_lex AS s, r.o_lex AS src FROM l JOIN r ON l.sk = r.sk
+       |WHERE r.rn <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map { case (name, sparql, _) => name -> q(sparql) }.toMap
+    entries.map { case (name, sparql, _) => name -> q(sparql) }.toMap +
+      ("sp63_lateral_limit" -> qSpecLateral(sp63Sparql))
 
   val oracles: Map[String, String] =
-    entries.map { case (name, _, sql) => name -> sql }.toMap
+    entries.map { case (name, _, sql) => name -> sql }.toMap +
+      ("sp63_lateral_limit" -> sp63Oracle)
 }

@@ -80,7 +80,18 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       orderPatterns(triples).map(scan(_)).reduce(naturalJoin(_, _, "inner"))
     case p: PathOp => Paths.exec(this, statements, p)
     case Join(l, r) => naturalJoin(exec(l), exec(r), "inner")
-    case Lateral(l, r) => naturalJoin(exec(l), exec(r), "inner") // ref: plain join (calc_engine.rs:194-201)
+    case Lateral(l, r) =>
+      // Default (parity): the reference executes LATERAL as a plain
+      // join (calc_engine.rs:194-201) — no correlation semantics.
+      // spark.graft.lateral.spec=true enables the SPARQL 1.2 correlated
+      // interpretation for the one shape where the two genuinely
+      // diverge: a sub-SELECT with LIMIT/OFFSET, which must slice PER
+      // LEFT SOLUTION, not once globally. For plain graph patterns
+      // substitution ≡ natural join on the shared variables, so the
+      // parity plan is already spec-correct there.
+      if (spark.conf.get("spark.graft.lateral.spec", "false").toBoolean)
+        execLateralSpec(l, r)
+      else naturalJoin(exec(l), exec(r), "inner")
     case LeftJoin(l, r, cond) =>
       // Default (parity): the reference applies the OPTIONAL's filter to
       // the LEFT side before joining (calc_engine.rs:170-192) —
@@ -217,6 +228,45 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     case Slice(i, s, l) => Slice(pushGraph(i, g), s, l)
     case Group(i, ks, as) => Group(pushGraph(i, g), ks, as)
     case s: Service => s
+  }
+
+  /** Spec-correct correlated LATERAL (`spark.graft.lateral.spec`): a
+    * right-side Slice applies per left solution — a window rank over a
+    * per-left-row id, one shuffle, no per-row re-execution (the naive
+    * reading of the spec's "evaluate once per solution"). Right sides
+    * without a Slice join exactly like parity mode (substitution ≡
+    * natural join for graph patterns).
+    */
+  private def execLateralSpec(l: Op, r: Op): DataFrame = r match {
+    case Slice(inner, start, len) =>
+      val (body, sortKeys, proj) = inner match {
+        case Project(OrderBy(i, ks), vs) => (i, ks, Some(vs))
+        case OrderBy(i, ks) => (i, ks, None)
+        case Project(i, vs) => (i, Seq.empty[(Expr, Boolean)], Some(vs))
+        case other => (other, Seq.empty[(Expr, Boolean)], None)
+      }
+      val rowId = InternalPrefix + "lateral_row"
+      val left = exec(l).withColumn(rowId, monotonically_increasing_id())
+      val joined = naturalJoin(left, exec(body), "inner")
+      val rightOnly = joined.columns.filterNot(left.columns.contains).toSeq
+      // explicit keys first, then every right-bound column as a
+      // deterministic tiebreak (SPARQL leaves unordered slices
+      // implementation-defined; ours is stable run to run)
+      val sorts = sortKeys.map { case (e, asc) =>
+        val k = sortKey(eval(e, colResolver(joined)))
+        if (asc) k.asc else k.desc
+      } ++ rightOnly.sorted.map(c => sortKey(joined(c)).asc)
+      val rn = InternalPrefix + "lateral_rn"
+      val ranked = joined.withColumn(rn, row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(rowId)).orderBy(sorts: _*)))
+      val upper = len.map(lim => col(rn) <= lit(start + lim)).getOrElse(lit(true))
+      val sliced = ranked.filter(col(rn) > lit(start) && upper)
+      val rightOut = proj
+        .map(_.map(_.name).filter(n => rightOnly.contains(n)))
+        .getOrElse(rightOnly)
+      val outCols = left.columns.filterNot(_ == rowId).toSeq ++ rightOut
+      sliced.select(outCols.map(col): _*)
+    case other => naturalJoin(exec(l), exec(other), "inner")
   }
 
   /** One empty solution (unit of Join). */

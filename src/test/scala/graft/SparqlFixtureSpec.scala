@@ -43,6 +43,28 @@ class SparqlFixtureSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.optional.specFilter", "false")
   }
 
+  test("spec-correct LATERAL applies a sub-select LIMIT per left solution") {
+    // Q31 has 11 P1343 values and Q23 has 14: a correlated LIMIT 2
+    // keeps 2 PER subject; the reference's plain-join reading (default)
+    // slices once globally, so the two modes genuinely diverge.
+    val q =
+      """SELECT ?s ?src WHERE { ?s wdt:P31 ?o .
+        |  LATERAL { SELECT ?s ?src WHERE { ?s wdt:P1343 ?src } ORDER BY ?src LIMIT 2 } }""".stripMargin
+    val parity = Sparql.query(spark, q, dir).collect()
+      .map(r => r.getStruct(0).getAs[String]("key")).toSeq
+    spark.conf.set("spark.graft.lateral.spec", "true")
+    try {
+      val spec = Sparql.query(spark, q, dir).collect()
+        .map(r => r.getStruct(0).getAs[String]("key")).toSeq
+      // spec mode: every P31 subject with P1343 rows contributes 2 rows
+      val bySubject = spec.groupBy(identity).view.mapValues(_.size).toMap
+      assert(bySubject.values.forall(_ % 2 == 0), s"per-subject slice broken: $bySubject")
+      assert(bySubject.keySet.size > 1, "expected several subjects")
+      // parity mode slices globally → strictly fewer subjects survive
+      assert(parity.toSet.size < bySubject.keySet.size)
+    } finally spark.conf.unset("spark.graft.lateral.spec")
+  }
+
   test("GROUP_CONCAT max-elements guard bounds a pathological group") {
     def gc(q: String): String = Sparql.rendered(spark, q, dir).collect().head.getString(0)
     val q = "SELECT (GROUP_CONCAT(?n; SEPARATOR=\",\") AS ?gc) WHERE { VALUES ?n { 5 4 3 2 1 } }"
