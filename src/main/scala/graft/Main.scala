@@ -19,7 +19,7 @@ object Main {
     """usage: graft.Main <create-db|create-index|server|cli> [args]
       |  create-db <dump> <dbDir> [--partitioned] [--buckets=N]
       |            [--no-qualifiers] [--lang=en,de,...]
-      |  create-index <flatDbDir> <outDir> [--buckets=N]
+      |  create-index <flatDbDir> <outDir> [--buckets=N] [--zorder=colA,colB]
       |  server [port] [dbDir]
       |  cli ["<sparql>"] [dbDir]""".stripMargin
 
@@ -51,9 +51,16 @@ object Main {
     case Some("create-index") =>
       val positional = args.tail.filterNot(_.startsWith("--"))
       if (positional.length < 2) { System.err.println(usage); return 2 }
+      val zorderRaw = args.tail.collectFirst {
+        case a if a.startsWith("--zorder=") =>
+          a.stripPrefix("--zorder=").split(",").map(_.trim).toSeq
+      }
+      if (zorderRaw.exists(_.length != 2)) { System.err.println(usage); return 2 }
+      val zorder = zorderRaw.map { case Seq(x, y) => (x, y) }
       ingest.WikidataIngest.createIndex(GraftSession.get(),
         positional(0), positional(1),
-        intFlag(args.tail, "buckets", ingest.WikidataIngest.NumPredBuckets))
+        intFlag(args.tail, "buckets", ingest.WikidataIngest.NumPredBuckets),
+        zorder)
       println(s"indexed ${positional(0)} into ${positional(1)}")
       0
     case Some("server") => server.QueryServer.main(args.tail); 0

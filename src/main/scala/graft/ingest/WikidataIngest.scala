@@ -157,36 +157,58 @@ object WikidataIngest {
     * layout to `outDir`.
     */
   def createIndex(spark: SparkSession, flatDir: String, outDir: String,
-                  buckets: Int = NumPredBuckets): Unit = {
+                  buckets: Int = NumPredBuckets,
+                  zorder: Option[(String, String)] = None): Unit = {
     require(new java.io.File(flatDir).getCanonicalPath !=
       new java.io.File(outDir).getCanonicalPath,
       "create-index cannot overwrite its input store; pick a different outDir")
     writePartitioned(spark, statements(spark, flatDir)
-      .drop("p_bucket", "s_bucket", "o_bucket"), outDir, buckets)
+      .drop("p_bucket", "s_bucket", "o_bucket"), outDir, buckets, zorder)
   }
 
   private def writePartitioned(spark: SparkSession, quads: DataFrame,
-                               dir: String, buckets: Int): Unit = {
+                               dir: String, buckets: Int,
+                               zorder: Option[(String, String)] = None): Unit = {
     val rendered = quads
     def bucketOf(term: String) =
       when(col(s"$term.num").isNotNull,
         pmod(col(s"$term.num").cast("long"), lit(buckets.toLong)))
         .otherwise(lit(buckets.toLong)).cast("int")
-    rendered
-      .withColumn("p_bucket", bucketOf("p"))
-      .sortWithinPartitions(col("p.key"), col("s.key"))
+    // Main-copy layout: predicate-major (p.key, s.key) clustering by
+    // default; `--zorder=a,b` switches to the Morton interleave of the
+    // two named (dotted-path) numeric columns so row-group min/max
+    // stats stay tight on BOTH axes (graft.operators.Layout) — the
+    // write-once pass for stores queried along two dimensions.
+    // NOTE: every within-partition sort LEADS with the write's
+    // partition column — a partitionBy writer re-sorts each task by
+    // the partition columns (non-stably) unless the data already
+    // arrives so ordered, which would scramble the clustering the sort
+    // just built.
+    val mainSorted = zorder match {
+      case Some((a, b)) =>
+        val bits = 16
+        def dim(path: String) =
+          pmod(coalesce(col(path).cast("long"), lit(0L)), lit(1L << bits))
+        rendered.withColumn("p_bucket", bucketOf("p"))
+          .sortWithinPartitions(col("p_bucket"),
+            graft.operators.Layout.zValue(dim(a), dim(b), bits))
+      case None =>
+        rendered.withColumn("p_bucket", bucketOf("p"))
+          .sortWithinPartitions(col("p_bucket"), col("p.key"), col("s.key"))
+    }
+    mainSorted
       .write.mode(SaveMode.Overwrite)
       .partitionBy("p_bucket")
       .parquet(s"$dir/statements.parquet")
     rendered
       .withColumn("o_bucket", bucketOf("o"))
-      .sortWithinPartitions(col("o.key"), col("p.key"))
+      .sortWithinPartitions(col("o_bucket"), col("o.key"), col("p.key"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("o_bucket")
       .parquet(s"$dir/statements_obj.parquet")
     rendered
       .withColumn("s_bucket", bucketOf("s"))
-      .sortWithinPartitions(col("s.key"), col("p.key"))
+      .sortWithinPartitions(col("s_bucket"), col("s.key"), col("p.key"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("s_bucket")
       .parquet(s"$dir/statements_sub.parquet")

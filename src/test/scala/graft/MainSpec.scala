@@ -48,5 +48,32 @@ class MainSpec extends SparkTestBase {
     assert(Main.run(Array("frobnicate")) === 2)
     assert(Main.run(Array.empty[String]) === 2)
     assert(Main.run(Array("create-db", "only-one-arg")) === 2)
+    assert(Main.run(Array("create-index", "a", "b", "--zorder=justone")) === 2)
+  }
+
+  test("create-index --zorder lays the main copy out in Morton order, results unchanged") {
+    import org.apache.spark.sql.functions._
+    val flat = tmp(); val indexed = tmp()
+    assert(Main.run(Array("create-db", ingest.WikidataIngest.fixturePath, flat)) === 0)
+    assert(Main.run(Array("create-index", flat, indexed,
+      "--buckets=8", "--zorder=s.num,o.num")) === 0)
+    // physical order: within every written file, rows are sorted by the
+    // Morton interleave of the bucketed (s.num, o.num) dims — the
+    // property that keeps row-group min/max tight on BOTH axes
+    def dim(path: String) =
+      pmod(coalesce(col(path).cast("long"), lit(0L)), lit(1L << 16))
+    val zval = graft.operators.Layout.zValue(dim("s.num"), dim("o.num"), 16)
+    val files = spark.read.parquet(s"$indexed/statements.parquet")
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val zs = spark.read.parquet(f).select(zval.as("z"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(zs === zs.sorted, s"file $f is not z-ordered")
+    }
+    // the z-ordered store answers queries identically
+    val q = "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . }"
+    assert(sparql.Sparql.query(spark, q, indexed).count() ===
+      sparql.Sparql.query(spark, q, flat).count())
   }
 }

@@ -130,4 +130,74 @@ class TemporalSpec extends SparkTestBase {
     assert(Skew.saltedEquiJoin(big, small, "k", salts = 8, joinType = "left")
       .count() === big.count()) // exactly one copy per big row
   }
+
+  test("z-ordered persisted layout keeps row-group stats tight on BOTH axes") {
+    import scala.jdk.CollectionConverters._
+    // two pseudo-uniform 10-bit dims over 200k rows, small row groups
+    // so the footer stats are actually exercised
+    // independent murmur hashes — NOT two linear maps of the same id,
+    // which would be perfectly correlated mod 1024 and fake the pruning
+    val base = spark.range(200000L).select(
+      pmod(hash(col("id")), lit(1024)).cast("long").as("a"),
+      pmod(hash(col("id"), lit(1)), lit(1024)).cast("long").as("b"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zlay").toString
+    val sdir = java.nio.file.Files.createTempDirectory("graft-slay").toString
+    graft.operators.Layout.zOrderBy(base, col("a"), col("b"), bitsPerDim = 10)
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(zdir)
+    base.orderBy("a")
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(sdir)
+    // fraction of row groups whose [min,max] on `colName` overlaps
+    // [lo,hi] — what a parquet reader's predicate pushdown would scan
+    def overlap(dir: String, colName: String, lo: Long, hi: Long): (Int, Int) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val groups = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.flatMap { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try r.getFooter.getBlocks.asScala.toSeq.map { blk =>
+            val st = blk.getColumns.asScala
+              .find(_.getPath.toDotString == colName).get.getStatistics
+            (st.genericGetMin.asInstanceOf[Number].longValue,
+              st.genericGetMax.asInstanceOf[Number].longValue)
+          } finally r.close()
+        }
+      (groups.count { case (mn, mx) => mx >= lo && mn <= hi }, groups.size)
+    }
+    val (za, zTotal) = overlap(zdir, "a", 0, 63) // 1/16 of the a-space
+    val (zb, _) = overlap(zdir, "b", 0, 63)
+    assert(zTotal >= 8, s"expected several row groups, got $zTotal")
+    // z-order: BOTH axes prune
+    assert(za.toDouble / zTotal < 0.8, s"z-layout a-overlap $za/$zTotal")
+    assert(zb.toDouble / zTotal < 0.8, s"z-layout b-overlap $zb/$zTotal")
+    // single-column sort: its own axis prunes hard, the other not at all
+    val (sa, sTotal) = overlap(sdir, "a", 0, 63)
+    val (sb, _) = overlap(sdir, "b", 0, 63)
+    assert(sa.toDouble / sTotal < 0.3, s"sorted a-overlap $sa/$sTotal")
+    assert(sb.toDouble / sTotal > 0.9, s"sorted b-overlap $sb/$sTotal")
+  }
+
+  test("autoSalts sizes from the measured hot-key fraction; auto join is result-identical") {
+    import graft.operators.Skew
+    // one key holds 50% of the rows → its rows must spread over
+    // ~half the shuffle partitions' worth of reducers
+    val big = ((1 to 300).map(i => ("hot", i)) ++
+      (1 to 300).map(i => (s"k${i % 50}", i))).toDF("k", "v")
+    val small = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"t$i") }.toDF("k", "tag")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val salts = Skew.autoSalts(big, "k", support = 0.05)
+    assert(salts >= math.max(2, parts / 4), s"50%-dominant key got only $salts salts")
+    assert(salts <= 64)
+    // evenly-keyed input → no hot key → plain join (salts == 1)
+    val even = (1 to 500).map(i => (s"k${i % 100}", i)).toDF("k", "v")
+    assert(Skew.autoSalts(even, "k", support = 0.05) === 1)
+    // the auto variant is row-identical to the plain join either way
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(rows(Skew.saltedEquiJoinAuto(big, small, "k").select($"k", $"v", $"tag")) ===
+      rows(big.join(small, Seq("k")).select($"k", $"v", $"tag")))
+  }
 }
