@@ -167,10 +167,15 @@ object Dedup {
     * than that many distinct groups (see [[capBuckets]]); default
     * unbounded = exact.
     */
-  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     shingleN: Int = 1, numHashes: Int = 64, bands: Int = 16,
-                     threshold: Double = 0.7,
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** Shared signature-group kernel: prep + election + banded LSH +
+    * representative-level verification. Returns (members, groups,
+    * repPairs) where repPairs carries the verified cross-group pairs as
+    * (gk_a, gk_b, id_a, id_b, jaccard) over representatives.
+    */
+  private def minhashRepPairs(df: DataFrame, textCol: String, idCol: String,
+                              shingleN: Int, numHashes: Int, bands: Int,
+                              threshold: Double, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     // localCheckpoint: keyed feeds election + both expansion sides;
     // groups feed banding + both verify joins; banded feeds both sides
     // of the bucket self-join
@@ -197,7 +202,16 @@ object Dedup {
         col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("gk_a"), col("gk_b"), col("jaccard"))
+      .select(col("gk_a"), col("gk_b"), col("id_a"), col("id_b"), col("jaccard"))
+    (members, groups, repPairs)
+  }
+
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 1, numHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.7,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (members, _, repPairs) = minhashRepPairs(
+      df, textCol, idCol, shingleN, numHashes, bands, threshold, maxBucket)
     // expansion: cross-group member pairs inherit the verified Jaccard;
     // within-group pairs are exact dups (Jaccard 1.0) by construction
     val cross = repPairs
@@ -421,6 +435,40 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         lit(0).as("hamming"))
     cross.unionByName(within)
+  }
+
+  /** Cluster assignment WITHOUT materializing the within-group m²
+    * member pairs: clusters are computed over REPRESENTATIVES (one node
+    * per distinct shingle set), then each member inherits its group's
+    * representative label. Identical to
+    * `nearDupClusters(minhashNearDup(...))` — a group's representative
+    * is its minimum member id, so the component-min over representative
+    * ids IS the component-min over member ids — but a group of m exact
+    * duplicates contributes m label rows instead of m(m−1)/2 pair rows.
+    * At 100 TB of boilerplate-heavy crawl (the mass-duplication worst
+    * case) this is the difference between output linear and quadratic
+    * in the duplication factor.
+    */
+  def minhashNearDupClusters(df: DataFrame, textCol: String, idCol: String,
+                             shingleN: Int = 1, numHashes: Int = 64,
+                             bands: Int = 16, threshold: Double = 0.7,
+                             maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (members, groups, repPairs) = minhashRepPairs(
+      df, textCol, idCol, shingleN, numHashes, bands, threshold, maxBucket)
+    val repClusters = nearDupClusters(
+      repPairs.select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("__rep"), col("cluster_id").as("__rc"))
+    val sizes = members.groupBy(col("gk")).agg(count(lit(1)).as("__n"))
+    members
+      .join(groups.select(col("gk"), col("id").as("__rep")), Seq("gk"))
+      .join(sizes, Seq("gk"))
+      .join(repClusters, Seq("__rep"), "left")
+      // pair-path parity: only docs that would appear in ≥1 pair get a
+      // row — members of multi-member groups (within pairs exist) or of
+      // groups linked cross-group
+      .filter(col("__n") > 1 || col("__rc").isNotNull)
+      .select(col("id").as("doc_id"),
+        coalesce(col("__rc"), col("__rep")).as("cluster_id"))
   }
 
   /** Connected components over a near-dup pair graph: returns

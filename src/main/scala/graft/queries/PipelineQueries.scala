@@ -56,6 +56,13 @@ object PipelineQueries {
         Dedup.minhashNearDup(Tables.documents(s, d), "text", "doc_id",
           shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9))),
 
+    // same clusters via the direct representative-level path: no
+    // within-group m^2 pair materialization, same (doc_id, cluster_id)
+    // rows — the same SQL oracle gates both
+    "p46_neardup_clusters_direct" -> ((s, d) =>
+      Dedup.minhashNearDupClusters(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)),
+
     // end-to-end near-dup removal: one canonical doc per cluster
     "p14_drop_neardups" -> ((s, d) =>
       Dedup.dropNearDups(
@@ -553,6 +560,8 @@ object PipelineQueries {
     "p02_minhash_neardup" -> neardupPairsSql,
 
     "p13_neardup_clusters" -> clustersSql,
+
+    "p46_neardup_clusters_direct" -> clustersSql,
 
     "p14_drop_neardups" ->
       s"""SELECT doc_id FROM DOCS
