@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * The IMAGE path is real: [[decodeImages]]/[[resizeImages]] run the
   * JDK's `javax.imageio` codecs (PNG/GIF/BMP/JPEG) partition-wise —
   * true pixel dimensions, luminance features, bilinear resize with
-  * PNG re-encode. Audio/video decode still uses the clearly-marked
-  * deterministic STUBs below (this container has no media codecs
-  * beyond the JDK's); swapping a stub body for a codec call inside
-  * the same `mapPartitions` shape changes nothing else.
+  * PNG re-encode. The AUDIO path is real for the JDK's
+  * `javax.sound.sampled` formats (WAV/AIFF/AU): [[decodeAudio]]
+  * yields true sample rate, duration, and an RMS-energy envelope.
+  * Only VIDEO decode remains a clearly-marked deterministic STUB
+  * (the JDK ships no video codec); swapping the stub body for a
+  * codec call inside the same `mapPartitions` shape changes nothing
+  * else.
   */
 object Multimodal {
 
@@ -194,6 +197,73 @@ object Multimodal {
         }
       }
     }(Encoders.row(df.schema))
+  }
+
+  /** REAL audio decode for the formats the JDK ships codecs for
+    * (WAV/AIFF/AU via `javax.sound.sampled`): payloads decode
+    * partition-wise to true sample rate, frame count, duration, and a
+    * `dims`-bucket RMS-energy envelope (the clip split into `dims`
+    * time windows; each feature is that window's root-mean-square
+    * amplitude in [0,1]). Undecodable rows (compressed formats,
+    * truncated bytes) get null metadata and features — the same
+    * corrupt-blob-is-data policy as [[decodeImages]]. Narrow
+    * `mapPartitions`, no shuffle.
+    */
+  def decodeAudio(df: DataFrame, dims: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema
+      .add("decoded_sample_rate", IntegerType)
+      .add("decoded_duration_ms", LongType)
+      .add("audio_features", ArrayType(FloatType))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val decoded =
+          if (payload == null || payload.isEmpty) None
+          else
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val fmt = in.getFormat
+                // normalize to 16-bit signed PCM so amplitude math is uniform
+                val pcmFmt = new javax.sound.sampled.AudioFormat(
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                  fmt.getSampleRate, 16, fmt.getChannels,
+                  fmt.getChannels * 2, fmt.getSampleRate, false)
+                val pcm = javax.sound.sampled.AudioSystem
+                  .getAudioInputStream(pcmFmt, in)
+                val bytes = pcm.readAllBytes()
+                val nSamples = bytes.length / 2
+                val sums = new Array[Double](dims)
+                val counts = new Array[Long](dims)
+                var i = 0
+                while (i < nSamples) {
+                  val lo = bytes(2 * i) & 0xFF
+                  val hi = bytes(2 * i + 1).toInt
+                  val s = ((hi << 8) | lo) / 32768.0
+                  val w = math.min(dims - 1, (i.toLong * dims / math.max(1, nSamples)).toInt)
+                  sums(w) += s * s; counts(w) += 1
+                  i += 1
+                }
+                val feats = Array.tabulate(dims)(d =>
+                  if (counts(d) == 0) 0f else math.sqrt(sums(d) / counts(d)).toFloat)
+                val frames = nSamples / math.max(1, fmt.getChannels)
+                val durMs = (frames * 1000L / math.max(1, fmt.getSampleRate.toInt))
+                Some((fmt.getSampleRate.toInt, durMs, feats))
+              } finally in.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        decoded match {
+          case Some((rate, durMs, feats)) =>
+            Row.fromSeq(r.toSeq ++ Seq(rate, durMs, feats))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Full demo pipeline over a text table standing in for media blobs. */

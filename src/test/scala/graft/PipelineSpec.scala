@@ -621,6 +621,42 @@ class PipelineSpec extends SparkTestBase {
     assert(rows(2L).getStruct(rows(2L).fieldIndex("meta")).getInt(0) === 8)
   }
 
+  test("decodeAudio reads a real WAV: rate, duration, RMS envelope") {
+    // 16-bit mono 8kHz WAV, 1s: first half silence, second half a
+    // full-scale square wave (RMS 1.0) — encoded with the same
+    // javax.sound.sampled codec the operator decodes with
+    val rate = 8000
+    val samples = new Array[Byte](rate * 2)
+    for (i <- rate / 2 until rate) {
+      val v: Short = if (i % 2 == 0) 32767 else -32767
+      samples(2 * i) = (v & 0xFF).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, rate.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val media = Seq(
+      (1L, buf.toByteArray, "audio/wav"),
+      (2L, "not audio".getBytes("UTF-8"), "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+    val out = Multimodal.decodeAudio(media, dims = 2)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getAs[Int]("decoded_sample_rate") === rate)
+    assert(ok.getAs[Long]("decoded_duration_ms") === 1000L)
+    val feats = ok.getAs[scala.collection.Seq[Float]]("audio_features")
+    assert(feats.length === 2)
+    assert(feats(0) < 0.01f, s"silent half RMS ${feats(0)}")
+    assert(feats(1) > 0.95f, s"square-wave half RMS ${feats(1)}")
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("audio_features")))
+  }
+
   test("frame sampling emits one offset per second of video") {
     val one = Multimodal.frameSampleOffsets(
       Multimodal.asMediaTable(Seq((5L, "x")).toDF("doc_id", "text"), "doc_id", "text"))

@@ -26,6 +26,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("EqualTo(s.key,Q:31)"), s"missing pushed filter in:\n$plan")
   }
 
+  test("constant GRAPH pushes the provenance-key equality into the scan") {
+    val df = Sparql.query(spark,
+      "SELECT ?s ?p ?o WHERE { GRAPH wd:Q31 { ?s ?p ?o } }", dir)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(graph.key,Q:31)"),
+      s"missing pushed graph filter in:\n$plan")
+  }
+
   test("bound-predicate scan pushes the predicate key and prunes columns") {
     val df = Sparql.query(spark,
       "SELECT ?s ?o WHERE { ?s wdt:P31 ?o . }", dir)
