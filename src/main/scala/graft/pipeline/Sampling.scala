@@ -72,6 +72,23 @@ object Sampling {
       .drop("__cap_rank")
   }
 
+  /** Class-balance resampling: downsample every class to the size of
+    * the SMALLEST one (the standard rebalance before training on a
+    * skewed label distribution), keeping per class the rows with the
+    * smallest deterministic hash draw — retry-stable and
+    * engine-portable like every sampler here. The minority count is a
+    * one-row-per-class aggregate collected eagerly at call time (the
+    * same bounded model-fit pattern as the IVF centroids and
+    * autoSalts); the cap itself is [[capPerKey]]'s one-shuffle shape.
+    */
+  def balanceClasses(df: DataFrame, idCol: String, labelCol: String,
+                     salt: String = ""): DataFrame = {
+    val minRow = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head()
+    if (minRow.isNullAt(0)) df // empty input: nothing to balance
+    else capPerKey(df, idCol, labelCol, minRow.getLong(0).toInt, salt)
+  }
+
   /** Deterministic global shuffle: a content-addressed total order for
     * randomizing training-example order. Rows sort by their hash draw
     * (id as total-order tie-break), exposed as `shuffle_key` so

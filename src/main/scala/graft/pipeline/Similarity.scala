@@ -254,6 +254,54 @@ object Similarity {
     transform(q.getField("codes"),
       c => c.cast(DoubleType) * q.getField("scale"))
 
+  /** kNN label propagation — the workhorse of semi-supervised data
+    * labeling at corpus scale: each probe takes the majority label of
+    * its `k` nearest labeled vectors by cosine (ties broken toward the
+    * smallest label — deterministic). This exact variant verifies by
+    * brute force and is the correctness baseline; [[knnPredictIvf]] is
+    * the same vote over IVF-pruned neighbors for the 100 TB path.
+    *
+    * Output: (probe_id, pred_label, votes) — `votes` of `k` neighbors
+    * carried the winning label, a built-in confidence signal for
+    * downstream filtering.
+    */
+  def knnPredict(labeled: DataFrame, probes: DataFrame, vecCol: String,
+                 idCol: String, labelCol: String, k: Int): DataFrame =
+    labelVote(bruteForceTopK(labeled, probes, vecCol, idCol, k),
+      labeled, idCol, labelCol)
+
+  /** [[knnPredict]] over IVF-pruned candidates: each probe scans only
+    * its `nprobe` nearest cells (see [[ivfTopK]]), so the neighbor
+    * search touches nprobe/nlist of the labeled pool instead of all of
+    * it. Approximate exactly where the IVF search is — the vote itself
+    * is unchanged — and recall-gated in tests like the other ANN
+    * variants.
+    */
+  def knnPredictIvf(labeled: DataFrame, probes: DataFrame, vecCol: String,
+                    idCol: String, labelCol: String, k: Int,
+                    nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    labelVote(ivfTopK(labeled, probes, vecCol, idCol, k, nlist, nprobe),
+      labeled, idCol, labelCol)
+
+  /** Majority vote over a (probe_id, neighbor_id, cos) neighbor list:
+    * one hash aggregation per (probe, label) plus a per-probe argmax
+    * window — both shuffle on probe_id only, never the vectors.
+    */
+  private def labelVote(nn: DataFrame, labeled: DataFrame,
+                        idCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = nn
+      .join(labeled.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__lab")), Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("__lab").asc)
+    votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("probe_id"), col("__lab").as("pred_label"), col("votes"))
+  }
+
   /** Persist a fitted IVF index: the trained coarse quantizer
     * (`dir/centroids`, nlist rows) plus the corpus re-written
     * cell-partitioned (`dir/vectors`, partitioned by `cell`). The

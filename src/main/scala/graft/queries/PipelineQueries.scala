@@ -452,6 +452,24 @@ object PipelineQueries {
     }),
 
     // curation v2 — the round-5 ops chained end-to-end: treat docs
+    // kNN label propagation: vectors 50+ are the labeled pool, the
+    // first 50 get the majority label of their 10 nearest labeled
+    // neighbors by cosine (exact brute-force baseline; the IVF variant
+    // is agreement-gated in ScalaTest)
+    "p47_knn_label_prop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnPredict(
+        emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+        "embedding", "vec_id", "label", k = 10)
+    }),
+
+    // class-balance resampling: every label downsampled to the
+    // minority class size by deterministic hash draw
+    "p48_class_balance" -> ((s, d) =>
+      Sampling.balanceClasses(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "vec_id", "label", salt = "bal")),
+
     // 250+ as the incoming crawl, drop cross-corpus near-dups vs the
     // seen corpus, weight survivors toward the English target with
     // DSIR, keep positive-weight docs, and emit the first 20 of the
@@ -1028,6 +1046,35 @@ object PipelineQueries {
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id >= 250 AND b.doc_id < 250)
         |WHERE jaccard >= 0.9""".stripMargin,
+
+    // kNN vote re-derived: brute-force cosine top-10 over the labeled
+    // pool, then majority with smallest-label tiebreak
+    "p47_knn_label_prop" ->
+      """WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label FROM EMB WHERE vec_id >= 50),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM EMB WHERE vec_id < 50),
+        |nn AS (SELECT u.vec_id AS probe_id, l.label,
+        |         row_number() OVER (PARTITION BY u.vec_id
+        |           ORDER BY list_cosine_similarity(u.e, l.e) DESC, l.vec_id ASC) AS rnk
+        |       FROM u JOIN l ON u.vec_id <> l.vec_id),
+        |v AS (SELECT probe_id, label, count(*) AS votes
+        |      FROM nn WHERE rnk <= 10 GROUP BY 1, 2)
+        |SELECT probe_id, label AS pred_label, votes FROM (
+        |  SELECT probe_id, label, votes,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY votes DESC, label ASC) AS r
+        |  FROM v) t WHERE r = 1""".stripMargin,
+
+    // class balance re-derived: min class size, then the same md5 draw
+    // ranking per label
+    "p48_class_balance" ->
+      """WITH m AS (SELECT min(c) AS mc FROM
+        |             (SELECT label, count(*) AS c FROM EMB GROUP BY 1)),
+        |r AS (SELECT vec_id, label,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'bal'), 1, 8) AS BIGINT) / 4294967296.0 ASC,
+        |                   vec_id ASC) AS rn
+        |      FROM EMB)
+        |SELECT vec_id, label FROM r, m WHERE rn <= mc""".stripMargin,
 
     "p09_multimodal" ->
       """SELECT doc_id AS media_id,

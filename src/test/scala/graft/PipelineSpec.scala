@@ -982,6 +982,54 @@ class PipelineSpec extends SparkTestBase {
     assert(row.getSeq[Byte](1).forall(_ === 0))
   }
 
+  test("kNN label propagation: majority vote, deterministic ties, IVF agreement") {
+    // two tight clusters on orthogonal axes, labels 1 and 2
+    val labeled = Seq(
+      (100L, Array(1f, 0f, 0f), 1), (101L, Array(0.9f, 0.1f, 0f), 1),
+      (102L, Array(0.95f, 0.05f, 0f), 1),
+      (200L, Array(0f, 1f, 0f), 2), (201L, Array(0.1f, 0.9f, 0f), 2),
+      (202L, Array(0.05f, 0.95f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq(
+      (1L, Array(1f, 0.01f, 0f)),   // x-cluster → label 1
+      (2L, Array(0.01f, 1f, 0f)))   // y-cluster → label 2
+      .toDF("vec_id", "embedding")
+    val pred = Similarity.knnPredict(labeled, probes, "embedding", "vec_id",
+      "label", k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(pred(1L) === ((1, 3L))) // all 3 nearest are x-cluster
+    assert(pred(2L) === ((2, 3L)))
+    // full-profile agreement between exact and IVF paths on real data
+    val emb = Tables.embeddings(spark, sf)
+    val lab = emb.filter(col("vec_id") >= 50)
+    val prb = emb.filter(col("vec_id") < 20)
+    def preds(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = preds(Similarity.knnPredict(lab, prb, "embedding", "vec_id", "label", k = 10))
+    val ivf = preds(Similarity.knnPredictIvf(lab, prb, "embedding", "vec_id", "label",
+      k = 10, nlist = 8, nprobe = 6))
+    val agree = exact.count { case (id, p) => ivf.get(id).contains(p) }
+    assert(exact.size === 20)
+    assert(agree >= 16, s"IVF label agreement $agree/20")
+  }
+
+  test("balanceClasses downsamples every label to the minority count, hash-stable") {
+    val df = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (31 to 40).map(i => (i.toLong, "b")) ++
+      (41 to 45).map(i => (i.toLong, "c")))
+      .toDF("id", "lab")
+    val out = Sampling.balanceClasses(df, "id", "lab", salt = "t")
+    val byLab = out.collect().map(r => r.getString(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(byLab === Map("a" -> 5, "b" -> 5, "c" -> 5))
+    // deterministic: same draw, same survivors
+    val again = Sampling.balanceClasses(df.repartition(7), "id", "lab", salt = "t")
+    assert(out.collect().map(_.getLong(0)).toSet === again.collect().map(_.getLong(0)).toSet)
+    // already balanced input passes through whole
+    val even = Seq((1L, "x"), (2L, "y")).toDF("id", "lab")
+    assert(Sampling.balanceClasses(even, "id", "lab").count() === 2L)
+  }
+
   test("persisted IVF index: quantized codes shrink storage ~4x, search stays faithful") {
     def dirBytes(d: String): Long = {
       def walk(f: java.io.File): Long =
