@@ -219,6 +219,10 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     case UnionOp(l, r) => UnionOp(pushGraph(l, g), pushGraph(r, g))
     case Extend(i, v, e) => Extend(pushGraph(i, g), v, e)
     case Minus(l, r) => Minus(pushGraph(l, g), pushGraph(r, g))
+    // the parser's unit pattern (`GRAPH ?g {}`) must still enumerate /
+    // existence-check graphs, so it maps to the empty GraphBgp; real
+    // VALUES blocks are graph-independent and pass through
+    case ValuesOp(Nil, _) => GraphBgp(Nil, g)
     case v: ValuesOp => v
     case OrderBy(i, ks) => OrderBy(pushGraph(i, g), ks)
     case Project(i, vs) => Project(pushGraph(i, g), vs)

@@ -65,6 +65,36 @@ class SparqlFixtureSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.lateral.spec")
   }
 
+  test("GRAPH pushes through UNION arms and binds the graph variable per arm") {
+    val q =
+      """SELECT DISTINCT ?g WHERE { GRAPH ?g {
+        |  { wd:Q31 wdt:P31 ?o } UNION { wd:Q23 wdt:P31 ?o } } }""".stripMargin
+    val gs = Sparql.rendered(spark, q, dir).collect().map(_.getString(0)).toSet
+    assert(gs === Set("http://www.wikidata.org/entity/Q31",
+      "http://www.wikidata.org/entity/Q23"))
+  }
+
+  test("GRAPH ?g {} enumerates the named graphs; constant-graph ASK checks existence") {
+    val gs = Sparql.rendered(spark, "SELECT ?g WHERE { GRAPH ?g {} }", dir)
+      .collect().map(_.getString(0)).toSet
+    assert(gs.size === 4) // one provenance graph per fixture entity document
+    assert(gs.contains("http://www.wikidata.org/entity/Q31"))
+    def ask(q: String): Boolean =
+      Sparql.query(spark, q, dir).head().getBoolean(0)
+    assert(ask("ASK { GRAPH wd:Q31 {} }"))
+    assert(!ask("ASK { GRAPH wd:Q999999999 {} }"))
+  }
+
+  test("GRAPH constrains qualifier edges by provenance, not subject") {
+    // qualifier rows' SUBJECT is the claim edge, but their provenance
+    // graph is the parent document — a subject filter cannot express this
+    val inGraph = Sparql.query(spark,
+      "SELECT ?s ?p ?o WHERE { GRAPH wd:Q31 { ?s ?p ?o } }", dir).count()
+    val bySubject = Sparql.query(spark,
+      "SELECT ?p ?o WHERE { wd:Q31 ?p ?o }", dir).count()
+    assert(inGraph > bySubject, s"graph $inGraph should exceed subject $bySubject")
+  }
+
   test("GROUP_CONCAT max-elements guard bounds a pathological group") {
     def gc(q: String): String = Sparql.rendered(spark, q, dir).collect().head.getString(0)
     val q = "SELECT (GROUP_CONCAT(?n; SEPARATOR=\",\") AS ?gc) WHERE { VALUES ?n { 5 4 3 2 1 } }"
