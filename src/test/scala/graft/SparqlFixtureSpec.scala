@@ -85,6 +85,27 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(!ask("ASK { GRAPH wd:Q999999999 {} }"))
   }
 
+  test("property path under constant GRAPH traverses only in-graph edges; variable graph rejects") {
+    // P463 (member of) closure from Q31, constrained to Q31's document:
+    // the reachable set is Q31 plus its direct P463 objects (no other
+    // entity's edges can extend the chain inside this graph)
+    val direct = Sparql.query(spark,
+      "SELECT ?y WHERE { GRAPH wd:Q31 { wd:Q31 wdt:P463 ?y } }", dir).count()
+    assert(direct > 0)
+    val closure = Sparql.query(spark,
+      "SELECT ?y WHERE { GRAPH wd:Q31 { wd:Q31 wdt:P463* ?y } }", dir).count()
+    assert(closure === direct + 1) // + the zero-length self row
+    // absent graph: the same closure is just the start node
+    val empty = Sparql.query(spark,
+      "SELECT ?y WHERE { GRAPH wd:Q999999999 { wd:Q31 wdt:P463* ?y } }", dir).count()
+    assert(empty === 1)
+    // per-named-graph path iteration is out of scope, like the reference
+    intercept[UnsupportedOperationException] {
+      Sparql.query(spark,
+        "SELECT ?g ?y WHERE { GRAPH ?g { wd:Q31 wdt:P463* ?y } }", dir)
+    }
+  }
+
   test("GRAPH constrains qualifier edges by provenance, not subject") {
     // qualifier rows' SUBJECT is the claim edge, but their provenance
     // graph is the parent document — a subject filter cannot express this
