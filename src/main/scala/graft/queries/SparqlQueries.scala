@@ -483,6 +483,20 @@ object SparqlQueries {
       "SELECT ?s ?p ?o WHERE { GRAPH wd:Q31 { ?s ?p ?o } }",
       s"SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST WHERE graph['key']='Q:31'"),
 
+    // FROM: the default graph becomes the union of the listed
+    // provenance graphs — a plain BGP sees only their quads
+    ("sp64_from",
+      "SELECT ?s ?p ?o FROM wd:Q23 FROM wd:Q24 WHERE { ?s ?p ?o }",
+      s"""SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST
+         |WHERE graph['key'] IN ('Q:23', 'Q:24')""".stripMargin),
+
+    // FROM NAMED: GRAPH ranges over exactly the listed graphs
+    ("sp65_from_named",
+      """SELECT ?g (COUNT(*) AS ?n) FROM NAMED wd:Q8 WHERE {
+        |  GRAPH ?g { ?s ?p ?o } } GROUP BY ?g""".stripMargin,
+      s"""SELECT graph_lex AS g, CAST(count(*) AS VARCHAR) AS n
+         |FROM $ST WHERE graph['key'] = 'Q:8' GROUP BY graph_lex""".stripMargin),
+
     // graph variable joins across patterns inside the group and
     // projects like any other variable
     ("sp62_graph_join",

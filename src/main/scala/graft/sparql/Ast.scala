@@ -115,6 +115,15 @@ object Ast {
   final case class GraphBgp(triples: Seq[Triple], g: TermPat) extends Op
   final case class GraphPath(p: PathOp, g: TermPat) extends Op
 
+  /** `FROM` / `FROM NAMED` dataset description (SPARQL 1.1 §13.2):
+    * when ANY clause is present, the query's dataset is exactly what
+    * the clauses list — the default graph is the union (merge) of the
+    * `from` graphs (empty list ⇒ empty default graph), and GRAPH
+    * ranges over exactly the `fromNamed` graphs. Wraps the query root.
+    */
+  final case class DatasetOp(from: Seq[TermValue], fromNamed: Seq[TermValue],
+                             inner: Op) extends Op
+
   /** Query forms (reference implements SELECT only and `todo!`s the
     * rest, `src/interpreter.rs:107-131`; we execute all four — SURVEY
     * §2.9: ASK = non-emptiness, CONSTRUCT = template instantiation into
@@ -176,6 +185,7 @@ object Ast {
       case GraphOp(g, i) => tp(g); walk(i)
       case GraphBgp(ts, g) => ts.foreach { t => tp(t.s); tp(t.p); tp(t.o) }; tp(g)
       case GraphPath(p, g) => tp(p.s); tp(p.o); tp(g)
+      case DatasetOp(_, _, i) => walk(i)
     }
     walk(op)
     out.toSeq.filterNot(_.name.startsWith(InternalPrefix))

@@ -55,6 +55,7 @@ object LabelService {
     case Slice(i, s, l) => Slice(rewriteIn(i, vars), s, l)
     case Group(i, ks, as) => Group(rewriteIn(i, vars), ks, as)
     case GraphOp(g, i) => GraphOp(g, rewriteIn(i, vars))
+    case DatasetOp(f, n, i) => DatasetOp(f, n, rewriteIn(i, vars))
     case other => other
   }
 

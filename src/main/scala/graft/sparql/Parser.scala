@@ -186,8 +186,10 @@ object Parser {
         } else { next(); next() } // BASE <iri> — accepted, unused
       }
       if (eatWord("ASK")) {
+        val ds = parseDatasetClauses()
+        eatWord("WHERE") // ASK DatasetClause* WhereClause; WHERE optional
         val body = parseGroupGraphPattern()
-        AskQuery(body)
+        AskQuery(withDataset(body, ds))
       } else if (eatWord("CONSTRUCT")) {
         // CONSTRUCT WHERE { triples } shorthand: the pattern IS the
         // template (SPARQL 1.1 §10.2.3)
@@ -209,8 +211,9 @@ object Parser {
               case _ => throw ParseException("property paths are not allowed in a CONSTRUCT template")
             }
             expectPunct("}")
+            val ds = parseDatasetClauses()
             eatWord("WHERE")
-            body = parseGroupGraphPattern()
+            body = withDataset(parseGroupGraphPattern(), ds)
             t
           }
         var limit: Option[Long] = None
@@ -273,6 +276,7 @@ object Parser {
           case _ => done = true
         }
       }
+      val dataset = parseDatasetClauses()
       eatWord("WHERE")
       var body = parseGroupGraphPattern()
 
@@ -366,8 +370,24 @@ object Parser {
       if (reduced) op = ReducedOp(op)
       if (limit.isDefined || offset > 0) op = Slice(op, offset, limit)
       aggs.clear(); aggs ++= outerAggs
-      SelectQuery(op)
+      SelectQuery(withDataset(op, dataset))
     }
+
+    /** `FROM <g>` / `FROM NAMED <g>` clauses (zero or more, before
+      * WHERE). Returns (from, fromNamed).
+      */
+    private def parseDatasetClauses(): (Seq[TermValue], Seq[TermValue]) = {
+      val from = ArrayBuffer.empty[TermValue]
+      val named = ArrayBuffer.empty[TermValue]
+      while (isWord("FROM")) {
+        next()
+        if (eatWord("NAMED")) named += parseIriTerm() else from += parseIriTerm()
+      }
+      (from.toSeq, named.toSeq)
+    }
+
+    private def withDataset(op: Op, ds: (Seq[TermValue], Seq[TermValue])): Op =
+      if (ds._1.isEmpty && ds._2.isEmpty) op else DatasetOp(ds._1, ds._2, op)
 
     // -- group graph pattern -------------------------------------------
     private def parseGroupGraphPattern(): Op = {

@@ -78,7 +78,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     case Bgp(Nil) => unitDf
     case Bgp(triples) =>
       orderPatterns(triples).map(scan(_)).reduce(naturalJoin(_, _, "inner"))
-    case p: PathOp => Paths.exec(this, statements, p)
+    case p: PathOp => Paths.exec(this, defaultGraphOnly(statements), p)
     case Join(l, r) => naturalJoin(exec(l), exec(r), "inner")
     case Lateral(l, r) =>
       // Default (parity): the reference executes LATERAL as a plain
@@ -162,14 +162,28 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     // from); the default graph is their union, so GRAPH only ever ADDS
     // a constraint/binding — pushed into every scan inside the group.
     case GraphOp(g, inner) => exec(pushGraph(inner, g))
+    case DatasetOp(from, named, inner) =>
+      val prev = (datasetFrom, datasetNamed)
+      datasetFrom = Some(from.map(_.key).toSet)
+      datasetNamed = Some(named.map(_.key).toSet)
+      try exec(inner)
+      finally { datasetFrom = prev._1; datasetNamed = prev._2 }
     case GraphBgp(Nil, g) => g match {
       // `GRAPH ?g {}` enumerates the named graphs; `GRAPH <g> {}` is
       // the unit solution iff the graph exists (SPARQL 1.1 §13.3)
       case v: Var =>
-        if (hasGraphCol) statements.select(col("graph").as(v.name)).distinct()
-        else statements.limit(0).select(graft.model.Term.nullTerm.as(v.name))
+        if (hasGraphCol) {
+          val all = statements.select(col("graph").as(v.name)).distinct()
+          datasetNamed match {
+            case Some(keys) if keys.isEmpty => all.limit(0)
+            case Some(keys) =>
+              all.filter(col(v.name).getField("key").isin(keys.toSeq: _*))
+            case None => all
+          }
+        } else statements.limit(0).select(graft.model.Term.nullTerm.as(v.name))
       case Const(gv) =>
-        if (hasGraphCol && !statements.filter(col("graph.key") === gv.key).isEmpty) unitDf
+        if (hasGraphCol && namedGraphVisible(gv.key) &&
+            !statements.filter(col("graph.key") === gv.key).isEmpty) unitDf
         else unitDf.limit(0)
     }
     case GraphBgp(triples, g) =>
@@ -177,7 +191,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     case GraphPath(p, g) => g match {
       case Const(gv) =>
         val edges =
-          if (hasGraphCol) statements.filter(col("graph.key") === gv.key)
+          if (hasGraphCol && namedGraphVisible(gv.key))
+            statements.filter(col("graph.key") === gv.key)
           else statements.limit(0)
         val prev = graphFilterKey
         graphFilterKey = Some(gv.key) // constrain predScan-routed steps too
@@ -201,6 +216,31 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * so stack discipline holds; the translator is per-query).
     */
   private var graphFilterKey: Option[String] = None
+
+  /** FROM / FROM NAMED dataset restriction (SPARQL 1.1 §13.2), set
+    * while executing under a [[DatasetOp]] with the same stack
+    * discipline as [[graphFilterKey]]. `Some(keys)` means the clause
+    * was present: the default graph is exactly the union of `keys`
+    * (possibly empty), resp. GRAPH ranges over exactly `keys`.
+    */
+  private var datasetFrom: Option[Set[String]] = None
+  private var datasetNamed: Option[Set[String]] = None
+
+  /** Restrict a quad frame to the dataset's DEFAULT graph (no-op
+    * without a FROM clause; empty-from ⇒ empty default graph; legacy
+    * stores without the graph column have no named graphs to select).
+    */
+  private def defaultGraphOnly(df: DataFrame): DataFrame = datasetFrom match {
+    case None => df
+    case Some(keys) if keys.isEmpty || !hasGraphCol => df.limit(0)
+    case Some(keys) => df.filter(col("graph.key").isin(keys.toSeq: _*))
+  }
+
+  /** Is graph `key` one of the dataset's named graphs? (No FROM NAMED
+    * clause ⇒ every graph is named, matching plain-GRAPH behavior.)
+    */
+  private def namedGraphVisible(key: String): Boolean =
+    datasetNamed.forall(_.contains(key))
 
   /** Distribute a GRAPH constraint over `op`: BGPs and paths become
     * their graph-carrying forms; structural operators recurse; a nested
@@ -232,6 +272,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     case Slice(i, s, l) => Slice(pushGraph(i, g), s, l)
     case Group(i, ks, as) => Group(pushGraph(i, g), ks, as)
     case s: Service => s
+    // a sub-SELECT's own dataset clause re-scopes (exec resets state)
+    case d: DatasetOp => d
   }
 
   /** Spec-correct correlated LATERAL (`spark.graft.lateral.spec`): a
@@ -364,7 +406,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     graphFilterKey match {
       case Some(k) if hasGraphCol => base.filter(col("graph.key") === k)
       case Some(_) => base.limit(0) // graph-constrained on a store without graphs
-      case None => base
+      case None => defaultGraphOnly(base) // FROM restricts default-graph steps
     }
   }
 
@@ -413,13 +455,19 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       */
     def finish(df0: DataFrame, binds0: Seq[(TermPat, Column)]): DataFrame = {
       val (df, binds) = graph match {
-        case None => (df0, binds0)
+        case None => (defaultGraphOnly(df0), binds0)
         case Some(Const(gv)) =>
-          (if (hasGraphCol) df0.filter(col("graph.key") === gv.key)
+          (if (hasGraphCol && namedGraphVisible(gv.key))
+             df0.filter(col("graph.key") === gv.key)
            else df0.limit(0), binds0)
         case Some(v: Var) =>
-          if (hasGraphCol) (df0, binds0 :+ ((v: TermPat) -> col("graph")))
-          else (df0.limit(0), binds0 :+ ((v: TermPat) -> graft.model.Term.nullTerm))
+          val restricted = datasetNamed match {
+            case Some(keys) if keys.isEmpty || !hasGraphCol => df0.limit(0)
+            case Some(keys) => df0.filter(col("graph.key").isin(keys.toSeq: _*))
+            case None => df0
+          }
+          if (hasGraphCol) (restricted, binds0 :+ ((v: TermPat) -> col("graph")))
+          else (restricted, binds0 :+ ((v: TermPat) -> graft.model.Term.nullTerm))
       }
       val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Column]
       var out = df

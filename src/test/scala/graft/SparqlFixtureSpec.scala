@@ -106,6 +106,24 @@ class SparqlFixtureSpec extends SparkTestBase {
     }
   }
 
+  test("dataset clauses: FROM unions the default graph, FROM NAMED scopes GRAPH") {
+    def n(q: String): Long = Sparql.query(spark, q, dir).count()
+    // FROM wd:Q8: default graph = Q8's document only (453 quads)
+    assert(n("SELECT ?s ?p ?o FROM wd:Q8 WHERE { ?s ?p ?o }") === 453L)
+    // two FROM graphs union
+    assert(n("SELECT ?s ?p ?o FROM wd:Q8 FROM wd:Q24 WHERE { ?s ?p ?o }") === 453L + 196L)
+    // FROM NAMED only ⇒ default graph EMPTY, GRAPH sees just the named one
+    assert(n("SELECT ?s ?p ?o FROM NAMED wd:Q8 WHERE { ?s ?p ?o }") === 0L)
+    assert(n("SELECT ?g FROM NAMED wd:Q8 WHERE { GRAPH ?g {} }") === 1L)
+    // FROM only ⇒ no named graphs: GRAPH matches nothing
+    assert(n("SELECT ?g FROM wd:Q8 WHERE { GRAPH ?g { ?s ?p ?o } }") === 0L)
+    // a constant GRAPH outside the FROM NAMED set is invisible
+    assert(n("SELECT ?p FROM NAMED wd:Q8 WHERE { GRAPH wd:Q31 { wd:Q31 ?p ?o } }") === 0L)
+    // ASK carries dataset clauses too
+    assert(Sparql.query(spark,
+      "ASK FROM wd:Q8 WHERE { ?s ?p ?o }", dir).head().getBoolean(0))
+  }
+
   test("GRAPH constrains qualifier edges by provenance, not subject") {
     // qualifier rows' SUBJECT is the claim edge, but their provenance
     // graph is the parent document — a subject filter cannot express this
