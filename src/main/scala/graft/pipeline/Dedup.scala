@@ -310,14 +310,30 @@ object Dedup {
     * Jaccard is low). Shape: fingerprint-equality self-join on exploded
     * id+fingerprint rows — bucketed, never all-pairs — then a count
     * per pair.
+    *
+    * `maxDocFreq` drops fingerprints occurring in more than that many
+    * documents BEFORE the self-join (the containment analogue of
+    * [[capBuckets]]): a boilerplate header winnowed into one hot
+    * fingerprint shared by m documents would otherwise emit m(m-1)/2
+    * join rows. Dropping it is also semantically right — a fingerprint
+    * present in half the corpus carries no containment evidence, the
+    * same reasoning as an idf cutoff. Default unbounded (exact).
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 3, w: Int = 4, minShared: Int = 2,
-                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val fps = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+                       hashFn: Column => Column = xxhash64(_),
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val fps0 = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         explode(winnowedFingerprints(col(textCol), k, w, hashFn)).as("fp"))
       .localCheckpoint(false)
+    val fps =
+      if (maxDocFreq == Int.MaxValue) fps0
+      else {
+        val hot = fps0.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select(col("fp"))
+        fps0.join(hot, Seq("fp"), "left_anti")
+      }
     fps.alias("a")
       .join(fps.alias("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -42,17 +42,125 @@ object Multimodal {
         (pmod(col(idCol), lit(60000))).cast(LongType).as("duration_ms"),
         lit(16000).as("sample_rate")).as("meta"))
 
-  /** STUB decode→featurize: 8 deterministic pseudo-features derived
-    * from the payload's md5 (each hex slice → [0,1) float). Replace the
-    * md5 derivation with a real decoder + model to productionize; the
-    * output schema (fixed-size float array) is the real contract.
+  /** Content-derived decode→featurize, replacing the former md5
+    * pseudo-feature stub: each payload is decoded with the JVM's real
+    * codecs and the feature vector is a statistic of the CONTENT, so
+    * two encodings of the same media land on (near-)equal vectors —
+    * which is what every downstream consumer (semdedup, embedding
+    * near-dup) actually needs. Dispatch, in order:
+    *
+    *  1. `javax.imageio` decode succeeds → `dims`-bucket luminance
+    *     HISTOGRAM (fraction of pixels per luma bucket). Lossless
+    *     re-encodes (PNG↔BMP) produce identical vectors; lossy
+    *     re-encodes near-equal ones.
+    *  2. `javax.sound.sampled` decode succeeds → `dims`-window RMS
+    *     energy moments of the 16-bit PCM stream.
+    *  3. otherwise (text/opaque blobs) → per-strip mean byte value in
+    *     [0,1]: the payload split into `dims` contiguous strips,
+    *     feature i = mean(bytes of strip i)/255.
+    *
+    * The model seam is unchanged: swap any branch's statistic for a
+    * real embedding model inside the same `mapPartitions` shape. The
+    * output schema (fixed-size float array) is the contract.
     */
-  def extractFeatures(payload: Column, dims: Int = 8): Column = {
-    val h = md5(payload)
-    array((0 until dims).map(i =>
-      (conv(substring(h, i * 4 + 1, 4), 16, 10).cast(DoubleType) / 65535.0)
-        .cast(FloatType)): _*)
+  def extractContentFeatures(df: DataFrame, dims: Int = 8,
+                             payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema.add("features", ArrayType(FloatType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ contentFeatures(payload, dims))
+      }
+    }(Encoders.row(outSchema))
   }
+
+  /** The per-payload kernel behind [[extractContentFeatures]]. */
+  private[pipeline] def contentFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
+    if (payload == null || payload.isEmpty) return new Array[Float](dims)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img != null) {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val counts = new Array[Long](dims)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xFF) * 0.299 +
+            ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+          counts(math.min(dims - 1, (luma * dims).toInt)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      return Array.tabulate(dims)(i => (counts(i).toDouble / n).toFloat)
+    }
+    val pcm = decodePcmSamples(payload)
+    if (pcm != null) {
+      val nSamples = pcm.length
+      val sums = new Array[Double](dims)
+      val counts = new Array[Long](dims)
+      var i = 0
+      while (i < nSamples) {
+        val w = math.min(dims - 1, (i.toLong * dims / math.max(1, nSamples)).toInt)
+        sums(w) += pcm(i) * pcm(i); counts(w) += 1
+        i += 1
+      }
+      return Array.tabulate(dims)(d =>
+        if (counts(d) == 0) 0f else math.sqrt(sums(d) / counts(d)).toFloat)
+    }
+    // opaque-blob fallback: per-strip mean byte value (engine-portable —
+    // this is the branch the DuckDB oracle reproduces over text payloads)
+    val n = payload.length
+    Array.tabulate(dims) { i =>
+      val from = n.toLong * i / dims
+      val until = n.toLong * (i + 1) / dims
+      if (until == from) 0f
+      else {
+        var s = 0.0
+        var j = from.toInt
+        while (j < until) { s += (payload(j) & 0xFF); j += 1 }
+        ((s / (until - from)) / 255.0).toFloat
+      }
+    }
+  }
+
+  /** Decode payload to normalized [-1,1) 16-bit PCM samples, or null if
+    * no `javax.sound.sampled` codec reads it.
+    */
+  private def decodePcmSamples(payload: Array[Byte]): Array[Double] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          fmt.getChannels * 2, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+        val bytes = pcm.readAllBytes()
+        val nSamples = bytes.length / 2
+        val out = new Array[Double](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          val lo = bytes(2 * i) & 0xFF
+          val hi = bytes(2 * i + 1).toInt
+          out(i) = ((hi << 8) | lo) / 32768.0
+          i += 1
+        }
+        out
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
 
   /** STUB image resize: passes metadata through with new dimensions —
     * the real version maps payload bytes partition-wise through a
@@ -268,8 +376,7 @@ object Multimodal {
 
   /** Full demo pipeline over a text table standing in for media blobs. */
   def pipeline(docs: DataFrame): DataFrame =
-    frameSampleOffsets(asMediaTable(docs, "doc_id", "text"))
-      .withColumn("features", extractFeatures(col("payload")))
+    extractContentFeatures(frameSampleOffsets(asMediaTable(docs, "doc_id", "text")))
       .select(col("media_id"), col("mime"), length(col("payload")).as("payload_bytes"),
         col("meta.width").as("width"), col("meta.duration_ms").as("duration_ms"),
         size(coalesce(col("frame_offsets_ms"), array())).as("n_frames"),

@@ -566,7 +566,7 @@ object PipelineQueries {
       |      FROM s) t
       |WHERE rn = 1""".stripMargin
 
-  // Sampling.hashDraw's engine-portable form (p09's hex-parse idiom)
+  // Sampling.hashDraw's engine-portable form (md5 hex-slice → uniform)
   private def drawSql(salt: String): String =
     s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), 1, 8) AS BIGINT) / 4294967296.0"
 
@@ -1084,7 +1084,9 @@ object PipelineQueries {
         |  CAST(doc_id % 640 + 1 AS INTEGER) AS width,
         |  CAST(doc_id % 60000 AS BIGINT) AS duration_ms,
         |  CASE WHEN doc_id % 3 = 2 THEN (doc_id % 60000) // 1000 + 1 ELSE 0 END AS n_frames,
-        |  round(CAST(CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) / 65535.0 AS FLOAT) AS DOUBLE), 6) AS feat0
+        |  round(CAST(CAST(list_aggregate(
+        |    [unicode(c) FOR c IN string_split(substr(text, 1, octet_length(encode(text)) // 8), '')],
+        |    'avg') / 255.0 AS FLOAT) AS DOUBLE), 6) AS feat0
         |FROM DOCS""".stripMargin
   ).map { case (k, v) =>
     // the driver's DuckDB session exposes the sf tables as views

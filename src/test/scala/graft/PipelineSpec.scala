@@ -471,6 +471,31 @@ class PipelineSpec extends SparkTestBase {
     assert(mh.isEmpty)
   }
 
+  test("containment maxDocFreq drops boilerplate fingerprints shared by every doc") {
+    // docs 1-4 are byte-identical boilerplate: winnowing is a pure
+    // function of the token stream, so all four share EVERY fingerprint
+    // (document frequency 4). Docs 5/6 share only a quoted passage.
+    val boiler = "subscribe to our newsletter for the latest updates every single week " +
+      "and never miss a story from our growing network of local correspondents"
+    val quote = "the sly copper fox slipped across the frozen river at dawn"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler),
+      (5L, s"article one opens with the quote $quote and original analysis follows"),
+      (6L, s"another piece citing $quote within an unrelated discussion of rivers")
+    ).toDF("doc_id", "text")
+    def pairSet(maxDf: Int) =
+      Dedup.containmentPairs(docs, "text", "doc_id", k = 3, w = 4,
+        minShared = 1, maxDocFreq = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the boilerplate clique contributes all 6 pairs
+    val uncapped = pairSet(Int.MaxValue)
+    assert(uncapped.contains((5L, 6L)) && uncapped.size === 7, s"got $uncapped")
+    // capped below the clique size: every boilerplate fingerprint has
+    // df=4 > 3 and is dropped before the self-join; the quote (df=2)
+    // still pairs 5 and 6
+    assert(pairSet(3) === Set((5L, 6L)))
+  }
+
   test("decontamination drops docs containing blocklisted n-grams, case-insensitively") {
     val docs = Seq(
       (1L, "the Quick Brown Fox jumps"),
@@ -655,6 +680,52 @@ class PipelineSpec extends SparkTestBase {
     assert(feats(0) < 0.01f, s"silent half RMS ${feats(0)}")
     assert(feats(1) > 0.95f, s"square-wave half RMS ${feats(1)}")
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("audio_features")))
+  }
+
+  test("content features: re-encoded identical images collide; branches dispatch by content") {
+    // one 4x4 gradient image, encoded twice losslessly (PNG and BMP):
+    // the bytes (and so any md5-derived vector) are unrelated, but the
+    // decoded pixels are identical — content-derived features must match
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = (x + 4 * y) * 16
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmtName: String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmtName, buf)
+      buf.toByteArray
+    }
+    val (png, bmp) = (enc("png"), enc("bmp"))
+    assert(!png.sameElements(bmp))
+    // a real WAV exercises the audio branch
+    val rate = 8000
+    val samples = new Array[Byte](rate * 2) // 1s of silence
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, rate.toLong)
+    val wbuf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbuf)
+    val media = Seq(
+      (1L, png), (2L, bmp), (3L, wbuf.toByteArray),
+      (4L, "AAAAzzzz".getBytes("UTF-8")), // opaque fallback: strip means
+      (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractContentFeatures(media, dims = 2)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"featurize must not shuffle:\n$plan")
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r.getSeq[Float](r.length - 1)).toMap
+    assert(rows(1L) === rows(2L), s"lossless re-encode changed features: ${rows(1L)} vs ${rows(2L)}")
+    // gradient luma values 0,16,…,240: 8 of 16 pixels per half-range bucket
+    assert(rows(1L) === Seq(0.5f, 0.5f))
+    assert(rows(3L) === Seq(0f, 0f)) // silence → zero RMS in both windows
+    // fallback strip means: 'A'=65 → 65/255, 'z'=122 → 122/255
+    assert(math.abs(rows(4L)(0) - 65f / 255f) < 1e-6)
+    assert(math.abs(rows(4L)(1) - 122f / 255f) < 1e-6)
+    assert(rows(5L) === Seq(0f, 0f)) // null payload → zero vector
   }
 
   test("frame sampling emits one offset per second of video") {

@@ -227,6 +227,18 @@ class PlanSpec extends SparkTestBase {
     assert(p2.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p2")
   }
 
+  test("capped containment keeps the fingerprint equi-join; cap is an anti-join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Dedup.containmentPairs(docs, "text", "doc_id",
+      k = 3, w = 4, minShared = 2, maxDocFreq = 100)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"containment all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"containment nested loop:\n$p")
+    // the document-frequency cutoff is a left-anti join against the hot
+    // fingerprint set, applied before the pair self-join
+    assert(p.contains("LeftAnti"), s"maxDocFreq cutoff missing:\n$p")
+  }
+
   test("salted join keys the join on (key, salt) and stays an equi-join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dim = docs.select(col("source")).distinct()
