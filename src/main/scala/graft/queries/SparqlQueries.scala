@@ -497,6 +497,26 @@ object SparqlQueries {
       s"""SELECT graph_lex AS g, CAST(count(*) AS VARCHAR) AS n
          |FROM $ST WHERE graph['key'] = 'Q:8' GROUP BY graph_lex""".stripMargin),
 
+    // property path inside GRAPH ?g: the closure runs independently
+    // within each named graph and binds ?g — beyond the reference
+    // (whole-GRAPH exec todo!, calc_engine.rs:255-259). The oracle
+    // re-derives the per-graph closure with a recursive CTE plus the
+    // zero-length row (?y = wd:Q31) for every named graph.
+    ("sp66_graph_path",
+      "SELECT ?g ?y WHERE { GRAPH ?g { wd:Q31 wdt:P463* ?y } }",
+      s"""WITH RECURSIVE e AS (
+         |  SELECT graph_lex AS g, s['key'] AS sk, o['key'] AS ok, o_lex
+         |  FROM $ST WHERE p['key']='P:463'),
+         |r(g, ok, y) AS (
+         |  SELECT g, ok, o_lex FROM e WHERE sk = 'Q:31'
+         |  UNION
+         |  SELECT e.g, e.ok, e.o_lex FROM r JOIN e ON e.g = r.g AND e.sk = r.ok)
+         |SELECT g, y FROM r
+         |UNION
+         |SELECT DISTINCT graph_lex AS g,
+         |  (SELECT min(s_lex) FROM $ST WHERE s['key']='Q:31') AS y
+         |FROM $ST""".stripMargin),
+
     // graph variable joins across patterns inside the group and
     // projects like any other variable
     ("sp62_graph_join",

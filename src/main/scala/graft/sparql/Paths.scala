@@ -34,6 +34,76 @@ object Paths {
   private val S = "__ps"
   private val O = "__po"
 
+  /** How path endpoints are represented. [[PlainMode]] uses the term
+    * struct itself. [[GraphMode]] (the `GRAPH ?g { … path … }` case)
+    * wraps (graph, term) into a composite node whose `key` embeds the
+    * graph key — every join, dedup, and fixpoint in this file is keyed
+    * on `getField("key")`, so with composite keys a frontier can never
+    * hop between named graphs and the per-graph path semantics fall
+    * out of ONE distributed computation. (Iterating graphs on the
+    * driver would not survive a store with millions of provenance
+    * graphs — one per dump entity.)
+    */
+  private[sparql] sealed trait NodeMode {
+    /** project a quad frame to an (S, O) edge pair frame */
+    def edge(quads: DataFrame): DataFrame
+    /** all node-ids of a quad frame, as a single `S` column */
+    def nodes(quads: DataFrame): DataFrame
+    /** node → its term struct */
+    def term(n: Column): Column
+    /** node → its graph term (GraphMode only) */
+    def graphTerm(n: Column): Column
+    /** BFS seed rows `(O, __ko)` for a bound start term */
+    def seed(st: DataFrame, start: graft.model.TermValue): DataFrame
+    /** the `S` column of a BFS result row, given its reached node */
+    def startNode(o: Column, start: graft.model.TermValue): Column
+    /** frontier guard: reached node is not the start itself */
+    def isNotStart(o: Column, ko: Column, start: graft.model.TermValue): Column
+  }
+
+  private[sparql] object PlainMode extends NodeMode {
+    def edge(quads: DataFrame): DataFrame =
+      quads.select(col("s").as(S), col("o").as(O))
+    def nodes(quads: DataFrame): DataFrame =
+      quads.select(col("s").as(S)).unionByName(quads.select(col("o").as(S)))
+    def term(n: Column): Column = n
+    def graphTerm(n: Column): Column =
+      throw new IllegalStateException("plain path mode carries no graph")
+    def seed(st: DataFrame, start: graft.model.TermValue): DataFrame =
+      st.sparkSession.range(1)
+        .select(start.toColumn.as(O), lit(start.key).as("__ko"))
+    def startNode(o: Column, start: graft.model.TermValue): Column = start.toColumn
+    def isNotStart(o: Column, ko: Column, start: graft.model.TermValue): Column =
+      ko =!= start.key
+  }
+
+  private[sparql] object GraphMode extends NodeMode {
+    private def node(g: Column, t: Column): Column = struct(
+      // NUL cannot occur inside a term or graph key, so the
+      // composite is collision-free; null term key → null composite,
+      // matching PlainMode's null-key join/dedup behavior
+      concat(g.getField("key"), lit("\u0000"), t.getField("key")).as("key"),
+      g.as("g"), t.as("t"))
+    def edge(quads: DataFrame): DataFrame =
+      quads.select(node(col("graph"), col("s")).as(S),
+        node(col("graph"), col("o")).as(O))
+    def nodes(quads: DataFrame): DataFrame =
+      quads.select(node(col("graph"), col("s")).as(S))
+        .unionByName(quads.select(node(col("graph"), col("o")).as(S)))
+    def term(n: Column): Column = n.getField("t")
+    def graphTerm(n: Column): Column = n.getField("g")
+    def seed(st: DataFrame, start: graft.model.TermValue): DataFrame =
+      // the start node exists in EVERY named graph (a zero-length path
+      // matches regardless of membership, SPARQL 1.1 §9.3 ALP)
+      st.select(col("graph")).dropDuplicates("graph")
+        .select(node(col("graph"), start.toColumn).as(O))
+        .select(col(O), col(O).getField("key").as("__ko"))
+    def startNode(o: Column, start: graft.model.TermValue): Column =
+      node(graphTerm(o), start.toColumn)
+    def isNotStart(o: Column, ko: Column, start: graft.model.TermValue): Column =
+      term(o).getField("key") =!= start.key
+  }
+
   /** Row budget for unbounded-path materialization (`?x p* ?y`
     * closures and the zero-length identity set). Default unlimited;
     * set `spark.graft.path.maxRows` at cluster scale so a runaway
@@ -44,66 +114,88 @@ object Paths {
   private def maxRowsBudget(df: DataFrame): Long =
     df.sparkSession.conf.get("spark.graft.path.maxRows", Long.MaxValue.toString).toLong
 
-  def exec(tr: Translator, statements: DataFrame, p: PathOp): DataFrame = {
+  /** Evaluate a path over `statements`. `graphVar` switches on
+    * [[GraphMode]]: `statements` must then carry the `graph` column
+    * (pre-restricted to the visible named graphs), the path is
+    * evaluated independently within each named graph, and the result
+    * includes a column binding `graphVar` to the graph term.
+    */
+  def exec(tr: Translator, statements: DataFrame, p: PathOp,
+           graphVar: Option[String] = None): DataFrame = {
+    val mode: NodeMode = if (graphVar.isDefined) GraphMode else PlainMode
     // A closure with a bound endpoint is a directed BFS from that node
     // — NOT the all-pairs transitive closure filtered afterwards. At
     // scale the difference is the whole game: `wd:X wdt:P279* ?y`
     // touches one node's reachable set, while the all-pairs closure
     // materializes every chain in the graph. The reverse direction
-    // reuses the same BFS over flipped edges.
+    // reuses the same BFS over flipped edges. (In GraphMode the same
+    // BFS runs per graph in one job: seeds are (graph, start) pairs
+    // and composite keys keep each frontier inside its graph.)
     val fast: Option[DataFrame] = (p.path, p.s, p.o) match {
       case (PZeroOrMore(inner), Const(v), _) =>
-        Some(reachableFrom(tr, statements, inner, v, includeStart = true))
+        Some(reachableFrom(tr, statements, inner, v, includeStart = true, mode = mode))
       case (POneOrMore(inner), Const(v), _) =>
-        Some(reachableFrom(tr, statements, inner, v, includeStart = false))
+        Some(reachableFrom(tr, statements, inner, v, includeStart = false, mode = mode))
       case (PZeroOrMore(inner), _, Const(v)) =>
-        Some(reachableFrom(tr, statements, PReverse(inner), v, includeStart = true)
+        Some(reachableFrom(tr, statements, PReverse(inner), v, includeStart = true, mode = mode)
           .select(col(O).as(S), col(S).as(O)))
       case (POneOrMore(inner), _, Const(v)) =>
-        Some(reachableFrom(tr, statements, PReverse(inner), v, includeStart = false)
+        Some(reachableFrom(tr, statements, PReverse(inner), v, includeStart = false, mode = mode)
           .select(col(O).as(S), col(S).as(O)))
       case _ => None
     }
-    val edges = fast.getOrElse(compile(tr, statements, p.path))
+    val edges = fast.getOrElse(compile(tr, statements, p.path, mode))
     // bind endpoints like an ordinary triple pattern
     var df = edges
     var binds = List.empty[(String, Column)]
     p.s match {
-      case Var(n) => binds ::= (n, df(S))
-      case Const(v) => df = df.filter(TermOps.keyOrNull(df(S)) === v.key)
+      case Var(n) => binds ::= (n, mode.term(df(S)))
+      case Const(v) => df = df.filter(TermOps.keyOrNull(mode.term(df(S))) === v.key)
     }
     p.o match {
-      case Var(n) => binds ::= (n, df(O))
-      case Const(v) => df = df.filter(TermOps.keyOrNull(df(O)) === v.key)
+      case Var(n) => binds ::= (n, mode.term(df(O)))
+      case Const(v) => df = df.filter(TermOps.keyOrNull(mode.term(df(O))) === v.key)
     }
     (p.s, p.o) match {
       case (Var(a), Var(b)) if a == b => df = df.filter(df(S).getField("key") === df(O).getField("key"))
       case _ =>
     }
-    val byVar = binds.reverse.distinctBy(_._1)
+    val graphBind = graphVar.map { gn =>
+      // `GRAPH ?g { ?g p ?x }`-style reuse of the graph variable on an
+      // endpoint: the endpoint term must equal the graph term
+      val endpointVars = Seq(p.s, p.o).collect { case Var(n) => n }
+      if (endpointVars.contains(gn)) {
+        val end = if (p.s == Var(gn)) df(S) else df(O)
+        df = df.filter(TermOps.keyOrNull(mode.term(end)) ===
+          TermOps.keyOrNull(mode.graphTerm(end)))
+      }
+      gn -> mode.graphTerm(df(S))
+    }
+    val byVar = (binds.reverse ++ graphBind).distinctBy(_._1)
     df.select(byVar.map { case (n, c) => c.as(n) }: _*)
   }
 
-  private[sparql] def compile(tr: Translator, st: DataFrame, p: Ppe): DataFrame = p match {
+  private[sparql] def compile(tr: Translator, st: DataFrame, p: Ppe,
+                              mode: NodeMode = PlainMode): DataFrame = p match {
     case PLink(iri) =>
-      tr.predScan(iri).select(col("s").as(S), col("o").as(O))
+      mode.edge(tr.predScan(iri))
     case PNegated(preds) =>
-      st.filter(!col("p.key").isin(preds.map(_.key): _*)).select(col("s").as(S), col("o").as(O))
+      mode.edge(st.filter(!col("p.key").isin(preds.map(_.key): _*)))
     case PReverse(inner) =>
-      compile(tr, st, inner).select(col(O).as(S), col(S).as(O))
+      compile(tr, st, inner, mode).select(col(O).as(S), col(S).as(O))
     case PSeq(front, back) =>
-      val f = compile(tr, st, front).withColumnRenamed(O, "__pm")
-      val b = compile(tr, st, back).withColumnRenamed(S, "__pm2")
+      val f = compile(tr, st, front, mode).withColumnRenamed(O, "__pm")
+      val b = compile(tr, st, back, mode).withColumnRenamed(S, "__pm2")
       f.join(b, f("__pm").getField("key") === b("__pm2").getField("key"))
         .select(f(S).as(S), b(O).as(O))
     case PAlt(front, back) =>
-      compile(tr, st, front).unionByName(compile(tr, st, back)).distinct()
+      compile(tr, st, front, mode).unionByName(compile(tr, st, back, mode)).distinct()
     case PZeroOrOne(inner) =>
-      compile(tr, st, inner).unionByName(identityPairs(st)).distinct()
+      compile(tr, st, inner, mode).unionByName(identityPairs(st, mode)).distinct()
     case PZeroOrMore(inner) =>
-      closure(compile(tr, st, inner)).unionByName(identityPairs(st)).distinct()
+      closure(compile(tr, st, inner, mode)).unionByName(identityPairs(st, mode)).distinct()
     case POneOrMore(inner) =>
-      closure(compile(tr, st, inner))
+      closure(compile(tr, st, inner, mode))
   }
 
   /** Zero-length path: every graph node relates to itself (subjects and
@@ -111,9 +203,8 @@ object Paths {
     * genuine `p*`/`p?` with both endpoints free is asked — with a bound
     * endpoint the translator's endpoint filter prunes it to one node.
     */
-  private def identityPairs(st: DataFrame): DataFrame = {
-    val ids = st.select(col("s").as(S)).unionByName(st.select(col("o").as(S)))
-      .distinct()
+  private def identityPairs(st: DataFrame, mode: NodeMode): DataFrame = {
+    val ids = mode.nodes(st).distinct()
     val budget = maxRowsBudget(st)
     if (budget < Long.MaxValue) {
       val n = ids.count()
@@ -132,16 +223,14 @@ object Paths {
     */
   private def reachableFrom(tr: Translator, st: DataFrame, inner: Ppe,
                             start: graft.model.TermValue, includeStart: Boolean,
-                            maxIters: Int = 64): DataFrame = {
-    val spark = st.sparkSession
-    val edges = compile(tr, st, inner).select(
+                            maxIters: Int = 64,
+                            mode: NodeMode = PlainMode): DataFrame = {
+    val edges = compile(tr, st, inner, mode).select(
         col(S), col(O),
         col(S).getField("key").as("__ks"), col(O).getField("key").as("__ko"))
       .dropDuplicates("__ks", "__ko")
       .localCheckpoint(true)
-    val seed = spark.range(1)
-      .select(start.toColumn.as(O), lit(start.key).as("__ko"))
-      .localCheckpoint(true)
+    val seed = mode.seed(st, start).localCheckpoint(true)
     val budget = maxRowsBudget(st)
     var rows = 0L
     var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step
@@ -164,7 +253,7 @@ object Paths {
       rows += n
       if (rows > budget) throw new PathBudgetExceeded(
         s"path BFS from ${start.key} reached $rows nodes > spark.graft.path.maxRows=$budget")
-      val newFrontier = newReached.filter(col("__ko") =!= start.key)
+      val newFrontier = newReached.filter(mode.isNotStart(col(O), col("__ko"), start))
       if (n > 0)
         reached = reached.unionByName(newReached).localCheckpoint(true)
       if (newFrontier.isEmpty) done = true
@@ -176,7 +265,7 @@ object Paths {
       if (includeStart)
         reached.unionByName(seed).dropDuplicates("__ko")
       else reached
-    result.select(start.toColumn.as(S), col(O))
+    result.select(mode.startNode(col(O), start).as(S), col(O))
   }
 
   /** Transitive closure: iterative join-dedup fixpoint with

@@ -197,11 +197,24 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         val prev = graphFilterKey
         graphFilterKey = Some(gv.key) // constrain predScan-routed steps too
         try Paths.exec(this, edges, p) finally graphFilterKey = prev
-      case _: Var =>
-        // per-named-graph path iteration: out of scope like the
-        // reference (whole-GRAPH todo!) — constant graphs only
-        throw new UnsupportedOperationException(
-          "property path inside GRAPH ?var is not supported; bind the graph to an IRI")
+      case v: Var =>
+        // per-named-graph path evaluation: the path runs independently
+        // inside each named graph and binds ?g — one distributed
+        // fixpoint over (graph, node) composite keys (Paths.GraphMode),
+        // not a per-graph driver loop. A store without the graph
+        // column has no named graphs: empty result, schema preserved.
+        val edges =
+          if (!hasGraphCol)
+            statements.limit(0).withColumn("graph", graft.model.Term.nullTerm)
+          else datasetNamed match {
+            case Some(keys) if keys.isEmpty => statements.limit(0)
+            case Some(keys) => statements.filter(col("graph.key").isin(keys.toSeq: _*))
+            case None => statements
+          }
+        val prev = graphVarMode
+        graphVarMode = true // predScan-routed steps keep all named graphs
+        try Paths.exec(this, edges, p, graphVar = Some(v.name))
+        finally graphVarMode = prev
     }
   }
 
@@ -216,6 +229,13 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * so stack discipline holds; the translator is per-query).
     */
   private var graphFilterKey: Option[String] = None
+
+  /** Set while executing a path under `GRAPH ?var` (same stack
+    * discipline): predicate scans then range over ALL visible named
+    * graphs instead of the default graph, keeping the `graph` column
+    * for [[Paths.GraphMode]]'s composite keys.
+    */
+  private var graphVarMode: Boolean = false
 
   /** FROM / FROM NAMED dataset restriction (SPARQL 1.1 §13.2), set
     * while executing under a [[DatasetOp]] with the same stack
@@ -406,6 +426,14 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     graphFilterKey match {
       case Some(k) if hasGraphCol => base.filter(col("graph.key") === k)
       case Some(_) => base.limit(0) // graph-constrained on a store without graphs
+      case None if graphVarMode =>
+        // GRAPH ?var path step: range over the visible named graphs
+        if (!hasGraphCol) base.limit(0).withColumn("graph", graft.model.Term.nullTerm)
+        else datasetNamed match {
+          case Some(keys) if keys.isEmpty => base.limit(0)
+          case Some(keys) => base.filter(col("graph.key").isin(keys.toSeq: _*))
+          case None => base
+        }
       case None => defaultGraphOnly(base) // FROM restricts default-graph steps
     }
   }
@@ -461,13 +489,18 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
              df0.filter(col("graph.key") === gv.key)
            else df0.limit(0), binds0)
         case Some(v: Var) =>
-          val restricted = datasetNamed match {
-            case Some(keys) if keys.isEmpty || !hasGraphCol => df0.limit(0)
-            case Some(keys) => df0.filter(col("graph.key").isin(keys.toSeq: _*))
-            case None => df0
+          // a store without the graph column has NO named graphs: a
+          // variable-graph scan matches nothing (same as GraphBgp(Nil))
+          if (!hasGraphCol)
+            (df0.limit(0), binds0 :+ ((v: TermPat) -> graft.model.Term.nullTerm))
+          else {
+            val restricted = datasetNamed match {
+              case Some(keys) if keys.isEmpty => df0.limit(0)
+              case Some(keys) => df0.filter(col("graph.key").isin(keys.toSeq: _*))
+              case None => df0
+            }
+            (restricted, binds0 :+ ((v: TermPat) -> col("graph")))
           }
-          if (hasGraphCol) (restricted, binds0 :+ ((v: TermPat) -> col("graph")))
-          else (restricted, binds0 :+ ((v: TermPat) -> graft.model.Term.nullTerm))
       }
       val byVar = scala.collection.mutable.LinkedHashMap.empty[String, Column]
       var out = df

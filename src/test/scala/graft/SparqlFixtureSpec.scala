@@ -85,7 +85,25 @@ class SparqlFixtureSpec extends SparkTestBase {
     assert(!ask("ASK { GRAPH wd:Q999999999 {} }"))
   }
 
-  test("property path under constant GRAPH traverses only in-graph edges; variable graph rejects") {
+  test("property path under GRAPH ?g evaluates per named graph and binds ?g") {
+    val rows = Sparql.query(spark,
+      "SELECT ?g ?y WHERE { GRAPH ?g { wd:Q31 wdt:P463* ?y } }", dir)
+      .collect().map { r =>
+      (r.getAs[org.apache.spark.sql.Row]("g").getAs[String]("key"),
+        r.getAs[org.apache.spark.sql.Row]("y").getAs[String]("key"))
+    }
+    val graphs = Sparql.query(spark, "SELECT ?g WHERE { GRAPH ?g {} }", dir).count()
+    // every named graph contributes the zero-length row (?y = Q31)…
+    assert(rows.count(_._2 == "Q:31") === graphs)
+    // …and only Q31's own document extends the closure past it
+    val extended = rows.filter(_._2 != "Q:31")
+    assert(extended.nonEmpty && extended.forall(_._1 == "Q:31"))
+    val constCount = Sparql.query(spark,
+      "SELECT ?y WHERE { GRAPH wd:Q31 { wd:Q31 wdt:P463* ?y } }", dir).count()
+    assert(rows.count(_._1 == "Q:31") === constCount)
+  }
+
+  test("property path under constant GRAPH traverses only in-graph edges") {
     // P463 (member of) closure from Q31, constrained to Q31's document:
     // the reachable set is Q31 plus its direct P463 objects (no other
     // entity's edges can extend the chain inside this graph)
@@ -99,11 +117,6 @@ class SparqlFixtureSpec extends SparkTestBase {
     val empty = Sparql.query(spark,
       "SELECT ?y WHERE { GRAPH wd:Q999999999 { wd:Q31 wdt:P463* ?y } }", dir).count()
     assert(empty === 1)
-    // per-named-graph path iteration is out of scope, like the reference
-    intercept[UnsupportedOperationException] {
-      Sparql.query(spark,
-        "SELECT ?g ?y WHERE { GRAPH ?g { wd:Q31 wdt:P463* ?y } }", dir)
-    }
   }
 
   test("dataset clauses: FROM unions the default graph, FROM NAMED scopes GRAPH") {

@@ -91,4 +91,65 @@ class PathsSpec extends SparkTestBase {
       assert(all.size === 9)
     } finally spark.conf.unset("spark.graft.path.maxRows")
   }
+
+  // ---- per-named-graph evaluation (GRAPH ?g { … path … }) -------------
+
+  // graph Q100 holds the full 3-cycle; graph Q200 holds only Q1→Q3
+  private lazy val quadStatements: DataFrame = {
+    val ga = TermValue.entityQ(100)
+    val gb = TermValue.entityQ(200)
+    val rows = Seq((1L, 3L, ga), (3L, 5L, ga), (5L, 1L, ga), (1L, 3L, gb))
+    rows.zipWithIndex.map { case ((a, b, g), i) =>
+      spark.range(1).select(
+        TermValue.entityQ(a).toColumn.as("s"),
+        TermValue.propDirect(2).toColumn.as("p"),
+        TermValue.entityQ(b).toColumn.as("o"),
+        TermValue.namedEdge(i.toString).toColumn.as("id"),
+        g.toColumn.as("graph"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private lazy val trQuad = new Translator(spark, quadStatements, quadStatements.limit(0))
+
+  private def runGraph(p: PathOp): Set[(String, String)] =
+    trQuad.exec(GraphPath(p, Var("g"))).collect().map { r =>
+      (r.getAs[org.apache.spark.sql.Row]("g").getAs[String]("key"),
+        r.getAs[org.apache.spark.sql.Row]("y").getAs[String]("key"))
+    }.toSet
+
+  test("GRAPH ?g: bound-start closure BFS stays inside each named graph") {
+    val got = runGraph(PathOp(Const(TermValue.entityQ(1)), POneOrMore(p2), Var("y")))
+    // inside Q100 the cycle brings Q1 back to itself; inside Q200 only
+    // the single edge fires — the Q100 edges must not leak in
+    assert(got === Set(
+      ("Q:100", "Q:1"), ("Q:100", "Q:3"), ("Q:100", "Q:5"),
+      ("Q:200", "Q:3")))
+  }
+
+  test("GRAPH ?g: zero-or-more includes the start in every named graph") {
+    val got = runGraph(PathOp(Const(TermValue.entityQ(7)), PZeroOrMore(p2), Var("y")))
+    // Q7 appears in no graph, but the zero-length path matches it in
+    // each named graph (SPARQL ALP seeds with the start node)
+    assert(got === Set(("Q:100", "Q:7"), ("Q:200", "Q:7")))
+  }
+
+  test("GRAPH ?g: free-free closure yields per-graph pair sets") {
+    val got = trQuad.exec(GraphPath(
+      PathOp(Var("a"), POneOrMore(p2), Var("b")), Var("g"))).collect().map { r =>
+      (r.getAs[org.apache.spark.sql.Row]("g").getAs[String]("key"),
+        r.getAs[org.apache.spark.sql.Row]("a").getAs[String]("key"),
+        r.getAs[org.apache.spark.sql.Row]("b").getAs[String]("key"))
+    }.toSet
+    // 9 in-cycle pairs inside Q100, the lone edge inside Q200
+    assert(got.size === 10)
+    assert(got.contains(("Q:100", "Q:5", "Q:3")))
+    assert(got.contains(("Q:200", "Q:1", "Q:3")))
+    assert(!got.contains(("Q:200", "Q:3", "Q:5")))
+  }
+
+  test("GRAPH ?g: sequence joins stay within one graph") {
+    val got = runGraph(PathOp(Const(TermValue.entityQ(1)), PSeq(p2, p2), Var("y")))
+    // Q1→Q3→Q5 exists only inside Q100; Q200's lone edge has no second hop
+    assert(got === Set(("Q:100", "Q:5")))
+  }
 }
