@@ -59,11 +59,13 @@ object Skew {
   def autoSalts(big: DataFrame, key: String, support: Double = 0.05,
                 maxSalts: Int = 64): Int = {
     val keyed = big.select(col(key))
-    val top = graft.pipeline.Sketches.heavyHitters(keyed, key, support)
-      .agg(max(col("cnt"))).head()
-    if (top.isNullAt(0)) 1
+    // the heavy-hitter scheme already counts the input; reusing its
+    // total avoids a second full scan of the big side
+    val (hh, n) = graft.pipeline.Sketches.heavyHittersWithTotal(keyed, key, support)
+    val top = hh.agg(max(col("cnt"))).head()
+    if (top.isNullAt(0) || n == 0) 1
     else {
-      val p = top.getLong(0).toDouble / keyed.count()
+      val p = top.getLong(0).toDouble / n
       val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       math.max(1, math.min(maxSalts, math.ceil(p * parts).toInt))
     }

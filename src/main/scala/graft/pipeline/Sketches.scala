@@ -95,7 +95,16 @@ object Sketches {
     * (bounded driver state, like the IVF quantizer fit).
     */
   def heavyHitters(items: DataFrame, itemCol: String, support: Double,
-                   maxCandidates: Int = 1 << 20): DataFrame = {
+                   maxCandidates: Int = 1 << 20): DataFrame =
+    heavyHittersWithTotal(items, itemCol, support, maxCandidates)._1
+
+  /** [[heavyHitters]] plus the total row count the scheme already
+    * measures — callers that need both (e.g. a hot-key FRACTION, like
+    * [[graft.operators.Skew.autoSalts]]) avoid paying a second full
+    * scan of the input on top of the candidate pass.
+    */
+  def heavyHittersWithTotal(items: DataFrame, itemCol: String, support: Double,
+                            maxCandidates: Int = 1 << 20): (DataFrame, Long) = {
     require(support > 0 && support < 1, s"support $support must be in (0,1)")
     require(1 / support <= maxCandidates,
       s"support $support tracks ${(1 / support).toLong} candidates > $maxCandidates")
@@ -105,8 +114,9 @@ object Sketches {
     val pruned =
       if (cands.isEmpty) items.limit(0)
       else items.where(col(itemCol).isin(cands: _*)) // pre-shuffle prune
-    pruned.groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
+    val hh = pruned.groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(support) * lit(n))
+    (hh, n)
   }
 
   /** Accuracy gate for `approx_top_k` (DataSketches frequent-items):

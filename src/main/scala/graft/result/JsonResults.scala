@@ -47,7 +47,15 @@ object JsonResults {
       return s"""{"head":{"vars":[]},"boolean":$b}"""
     }
     val maxRows = df.sparkSession.conf
-      .getOption("spark.graft.json.maxRows").map(_.toInt).getOrElse(limit)
+      .getOption("spark.graft.json.maxRows").map { v =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.json.maxRows must be a positive int, got '$v'")
+        }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"spark.graft.json.maxRows must be a positive int, got '$v'")
+        n
+      }.getOrElse(limit)
     val vars = df.columns.toSeq
     // render per-variable fields distributed, collect only strings
     val rendered = df.select(vars.flatMap { v =>
@@ -60,7 +68,9 @@ object JsonResults {
         (t.isNull || t.getField("kind") === "null").as(s"${v}__null"))
     }: _*)
     // fetch maxRows+1 so overflow is observable, then fail loudly
-    val rows = rendered.limit(maxRows + 1).toLocalIterator()
+    // (clamped: maxRows = Int.MaxValue must not overflow the limit)
+    val fetch = math.min(maxRows.toLong + 1, Int.MaxValue.toLong).toInt
+    val rows = rendered.limit(fetch).toLocalIterator()
     var n = 0
     val bindings = new scala.collection.mutable.ArrayBuffer[String]()
     while (rows.hasNext) {

@@ -2,6 +2,8 @@ package graft.server
 
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.{Callable, ExecutionException, Executors, ThreadFactory, TimeUnit, TimeoutException}
+import java.util.concurrent.atomic.AtomicLong
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
@@ -15,16 +17,40 @@ import graft.sparql.{Parser, Sparql}
   * `Access-Control-Allow-Origin: *` on every response (the reference
   * uses warp's `allow_any_origin`).
   *
-  * One shared SparkSession serves all requests; queries execute
-  * synchronously in the handler thread like the reference. This is a
-  * protocol front-end, not an operator — result sets are bounded by the
-  * serializer's limit.
+  * One shared SparkSession serves all requests. Unlike the reference
+  * (which serves synchronously, one query at a time), requests run on
+  * a thread pool — Spark's scheduler interleaves concurrent jobs — and
+  * each query is bounded by `spark.graft.server.timeoutMs` (default
+  * 0 = unbounded): on expiry the query's job group is cancelled and
+  * the client gets 503, so one runaway query can neither wedge the
+  * server nor keep burning the cluster. This is a protocol front-end,
+  * not an operator — result sets are bounded by the serializer's limit.
   */
 object QueryServer {
+
+  private val reqIds = new AtomicLong()
+
+  private def daemonFactory(prefix: String): ThreadFactory = new ThreadFactory {
+    private val n = new AtomicLong()
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    }
+  }
+
+  /** Workers that execute the Spark actions; the job group is set on
+    * the worker thread (it is thread-local) so a timeout can cancel
+    * exactly this request's jobs.
+    */
+  private lazy val queryPool =
+    Executors.newCachedThreadPool(daemonFactory("graft-query"))
 
   def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query", (ex: HttpExchange) => handle(spark, dir, ex))
+    // handler pool: without one the JDK server dispatches serially
+    server.setExecutor(Executors.newCachedThreadPool(daemonFactory("graft-http")))
     server.start()
     server
   }
@@ -47,14 +73,33 @@ object QueryServer {
       params.get("query") match {
         case None => respond(400, "missing 'query' parameter", "text/plain")
         case Some(q) =>
+          val timeoutMs = spark.conf.get("spark.graft.server.timeoutMs", "0").toLong
+          val group = s"graft-http-${reqIds.incrementAndGet()}"
+          val task = queryPool.submit(new Callable[String] {
+            def call(): String = {
+              spark.sparkContext.setJobGroup(group, s"HTTP query: $q",
+                interruptOnCancel = true)
+              try JsonResults.toJson(Sparql.query(spark, q, dir))
+              finally spark.sparkContext.clearJobGroup()
+            }
+          })
           try {
-            val df = Sparql.query(spark, q, dir)
-            respond(200, JsonResults.toJson(df), "application/json")
+            val body =
+              if (timeoutMs > 0) task.get(timeoutMs, TimeUnit.MILLISECONDS)
+              else task.get()
+            respond(200, body, "application/json")
           } catch {
-            case e: Parser.ParseException =>
-              respond(400, s"parse error: ${e.msg}", "text/plain")
-            case e: Throwable =>
-              respond(500, s"error: ${e.getMessage}", "text/plain")
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              task.cancel(true)
+              respond(503,
+                s"query exceeded spark.graft.server.timeoutMs=$timeoutMs", "text/plain")
+            case e: ExecutionException => e.getCause match {
+              case pe: Parser.ParseException =>
+                respond(400, s"parse error: ${pe.msg}", "text/plain")
+              case c =>
+                respond(500, s"error: ${c.getMessage}", "text/plain")
+            }
           }
       }
     } catch {

@@ -304,7 +304,16 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * natural join for graph patterns).
     */
   private def execLateralSpec(l: Op, r: Op): DataFrame = r match {
-    case Slice(inner, start, len) =>
+    case Slice(inner0, start, len) =>
+      // DISTINCT/REDUCED wrap the projection and apply BEFORE the
+      // slice; with DISTINCT the sort keys must be projected
+      // (SPARQL 1.1 §15.1), so deduping the projected sub-select
+      // before the per-left ranking preserves both orders
+      val (inner, dedup) = inner0 match {
+        case DistinctOp(i) => (i, true)
+        case ReducedOp(i) => (i, true)
+        case other => (other, false)
+      }
       val (body, sortKeys, proj) = inner match {
         case Project(OrderBy(i, ks), vs) => (i, ks, Some(vs))
         case OrderBy(i, ks) => (i, ks, None)
@@ -313,7 +322,14 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       }
       val rowId = InternalPrefix + "lateral_row"
       val left = exec(l).withColumn(rowId, monotonically_increasing_id())
-      val joined = naturalJoin(left, exec(body), "inner")
+      val rightRaw = exec(body)
+      val right =
+        if (!dedup) rightRaw
+        else proj match {
+          case Some(vs) => rightRaw.select(vs.map(v => col(v.name)): _*).distinct()
+          case None => rightRaw.distinct()
+        }
+      val joined = naturalJoin(left, right, "inner")
       val rightOnly = joined.columns.filterNot(left.columns.contains).toSeq
       // explicit keys first, then every right-bound column as a
       // deterministic tiebreak (SPARQL leaves unordered slices

@@ -56,6 +56,33 @@ class ServerSpec extends SparkTestBase {
     }
   }
 
+  test("two parallel runaway queries are both bounded by the per-query timeout") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a triple cartesian over the store (3385^3 rows) cannot finish;
+    // the timeout must cancel its job group and answer 503
+    val runaway = "/query?query=" + java.net.URLEncoder.encode(
+      "SELECT ?a ?b ?c WHERE { ?a ?p1 ?o1 . ?b ?p2 ?o2 . ?c ?p3 ?o3 }", "UTF-8")
+    spark.conf.set("spark.graft.server.timeoutMs", "2000")
+    try {
+      val t0 = System.nanoTime()
+      val results = Await.result(
+        Future.sequence(Seq.fill(2)(Future(get(runaway)))), 90.seconds)
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      results.foreach { case (code, body, _) =>
+        assert(code === 503, s"expected 503, got $code: $body")
+        assert(body.contains("spark.graft.server.timeoutMs"))
+      }
+      assert(elapsedS < 60, f"timeout responses took $elapsedS%.1f s")
+      // the shared session must stay healthy for the next query
+      val ok = "/query?query=" + java.net.URLEncoder.encode(
+        "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 3", "UTF-8")
+      val (okCode, okBody, _) = get(ok)
+      assert(okCode === 200 && okBody.contains(""""bindings""""))
+    } finally spark.conf.unset("spark.graft.server.timeoutMs")
+  }
+
   test("GET /query returns SPARQL-Results-JSON with CORS") {
     val (code, body, headers) =
       get("/query?query=" + java.net.URLEncoder.encode(
@@ -104,6 +131,22 @@ class ServerSpec extends SparkTestBase {
       val (okCode, okBody, _) = get(small)
       assert(okCode === 200)
       assert(okBody.count(_ == '{') > 9) // all 9 bindings present
+    } finally spark.conf.unset("spark.graft.json.maxRows")
+  }
+
+  test("maxRows edge values: Int.MaxValue serves; junk fails with a clear message") {
+    val small = "/query?query=" + java.net.URLEncoder.encode(
+      "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 3", "UTF-8")
+    try {
+      // Int.MaxValue must not overflow the +1 overflow probe
+      spark.conf.set("spark.graft.json.maxRows", Int.MaxValue.toString)
+      val (code, _, _) = get(small)
+      assert(code === 200)
+      // non-numeric conf → a named error, not a NumberFormatException
+      spark.conf.set("spark.graft.json.maxRows", "lots")
+      val (badCode, badBody, _) = get(small)
+      assert(badCode === 500)
+      assert(badBody.contains("spark.graft.json.maxRows must be a positive int"))
     } finally spark.conf.unset("spark.graft.json.maxRows")
   }
 }

@@ -65,6 +65,45 @@ class SparqlFixtureSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.lateral.spec")
   }
 
+  test("spec-correct LATERAL honors DISTINCT + ORDER BY inside the sliced sub-select") {
+    // the sub-select projects (s, t) out of (s, t, src) rows: every t
+    // repeats once per src, so WITHOUT the dedup the ranked top-2 per
+    // left row lands on two COPIES of the smallest t; DISTINCT must
+    // collapse duplicates BEFORE the per-left LIMIT so the slice keeps
+    // the two smallest DISTINCT t values (the pre-fix shape fell
+    // through to `case other` and lost both DISTINCT and ORDER BY)
+    val q =
+      """SELECT ?s ?t WHERE { ?s wdt:P31 ?o .
+        |  LATERAL { SELECT DISTINCT ?s ?t WHERE { ?s wdt:P31 ?t . ?s wdt:P1343 ?src }
+        |            ORDER BY ?t LIMIT 2 } }""".stripMargin
+    spark.conf.set("spark.graft.lateral.spec", "true")
+    try {
+      def tSets(query: String): Map[String, Set[String]] =
+        Sparql.query(spark, query, dir).collect().map(r =>
+          (r.getStruct(0).getAs[String]("key"), r.getStruct(1).getAs[String]("key")))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val bySubject = tSets(q)
+      // distinct (s,t) pairs available per subject, unsliced
+      val avail = tSets(
+        "SELECT ?s ?t WHERE { ?s wdt:P31 ?t . ?s wdt:P1343 ?src }")
+      assert(bySubject.nonEmpty)
+      // the duplicate-copy bug keeps two COPIES of one t: every subject
+      // with ≥2 distinct t available must emit exactly 2 distinct t
+      assert(avail.values.exists(_.size >= 2), "fixture too thin")
+      bySubject.foreach { case (s, ts) =>
+        assert(ts.size === math.min(2, avail(s).size),
+          s"subject $s sliced to ${ts.size} distinct t of ${avail(s).size} available")
+        assert(ts.subsetOf(avail(s)))
+      }
+      // ranking consistency: the LIMIT 1 slice is a prefix of LIMIT 2
+      val limit1 = tSets(q.replace("LIMIT 2", "LIMIT 1"))
+      limit1.foreach { case (s, ts) =>
+        assert(ts.size === 1 && ts.subsetOf(bySubject(s)),
+          s"subject $s: LIMIT 1 slice $ts not a prefix of ${bySubject(s)}")
+      }
+    } finally spark.conf.unset("spark.graft.lateral.spec")
+  }
+
   test("GRAPH pushes through UNION arms and binds the graph variable per arm") {
     val q =
       """SELECT DISTINCT ?g WHERE { GRAPH ?g {

@@ -200,4 +200,30 @@ class TemporalSpec extends SparkTestBase {
     assert(rows(Skew.saltedEquiJoinAuto(big, small, "k").select($"k", $"v", $"tag")) ===
       rows(big.join(small, Seq("k")).select($"k", $"v", $"tag")))
   }
+
+  test("autoSalts reuses the heavy-hitter pass's total: one fewer job than a recount") {
+    import graft.operators.Skew
+    import graft.pipeline.Sketches
+    val sc = spark.sparkContext
+    val big = ((1 to 300).map(i => ("hot", i)) ++
+      (1 to 300).map(i => (s"k${i % 50}", i))).toDF("k", "v")
+      .localCheckpoint(true)
+    def jobsOf(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      // the status store is fed asynchronously; poll until stable
+      var last = -1; var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) { last = cur; Thread.sleep(200)
+        cur = sc.statusTracker.getJobIdsForGroup(group).length }
+      cur
+    }
+    // the pre-fix formulation: heavy hitters, then an EXTRA full count
+    val old = jobsOf("salts-recount") {
+      val keyed = big.select($"k")
+      Sketches.heavyHitters(keyed, "k", 0.05).agg(max($"cnt")).head()
+      keyed.count()
+    }
+    val now = jobsOf("salts-single") { Skew.autoSalts(big, "k", support = 0.05) }
+    assert(now < old, s"autoSalts ran $now jobs, recount formulation $old")
+  }
 }
