@@ -127,6 +127,23 @@ object PipelineQueries {
         bound = 0.5)
     }),
 
+    // The production embedding-near-dup path with rows the driver's
+    // DuckDB oracle fully hash-checks (p11 is 0 rows at small SFs —
+    // no true pairs at 0.99 over near-random vectors). Plants 20
+    // exact duplicates: identical vectors agree with every
+    // hyperplane, so single-table LSH surfaces them with probability
+    // 1 and the output equals the exact ≥0.99 pair set, which the
+    // oracle re-derives by brute-force cosine join (the corpus max
+    // non-identical cosine is ~0.51, far from the threshold).
+    "p49_embdup_planted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(emb.unionByName(planted), "embedding", "vec_id",
+        planes = 8, threshold = 0.99)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     // The corpus has no true near-dup pairs at 0.99 (near-random
     // vectors), so p11's recall gate PLANTS 20 exact duplicates:
     // identical vectors agree with every hyperplane, so they collide in
@@ -603,6 +620,19 @@ object PipelineQueries {
     // hash match
     "p23_lsh_recall" -> "SELECT 'pass' AS status",
     "p24_embdup_recall" -> "SELECT 'pass' AS status",
+
+    // brute-force re-derivation of the planted-duplicate pair set:
+    // every pair at cos >= 0.99 is an identical-vector pair, which the
+    // Spark side's LSH buckets capture with probability 1
+    "p49_embdup_planted" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) embedding FROM EMB
+        |  UNION ALL
+        |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM EMB WHERE vec_id < 20)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99""".stripMargin,
     "p25_ivf_recall" -> "SELECT 'pass' AS status",
     "p30_hll_vocab_gate" -> "SELECT 'pass' AS status",
     "p31_quantile_gate" -> "SELECT 'pass' AS status",

@@ -49,6 +49,23 @@ object QueryServer {
   def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query", (ex: HttpExchange) => handle(spark, dir, ex))
+    // static query UI (reference frontend/ parity; original page)
+    server.createContext("/", (ex: HttpExchange) => {
+      val bytes =
+        if (ex.getRequestURI.getPath == "/" || ex.getRequestURI.getPath == "/index.html")
+          Frontend.indexHtml.getBytes(StandardCharsets.UTF_8)
+        else null
+      try {
+        if (bytes == null) {
+          ex.sendResponseHeaders(404, -1L)
+        } else {
+          ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
+      } finally ex.close()
+    })
     // handler pool: without one the JDK server dispatches serially
     server.setExecutor(Executors.newCachedThreadPool(daemonFactory("graft-http")))
     server.start()

@@ -87,6 +87,32 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("label-service sort-merge fallback returns the same rows as the broadcast path") {
+    // At full-Wikidata scale the labels lookup exceeds any broadcast
+    // threshold and the join must degrade to a shuffled join without
+    // changing results. Force the optimizer down that branch and
+    // compare against the broadcast-path rows.
+    val q =
+      """SELECT ?country ?countryLabel WHERE {
+        |  ?country wdt:P31 wd:Q6256 .
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "en" . }
+        |}""".stripMargin
+    val broadcastRows = Sparql.query(spark, q, dir).collect().map(_.toString).sorted
+    assert(broadcastRows.nonEmpty)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Sparql.query(spark, q, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast survived threshold=-1:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no shuffled join in the fallback plan:\n$plan")
+      assert(df.collect().map(_.toString).sorted.toSeq === broadcastRows.toSeq,
+        "sort-merge fallback changed label-service results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SPARQL BGP join shuffles on key columns, not whole term structs") {
     val df = Sparql.query(spark,
       "SELECT ?p ?b ?p2 WHERE { wdt:Q31 ?p ?b . ?b ?p2 wdt:Q31 . }", dir)

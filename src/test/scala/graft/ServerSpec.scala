@@ -23,7 +23,9 @@ class ServerSpec extends SparkTestBase {
     conn.setReadTimeout(120000)
     val code = conn.getResponseCode
     val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val body = Source.fromInputStream(stream, "UTF-8").mkString
+    // bodyless error responses (e.g. 404 on static paths) have no stream
+    val body =
+      if (stream == null) "" else Source.fromInputStream(stream, "UTF-8").mkString
     import scala.jdk.CollectionConverters._
     val headers = conn.getHeaderFields.asScala.collect {
       case (k, v) if k != null => k -> v.asScala.mkString(",")
@@ -94,6 +96,20 @@ class ServerSpec extends SparkTestBase {
       case (k, v) if k.equalsIgnoreCase("Access-Control-Allow-Origin") => v
     }
     assert(cors === Some("*"))
+  }
+
+  test("GET / serves the query UI; unknown static paths 404") {
+    val (code, body, headers) = get("/")
+    assert(code === 200)
+    val ctype = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("Content-Type") => v
+    }
+    assert(ctype.exists(_.startsWith("text/html")))
+    assert(body.contains("<textarea"), "UI has no query textarea")
+    // the page submits to the /query endpoint with a relative URL
+    assert(body.contains("query?query="), "UI does not target /query")
+    val (code2, _, _) = get("/no-such-file.js")
+    assert(code2 === 404)
   }
 
   test("ASK renders the boolean form") {
