@@ -278,13 +278,19 @@ object Dedup {
     * so this is NOT [[shingles]] (which dedups). Texts with fewer than
     * k words yield no grams.
     */
-  def orderedKgrams(text: Column, k: Int): Column = {
-    val ws = filter(split(trim(text), "\\s+"), x => length(x) > 0)
+  def orderedKgrams(text: Column, k: Int): Column =
+    kgramsFromWords(filter(split(trim(text), "\\s+"), x => length(x) > 0), k)
+
+  /** Ordered k-grams from an already-split word array. The i-th gram
+    * (0-based) starts at word i — nulls only arise past `size-k` and are
+    * filtered from the tail, so gram index == start-word index, which is
+    * what lets [[removeDupSpans]] map gram hits back to word spans.
+    */
+  private def kgramsFromWords(ws: Column, k: Int): Column =
     filter(
       transform(ws, (wd, i) => when(i <= size(ws) - k,
         concat_ws(" ", Seq(wd) ++ (1 until k).map(j => element_at(ws, i + j + 1)): _*))),
       g => g.isNotNull)
-  }
 
   /** Portable 60-bit hash: the first 15 hex chars of md5. Slower than
     * xxhash64 but reproducible in any engine with md5, which is what
@@ -374,6 +380,61 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
+  /** Duplicated-span REMOVAL — the output contract behind substring-
+    * level exact dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022): where [[dupSpanProfile]] only
+    * counts corpus-duplicated k-word spans, this rebuilds each document
+    * with those spans cut out. Text is word-normalized (lowercase,
+    * whitespace-split, single-space rejoin) — span identity is defined
+    * on the normalized form, so the cleaned text is too.
+    *
+    * Policies:
+    *   - `keepFirst = false` (default): remove every occurrence of a
+    *     span whose hash appears in >= 2 distinct documents — the
+    *     contamination-removal stance (no copy survives).
+    *   - `keepFirst = true`: the lowest-doc-id holder of each span
+    *     keeps its occurrences; only the other documents lose theirs —
+    *     the Lee-et-al. stance (exactly one canonical copy survives).
+    *
+    * Shape: word arrays are staged once (localCheckpoint) and feed both
+    * the dup-hash aggregation and the rebuild; gram index == start-word
+    * index, so covered word spans are `sequence(pos, pos+k-1)` unions
+    * aggregated per document — two hash-partitioned shuffles (dup-hash
+    * census, per-doc coverage) plus the rebuild join. No all-pairs
+    * stage; shuffle keys are 60-bit span hashes and doc ids. The
+    * per-document rebuild is O(words * covered) array work bounded by
+    * document length — fine for KB-to-MB documents, which is also the
+    * regime where word arrays fit an executor row.
+    */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 3,
+                     hashFn: Column => Column = xxhash64(_),
+                     keepFirst: Boolean = false): DataFrame = {
+    val wsCol = filter(split(trim(lower(col(textCol))), "\\s+"), x => length(x) > 0)
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), wsCol.as("ws"))
+      .localCheckpoint(false) // feeds the census and the rebuild
+    val grams = base.select(col("id"),
+      posexplode(transform(kgramsFromWords(col("ws"), k), hashFn)).as(Seq("pos", "h")))
+    val dupH = grams.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("min_id"))
+      .filter(col("nd") >= 2)
+    // occurrences to cut: every hit of a corpus-duplicated hash, minus
+    // (keepFirst) the hits inside that hash's lowest-id document
+    val cut0 = grams.join(dupH.select(col("h"), col("min_id")), Seq("h"))
+    val cut = if (keepFirst) cut0.filter(col("id") =!= col("min_id")) else cut0
+    val cov = cut.groupBy(col("id"))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + lit(k - 1))))).as("cv"))
+    base.join(cov, Seq("id"), "left")
+      .withColumn("cv", coalesce(col("cv"), lit(Array.empty[Int])))
+      .select(col("id").as(idCol),
+        concat_ws(" ",
+          filter(col("ws"), (wd, i) => !array_contains(col("cv"), i))).as("clean_text"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        size(col("cv")).cast(LongType).as("n_removed"))
   }
 
   /** Exact Jaccard over two array columns (set semantics). */

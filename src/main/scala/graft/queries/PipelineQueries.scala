@@ -281,6 +281,18 @@ object PipelineQueries {
         Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
         "text", "doc_id", k = 3, hashFn = Dedup.md5Hash60)),
 
+    // span REMOVAL (p26 only profiles): remove-all policy — no copy of
+    // a corpus-duplicated 3-word span survives anywhere
+    "p50_remove_dup_spans" -> ((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d),
+        "text", "doc_id", k = 3, hashFn = Dedup.md5Hash60)),
+
+    // keep-first policy (Lee et al.): the lowest-doc-id holder of each
+    // duplicated span keeps it; every other document loses it
+    "p51_dup_spans_keepfirst" -> ((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d),
+        "text", "doc_id", k = 3, hashFn = Dedup.md5Hash60, keepFirst = true)),
+
     // corpus vocabulary: document frequency + IDF, top 100 by df
     "p27_vocab_idf" -> ((s, d) =>
       TextAnalysis.documentFrequency(
@@ -658,6 +670,50 @@ object PipelineQueries {
         |FROM DOCS doc
         |LEFT JOIN t ON doc.doc_id = t.doc_id
         |LEFT JOIN c ON doc.doc_id = c.doc_id""".stripMargin,
+
+    // span removal, remove-all policy: rebuild each doc's normalized
+    // text without any word covered by a corpus-duplicated 3-gram
+    "p50_remove_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |g AS (SELECT doc_id, ws,
+        |        [CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT)
+        |          FOR i IN range(1, len(ws)-1)] AS hs
+        |      FROM w),
+        |e AS (SELECT doc_id, unnest([{'i': i, 'h': hs[i]} FOR i IN range(1, len(hs)+1)], recursive := true) FROM g),
+        |d AS (SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT e.doc_id, list_distinct(flatten(array_agg(range(e.i, e.i+3)))) AS cv
+        |        FROM e JOIN d USING (h) GROUP BY e.doc_id)
+        |SELECT g.doc_id,
+        |  coalesce(array_to_string([g.ws[j] FOR j IN range(1, len(g.ws)+1)
+        |                            IF cov.cv IS NULL OR NOT list_contains(cov.cv, j)], ' '), '') AS clean_text,
+        |  len(g.ws) AS n_words,
+        |  coalesce(len(cov.cv), 0) AS n_removed
+        |FROM g LEFT JOIN cov ON g.doc_id = cov.doc_id""".stripMargin,
+
+    // span removal, keep-first policy: the min-doc_id holder of each
+    // duplicated span is exempt from that span's coverage
+    "p51_dup_spans_keepfirst" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |g AS (SELECT doc_id, ws,
+        |        [CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT)
+        |          FOR i IN range(1, len(ws)-1)] AS hs
+        |      FROM w),
+        |e AS (SELECT doc_id, unnest([{'i': i, 'h': hs[i]} FOR i IN range(1, len(hs)+1)], recursive := true) FROM g),
+        |d AS (SELECT h, min(doc_id) AS min_id FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT e.doc_id, list_distinct(flatten(array_agg(range(e.i, e.i+3)))) AS cv
+        |        FROM e JOIN d USING (h) WHERE e.doc_id <> d.min_id GROUP BY e.doc_id)
+        |SELECT g.doc_id,
+        |  coalesce(array_to_string([g.ws[j] FOR j IN range(1, len(g.ws)+1)
+        |                            IF cov.cv IS NULL OR NOT list_contains(cov.cv, j)], ' '), '') AS clean_text,
+        |  len(g.ws) AS n_words,
+        |  coalesce(len(cov.cv), 0) AS n_removed
+        |FROM g LEFT JOIN cov ON g.doc_id = cov.doc_id""".stripMargin,
 
     // document frequency + IDF, top 100 by df (ties by word)
     "p27_vocab_idf" ->

@@ -90,21 +90,36 @@ object QueryServer {
       params.get("query") match {
         case None => respond(400, "missing 'query' parameter", "text/plain")
         case Some(q) =>
+          // `&explain=true` (or =simple|extended|codegen|cost|formatted)
+          // returns the Catalyst plan as text WITHOUT running any job —
+          // observability the reference's endpoint has no analogue of
+          val explainMode = params.get("explain").map {
+            case "" | "true" | "1" => "formatted"
+            case m => m
+          }
           val timeoutMs = spark.conf.get("spark.graft.server.timeoutMs", "0").toLong
           val group = s"graft-http-${reqIds.incrementAndGet()}"
           val task = queryPool.submit(new Callable[String] {
             def call(): String = {
               spark.sparkContext.setJobGroup(group, s"HTTP query: $q",
                 interruptOnCancel = true)
-              try JsonResults.toJson(Sparql.query(spark, q, dir))
-              finally spark.sparkContext.clearJobGroup()
+              try {
+                val df = Sparql.query(spark, q, dir)
+                explainMode match {
+                  case Some(m) => df.queryExecution.explainString(
+                    org.apache.spark.sql.execution.ExplainMode.fromString(m))
+                  case None => JsonResults.toJson(df)
+                }
+              } finally spark.sparkContext.clearJobGroup()
             }
           })
           try {
             val body =
               if (timeoutMs > 0) task.get(timeoutMs, TimeUnit.MILLISECONDS)
               else task.get()
-            respond(200, body, "application/json")
+            respond(200, body,
+              if (explainMode.isDefined) "text/plain; charset=utf-8"
+              else "application/json")
           } catch {
             case _: TimeoutException =>
               spark.sparkContext.cancelJobGroup(group)
@@ -114,6 +129,8 @@ object QueryServer {
             case e: ExecutionException => e.getCause match {
               case pe: Parser.ParseException =>
                 respond(400, s"parse error: ${pe.msg}", "text/plain")
+              case iae: IllegalArgumentException if explainMode.isDefined =>
+                respond(400, s"bad explain mode: ${iae.getMessage}", "text/plain")
               case c =>
                 respond(500, s"error: ${c.getMessage}", "text/plain")
             }

@@ -750,6 +750,27 @@ class PipelineSpec extends SparkTestBase {
     assert(out(5L) === ((0L, 0L)))
   }
 
+  test("removeDupSpans cuts corpus-duplicated spans (remove-all vs keep-first)") {
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val all = byId(Dedup.removeDupSpans(dupDocs, "text", "doc_id", k = 3))
+    // docs 1/2 identical: every word covered by a duplicated 3-gram
+    assert(all(1L) === (("", 9L, 9L)) && all(2L) === (("", 9L, 9L)))
+    // doc 3 shares spans 0..5 with 1/2 (covers words 0..7); "cat" survives
+    assert(all(3L) === (("cat", 9L, 8L)))
+    // unique and empty docs pass through untouched
+    assert(all(4L) === (("completely unrelated text about spark engines and parquet files", 9L, 0L)))
+    assert(all(5L) === (("", 0L, 0L)))
+    val kf = byId(Dedup.removeDupSpans(dupDocs, "text", "doc_id", k = 3, keepFirst = true))
+    // keep-first: doc 1 (min id) keeps every span; 2 still loses all
+    assert(kf(1L) === (("the quick brown fox jumps over the lazy dog", 9L, 0L)))
+    assert(kf(2L) === (("", 9L, 9L)) && kf(3L) === (("cat", 9L, 8L)))
+    // WITHIN-doc repetition alone is not corpus duplication (nd >= 2 docs)
+    val intra = byId(Dedup.removeDupSpans(
+      Seq((1L, "a b c a b c"), (2L, "x y z w v u")).toDF("doc_id", "text"), "text", "doc_id", k = 3))
+    assert(intra(1L) === (("a b c a b c", 6L, 0L)))
+  }
+
   test("documentFrequency counts each word once per doc with ln-IDF") {
     val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.documentFrequency(df, "text", "doc_id")

@@ -98,6 +98,22 @@ class ServerSpec extends SparkTestBase {
     assert(cors === Some("*"))
   }
 
+  test("explain=true returns the plan as text without executing; bad mode → 400") {
+    val enc = java.net.URLEncoder.encode(
+      "SELECT ?t WHERE { wd:Q31 wdt:P31 ?t } LIMIT 2", "UTF-8")
+    val (code, body, headers) = get(s"/query?query=$enc&explain=true")
+    assert(code === 200)
+    assert(body.contains("== Physical Plan =="), body.take(200))
+    assert(headers.exists { case (k, v) =>
+      k.equalsIgnoreCase("Content-Type") && v.startsWith("text/plain") })
+    // a named mode works too
+    val (c2, b2, _) = get(s"/query?query=$enc&explain=extended")
+    assert(c2 === 200 && b2.contains("== Analyzed Logical Plan =="))
+    // junk mode is the caller's error, not a server fault
+    val (c3, b3, _) = get(s"/query?query=$enc&explain=bogus")
+    assert(c3 === 400 && b3.contains("bad explain mode"), s"$c3: $b3")
+  }
+
   test("GET / serves the query UI; unknown static paths 404") {
     val (code, body, headers) = get("/")
     assert(code === 200)
