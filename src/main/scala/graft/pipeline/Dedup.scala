@@ -632,12 +632,16 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    // norm staged once per row — the verify cosine then costs one dot
+    // per candidate pair instead of recomputing both norms per pair
     val withSig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("n"),
         Similarity.planeSignature(col(vecCol), planes).as("sig"))
     withSig.alias("a")
       .join(withSig.alias("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
@@ -661,11 +665,13 @@ object Dedup {
     val cents = Similarity.trainCentroids(emb, vecCol, idCol, nlist)
     val assigned = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("n"),
         element_at(Similarity.rankedCells(cents, col(vecCol)), 1).as("cell"))
     assigned.alias("a")
       .join(assigned.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

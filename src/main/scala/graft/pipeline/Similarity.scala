@@ -81,15 +81,19 @@ object Similarity {
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // parallelize the cosine scoring across cores even for a
-    // single-split corpus file (the probes side is broadcast)
+    // single-split corpus file (the probes side is broadcast).
+    // Norms are STAGED once per row on each side: cosine at the join
+    // then costs ONE dot per candidate pair instead of three (the
+    // corpus-side norm would otherwise be recomputed per probe).
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val scored = corpus.repartition(par).alias("c")
-      .join(broadcast(probes.alias("p")),
-        col(s"c.$idCol") =!= col(s"p.$idCol"))
-      .select(
-        col(s"p.$idCol").as("probe_id"),
-        col(s"c.$idCol").as("neighbor_id"),
-        cosine(col(s"p.$vecCol"), col(s"c.$vecCol")).as("cos"))
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      norm(col(vecCol)).as("pn"))
+    val scored = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -117,11 +121,12 @@ object Similarity {
       struct(lit(t).as("t"), planeSignature(col(vecCol), planes, t).as("sig"))): _*)
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        explode(cSigs).as("bucket"))
+        norm(col(vecCol)).as("cn"), explode(cSigs).as("bucket"))
     // probe signatures are STAGED as columns: the 1-bit-flip multiprobe
     // references each signature planes+1 times, and inlining would copy
     // the plane-literal projection per reference (plan-size blowup)
-    var pSt = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    var pSt = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      norm(col(vecCol)).as("pn"))
     for (t <- 0 until tables)
       pSt = pSt.withColumn(s"__sig$t", planeSignature(col("pv"), planes, t))
     val pSigs = array((0 until tables).flatMap { t =>
@@ -131,15 +136,18 @@ object Similarity {
       else Seq()
       (sig +: flips).map(s => struct(lit(t).as("t"), s.as("sig")))
     }: _*)
-    val p = pSt.select(col("probe_id"), col("pv"), explode(pSigs).as("bucket"))
-    // cosine is computed at the join and the multi-table duplicate
-    // collisions are merged by a light groupBy: the dedup shuffle then
-    // carries (long, long, double) rows instead of two embedding
-    // arrays per candidate — the payload that matters at 100 TB.
-    // min(cos) of identical per-pair values = the value.
+    val p = pSt.select(col("probe_id"), col("pv"), col("pn"),
+      explode(pSigs).as("bucket"))
+    // cosine is computed at the join (staged norms: one dot per pair)
+    // and the multi-table duplicate collisions are merged by a light
+    // groupBy: the dedup shuffle then carries (long, long, double)
+    // rows instead of two embedding arrays per candidate — the payload
+    // that matters at 100 TB. min(cos) of identical per-pair values =
+    // the value.
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
       .groupBy(col("probe_id"), col("neighbor_id")).agg(min(col("cos")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -355,15 +363,19 @@ object Similarity {
     val corpusVec =
       if (vectors.columns.contains("qv")) dequantizeInt8(col("qv"))
       else col(vecCol)
+    // two-step projection so the (possibly dequantized) vector is
+    // computed once and its norm staged from the materialized column
     val c = vectors
       .select(col(idCol).as("neighbor_id"), corpusVec.as("cv"), col("cell"))
+      .select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"), col("cell"))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        norm(col(vecCol)).as("pn"),
         explode(slice(rankedCells(cents, col(vecCol)), 1, nprobe)).as("cell"))
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("pv"), col("cv")).as("cos"))
+        (dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -390,13 +402,16 @@ object Similarity {
     val cents = trainCentroids(corpus, vecCol, idCol, nlist)
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"),
         element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        norm(col(vecCol)).as("pn"),
         explode(slice(rankedCells(cents, col(vecCol)), 1, nprobe)).as("cell"))
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("cv")).as("cos"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -72,13 +72,19 @@ object ExtraQueries {
     }),
 
     // ROLLUP hierarchy totals (drill-down telemetry shape); exact
-    // decimal sums per the q01 determinism policy
+    // decimal sums per the q01 determinism policy. Two-phase: a naive
+    // `rollup` Expands every input row 3x BEFORE the partial aggregate
+    // — at 100 TB that triples the heavy pass. SUM/COUNT are
+    // decomposable, so aggregate once at the finest grain and rollup
+    // the K-row result (Expand now amplifies ~K rows, not the corpus).
     "q32_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum(dec($"l_quantity")).as("__sq"), count(lit(1)).as("__n"))
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
-          count(lit(1)).as("n_rows"))
+        .agg(sum($"__sq").cast("double").as("sum_qty"),
+          sum($"__n").as("n_rows"))
     }),
 
     // PIVOT with an explicit value list (no extra pass to discover

@@ -265,6 +265,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"maxDocFreq cutoff missing:\n$p")
   }
 
+  test("span removal joins only on hash/doc-id equality — no all-pairs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Dedup.removeDupSpans(docs, "text", "doc_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"span removal all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"span removal nested loop:\n$p")
+  }
+
   test("salted join keys the join on (key, salt) and stays an equi-join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dim = docs.select(col("source")).distinct()
