@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // FAIR task scheduling: the HTTP server assigns each request its
+      // own pool (QueryServer), so short queries get cluster share
+      // alongside a long-running one instead of queueing behind its
+      // stages. Single-query workloads (bench, CLI) see FIFO-identical
+      // behavior — one pool, serial jobs.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
       // with this flag, and Tables.events converts to TimestampType.

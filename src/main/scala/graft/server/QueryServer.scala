@@ -98,11 +98,18 @@ object QueryServer {
             case m => m
           }
           val timeoutMs = spark.conf.get("spark.graft.server.timeoutMs", "0").toLong
-          val group = s"graft-http-${reqIds.incrementAndGet()}"
+          val reqId = reqIds.incrementAndGet()
+          val group = s"graft-http-$reqId"
           val task = queryPool.submit(new Callable[String] {
             def call(): String = {
               spark.sparkContext.setJobGroup(group, s"HTTP query: $q",
                 interruptOnCancel = true)
+              // per-request FAIR pool (bounded name set — pools live for
+              // the scheduler's lifetime): concurrent requests share the
+              // executor fairly instead of FIFO-queueing behind the
+              // first query's stages
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                s"graft-req-${reqId % 16}")
               try {
                 val df = Sparql.query(spark, q, dir)
                 explainMode match {
@@ -110,7 +117,10 @@ object QueryServer {
                     org.apache.spark.sql.execution.ExplainMode.fromString(m))
                   case None => JsonResults.toJson(df)
                 }
-              } finally spark.sparkContext.clearJobGroup()
+              } finally {
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+                spark.sparkContext.clearJobGroup()
+              }
             }
           })
           try {
