@@ -26,6 +26,8 @@ object GraftFunctions {
       exprs => LangIdSig(exprs.head))
     inject(ext, WinnowSig.name, classOf[WinnowSig],
       exprs => WinnowSig(exprs(0), foldToInt(exprs(1))))
+    inject(ext, CompressRatio.name, classOf[CompressRatio],
+      exprs => CompressRatio(exprs.head))
     inject(ext, BoundedSortedConcat.name, classOf[BoundedSortedConcat],
       exprs => BoundedSortedConcat(exprs(0),
         foldToString(exprs(1)), foldToInt(exprs(2)), foldToBool(exprs(3))))

@@ -67,6 +67,16 @@ object TextAnalysis {
   val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
 
+  /** Deflate compression ratio (compressed/raw bytes; empty → 1.0) —
+    * the model-free entropy signal: boilerplate, templated spam, and
+    * degenerate repetition compress far better than natural prose.
+    * Backed by the native codegen'd [[graft.functions.CompressRatio]]
+    * (per-thread zlib stream reused across rows). Compare ratios
+    * within one run — absolute values depend on the JVM's zlib.
+    */
+  def compressionRatio(c: Column): Column =
+    call_function(graft.functions.CompressRatio.name, c)
+
   /** Rolling-hash document fingerprint: polynomial hash over word
     * hashes (order-sensitive, unlike the dedup shingle sets); a
     * winnowing-style min-window selection lives in

@@ -323,6 +323,23 @@ object PipelineQueries {
       Sketches.distinctCountGate(w, "w", rsd = 0.02, bound = 0.05)
     }),
 
+    // entropy-signal gate: for EVERY document, text+text must compress
+    // strictly better than text (the second copy is one back-reference)
+    // and the ratio must be sane — folded to a constant row so a broken
+    // codec path fails the driver's gate, not just ScalaTest
+    "p52_compress_gate" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      t.filter(length(col("text")) > 0)
+        .select(TextAnalysis.compressionRatio(col("text")).as("r1"),
+          TextAnalysis.compressionRatio(
+            concat(col("text"), lit(" "), col("text"))).as("r2"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r2") < col("r1") && col("r1") > 0 && col("r1") <= 1.5,
+            1L).otherwise(0L)).as("ok"))
+        .select(when(col("n") > 0 && col("n") === col("ok"),
+          lit("pass")).otherwise(lit("fail")).as("status"))
+    }),
+
     "p31_quantile_gate" -> ((s, d) => {
       val lens = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -648,6 +665,7 @@ object PipelineQueries {
     "p25_ivf_recall" -> "SELECT 'pass' AS status",
     "p30_hll_vocab_gate" -> "SELECT 'pass' AS status",
     "p31_quantile_gate" -> "SELECT 'pass' AS status",
+    "p52_compress_gate" -> "SELECT 'pass' AS status",
 
     // per-doc duplicated-span profile re-derived in SQL: distinct
     // 60-bit md5 hashes of ordered 3-grams, spans in >=2 docs

@@ -750,6 +750,25 @@ class PipelineSpec extends SparkTestBase {
     assert(out(5L) === ((0L, 0L)))
   }
 
+  test("compressionRatio: repetition below varied text, empty=1, binary path works") {
+    val rep = Array.fill(60)("spark").mkString(" ")
+    val varied = (0 until 60)
+      .map(i => java.lang.Long.toString((i * 2654435761L) & 0xffffff, 36)).mkString(" ")
+    val r = Seq((1L, rep), (2L, varied), (3L, ""))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.compressionRatio(col("t")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < r(2L), s"repetition must compress better: $r")
+    assert(r(3L) === 1.0)
+    assert(r(1L) > 0 && r(2L) < 1.2)
+    val rb = Seq((1L, Array.fill[Byte](100)(7)),
+        (2L, Array.tabulate[Byte](100)(i => (i * 37).toByte)))
+      .toDF("id", "p")
+      .select(col("id"), TextAnalysis.compressionRatio(col("p")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(rb(1L) < rb(2L), s"constant bytes must compress better: $rb")
+  }
+
   test("removeDupSpans cuts corpus-duplicated spans (remove-all vs keep-first)") {
     def byId(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
