@@ -412,7 +412,11 @@ object Dedup {
                      k: Int = 3,
                      hashFn: Column => Column = xxhash64(_),
                      keepFirst: Boolean = false): DataFrame = {
-    val wsCol = filter(split(trim(lower(col(textCol))), "\\s+"), x => length(x) > 0)
+    // null text behaves as empty (coalesce): the doc survives with
+    // clean_text "" and zero counts instead of null-poisoning the row
+    val wsCol = coalesce(
+      filter(split(trim(lower(col(textCol))), "\\s+"), x => length(x) > 0),
+      lit(Array.empty[String]))
     val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), wsCol.as("ws"))
       .localCheckpoint(false) // feeds the census and the rebuild

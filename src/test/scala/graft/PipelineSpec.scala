@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Dedup, Export, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators on controlled
   * inputs plus the sf0.001 synthetic tables (recall measurement for the
@@ -750,6 +750,33 @@ class PipelineSpec extends SparkTestBase {
     assert(out(5L) === ((0L, 0L)))
   }
 
+  test("exportShards: one file per shard, stable membership, round-trip exact") {
+    val docs500 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Export.exportShards(docs500, "doc_id", dir, numShards = 8, salt = "r8")
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === 8, shardDirs.map(_.getName).mkString(","))
+    // exactly one data file per shard (the loader contract)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: ${files.length} files")
+    }
+    // round trip: same rows, and membership matches the salted hash
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs500.count())
+    val mismatch = back.withColumn("expect",
+      pmod(xxhash64(col("doc_id"), lit("r8")), lit(8L)).cast("int"))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(mismatch === 0L)
+    // a different salt moves documents (shards are salt-keyed)
+    val moved = Export.shardAssign(docs500, "doc_id", 8, "other")
+      .withColumnRenamed("shard", "s2")
+      .join(Export.shardAssign(docs500, "doc_id", 8, "r8"), Seq("doc_id"))
+      .filter(col("shard") =!= col("s2")).count()
+    assert(moved > 0L)
+  }
+
   test("compressionRatio: repetition below varied text, empty=1, binary path works") {
     val rep = Array.fill(60)("spark").mkString(" ")
     val varied = (0 until 60)
@@ -788,6 +815,11 @@ class PipelineSpec extends SparkTestBase {
     val intra = byId(Dedup.removeDupSpans(
       Seq((1L, "a b c a b c"), (2L, "x y z w v u")).toDF("doc_id", "text"), "text", "doc_id", k = 3))
     assert(intra(1L) === (("a b c a b c", 6L, 0L)))
+    // null text behaves as empty, not a null-poisoned row
+    val withNull = byId(Dedup.removeDupSpans(
+      Seq((1L, null.asInstanceOf[String]), (2L, "x y z")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 3))
+    assert(withNull(1L) === (("", 0L, 0L)))
   }
 
   test("documentFrequency counts each word once per doc with ln-IDF") {

@@ -144,6 +144,19 @@ class StreamingSpec extends SparkTestBase {
     val row = spark.table("quantized").head()
     assert(row.getLong(0) === 1L)
     assert(math.abs(row.getDouble(1) - 2.0 / 127) < 1e-12)
+    // compression ratio is likewise a pure per-row map over streams
+    val memC = MemoryStream[(Long, String)]
+    val cdf = memC.toDF().toDF("doc_id", "text")
+      .withColumn("cr", graft.pipeline.TextAnalysis.compressionRatio(col("text")))
+    val q3 = cdf.writeStream.format("memory").queryName("compressed")
+      .outputMode("append").start()
+    memC.addData((1L, Array.fill(40)("spark").mkString(" ")), (2L, ""))
+    q3.processAllAvailable()
+    q3.stop()
+    val crs = spark.table("compressed").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(crs(1L) > 0 && crs(1L) < 0.5) // degenerate repetition
+    assert(crs(2L) === 1.0)
   }
 
   test("chunkWords is streaming-safe: per-doc windows emitted incrementally") {
