@@ -28,6 +28,10 @@ object GraftFunctions {
       exprs => WinnowSig(exprs(0), foldToInt(exprs(1))))
     inject(ext, CompressRatio.name, classOf[CompressRatio],
       exprs => CompressRatio(exprs.head))
+    inject(ext, BpeEncode.name, classOf[BpeEncode],
+      exprs => BpeEncode(exprs(0), exprs(1)))
+    inject(ext, BpeDecode.name, classOf[BpeDecode],
+      exprs => BpeDecode(exprs(0), exprs(1)))
     inject(ext, BoundedSortedConcat.name, classOf[BoundedSortedConcat],
       exprs => BoundedSortedConcat(exprs(0),
         foldToString(exprs(1)), foldToInt(exprs(2)), foldToBool(exprs(3))))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -340,6 +340,26 @@ object PipelineQueries {
           lit("pass")).otherwise(lit("fail")).as("status"))
     }),
 
+    // BPE token-id round-trip gate: merges are trained on a bounded
+    // sample (driver-side model fit, like the IVF quantizer), then
+    // decode(encode(x)) must equal whitespace/case-normalized x for
+    // EVERY document (char fallback makes encoding total — no UNK
+    // loss), and ids-per-doc can never exceed normalized chars
+    "p53_bpe_roundtrip" -> ((s, d) => {
+      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val merges = Bpe.trainMerges(t, "text", "doc_id", numMerges = 200)
+      val norm = concat_ws(" ",
+        filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > 0))
+      t.select(norm.as("norm"), Bpe.encode(col("text"), merges).as("ids"))
+        .select(col("norm"), col("ids"),
+          Bpe.decode(col("ids"), merges).as("back"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("back") === col("norm") &&
+            size(col("ids")) <= length(col("norm")), 1L).otherwise(0L)).as("ok"))
+        .select(when(col("n") > 0 && col("n") === col("ok"),
+          lit("pass")).otherwise(lit("fail")).as("status"))
+    }),
+
     "p31_quantile_gate" -> ((s, d) => {
       val lens = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -666,6 +686,7 @@ object PipelineQueries {
     "p30_hll_vocab_gate" -> "SELECT 'pass' AS status",
     "p31_quantile_gate" -> "SELECT 'pass' AS status",
     "p52_compress_gate" -> "SELECT 'pass' AS status",
+    "p53_bpe_roundtrip" -> "SELECT 'pass' AS status",
 
     // per-doc duplicated-span profile re-derived in SQL: distinct
     // 60-bit md5 hashes of ordered 3-grams, spans in >=2 docs

@@ -750,6 +750,32 @@ class PipelineSpec extends SparkTestBase {
     assert(out(5L) === ((0L, 0L)))
   }
 
+  test("BPE: merges compress frequent words, char fallback round-trips anything") {
+    import graft.pipeline.Bpe
+    val corpus = Seq((1L, "low low low lower lowest"),
+      (2L, "new newer newest low")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(corpus, "text", "doc_id", numMerges = 10)
+    assert(merges.nonEmpty)
+    val rows = corpus.select(col("doc_id"),
+        Bpe.encode(col("text"), merges).as("ids"),
+        Bpe.decode(Bpe.encode(col("text"), merges), merges).as("back"),
+        col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getString(2) === r.getString(3), s"round trip failed: $r")
+      // learned merges must beat char-level: fewer ids than chars
+      assert(r.getSeq[Int](1).length < r.getString(3).length)
+    }
+    // chars never seen in training (case-folded input, unicode, digits)
+    // still round-trip via the char fallback — encoding is total
+    val odd = Seq((1L, "Zebra Ω ünïcode 42!")).toDF("doc_id", "text")
+    val back = odd.select(
+      Bpe.decode(Bpe.encode(col("text"), merges), merges)).head().getString(0)
+    assert(back === "zebra ω ünïcode 42!")
+    // determinism: retraining yields the identical table
+    assert(Bpe.trainMerges(corpus, "text", "doc_id", numMerges = 10)
+      .toSeq === merges.toSeq)
+  }
+
   test("exportShards: one file per shard, stable membership, round-trip exact") {
     val docs500 = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
