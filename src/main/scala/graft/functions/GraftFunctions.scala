@@ -16,6 +16,8 @@ object GraftFunctions {
       exprs => OptimizerFence(exprs.head))
     inject(ext, VecDot.name, classOf[VecDot],
       exprs => VecDot(exprs(0), exprs(1)))
+    inject(ext, PqAdc.name, classOf[PqAdc],
+      exprs => PqAdc(exprs(0), exprs(1), foldToInt(exprs(2))))
     inject(ext, MinHashSig.name, classOf[MinHashSig],
       exprs => MinHashSig(exprs(0), foldToInt(exprs(1))))
     inject(ext, SimHashSig.name, classOf[SimHashSig],

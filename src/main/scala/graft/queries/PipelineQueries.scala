@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Pq, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -517,6 +517,40 @@ object PipelineQueries {
         bound = 0.5)
     }),
 
+    // product quantization: m-byte codes prune by ADC lookup, exact
+    // cosine re-ranks the 8k-candidate shortlist (the faiss two-stage
+    // contract; p23/p25 recall-gate pattern — approximate rank order
+    // has no SQL oracle). Near-random synthetic embeddings are the
+    // quantizer's worst case, hence a bound below real-data recall.
+    "p54_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+      recallGate(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10),
+        Pq.pqTopK(emb, probes, "embedding", "vec_id", k = 10,
+          m = 8, ksub = 16, rerank = 8),
+        bound = 0.5)
+    }),
+
+    // persisted IVF-PQ: build once per (JVM, dataset), search the
+    // cell-partitioned code table, recall-gate vs exact (p44 pattern)
+    "p55_ivfpq_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 50)
+      val dir = ivfPqIndexDirs.getOrElseUpdate(d, {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-gate").toString
+        Pq.buildIvfPqIndex(emb, "embedding", "vec_id", scratch,
+          nlist = 16, m = 8, ksub = 16)
+        scratch
+      })
+      recallGate(
+        Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10),
+        Pq.ivfPqTopKIndexed(probes, dir, "embedding", "vec_id",
+          k = 10, nprobe = 8, rerankWith = Some(emb), rerank = 8),
+        bound = 0.4)
+    }),
+
     // curation v2 — the round-5 ops chained end-to-end: treat docs
     // kNN label propagation: vectors 50+ are the labeled pool, the
     // first 50 get the majority label of their 10 nearest labeled
@@ -573,6 +607,10 @@ object PipelineQueries {
     */
   /** One persisted IVF build per (JVM, dataset) for the p44 gate. */
   private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One persisted IVF-PQ build per (JVM, dataset) for the p55 gate. */
+  private val ivfPqIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def recallGate(exact: DataFrame, approx: DataFrame, bound: Double): DataFrame =
@@ -669,6 +707,8 @@ object PipelineQueries {
     // hash match
     "p23_lsh_recall" -> "SELECT 'pass' AS status",
     "p24_embdup_recall" -> "SELECT 'pass' AS status",
+    "p54_pq_recall" -> "SELECT 'pass' AS status",
+    "p55_ivfpq_index" -> "SELECT 'pass' AS status",
 
     // brute-force re-derivation of the planted-duplicate pair set:
     // every pair at cos >= 0.99 is an identical-vector pair, which the

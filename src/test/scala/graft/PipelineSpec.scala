@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Export, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Dedup, Export, Multimodal, Pq, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators on controlled
   * inputs plus the sf0.001 synthetic tables (recall measurement for the
@@ -243,6 +243,116 @@ class PipelineSpec extends SparkTestBase {
     // every corpus vector lands in some cell and cells are non-degenerate
     val cells = Similarity.ivfTopK(emb, emb.limit(1), "embedding", "vec_id", k = 1)
     assert(cells.count() >= 1)
+  }
+
+  test("PqAdc sums the LUT entries the codes select; bad codes null out") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.toByte, 0.toByte), Array(10.0, 20.0, 30.0, 40.0)),
+      (Array(0.toByte, 1.toByte), Array(10.0, 20.0, 30.0, 40.0)))
+      .toDF("codes", "lut")
+    val out = df.select(Pq.adc(col("codes"), col("lut"), ksub = 2).as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out === Seq(20.0 + 30.0, 10.0 + 40.0))
+    // code 5 >= ksub → null, never a silent wrong sum
+    val bad = Seq((Array(5.toByte), Array(1.0, 2.0))).toDF("codes", "lut")
+      .select(Pq.adc(col("codes"), col("lut"), ksub = 2).as("s")).collect()
+    assert(bad.head.isNullAt(0))
+    // int-array codes (the encode() output family) agree with the
+    // packed-binary path
+    val arr = Seq((Array(1, 0), Array(10.0, 20.0, 30.0, 40.0)))
+      .toDF("codes", "lut")
+      .select(Pq.adc(col("codes"), col("lut"), ksub = 2).as("s")).collect()
+    assert(arr.head.getDouble(0) === 20.0 + 30.0)
+  }
+
+  test("PQ train is deterministic; encode yields m in-range codes") {
+    val cb1 = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    val cb2 = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    assert(cb1.cents.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb2.cents.map(_.map(_.toSeq).toSeq).toSeq, "training not deterministic")
+    assert(cb1.m === 8 && cb1.ksub === 16 && cb1.dsub === 8)
+    val codes = emb.select(Pq.encode(cb1, Pq.normalize(col("embedding"))).as("c"))
+      .collect().map(_.getSeq[Byte](0))
+    assert(codes.forall(_.length == 8))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 16)), "code out of range")
+    // codebooks are actually used: not every vector collapses to one code word
+    assert(codes.map(_.toSeq).distinct.length > 10, "degenerate encoding")
+  }
+
+  test("PQ ADC approximates cosine: rank correlation and planted-dup top-1") {
+    // ADC score vs exact cosine over a probe's full corpus scores —
+    // quantization is coarse (ksub=16 per 8-dim subspace) but must
+    // preserve the ORDER well enough to rank: Spearman-ish check via
+    // Pearson on the two score columns.
+    val cb = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    val probe = emb.filter(col("vec_id") === 0)
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(probe.select(Pq.lut(cb, Pq.normalize(col("embedding"))).as("lut"),
+        Pq.normalize(col("embedding")).as("pv")))
+      .select(
+        Pq.adc(Pq.encode(cb, Pq.normalize(col("embedding"))), col("lut"), cb.ksub).as("adc"),
+        Similarity.cosine(col("embedding"), col("pv")).as("cos"))
+    val corrVal = scored.agg(corr(col("adc"), col("cos"))).collect()(0).getDouble(0)
+    assert(corrVal > 0.5, f"ADC-cosine correlation too low: $corrVal%.3f")
+  }
+
+  test("PQ ANN recall@10 vs brute force on sf0.001 embeddings") {
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10))
+    // near-random embeddings + the coarsest quantizer here (8 bytes per
+    // 64-dim vector): the gate checks the ADC ranking is faithful
+    // plumbing, not faiss-grade recall on adversarial data
+    val approx = pairs(Pq.pqTopK(emb, probes, "embedding", "vec_id",
+      k = 10, m = 8, ksub = 16))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ recall@10 = $recall%.3f")
+    assert(recall >= 0.3, f"PQ recall@10 too low: $recall%.3f")
+  }
+
+  test("IVF-PQ persisted index round-trips and searches with usable recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Pq.buildIvfPqIndex(emb, "embedding", "vec_id", dir, nlist = 8, m = 8, ksub = 16)
+    // stored layout: codes only, no float vectors at rest
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.columns.toSet === Set("vec_id", "codes", "cell"))
+    assert(vecs.count() === emb.count())
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10))
+    val approx = pairs(Pq.ivfPqTopKIndexed(probes, dir, "embedding", "vec_id",
+      k = 10, nprobe = 6))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF-PQ recall@10 = $recall%.3f")
+    assert(recall >= 0.25, f"IVF-PQ recall@10 too low: $recall%.3f")
+    // exact re-rank of the ADC shortlist lifts recall strictly above
+    // the pure-ADC ranking (faiss two-stage contract) — candidates it
+    // keeps are re-scored with true cosine, so any true neighbor in
+    // the shortlist lands in the final top-k
+    val reranked = pairs(Pq.ivfPqTopKIndexed(probes, dir, "embedding", "vec_id",
+      k = 10, nprobe = 6, rerankWith = Some(emb), rerank = 8))
+    val rr = (exact & reranked).size.toDouble / exact.size
+    info(f"IVF-PQ reranked recall@10 = $rr%.3f")
+    assert(rr >= recall, f"re-rank reduced recall: $rr%.3f < $recall%.3f")
+    assert(rr >= 0.5, f"re-ranked recall@10 too low: $rr%.3f")
+  }
+
+  test("PQ rerank recovers near-exact recall from the coarse shortlist") {
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10))
+    val reranked = pairs(Pq.pqTopK(emb, probes, "embedding", "vec_id",
+      k = 10, m = 8, ksub = 16, rerank = 8))
+    val recall = (exact & reranked).size.toDouble / exact.size
+    info(f"PQ reranked recall@10 = $recall%.3f")
+    assert(recall >= 0.6, f"PQ reranked recall@10 too low: $recall%.3f")
   }
 
   test("native shingles match the HOF formulation incl. edge cases") {
