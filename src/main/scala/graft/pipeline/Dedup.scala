@@ -441,6 +441,36 @@ object Dedup {
         size(col("cv")).cast(LongType).as("n_removed"))
   }
 
+  /** Split-leakage audit: near-duplicate pairs that CROSS a dataset
+    * split boundary — the eval-contamination failure mode of splitting
+    * a corpus at document granularity when near-identical documents
+    * exist (a test document whose near-copy sits in train leaks the
+    * answer; Lee et al. ACL 2022 measure exactly this train-test
+    * overlap). `df` must already carry `splitCol` (e.g. from
+    * [[Sampling.assignSplits]]).
+    *
+    * Shape: the pair list comes from [[minhashNearDup]] — the same
+    * election-bounded, banded-LSH candidate generation, nothing
+    * quadratic — and the split lookup is two id-equi-joins against the
+    * bounded pair list, never a second corpus scan. Output:
+    * (id_a, id_b, jaccard, split_a, split_b) for pairs whose splits
+    * differ.
+    */
+  def splitLeakage(df: DataFrame, textCol: String, idCol: String,
+                   splitCol: String, shingleN: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.9,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashNearDup(df, textCol, idCol, shingleN, numHashes,
+      bands, threshold, maxBucket)
+    val splits = df.select(col(idCol).as("__sid"), col(splitCol).as("__sp"))
+    pairs
+      .join(splits.select(col("__sid").as("id_a"), col("__sp").as("split_a")), Seq("id_a"))
+      .join(splits.select(col("__sid").as("id_b"), col("__sp").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** Exact Jaccard over two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

@@ -551,6 +551,16 @@ object PipelineQueries {
         bound = 0.4)
     }),
 
+    // split-leakage audit: near-dup pairs straddling the p15 split
+    // assignment — fully hash-checked against a DuckDB re-derivation
+    // (exact pairs + the same md5 split draw)
+    "p56_split_leakage" -> ((s, d) => {
+      val docs = Sampling.assignSplits(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+      Dedup.splitLeakage(docs, "text", "doc_id", "split",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+    }),
+
     // curation v2 — the round-5 ops chained end-to-end: treat docs
     // kNN label propagation: vectors 50+ are the labeled pool, the
     // first 50 get the majority label of their 10 nearest labeled
@@ -680,6 +690,19 @@ object PipelineQueries {
         |FROM DOCS GROUP BY sha256(text)""".stripMargin,
 
     "p02_minhash_neardup" -> neardupPairsSql,
+
+    "p56_split_leakage" ->
+      s"""WITH pairs AS ($neardupPairsSql),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (SELECT doc_id, ${drawSql("s1")} AS u FROM DOCS) t)
+         |SELECT p.id_a, p.id_b, p.jaccard,
+         |       a.split AS split_a, b.split AS split_b
+         |FROM pairs p
+         |JOIN sp a ON p.id_a = a.doc_id
+         |JOIN sp b ON p.id_b = b.doc_id
+         |WHERE a.split <> b.split""".stripMargin,
 
     "p13_neardup_clusters" -> clustersSql,
 

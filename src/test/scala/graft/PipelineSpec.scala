@@ -355,6 +355,20 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.6, f"PQ reranked recall@10 too low: $recall%.3f")
   }
 
+  test("splitLeakage reports only near-dup pairs that straddle splits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "train"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "test"), // leaks vs 1
+      (3L, "the quick brown fox jumps over the lazy dog again", "train"), // same split as 1
+      (4L, "completely unrelated text about spark partitioning", "test"))
+      .toDF("doc_id", "text", "split")
+    val out = Dedup.splitLeakage(docs, "text", "doc_id", "split", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    // 1-2 and 2-3 cross; 1-3 is within-train; 4 pairs with nobody
+    assert(out.toSet === Set((1L, 2L, "train", "test"), (2L, 3L, "test", "train")))
+  }
+
   test("native shingles match the HOF formulation incl. edge cases") {
     def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
       val words = split(trim(text), "\\s+")

@@ -253,6 +253,26 @@ class PlanSpec extends SparkTestBase {
     assert(p2.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p2")
   }
 
+  test("IVF-PQ search joins codes-only on the cell partition column") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan").toString
+    graft.pipeline.Pq.buildIvfPqIndex(emb, "embedding", "vec_id", dir,
+      nlist = 4, m = 8, ksub = 16)
+    val idx = graft.pipeline.Pq.ivfPqTopKIndexed(emb.filter(col("vec_id") < 3),
+      dir, "embedding", "vec_id", k = 5, nprobe = 2)
+    val p = planOf(idx)
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
+    // the corpus-side scan of the code table must never read a float
+    // vector — codes are the only payload crossing the join (the whole
+    // point of PQ at 100 TB)
+    val scanSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val codeScan = scanSchemas.find(_.contains("codes"))
+    assert(codeScan.isDefined, s"no codes scan found:\n$p")
+    assert(!codeScan.get.contains("embedding"),
+      s"code-table scan reads float vectors:\n${codeScan.get}")
+  }
+
   test("capped containment keeps the fingerprint equi-join; cap is an anti-join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val p = Dedup.containmentPairs(docs, "text", "doc_id",
