@@ -260,6 +260,36 @@ object Pq {
     * `cell` PARTITION column bounds the scan to nprobe/nlist of the
     * code table.
     */
+  /** Incremental append to a persisted [[buildIvfPqIndex]] layout: new
+    * vectors are encoded with the index's FITTED codebooks and assigned
+    * with its fitted coarse quantizer (both read back, never
+    * retrained), then appended to their cell partitions — the
+    * crawl-increment contract, mirroring
+    * [[Similarity.appendToIvfIndex]].
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, vecCol: String,
+                         idCol: String, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val coarse = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val cb = readCodebooks(spark, dir)
+    newVectors.select(col(idCol),
+        encode(cb, normalize(col(vecCol))).as("codes"),
+        element_at(Similarity.rankedCells(coarse, col(vecCol)), 1).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Codebooks = {
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("j", "c").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cents = Array.tabulate(m, ksub)((j, c) =>
+      cbRows(j * ksub + c).getSeq[Double](2).toArray)
+    Codebooks(m, ksub, cents(0)(0).length, cents)
+  }
+
   /** `rerankWith` supplies (id, vec) rows for exact-cosine re-ranking
     * of the ADC shortlist (`rerank`·k candidates per probe) — the index
     * itself stores no float vectors, so the re-rank source is the
@@ -275,14 +305,7 @@ object Pq {
     val spark = probes.sparkSession
     val coarse = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
-      .orderBy("j", "c").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ksub = cbRows.map(_.getInt(1)).max + 1
-    val cents = Array.tabulate(m, ksub)((j, c) =>
-      cbRows(j * ksub + c).getSeq[Double](2).toArray)
-    val dsub = cents(0)(0).length
-    val cb = Codebooks(m, ksub, dsub, cents)
+    val cb = readCodebooks(spark, dir)
     val c = spark.read.parquet(s"$dir/vectors")
       .select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))
     val p = probes.select(col(idCol).as("probe_id"),

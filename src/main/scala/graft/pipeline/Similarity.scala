@@ -342,6 +342,31 @@ object Similarity {
     stored.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
+  /** Incremental append to a persisted [[buildIvfIndex]] layout — the
+    * crawl-increment contract at 100 TB: new vectors are assigned with
+    * the index's FITTED coarse quantizer (read back, never retrained —
+    * cell semantics stay stable for existing readers) and appended to
+    * their cell partitions; no existing file is rewritten. The stored
+    * layout (int8-quantized or float) is auto-detected from the vectors
+    * schema so an append never mixes layouts. Periodic re-train/rebuild
+    * remains an offline choice when drift degrades cell balance —
+    * exactly faiss's `add` vs `train` split.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, vecCol: String, idCol: String,
+                       dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val quantized = spark.read.parquet(s"$dir/vectors").columns.contains("qv")
+    val assigned = newVectors.select(col(idCol), col(vecCol),
+      element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))
+    val stored =
+      if (quantized)
+        assigned.select(col(idCol), quantizeInt8(col(vecCol)).as("qv"), col("cell"))
+      else assigned
+    stored.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
   /** IVF search against a persisted [[buildIvfIndex]] layout. The
     * centroid table is a bounded model artifact (nlist rows) collected
     * once; the vectors table joins on its PARTITION column, so dynamic

@@ -551,6 +551,30 @@ object PipelineQueries {
         bound = 0.4)
     }),
 
+    // incremental index append: twins of the first 20 vectors are
+    // appended (same embedding, id+20000) to a copy of the p44-style
+    // index WITHOUT retraining; a search probing the originals must
+    // surface every appended twin at cosine ~1 — deterministic on this
+    // corpus (max non-identical cosine ~0.51), so the gate is exact
+    "p57_ivf_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 20)
+      val dir = ivfAppendDirs.getOrElseUpdate(d, {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-ivf-append").toString
+        Similarity.buildIvfIndex(emb, "embedding", "vec_id", scratch, nlist = 16)
+        Similarity.appendToIvfIndex(
+          probes.select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "embedding", "vec_id", scratch)
+        scratch
+      })
+      val hits = Similarity.ivfTopKIndexed(probes, dir, "embedding", "vec_id",
+          k = 1, nprobe = 4)
+        .filter(col("neighbor_id") === col("probe_id") + 20000)
+      hits.agg(count(lit(1)).as("n"))
+        .select(when(col("n") === 20, lit("pass")).otherwise(lit("fail")).as("status"))
+    }),
+
     // split-leakage audit: near-dup pairs straddling the p15 split
     // assignment — fully hash-checked against a DuckDB re-derivation
     // (exact pairs + the same md5 split draw)
@@ -621,6 +645,10 @@ object PipelineQueries {
 
   /** One persisted IVF-PQ build per (JVM, dataset) for the p55 gate. */
   private val ivfPqIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One build+append per (JVM, dataset) for the p57 gate. */
+  private val ivfAppendDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def recallGate(exact: DataFrame, approx: DataFrame, bound: Double): DataFrame =
@@ -732,6 +760,7 @@ object PipelineQueries {
     "p24_embdup_recall" -> "SELECT 'pass' AS status",
     "p54_pq_recall" -> "SELECT 'pass' AS status",
     "p55_ivfpq_index" -> "SELECT 'pass' AS status",
+    "p57_ivf_append" -> "SELECT 'pass' AS status",
 
     // brute-force re-derivation of the planted-duplicate pair set:
     // every pair at cos >= 0.99 is an identical-vector pair, which the

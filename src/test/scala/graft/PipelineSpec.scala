@@ -355,6 +355,50 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.6, f"PQ reranked recall@10 too low: $recall%.3f")
   }
 
+  test("IVF append assigns with stored centroids and searches appended twins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val base = emb.filter(col("vec_id") >= 10)
+    Similarity.buildIvfIndex(base, "embedding", "vec_id", dir, nlist = 8)
+    val centsBefore = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    val newcomers = emb.filter(col("vec_id") < 10)
+    Similarity.appendToIvfIndex(newcomers, "embedding", "vec_id", dir)
+    // centroids untouched: append never retrains
+    val centsAfter = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    assert(centsAfter === centsBefore)
+    assert(spark.read.parquet(s"$dir/vectors").count() === emb.count())
+    // probing with an appended vector's embedding finds itself (cos ~1)
+    val hits = Similarity.ivfTopKIndexed(
+      newcomers.select((col("vec_id") + 500).as("vec_id"), col("embedding")),
+      dir, "embedding", "vec_id", k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0 until 10).forall(i => hits.get(i + 500L).contains(i.toLong)),
+      s"appended vectors not found as top-1: $hits")
+  }
+
+  test("IVF-PQ append encodes with stored codebooks; twins found after append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val base = emb.filter(col("vec_id") >= 10)
+    Pq.buildIvfPqIndex(base, "embedding", "vec_id", dir, nlist = 8, m = 8, ksub = 16)
+    Pq.appendToIvfPqIndex(
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 500).as("vec_id"), col("embedding")),
+      "embedding", "vec_id", dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() === emb.count())
+    // identical vectors get identical codes, so with exact re-rank the
+    // appended twin surfaces at cosine 1
+    val hits = Pq.ivfPqTopKIndexed(emb.filter(col("vec_id") < 10), dir,
+      "embedding", "vec_id", k = 1, nprobe = 3,
+      rerankWith = Some(
+        emb.select((col("vec_id") + 500).as("vec_id"), col("embedding"))
+          .unionByName(base.select(col("vec_id"), col("embedding")))),
+      rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0 until 10).count(i => hits.get(i.toLong).contains(i + 500L)) >= 8,
+      s"appended twins mostly missing: $hits")
+  }
+
   test("splitLeakage reports only near-dup pairs that straddle splits") {
     import spark.implicits._
     val docs = Seq(
