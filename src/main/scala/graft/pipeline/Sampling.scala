@@ -107,6 +107,43 @@ object Sampling {
     df.withColumn("shuffle_key", hashDraw(col(idCol), salt))
       .orderBy(col("shuffle_key").asc, col(idCol).asc)
 
+  /** Temperature-based mixture resampling: flatten a skewed key
+    * distribution (language, domain, source) toward uniform, the way
+    * multilingual corpora are rebalanced before training (XLM-R-style
+    * `q_k ∝ p_k^T` sampling, re-expressed as a per-key Bernoulli keep
+    * rate). Each key keeps rows with probability
+    * `(c_min / c_k)^(1 - temperature)`: `temperature = 1` keeps every
+    * row (no change), `temperature = 0` equalizes the expected count of
+    * every key to the smallest key's count, and values between
+    * interpolate geometrically.
+    *
+    * Scale shape: one tiny per-key count aggregate (rows = key
+    * cardinality — languages or domains, never documents), broadcast
+    * back onto the corpus, then the usual narrow content-addressed
+    * filter. No shuffle touches the documents themselves, so at 100 TB
+    * the keep/drop decision happens inside the scan stage. The draw is
+    * [[hashDraw]], so the survivor set is reproducible across engines
+    * and stable under repartitioning, and composes with the other
+    * samplers on a distinct salt.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, keyCol: String,
+                          temperature: Double, salt: String = ""): DataFrame = {
+    require(temperature >= 0.0 && temperature <= 1.0,
+      s"temperature $temperature out of [0,1]")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__key_n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__key_n")).as("__min_n"))))
+      .select(col(keyCol),
+        // 9-dp quantization of the keep rate: Math.pow differs from
+        // other engines' pow by ≤1 ulp, and rounding both sides to the
+        // same decimal grid makes the survivor set engine-portable
+        round(pow(col("__min_n").cast("double") / col("__key_n"),
+          lit(1.0 - temperature)), 9).as("__keep_p"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(hashDraw(col(idCol), salt) < col("__keep_p"))
+      .select(df.columns.map(col).toSeq: _*) // restore input column order
+  }
+
   /** Per-stratum Bernoulli sample: keep a row if its draw < the
     * fraction configured for its key (e.g. downsample the dominant
     * language, keep the rare ones whole). Keys without a configured

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Dedup, Multimodal, Pq, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Classifier, Dedup, Multimodal, Pq, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -575,6 +575,34 @@ object PipelineQueries {
         .select(when(col("n") === 20, lit("pass")).otherwise(lit("fail")).as("status"))
     }),
 
+    // temperature-based language rebalance (XLM-R-style mixture
+    // flattening) — fully hash-checked: the per-key keep rates and the
+    // md5 draw are both re-derivable in SQL
+    "p58_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureResample(Tables.documents(s, d), "doc_id", "lang",
+          temperature = 0.3, salt = "tmix")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // trained curation classifier: hashed bag-of-words logistic
+    // regression recovering a token-count quality label from text
+    // alone (linearly separable: uniform weight over the hashed TF
+    // space); gate = holdout accuracy (the fit is float-order
+    // sensitive, so the check is a bound, not a hash)
+    "p59_quality_classifier" -> ((s, d) => {
+      val split = Sampling.assignSplits(
+        Tables.documents(s, d)
+          .withColumn("label",
+            (size(Classifier.tokens(col("text"))) > 60).cast("double")),
+        "doc_id", Seq("train" -> 0.8, "holdout" -> 0.2), salt = "clf")
+      val model = clfModels.getOrElseUpdate(d,
+        Classifier.trainTextClassifier(
+          split.filter(col("split") === "train"), "text", "label"))
+      Classifier.accuracyGate(
+        Classifier.score(model, split.filter(col("split") === "holdout"), "text"),
+        "label", bound = 0.8)
+    }),
+
     // split-leakage audit: near-dup pairs straddling the p15 split
     // assignment — fully hash-checked against a DuckDB re-derivation
     // (exact pairs + the same md5 split draw)
@@ -650,6 +678,10 @@ object PipelineQueries {
   /** One build+append per (JVM, dataset) for the p57 gate. */
   private val ivfAppendDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One classifier fit per (JVM, dataset) for the p59 gate. */
+  private val clfModels = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.classification.LogisticRegressionModel]
 
   private def recallGate(exact: DataFrame, approx: DataFrame, bound: Double): DataFrame =
     exact.select(col("probe_id"), col("neighbor_id"))
@@ -761,6 +793,17 @@ object PipelineQueries {
     "p54_pq_recall" -> "SELECT 'pass' AS status",
     "p55_ivfpq_index" -> "SELECT 'pass' AS status",
     "p57_ivf_append" -> "SELECT 'pass' AS status",
+    "p59_quality_classifier" -> "SELECT 'pass' AS status",
+
+    // temperature resample re-derived: per-lang keep rate
+    // (min_count/count)^(1-T) on the same 9-dp grid, same md5 draw
+    "p58_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM DOCS GROUP BY lang),
+         |m AS (SELECT min(n) AS mn FROM c),
+         |p AS (SELECT lang, round(pow(CAST(mn AS DOUBLE) / n, 0.7), 9) AS keep_p
+         |      FROM c, m)
+         |SELECT d.doc_id, d.lang FROM DOCS d JOIN p USING (lang)
+         |WHERE ${drawSql("tmix")} < p.keep_p""".stripMargin,
 
     // brute-force re-derivation of the planted-duplicate pair set:
     // every pair at cos >= 0.99 is an identical-vector pair, which the

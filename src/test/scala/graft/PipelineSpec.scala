@@ -1367,6 +1367,50 @@ class PipelineSpec extends SparkTestBase {
     assert(Sampling.balanceClasses(even, "id", "lab").count() === 2L)
   }
 
+  test("temperatureResample: T=1 keeps all, T=0 equalizes, monotone in between") {
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 500).map(i => (i.toLong, "mid")) ++
+      (501 to 525).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "k")
+    // T=1: identity — every row survives
+    assert(Sampling.temperatureResample(df, "doc_id", "k", 1.0).count() === 525L)
+    // T=0: expected counts equalize to the smallest key (25); the
+    // Bernoulli draw is content-addressed, so tolerate binomial spread
+    val flat = Sampling.temperatureResample(df, "doc_id", "k", 0.0, salt = "t")
+    val byK = flat.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byK("small") === 25L) // rate 1.0 exactly: the smallest key is whole
+    assert(byK("big") > 8L && byK("big") < 50L, s"big=${byK("big")}")
+    assert(byK("mid") > 8L && byK("mid") < 50L, s"mid=${byK("mid")}")
+    // intermediate T keeps more of the big key than T=0 and fewer than T=1
+    val mid = Sampling.temperatureResample(df, "doc_id", "k", 0.5, salt = "t")
+      .filter(col("k") === "big").count()
+    assert(mid >= byK("big") && mid <= 400L)
+    // repartition-stable: same survivors from any physical layout
+    val again = Sampling.temperatureResample(df.repartition(7), "doc_id", "k", 0.0, salt = "t")
+    assert(flat.collect().map(_.getLong(0)).toSet ===
+      again.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("text classifier recovers a linearly-separable label on holdout") {
+    // token-count label: separable by a uniform weight on every hashed
+    // TF feature (sum of counts = length), so the fit must spread
+    // signal across the whole feature space, not find one magic token
+    val split = Sampling.assignSplits(
+      docs.withColumn("label",
+        (size(graft.pipeline.Classifier.tokens(col("text"))) > 60).cast("double")),
+      "doc_id", Seq("train" -> 0.8, "holdout" -> 0.2), salt = "clf")
+    val model = graft.pipeline.Classifier.trainTextClassifier(
+      split.filter(col("split") === "train"), "text", "label")
+    val scored = graft.pipeline.Classifier.score(
+      model, split.filter(col("split") === "holdout"), "text")
+    // score column is a probability; predicted is its 0.5 threshold
+    assert(scored.filter(col("score") < 0 || col("score") > 1).isEmpty)
+    assert(scored.filter((col("score") > 0.5) =!= (col("predicted") === 1)).isEmpty)
+    val gate = graft.pipeline.Classifier.accuracyGate(scored, "label", bound = 0.8)
+    assert(gate.head().getString(0) === "pass")
+  }
+
   test("persisted IVF index: quantized codes shrink storage ~4x, search stays faithful") {
     def dirBytes(d: String): Long = {
       def walk(f: java.io.File): Long =
