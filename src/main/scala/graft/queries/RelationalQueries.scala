@@ -23,6 +23,26 @@ object RelationalQueries {
   /** exact decimal sum rendered as double — order-independent. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** One bucketed layout per (JVM, dataset) for the q39 co-located
+    * join: lineitem and orders written once into matching hash buckets
+    * on the order key (the same pay-at-write-time pattern as the p44
+    * IVF index and the SPARQL store's predicate buckets).
+    */
+  private val bucketedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedOrderTables(s: SparkSession, d: String): (String, String) =
+    bucketedDirs.getOrElseUpdate(d, {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+      graft.operators.Bucketing.writeBucketed(
+        Tables.lineitem(s, d), lt, "l_orderkey", s"$base/lineitem")
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(s, d), ot, "o_orderkey", s"$base/orders")
+      (lt, ot)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregation over one table (TPC-H Q1 shape): partial aggs
     // combine map-side; group key cardinality is tiny so the shuffle
@@ -313,6 +333,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
     }),
 
+    // -- bucketed co-located join: both fact tables laid out once into
+    // the same hash buckets on the join key, so the merge join reads
+    // bucket i against bucket i with NO exchange at query time (the
+    // plan guard is in PlanSpec; the oracle is the plain join — layout
+    // must never change results)
+    "q39_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      val (lt, ot) = bucketedOrderTables(s, d)
+      s.table(lt).join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+            .cast("double").as("revenue"))
+    }),
+
     // -- Z-order layout: the Morton interleave of two bucketed
     // dimensions, bit-exact vs the oracle's re-derivation — the
     // write-side ordering that keeps parquet min/max stats tight on
@@ -477,6 +512,13 @@ object RelationalQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q39_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q38_zorder" ->
       """WITH t AS (SELECT o_orderkey, o_custkey % 32 AS da, o_orderkey % 32 AS db

@@ -233,6 +233,59 @@ class PlanSpec extends SparkTestBase {
     assert(!p3.contains("BroadcastNestedLoopJoin"), s"cross-dedup nested loop:\n$p3")
   }
 
+  test("bucketed co-located join: merge join with no exchange below it") {
+    // force the merge-join path (at fixture scale Catalyst would
+    // rightly broadcast; at 100 TB neither side fits — this pins the
+    // plan that configuration gets)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    // honor the per-bucket sortBy metadata (Spark ignores it by
+    // default because a multi-file bucket would need a merge read;
+    // writeBucketed guarantees one pre-sorted file per bucket)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", true)
+    try {
+      val df = graft.queries.RelationalQueries
+        .queries("q39_bucketed_join")(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      val smj = p.indexOf("SortMergeJoin")
+      assert(smj >= 0, s"no merge join in bucketed plan:\n$p")
+      val below = p.substring(smj)
+      // bucket i reads against bucket i: nothing moves, nothing re-sorts
+      assert(!below.contains("Exchange"), s"exchange below the bucketed join:\n$p")
+      assert(!below.contains("Sort "), s"re-sort below the bucketed join:\n$p")
+      // and the layout must never change answers: same rows as the
+      // unbucketed plain-join plan
+      val plain = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .join(Tables.orders(spark, "/root/testdata/sf0.001"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_lines"))
+      val got = df.select("o_orderpriority", "n_lines").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", false)
+    }
+  }
+
+  test("temperature resample broadcasts the rate table; corpus side never shuffles") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Sampling.temperatureResample(docs, "doc_id", "lang", 0.3, "t")
+      .queryExecution.executedPlan.toString
+    // the per-key keep rates attach via broadcast — the documents side
+    // of the join must not move (no shuffle exchange above its scan)
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"resample cartesian:\n$p")
+    val joinDown = p.substring(p.indexOf("BroadcastHashJoin"))
+    val corpusScan = joinDown.indexOf("Scan parquet")
+    assert(corpusScan >= 0 && !joinDown.substring(0, corpusScan)
+        .contains("Exchange hashpartitioning"),
+      s"corpus side shuffles before the rate join:\n$p")
+  }
+
   test("quantization is a narrow map; indexed IVF search prunes cell partitions") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // quantize/dequantize: pure per-row math, no shuffle/join/explode
