@@ -15,7 +15,10 @@ import graft.sparql.{Parser, Sparql}
   * /query?query=<sparql>` → 200 + W3C SPARQL-Results-JSON; missing
   * `query` param or parse error → 400 with the message; CORS
   * `Access-Control-Allow-Origin: *` on every response (the reference
-  * uses warp's `allow_any_origin`).
+  * uses warp's `allow_any_origin`). Beyond the reference: SPARQL 1.1
+  * Protocol POST (urlencoded form body or `application/sparql-query`)
+  * and the OPTIONS preflight, so large queries are not bounded by
+  * URL length.
   *
   * One shared SparkSession serves all requests. Unlike the reference
   * (which serves synchronously, one query at a time), requests run on
@@ -81,12 +84,36 @@ object QueryServer {
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
     }
+    def formParams(s: String): Map[String, String] = s.split('&')
+      .iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) =>
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
     try {
-      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
-        .iterator.map(_.split("=", 2))
-        .collect { case Array(k, v) =>
-          URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
-        }.toMap
+      // CORS preflight: a browser POSTing application/sparql-query
+      // sends OPTIONS first
+      if (ex.getRequestMethod == "OPTIONS") {
+        ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+        ex.getResponseHeaders.add("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+        ex.getResponseHeaders.add("Access-Control-Allow-Headers", "Content-Type")
+        ex.sendResponseHeaders(204, -1L)
+        ex.close()
+        return
+      }
+      val qsParams = formParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      // SPARQL 1.1 Protocol §2.1.2/2.1.3: POST carries the query either
+      // as a urlencoded form body or directly as application/sparql-query
+      // (the only way to send queries past URL-length limits; the
+      // reference is GET-only, server.rs:87-141)
+      val params =
+        if (ex.getRequestMethod == "POST") {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          if (ct.split(';').head.trim.equalsIgnoreCase("application/sparql-query"))
+            qsParams + ("query" -> body)
+          else qsParams ++ formParams(body)
+        } else qsParams
       params.get("query") match {
         case None => respond(400, "missing 'query' parameter", "text/plain")
         case Some(q) =>

@@ -98,6 +98,55 @@ class ServerSpec extends SparkTestBase {
     assert(cors === Some("*"))
   }
 
+  private def post(path: String, body: String, contentType: String)
+      : (Int, String, Map[String, String]) = {
+    val conn = new URL(s"http://localhost:$port$path").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(120000)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", contentType)
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val b = if (stream == null) "" else Source.fromInputStream(stream, "UTF-8").mkString
+    import scala.jdk.CollectionConverters._
+    val headers = conn.getHeaderFields.asScala.collect {
+      case (k, v) if k != null => k -> v.asScala.mkString(",")
+    }.toMap
+    (code, b, headers)
+  }
+
+  test("POST /query accepts urlencoded form and raw sparql-query bodies") {
+    val q = "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 2"
+    val enc = java.net.URLEncoder.encode(q, "UTF-8")
+    // SPARQL 1.1 Protocol §2.1.2: query in a form-urlencoded body
+    val (c1, b1, _) = post("/query", s"query=$enc",
+      "application/x-www-form-urlencoded")
+    assert(c1 === 200 && b1.contains("\"bindings\""))
+    // §2.1.3: the body IS the query (no URL-length bound)
+    val (c2, b2, h2) = post("/query", q, "application/sparql-query; charset=UTF-8")
+    assert(c2 === 200 && b2 === b1)
+    assert(h2.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("Access-Control-Allow-Origin") => v
+    } === Some("*"))
+    // parse errors surface the same way as GET
+    val (c3, b3, _) = post("/query", "SELECT ?p WHERE { broken",
+      "application/sparql-query")
+    assert(c3 === 400 && b3.startsWith("parse error"))
+  }
+
+  test("OPTIONS preflight advertises POST with CORS headers") {
+    val conn = new URL(s"http://localhost:$port/query").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("OPTIONS")
+    assert(conn.getResponseCode === 204)
+    assert(conn.getHeaderField("Access-Control-Allow-Methods").contains("POST"))
+    assert(conn.getHeaderField("Access-Control-Allow-Origin") === "*")
+  }
+
   test("explain=true returns the plan as text without executing; bad mode → 400") {
     val enc = java.net.URLEncoder.encode(
       "SELECT ?t WHERE { wd:Q31 wdt:P31 ?t } LIMIT 2", "UTF-8")
