@@ -603,6 +603,23 @@ object PipelineQueries {
         "label", bound = 0.8)
     }),
 
+    // curation chain v3 — the mixture-control recipe end-to-end, every
+    // stage content-addressed so the WHOLE chain hash-checks against a
+    // SQL re-derivation: exact dedup → temperature rebalance of the
+    // language mixture → per-source domain cap → split assignment
+    "p60_curation_v3" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs1 = Dedup.dropExactDups(docs0, "text", "doc_id")
+      val docs2 = Sampling.temperatureResample(docs1, "doc_id", "lang",
+        temperature = 0.5, salt = "v3mix")
+      val docs3 = Sampling.capPerKey(docs2, "doc_id", "source",
+        maxPerKey = 20, salt = "v3cap")
+      Sampling.assignSplits(docs3, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.1), salt = "v3sp")
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
     // split-leakage audit: near-dup pairs straddling the p15 split
     // assignment — fully hash-checked against a DuckDB re-derivation
     // (exact pairs + the same md5 split draw)
@@ -794,6 +811,27 @@ object PipelineQueries {
     "p55_ivfpq_index" -> "SELECT 'pass' AS status",
     "p57_ivf_append" -> "SELECT 'pass' AS status",
     "p59_quality_classifier" -> "SELECT 'pass' AS status",
+
+    // curation v3 re-derived stage by stage: dedup winners →
+    // post-dedup lang rates → per-source rank cap → split carve
+    "p60_curation_v3" ->
+      s"""WITH d1 AS (
+         |  SELECT * FROM DOCS WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM DOCS GROUP BY sha256(text))),
+         |c AS (SELECT lang, count(*) AS n FROM d1 GROUP BY lang),
+         |m AS (SELECT min(n) AS mn FROM c),
+         |p AS (SELECT lang, round(pow(CAST(mn AS DOUBLE) / n, 0.5), 9) AS keep_p
+         |      FROM c, m),
+         |d2 AS (SELECT d1.* FROM d1 JOIN p USING (lang)
+         |       WHERE ${drawSql("v3mix")} < p.keep_p),
+         |d3 AS (SELECT * FROM (
+         |         SELECT d2.*, row_number() OVER (PARTITION BY source
+         |           ORDER BY ${drawSql("v3cap")} ASC, doc_id ASC) AS rn
+         |         FROM d2) t
+         |       WHERE rn <= 20)
+         |SELECT doc_id, lang,
+         |  CASE WHEN ${drawSql("v3sp")} < 0.9 THEN 'train' ELSE 'val' END AS split
+         |FROM d3""".stripMargin,
 
     // temperature resample re-derived: per-lang keep rate
     // (min_count/count)^(1-T) on the same 9-dp grid, same md5 draw
