@@ -80,6 +80,18 @@ object Classifier {
       .drop("features", "__prob", "__pred", "__raw")
   }
 
+  /** Persist a fitted classifier as a reloadable artifact — the same
+    * train-once / score-everywhere contract as the persisted IVF index:
+    * curation jobs load the frozen weights instead of refitting, so
+    * scores are reproducible across pipeline runs and clusters.
+    */
+  def saveModel(model: LogisticRegressionModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** Load a persisted classifier (uses the active SparkSession). */
+  def loadModel(path: String): LogisticRegressionModel =
+    LogisticRegressionModel.load(path)
+
   /** ml.Vector element access via the public vector_to_array fn. */
   private def vectorElement(v: Column, i: Int): Column =
     org.apache.spark.ml.functions.vector_to_array(v).getItem(i)

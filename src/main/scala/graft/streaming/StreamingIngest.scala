@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
@@ -140,6 +140,51 @@ object StreamingIngest {
             out.result().iterator
           }
       }
+  }
+
+  /** Stream-vs-static near-dup: every arriving document checked against
+    * an EXISTING corpus — the incremental-extension question ("is this
+    * new crawl page a near-dup of anything we already train on?") that
+    * [[nearDupCandidates]] (stream-internal) and
+    * [[graft.pipeline.Dedup.crossCorpusNearDup]] (batch-batch) don't
+    * answer. Both sides are shingled/minhashed/banded identically; the
+    * stream side joins the corpus's banded bucket table — a
+    * STREAM-STATIC equi-join, which Spark executes statelessly (the
+    * static side is just re-scanned per micro-batch; at scale, persist
+    * the banded corpus once — it is one (band,bucket,shingles) row per
+    * doc-band, independent of the stream). Candidates verify with exact
+    * Jaccard in the same projection; multi-band collisions of one pair
+    * dedup within the event-time horizon, the same bounded-state
+    * contract as [[dedupStream]].
+    */
+  def nearDupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                           textCol: String, idCol: String, tsCol: String,
+                           horizon: String = "1 hour",
+                           shingleN: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16,
+                           threshold: Double = 0.7): DataFrame = {
+    import graft.pipeline.Dedup
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands $bands must divide numHashes $numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame, idAs: String, shAs: String,
+               keep: Seq[Column]): DataFrame =
+      df.withColumn("__sh", Dedup.shingles(col(textCol), shingleN))
+        .withColumn("__hb", Dedup.baseHashes(col("__sh")))
+        .withColumn("__sig", Dedup.minhashSignatureFromHashes(col("__hb"), numHashes))
+        .select(keep ++ Seq(col(idCol).as(idAs), col("__sh").as(shAs),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              xxhash64(slice(col("__sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb")): _*)
+    val corpusBanded = banded(corpus, "id_seen", "sh_seen", Seq.empty)
+    banded(stream, "id_in", "sh_in", Seq(col(tsCol).as("__ts")))
+      .join(corpusBanded, "bb")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_in"), col("sh_seen")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__ts").as("ts"), col("id_in"), col("id_seen"), col("jaccard"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("id_in", "id_seen")
+      .drop("ts")
   }
 
   // ---- sessionization (flatMapGroupsWithState) ------------------------

@@ -1409,6 +1409,18 @@ class PipelineSpec extends SparkTestBase {
     assert(scored.filter((col("score") > 0.5) =!= (col("predicted") === 1)).isEmpty)
     val gate = graft.pipeline.Classifier.accuracyGate(scored, "label", bound = 0.8)
     assert(gate.head().getString(0) === "pass")
+    // persisted model round-trips to identical scores (train once,
+    // score everywhere — the artifact contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    graft.pipeline.Classifier.saveModel(model, dir)
+    val reloaded = graft.pipeline.Classifier.loadModel(dir)
+    val again = graft.pipeline.Classifier.score(
+      reloaded, split.filter(col("split") === "holdout"), "text")
+    val a = scored.select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = again.select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
   }
 
   test("persisted IVF index: quantized codes shrink storage ~4x, search stays faithful") {

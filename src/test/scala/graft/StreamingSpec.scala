@@ -98,6 +98,35 @@ class StreamingSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)), s"expected only the near-dup pair, got $pairs")
   }
 
+  test("stream-vs-static near-dup flags arrivals that duplicate the corpus") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely unrelated text about spark engines and parquet files today"))
+      .toDF("doc_id", "text")
+    val hits = StreamingIngest.nearDupAgainstCorpus(df, corpus,
+      "text", "doc_id", "ts", horizon = "30 minutes", threshold = 0.5)
+    val q = hits.writeStream.format("memory").queryName("corpus_hits")
+      .outputMode("append").start()
+    mem.addData(
+      // near-dup of corpus doc 100 (one word changed)
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L,
+        base.replace("dog", "cat")),
+      // novel content: no corpus hit
+      (Timestamp.valueOf("2026-01-01 10:01:00"), 2L,
+        "novel observations regarding distributed query planners and columnar io"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("corpus_hits").collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_seen"))).toSet
+    // exactly one flagged pair, and multi-band collisions dedup to one row
+    assert(rows === Set((1L, 100L)), s"expected one corpus hit, got $rows")
+  }
+
   test("narrow curation ops (lang-ID, PII redaction, token counts) run on streams as-is") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
