@@ -39,4 +39,36 @@ object Export {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(dir)
+
+  /** Order-independent per-shard manifest: row count plus an XOR fold
+    * of the id hashes (overflow-free and commutative, so any read
+    * order reproduces it; paired with the count, truncated, duplicated
+    * or reshuffled shards are detected). A loader (or a later pipeline
+    * run) recomputes it from whatever it read and compares. One
+    * aggregate over the corpus, `numShards` output rows.
+    */
+  def shardManifest(df: DataFrame, idCol: String, numShards: Int,
+                    salt: String = ""): DataFrame =
+    shardAssign(df, idCol, numShards, salt)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        bit_xor(xxhash64(col(idCol))).as("id_checksum"))
+
+  /** JSONL variant of [[exportShards]] — the other standard training
+    * hand-off (one JSON document per line, one text file per shard
+    * directory, same deterministic membership and in-shard order as
+    * the parquet path), with the [[shardManifest]] written alongside
+    * at `dir/_manifest` so consumers can verify what they ingest.
+    */
+  def exportShardsJsonl(df: DataFrame, idCol: String, dir: String,
+                        numShards: Int, salt: String = ""): Unit = {
+    shardAssign(df, idCol, numShards, salt)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .select(col("shard"),
+        to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").text(dir)
+    shardManifest(df, idCol, numShards, salt)
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
+  }
 }

@@ -130,18 +130,32 @@ object Sampling {
                           temperature: Double, salt: String = ""): DataFrame = {
     require(temperature >= 0.0 && temperature <= 1.0,
       s"temperature $temperature out of [0,1]")
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__key_n"))
-    val rates = counts
-      .crossJoin(broadcast(counts.agg(min(col("__key_n")).as("__min_n"))))
-      .select(col(keyCol),
-        // 9-dp quantization of the keep rate: Math.pow differs from
-        // other engines' pow by ≤1 ulp, and rounding both sides to the
-        // same decimal grid makes the survivor set engine-portable
-        round(pow(col("__min_n").cast("double") / col("__key_n"),
+    // per-key counts collected eagerly (rows = key cardinality —
+    // languages or domains, never documents; the same bounded
+    // model-fit pattern as balanceClasses and the IVF centroids).
+    // Referencing the aggregate lazily in both the rate table and its
+    // global min would re-run the counting scan per reference — this
+    // way the corpus is read exactly twice: once to count, once to
+    // filter, which is the floor for a rate that depends on totals.
+    val countsDf = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__key_n"))
+    val counts = countsDf.collect()
+    if (counts.isEmpty) df
+    else {
+      val minN = counts.map(_.getLong(1)).min
+      val local = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(counts: _*), countsDf.schema)
+      // rate arithmetic stays IN Spark expressions so the 9-dp
+      // quantization grid is bit-identical to the SQL re-derivation:
+      // Math.pow differs from other engines' pow by ≤1 ulp, and
+      // rounding both sides to the same decimal grid makes the
+      // survivor set engine-portable
+      val rates = local.select(col(keyCol),
+        round(pow(lit(minN).cast("double") / col("__key_n"),
           lit(1.0 - temperature)), 9).as("__keep_p"))
-    df.join(broadcast(rates), Seq(keyCol))
-      .filter(hashDraw(col(idCol), salt) < col("__keep_p"))
-      .select(df.columns.map(col).toSeq: _*) // restore input column order
+      df.join(broadcast(rates), Seq(keyCol))
+        .filter(hashDraw(col(idCol), salt) < col("__keep_p"))
+        .select(df.columns.map(col).toSeq: _*) // restore input column order
+    }
   }
 
   /** Per-stratum Bernoulli sample: keep a row if its draw < the

@@ -971,6 +971,36 @@ class PipelineSpec extends SparkTestBase {
     assert(moved > 0L)
   }
 
+  test("exportShardsJsonl: one JSONL per shard, in-shard id order, manifest verifies") {
+    val docs500 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Export.exportShardsJsonl(docs500, "doc_id", dir, numShards = 4, salt = "j8")
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === 4)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".txt")) === 1, d.getName)
+    }
+    // each line is a self-contained JSON doc; ids are sorted within a shard
+    val shard0 = shardDirs.head.listFiles().find(_.getName.endsWith(".txt")).get
+    val idRe = """"doc_id":(\d+)""".r
+    val ids = scala.io.Source.fromFile(shard0, "UTF-8").getLines()
+      .map(l => idRe.findFirstMatchIn(l).get.group(1).toLong).toSeq
+    assert(ids.nonEmpty && ids === ids.sorted, "in-shard order must be by id")
+    // the JSON round-trips every row
+    val back = spark.read.schema(docs500.schema)
+      .json(shardDirs.map(d => d.getAbsolutePath + "/*.txt").toSeq: _*)
+    assert(back.count() === docs500.count())
+    // the manifest matches a recomputation over what was read back
+    val manifest = spark.read.json(s"$dir/_manifest")
+      .select("shard", "n_rows", "id_checksum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val recomputed = Export.shardManifest(back, "doc_id", 4, "j8").collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest === recomputed)
+    assert(manifest.values.map(_._1).sum === 500L)
+  }
+
   test("compressionRatio: repetition below varied text, empty=1, binary path works") {
     val rep = Array.fill(60)("spark").mkString(" ")
     val varied = (0 until 60)
