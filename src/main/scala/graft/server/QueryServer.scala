@@ -107,8 +107,17 @@ object QueryServer {
       // reference is GET-only, server.rs:87-141)
       val params =
         if (ex.getRequestMethod == "POST") {
-          val body = new String(ex.getRequestBody.readAllBytes(),
-            StandardCharsets.UTF_8)
+          // bounded read: an unbounded readAllBytes would let one client
+          // buffer arbitrary bytes into the server heap
+          val maxBody = spark.conf
+            .get("spark.graft.server.maxBodyBytes", (1 << 20).toString).toInt
+          val bytes = ex.getRequestBody.readNBytes(maxBody + 1)
+          if (bytes.length > maxBody) {
+            respond(413, s"request body exceeds " +
+              s"spark.graft.server.maxBodyBytes=$maxBody", "text/plain")
+            return
+          }
+          val body = new String(bytes, StandardCharsets.UTF_8)
           val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
           if (ct.split(';').head.trim.equalsIgnoreCase("application/sparql-query"))
             qsParams + ("query" -> body)

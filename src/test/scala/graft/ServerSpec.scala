@@ -138,6 +138,19 @@ class ServerSpec extends SparkTestBase {
     assert(c3 === 400 && b3.startsWith("parse error"))
   }
 
+  test("POST body above the byte cap → 413, never buffered whole") {
+    spark.conf.set("spark.graft.server.maxBodyBytes", 1024)
+    try {
+      val big = "SELECT ?p WHERE { " + ("# pad \n" * 400) + "}"
+      val (code, body, _) = post("/query", big, "application/sparql-query")
+      assert(code === 413 && body.contains("maxBodyBytes"))
+      // at the cap boundary the query still runs
+      val (ok, _, _) = post("/query",
+        "ASK { wd:Q999999999 ?p ?o }", "application/sparql-query")
+      assert(ok === 200)
+    } finally spark.conf.unset("spark.graft.server.maxBodyBytes")
+  }
+
   test("OPTIONS preflight advertises POST with CORS headers") {
     val conn = new URL(s"http://localhost:$port/query").openConnection()
       .asInstanceOf[HttpURLConnection]
