@@ -73,6 +73,50 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions with
+    * the same deterministic ±1 plane rows as the LSH family (Achlioptas
+    * sign matrices are a valid JL family; scaling by 1/√k keeps
+    * expected norms). A narrow map with NO fit step and no state —
+    * the 100 TB-friendly way to shrink embeddings before ANN when a
+    * training pass is unwanted: every executor regenerates the same
+    * literal matrix from the seed, nothing is broadcast or persisted.
+    * The plane namespace is offset from [[planeSignature]]'s so a
+    * projection never reuses an LSH table's hyperplanes.
+    */
+  def randomProject(v: Column, k: Int, seed: Int = 0): Column = {
+    require(k > 0, s"k $k must be positive")
+    val scale = math.sqrt(k.toDouble)
+    array((0 until k).map { j =>
+      val row = typedLit(planeRow((1 << 20) + seed * 2048 + j))
+      (dot(v, row) / scale).cast("float")
+    }: _*)
+  }
+
+  /** Fit a PCA basis on the corpus (Spark ML: one distributed
+    * covariance pass, driver-side eigendecomposition of the d×d
+    * Gramian — bounded by embedding width, never by corpus size).
+    */
+  def trainPca(corpus: DataFrame, vecCol: String,
+               k: Int): org.apache.spark.ml.feature.PCAModel =
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol("__pca_in").setOutputCol("__pca_out").setK(k)
+      .fit(corpus.select(org.apache.spark.ml.functions
+        .array_to_vector(col(vecCol).cast("array<double>")).as("__pca_in")))
+
+  /** Project `vecCol` onto a fitted PCA basis, emitting a float array
+    * column — a broadcast-matrix narrow map, like the scoring half of
+    * the classifier: fit once on a sample, transform 100 TB.
+    */
+  def applyPca(model: org.apache.spark.ml.feature.PCAModel, df: DataFrame,
+               vecCol: String, outCol: String): DataFrame = {
+    val in = df.withColumn("__pca_in", org.apache.spark.ml.functions
+      .array_to_vector(col(vecCol).cast("array<double>")))
+    model.transform(in)
+      .withColumn(outCol, org.apache.spark.ml.functions
+        .vector_to_array(col("__pca_out"), "float32"))
+      .drop("__pca_in", "__pca_out")
+  }
+
   /** Exact cosine top-k neighbors for each probe. Probes broadcast;
     * corpus streams once; per-probe top-k via window rank (the shuffle
     * key is the probe id — k and |probes| bound the result).

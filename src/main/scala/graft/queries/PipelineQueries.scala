@@ -620,6 +620,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("split"))
     }),
 
+    // PCA dimension reduction before ANN: top-10 neighbors searched in
+    // the 32-dim projected space must recover enough of the full
+    // 64-dim neighbors (fit once per dataset — a d×d eigenproblem,
+    // never corpus-sized; the transform is a broadcast-matrix map)
+    "p61_pca_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = pcaModels.getOrElseUpdate(d,
+        Similarity.trainPca(emb, "embedding", k = 32))
+      val reduced = Similarity.applyPca(model, emb, "embedding", "red")
+        .select(col("vec_id"), col("red").as("embedding"))
+      recallGate(
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", k = 10),
+        Similarity.bruteForceTopK(reduced, reduced.filter(col("vec_id") < 10),
+          "embedding", "vec_id", k = 10),
+        bound = 0.3)
+    }),
+
     // split-leakage audit: near-dup pairs straddling the p15 split
     // assignment — fully hash-checked against a DuckDB re-derivation
     // (exact pairs + the same md5 split draw)
@@ -699,6 +717,10 @@ object PipelineQueries {
   /** One classifier fit per (JVM, dataset) for the p59 gate. */
   private val clfModels = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.classification.LogisticRegressionModel]
+
+  /** One PCA fit per (JVM, dataset) for the p61 gate. */
+  private val pcaModels = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.feature.PCAModel]
 
   private def recallGate(exact: DataFrame, approx: DataFrame, bound: Double): DataFrame =
     exact.select(col("probe_id"), col("neighbor_id"))
@@ -811,6 +833,7 @@ object PipelineQueries {
     "p55_ivfpq_index" -> "SELECT 'pass' AS status",
     "p57_ivf_append" -> "SELECT 'pass' AS status",
     "p59_quality_classifier" -> "SELECT 'pass' AS status",
+    "p61_pca_recall" -> "SELECT 'pass' AS status",
 
     // curation v3 re-derived stage by stage: dedup winners →
     // post-dedup lang rates → per-source rank cap → split carve

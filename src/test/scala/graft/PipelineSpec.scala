@@ -1453,6 +1453,59 @@ class PipelineSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("dimension reduction: RP is stateless-deterministic, PCA preserves neighbors") {
+    import org.apache.spark.sql.functions.{udf => _, _}
+    // planted duplicate: vec 0 cloned as id 9001 — any linear map keeps
+    // an exact duplicate an exact duplicate
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 9001).as("vec_id"), col("embedding")))
+    // --- random projection ---
+    val rp = planted.withColumn("red", Similarity.randomProject(col("embedding"), 32, seed = 3))
+    assert(rp.filter(size(col("red")) =!= 32).isEmpty)
+    // repartition-stable: the projection is a pure function of the row
+    val a = rp.filter(col("vec_id") === 7).select("red").head().getSeq[Float](0)
+    val b = planted.repartition(7)
+      .withColumn("red", Similarity.randomProject(col("embedding"), 32, seed = 3))
+      .filter(col("vec_id") === 7).select("red").head().getSeq[Float](0)
+    assert(a === b)
+    // duplicate rows stay identical after projection
+    val dup = rp.filter(col("vec_id").isin(0, 9001)).select("red").collect()
+      .map(_.getSeq[Float](0))
+    assert(dup(0) === dup(1))
+    // cosine distortion is bounded on average (JL): sampled pairs
+    val pairs = rp.alias("x").join(rp.alias("y"),
+        col("x.vec_id") + 1 === col("y.vec_id"))
+      .select(
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("full"),
+        Similarity.cosine(col("x.red"), col("y.red")).as("red"))
+      .agg(avg(abs(col("full") - col("red")))).head().getDouble(0)
+    assert(pairs < 0.25, s"mean cosine distortion $pairs")
+    // --- PCA ---
+    val model = Similarity.trainPca(planted, "embedding", k = 32)
+    assert(model.explainedVariance.toArray.sum > 0.4,
+      s"explained ${model.explainedVariance.toArray.sum}")
+    val reduced = Similarity.applyPca(model, planted, "embedding", "red")
+    // the planted duplicate is the top-1 neighbor of vec 0 in reduced space
+    val nn = Similarity.bruteForceTopK(
+      reduced.select(col("vec_id"), col("red").as("embedding")),
+      reduced.filter(col("vec_id") === 0)
+        .select(col("vec_id"), col("red").as("embedding")),
+      "embedding", "vec_id", k = 1)
+    assert(nn.head().getAs[Long]("neighbor_id") === 9001L)
+    // neighbor recall of the reduced space vs full space
+    val probes = emb.filter(col("vec_id") < 10)
+    val full = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", k = 10)
+    val redCorpus = reduced.filter(col("vec_id") < 9000)
+      .select(col("vec_id"), col("red").as("embedding"))
+    val redTop = Similarity.bruteForceTopK(redCorpus,
+      redCorpus.filter(col("vec_id") < 10), "embedding", "vec_id", k = 10)
+    val hits = full.select("probe_id", "neighbor_id")
+      .intersect(redTop.select("probe_id", "neighbor_id")).count()
+    info(s"PCA-32 recall@10 = ${hits / 100.0}")
+    assert(hits >= 40, s"PCA recall too low: $hits/100")
+  }
+
   test("persisted IVF index: quantized codes shrink storage ~4x, search stays faithful") {
     def dirBytes(d: String): Long = {
       def walk(f: java.io.File): Long =
