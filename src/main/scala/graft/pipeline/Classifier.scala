@@ -69,7 +69,9 @@ object Classifier {
     */
   def score(model: LogisticRegressionModel, docs: DataFrame,
             textCol: String, numFeatures: Int = 1 << 16): DataFrame = {
-    val scored = model
+    // work on a copy: setting column params on the shared (possibly
+    // cached) model instance would race between concurrent scorers
+    val scored = model.copy(org.apache.spark.ml.param.ParamMap.empty)
       .setFeaturesCol("features")
       .setProbabilityCol("__prob").setPredictionCol("__pred")
       .setRawPredictionCol("__raw")

@@ -131,6 +131,20 @@ object Dedup {
       banded.join(big, Seq("bb"), "left_anti")
     }
 
+  /** Banded `(band, bucket)` structs of a minhash signature — THE
+    * definition of the LSH bucket layout, shared by the batch self-join,
+    * the cross-corpus join, and both streaming near-dup paths so the
+    * candidates they generate stay mutually compatible.
+    */
+  def bandArray(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands $bands must divide numHashes $numHashes")
+    val r = numHashes / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * r + 1, r)).as("bucket"))): _*)
+  }
+
   /** Banded LSH bucket rows (id, (band, bucket)) from prepped shingles.
     * Base hashes and the signature are STAGED as columns: each is
     * referenced many times downstream, and an inline expression would
@@ -138,17 +152,12 @@ object Dedup {
     * would re-hash every shingle 128×).
     */
   private def bandedBuckets(withSh: DataFrame,
-                            numHashes: Int, bands: Int): DataFrame = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands $bands must divide numHashes $numHashes")
-    val r = numHashes / bands
+                            numHashes: Int, bands: Int): DataFrame =
     withSh
       .withColumn("hb", baseHashes(col("sh")))
       .withColumn("sig", minhashSignatureFromHashes(col("hb"), numHashes))
       .select(col("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
-  }
+        explode(bandArray(col("sig"), numHashes, bands)).as("bb"))
 
   /** MinHash near-dup pairs with signature-group representative
     * election: identical shingle sets collapse to ONE representative

@@ -149,10 +149,13 @@ object Sampling {
       // Math.pow differs from other engines' pow by ≤1 ulp, and
       // rounding both sides to the same decimal grid makes the
       // survivor set engine-portable
-      val rates = local.select(col(keyCol),
+      val rates = local.select(col(keyCol).as("__rate_key"),
         round(pow(lit(minN).cast("double") / col("__key_n"),
           lit(1.0 - temperature)), 9).as("__keep_p"))
-      df.join(broadcast(rates), Seq(keyCol))
+      // null-safe join: a NULL key is a group like any other (it was
+      // counted above), so its rows resample at their own rate instead
+      // of silently vanishing through a plain equi-join
+      df.join(broadcast(rates), col(keyCol) <=> col("__rate_key"))
         .filter(hashDraw(col(idCol), salt) < col("__keep_p"))
         .select(df.columns.map(col).toSeq: _*) // restore input column order
     }

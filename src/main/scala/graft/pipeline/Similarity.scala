@@ -82,6 +82,12 @@ object Similarity {
     * literal matrix from the seed, nothing is broadcast or persisted.
     * The plane namespace is offset from [[planeSignature]]'s so a
     * projection never reuses an LSH table's hyperplanes.
+    *
+    * Input width: like the LSH family, the literal plane rows are
+    * [[MaxDims]] (128) long and the native dot runs over the SHORTER
+    * operand, so embeddings wider than MaxDims would be projected from
+    * their first 128 coordinates only — raise MaxDims before using
+    * either API on wider vectors.
     */
   def randomProject(v: Column, k: Int, seed: Int = 0): Column = {
     require(k > 0, s"k $k must be positive")

@@ -845,7 +845,8 @@ object PipelineQueries {
          |m AS (SELECT min(n) AS mn FROM c),
          |p AS (SELECT lang, round(pow(CAST(mn AS DOUBLE) / n, 0.5), 9) AS keep_p
          |      FROM c, m),
-         |d2 AS (SELECT d1.* FROM d1 JOIN p USING (lang)
+         |d2 AS (SELECT d1.* FROM d1
+         |       JOIN p ON d1.lang IS NOT DISTINCT FROM p.lang
          |       WHERE ${drawSql("v3mix")} < p.keep_p),
          |d3 AS (SELECT * FROM (
          |         SELECT d2.*, row_number() OVER (PARTITION BY source
@@ -863,7 +864,8 @@ object PipelineQueries {
          |m AS (SELECT min(n) AS mn FROM c),
          |p AS (SELECT lang, round(pow(CAST(mn AS DOUBLE) / n, 0.7), 9) AS keep_p
          |      FROM c, m)
-         |SELECT d.doc_id, d.lang FROM DOCS d JOIN p USING (lang)
+         |SELECT d.doc_id, d.lang FROM DOCS d
+         |JOIN p ON d.lang IS NOT DISTINCT FROM p.lang
          |WHERE ${drawSql("tmix")} < p.keep_p""".stripMargin,
 
     // brute-force re-derivation of the planted-duplicate pair set:

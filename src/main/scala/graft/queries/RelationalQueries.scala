@@ -30,8 +30,14 @@ object RelationalQueries {
     */
   private val bucketedDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketedOrderTables(s: SparkSession, d: String): (String, String) =
-    bucketedDirs.getOrElseUpdate(d, {
+  private def bucketedOrderTables(s: SparkSession, d: String): (String, String) = {
+    val cached = bucketedDirs.get(d).filter { case (lt, _) =>
+      // a recreated session has a fresh in-memory catalog: the layout
+      // files may survive on disk but the table registration does not,
+      // so rebuild rather than hand back a dangling name
+      s.catalog.tableExists(lt)
+    }
+    cached.getOrElse {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val base = java.nio.file.Files
         .createTempDirectory("graft-bucketed").toString
@@ -40,8 +46,10 @@ object RelationalQueries {
         Tables.lineitem(s, d), lt, "l_orderkey", s"$base/lineitem")
       graft.operators.Bucketing.writeBucketed(
         Tables.orders(s, d), ot, "o_orderkey", s"$base/orders")
+      bucketedDirs(d) = (lt, ot)
       (lt, ot)
-    })
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregation over one table (TPC-H Q1 shape): partial aggs

@@ -100,29 +100,45 @@ object QueryServer {
         ex.close()
         return
       }
-      val qsParams = formParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      // SPARQL 1.1 Protocol §2.1.2/2.1.3: POST carries the query either
-      // as a urlencoded form body or directly as application/sparql-query
-      // (the only way to send queries past URL-length limits; the
-      // reference is GET-only, server.rs:87-141)
+      // malformed percent-escapes (URLDecoder throws) are a client
+      // error, not a silent connection close
       val params =
-        if (ex.getRequestMethod == "POST") {
-          // bounded read: an unbounded readAllBytes would let one client
-          // buffer arbitrary bytes into the server heap
-          val maxBody = spark.conf
-            .get("spark.graft.server.maxBodyBytes", (1 << 20).toString).toInt
-          val bytes = ex.getRequestBody.readNBytes(maxBody + 1)
-          if (bytes.length > maxBody) {
-            respond(413, s"request body exceeds " +
-              s"spark.graft.server.maxBodyBytes=$maxBody", "text/plain")
+        try {
+          val qsParams = formParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          // SPARQL 1.1 Protocol §2.1.2/2.1.3: POST carries the query
+          // either as a urlencoded form body or directly as
+          // application/sparql-query (the only way to send queries past
+          // URL-length limits; the reference is GET-only, server.rs:87-141)
+          if (ex.getRequestMethod == "POST") {
+            // bounded read: an unbounded readAllBytes would let one
+            // client buffer arbitrary bytes into the server heap
+            val maxBodyOpt = spark.conf
+              .get("spark.graft.server.maxBodyBytes", (1 << 20).toString)
+              .toIntOption.filter(_ > 0)
+            if (maxBodyOpt.isEmpty) {
+              respond(500, "spark.graft.server.maxBodyBytes must be a " +
+                "positive int", "text/plain")
+              return
+            }
+            val maxBody = maxBodyOpt.get
+            val fetch = math.min(maxBody.toLong + 1, Int.MaxValue.toLong).toInt
+            val bytes = ex.getRequestBody.readNBytes(fetch)
+            if (bytes.length > maxBody) {
+              respond(413, s"request body exceeds " +
+                s"spark.graft.server.maxBodyBytes=$maxBody", "text/plain")
+              return
+            }
+            val body = new String(bytes, StandardCharsets.UTF_8)
+            val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+            if (ct.split(';').head.trim.equalsIgnoreCase("application/sparql-query"))
+              qsParams + ("query" -> body)
+            else qsParams ++ formParams(body)
+          } else qsParams
+        } catch {
+          case e: IllegalArgumentException =>
+            respond(400, s"malformed request encoding: ${e.getMessage}", "text/plain")
             return
-          }
-          val body = new String(bytes, StandardCharsets.UTF_8)
-          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-          if (ct.split(';').head.trim.equalsIgnoreCase("application/sparql-query"))
-            qsParams + ("query" -> body)
-          else qsParams ++ formParams(body)
-        } else qsParams
+        }
       params.get("query") match {
         case None => respond(400, "missing 'query' parameter", "text/plain")
         case Some(q) =>

@@ -103,15 +103,17 @@ object StreamingIngest {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.pipeline.Dedup
-    val r = numHashes / bands
     val banded = docs
       .withColumn("__sh", Dedup.shingles(col(textCol), shingleN))
+      // shorter-than-shingleN docs have an empty shingle set whose
+      // signature is one seed-constant bucket per band — dropping them
+      // here (like the batch prep does) keeps a short-doc-heavy feed
+      // from colliding everything into a single hot bucket
+      .filter(size(col("__sh")) > 0)
       .withColumn("__hb", Dedup.baseHashes(col("__sh")))
       .withColumn("__sig", Dedup.minhashSignatureFromHashes(col("__hb"), numHashes))
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("__sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+        explode(Dedup.bandArray(col("__sig"), numHashes, bands)).as("bb"))
       .select(col("id"), col("ts"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .withWatermark("ts", horizon)
       .as[BandRow]
@@ -164,18 +166,16 @@ object StreamingIngest {
                            bands: Int = 16,
                            threshold: Double = 0.7): DataFrame = {
     import graft.pipeline.Dedup
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands $bands must divide numHashes $numHashes")
-    val r = numHashes / bands
     def banded(df: DataFrame, idAs: String, shAs: String,
                keep: Seq[Column]): DataFrame =
       df.withColumn("__sh", Dedup.shingles(col(textCol), shingleN))
+        // empty shingle sets (docs shorter than shingleN) would share
+        // one seed-constant bucket per band — the all-pairs hazard
+        .filter(size(col("__sh")) > 0)
         .withColumn("__hb", Dedup.baseHashes(col("__sh")))
         .withColumn("__sig", Dedup.minhashSignatureFromHashes(col("__hb"), numHashes))
         .select(keep ++ Seq(col(idCol).as(idAs), col("__sh").as(shAs),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"),
-              xxhash64(slice(col("__sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb")): _*)
+          explode(Dedup.bandArray(col("__sig"), numHashes, bands)).as("bb")): _*)
     val corpusBanded = banded(corpus, "id_seen", "sh_seen", Seq.empty)
     banded(stream, "id_in", "sh_in", Seq(col(tsCol).as("__ts")))
       .join(corpusBanded, "bb")

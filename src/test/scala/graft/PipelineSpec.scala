@@ -1420,6 +1420,14 @@ class PipelineSpec extends SparkTestBase {
     val again = Sampling.temperatureResample(df.repartition(7), "doc_id", "k", 0.0, salt = "t")
     assert(flat.collect().map(_.getLong(0)).toSet ===
       again.collect().map(_.getLong(0)).toSet)
+    // NULL keys are a group like any other — T=1 keeps them (a plain
+    // equi-join would silently drop them while counting them in minN)
+    val withNull = df.withColumn("k",
+      when(col("doc_id") <= 10, lit(null).cast("string")).otherwise(col("k")))
+    assert(Sampling.temperatureResample(withNull, "doc_id", "k", 1.0).count() === 525L)
+    // at T=0 the null group (10 rows) IS the smallest key: rate 1.0
+    val flatNull = Sampling.temperatureResample(withNull, "doc_id", "k", 0.0, salt = "t")
+    assert(flatNull.filter(col("k").isNull).count() === 10L)
   }
 
   test("text classifier recovers a linearly-separable label on holdout") {

@@ -106,7 +106,8 @@ class StreamingSpec extends SparkTestBase {
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
     val corpus = Seq(
       (100L, base),
-      (101L, "completely unrelated text about spark engines and parquet files today"))
+      (101L, "completely unrelated text about spark engines and parquet files today"),
+      (102L, "hi")) // short corpus doc: also excluded from banding
       .toDF("doc_id", "text")
     val hits = StreamingIngest.nearDupAgainstCorpus(df, corpus,
       "text", "doc_id", "ts", horizon = "30 minutes", threshold = 0.5)
@@ -118,7 +119,10 @@ class StreamingSpec extends SparkTestBase {
         base.replace("dog", "cat")),
       // novel content: no corpus hit
       (Timestamp.valueOf("2026-01-01 10:01:00"), 2L,
-        "novel observations regarding distributed query planners and columnar io"))
+        "novel observations regarding distributed query planners and columnar io"),
+      // shorter than the shingle width: empty shingle set, must be
+      // dropped before banding, never bucket-collided with the corpus
+      (Timestamp.valueOf("2026-01-01 10:02:00"), 3L, "tiny doc"))
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("corpus_hits").collect()
