@@ -78,6 +78,8 @@ case class BpeDecode(child: Expression, merges: Expression) extends BpeBase {
   requireFoldableMerges()
   override def left: Expression = child
   override def dataType: DataType = StringType
+  // malformed ids decode to null even when the inputs are non-null
+  override def nullable: Boolean = true
   override def prettyName: String = BpeDecode.name
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -93,7 +95,9 @@ case class BpeDecode(child: Expression, merges: Expression) extends BpeBase {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
-    nullSafeCodeGen(ctx, ev, (in, _) => s"${ev.value} = $ref.decode($in);")
+    nullSafeCodeGen(ctx, ev, (in, _) =>
+      s"""${ev.value} = $ref.decode($in);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -172,6 +176,11 @@ case class BpeTable(pairs: Array[(String, String)]) extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** Null on malformed ids (negative, or past the fallback code-point
+    * range) — the same degrade-don't-crash contract as the other
+    * native expressions: ids not produced by this merges table must
+    * not throw from an executor.
+    */
   def decode(ids: ArrayData): UTF8String = {
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -179,9 +188,13 @@ case class BpeTable(pairs: Array[(String, String)]) extends Serializable {
     while (i < n) {
       val id = ids.getInt(i)
       if (id == 0) sb.append(' ')
-      else if (id <= pairs.length) {
+      else if (id > 0 && id <= pairs.length) {
         val (a, b) = pairs(id - 1); sb.append(a).append(b)
-      } else sb.appendCodePoint(id - fallbackBase)
+      } else {
+        val cp = id - fallbackBase
+        if (id < 0 || !Character.isValidCodePoint(cp)) return null
+        sb.appendCodePoint(cp)
+      }
       i += 1
     }
     UTF8String.fromString(sb.toString)

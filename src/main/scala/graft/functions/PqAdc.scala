@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Null semantics: null array → null; null element → null; a code
   * outside `[0, ksub)` or an index past the LUT → null (malformed
-  * input, never produced by [[graft.pipeline.Pq]]).
+  * input, never produced by [[graft.pipeline.Pq]]). Byte-typed codes
+  * are UNSIGNED: the encoder stores code indexes 0..255 in one byte,
+  * so 128..255 round-trip through negative JVM bytes and are masked
+  * back here — without the mask every ksub > 128 configuration would
+  * silently null out half its candidates.
   */
 case class PqAdc(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
@@ -48,7 +52,7 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     }
 
   private def code(ad: ArrayData, i: Int): Int = elemType(left) match {
-    case ByteType => ad.getByte(i).toInt
+    case ByteType => ad.getByte(i).toInt & 0xFF // unsigned: see scaladoc
     case ShortType => ad.getShort(i).toInt
     case IntegerType => ad.getInt(i)
     case LongType => ad.getLong(i).toInt
@@ -62,7 +66,7 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
       val codes = a.asInstanceOf[Array[Byte]]
       var j = 0
       while (j < codes.length) {
-        val c = codes(j).toInt
+        val c = codes(j).toInt & 0xFF // packed codes are unsigned bytes
         val idx = j * ksub + c
         if (c < 0 || c >= ksub || idx >= lut.numElements() || lut.isNullAt(idx))
           return null
@@ -87,7 +91,7 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
   }
 
   private def genCode(v: String, i: String): String = elemType(left) match {
-    case ByteType => s"(int) $v.getByte($i)"
+    case ByteType => s"(((int) $v.getByte($i)) & 0xFF)"
     case ShortType => s"(int) $v.getShort($i)"
     case IntegerType => s"$v.getInt($i)"
     case LongType => s"(int) $v.getLong($i)"
@@ -105,7 +109,7 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
       val len = if (isBin) s"$a.length" else s"$a.numElements()"
       val nullElem =
         if (isBin) "" else s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }"
-      val getC = if (isBin) s"(int) $a[$j]" else genCode(a, j)
+      val getC = if (isBin) s"((int) $a[$j]) & 0xFF" else genCode(a, j)
       s"""
          |int $m = $len;
          |double $s = 0.0;

@@ -34,11 +34,25 @@ object Export {
     * the same input produce identical shard membership and order.
     */
   def exportShards(df: DataFrame, idCol: String, dir: String,
-                   numShards: Int, salt: String = ""): Unit =
-    shardAssign(df, idCol, numShards, salt)
+                   numShards: Int, salt: String = ""): Unit = {
+    val assigned = shardAssign(df, idCol, numShards, salt)
+    assigned
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(dir)
+    // `partitionBy` emits nothing for a shard with zero rows; the
+    // loader contract is a FIXED directory set, so materialize the
+    // empty ones (small/skewed corpora otherwise break enumeration)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      assigned.schema.filterNot(_.name == "shard"))
+    (0 until numShards).foreach { n =>
+      val p = new java.io.File(s"$dir/shard=$n")
+      if (!p.exists())
+        df.sparkSession.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), dataSchema)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.toString)
+    }
+  }
 
   /** Order-independent per-shard manifest: row count plus an XOR fold
     * of the id hashes (overflow-free and commutative, so any read
@@ -48,11 +62,19 @@ object Export {
     * aggregate over the corpus, `numShards` output rows.
     */
   def shardManifest(df: DataFrame, idCol: String, numShards: Int,
-                    salt: String = ""): DataFrame =
-    shardAssign(df, idCol, numShards, salt)
+                    salt: String = ""): DataFrame = {
+    val agg = shardAssign(df, idCol, numShards, salt)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
         bit_xor(xxhash64(col(idCol))).as("id_checksum"))
+    // one row per shard even when empty (count 0, checksum 0) — the
+    // manifest enumerates the same fixed set as the directories
+    df.sparkSession.range(numShards)
+      .select(col("id").cast("int").as("shard"))
+      .join(agg, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+  }
 
   /** JSONL variant of [[exportShards]] — the other standard training
     * hand-off (one JSON document per line, one text file per shard
@@ -68,6 +90,16 @@ object Export {
       .select(col("shard"),
         to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").text(dir)
+    // fixed directory set, like the parquet path: zero-row shards
+    // still get an (empty) JSONL file
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until numShards).foreach { n =>
+      val p = new java.io.File(s"$dir/shard=$n")
+      if (!p.exists())
+        Seq.empty[String].toDF("value")
+          .coalesce(1).write.mode(SaveMode.Overwrite).text(p.toString)
+    }
     shardManifest(df, idCol, numShards, salt)
       .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
   }

@@ -82,7 +82,7 @@ object Multimodal {
     if (payload == null || payload.isEmpty) return new Array[Float](dims)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null } // codec bugs degrade, never kill the job
     if (img != null) {
       val (w, h) = (img.getWidth, img.getHeight)
       val counts = new Array[Long](dims)
@@ -101,20 +101,8 @@ object Multimodal {
       val n = w.toLong * h
       return Array.tabulate(dims)(i => (counts(i).toDouble / n).toFloat)
     }
-    val pcm = decodePcmSamples(payload)
-    if (pcm != null) {
-      val nSamples = pcm.length
-      val sums = new Array[Double](dims)
-      val counts = new Array[Long](dims)
-      var i = 0
-      while (i < nSamples) {
-        val w = math.min(dims - 1, (i.toLong * dims / math.max(1, nSamples)).toInt)
-        sums(w) += pcm(i) * pcm(i); counts(w) += 1
-        i += 1
-      }
-      return Array.tabulate(dims)(d =>
-        if (counts(d) == 0) 0f else math.sqrt(sums(d) / counts(d)).toFloat)
-    }
+    val clip = decodePcm(payload)
+    if (clip != null) return windowedRms(clip.samples, dims)
     // opaque-blob fallback: per-strip mean byte value (engine-portable —
     // this is the branch the DuckDB oracle reproduces over text payloads)
     val n = payload.length
@@ -131,10 +119,21 @@ object Multimodal {
     }
   }
 
-  /** Decode payload to normalized [-1,1) 16-bit PCM samples, or null if
-    * no `javax.sound.sampled` codec reads it.
+  /** A decoded audio payload: format info + normalized [-1,1) 16-bit
+    * PCM samples. One kernel shared by [[decodeAudio]] and
+    * [[extractContentFeatures]] so the byte→PCM conversion and its
+    * failure policy cannot drift between the two paths.
     */
-  private def decodePcmSamples(payload: Array[Byte]): Array[Double] =
+  private[pipeline] final case class PcmClip(sampleRate: Int, channels: Int,
+                                             samples: Array[Double])
+
+  /** Decode payload via `javax.sound.sampled`, or null when no codec
+    * reads it OR the conversion to 16-bit signed PCM is unsupported —
+    * `getAudioInputStream(fmt, in)` throws IllegalArgumentException
+    * for that case, so the catch is NonFatal: one exotic payload must
+    * degrade to the opaque-blob branch, never kill the job.
+    */
+  private def decodePcm(payload: Array[Byte]): PcmClip =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -155,12 +154,26 @@ object Multimodal {
           out(i) = ((hi << 8) | lo) / 32768.0
           i += 1
         }
-        out
+        PcmClip(fmt.getSampleRate.toInt, math.max(1, fmt.getChannels), out)
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => null
-      case _: java.io.IOException => null
+      case scala.util.control.NonFatal(_) => null
     }
+
+  /** `dims`-window RMS-energy envelope of a sample array. */
+  private def windowedRms(samples: Array[Double], dims: Int): Array[Float] = {
+    val nSamples = samples.length
+    val sums = new Array[Double](dims)
+    val counts = new Array[Long](dims)
+    var i = 0
+    while (i < nSamples) {
+      val w = math.min(dims - 1, (i.toLong * dims / math.max(1, nSamples)).toInt)
+      sums(w) += samples(i) * samples(i); counts(w) += 1
+      i += 1
+    }
+    Array.tabulate(dims)(d =>
+      if (counts(d) == 0) 0f else math.sqrt(sums(d) / counts(d)).toFloat)
+  }
 
   /** STUB image resize: passes metadata through with new dimensions —
     * the real version maps payload bytes partition-wise through a
@@ -235,7 +248,7 @@ object Multimodal {
           if (payload == null || payload.isEmpty) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null } // codec bugs degrade, never kill the job
         if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -282,7 +295,7 @@ object Multimodal {
           if (payload == null || payload.isEmpty) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null } // codec bugs degrade, never kill the job
         if (img == null) r
         else {
           val scaled = new java.awt.image.BufferedImage(
@@ -327,48 +340,15 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val decoded =
-          if (payload == null || payload.isEmpty) None
-          else
-            try {
-              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              try {
-                val fmt = in.getFormat
-                // normalize to 16-bit signed PCM so amplitude math is uniform
-                val pcmFmt = new javax.sound.sampled.AudioFormat(
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-                  fmt.getSampleRate, 16, fmt.getChannels,
-                  fmt.getChannels * 2, fmt.getSampleRate, false)
-                val pcm = javax.sound.sampled.AudioSystem
-                  .getAudioInputStream(pcmFmt, in)
-                val bytes = pcm.readAllBytes()
-                val nSamples = bytes.length / 2
-                val sums = new Array[Double](dims)
-                val counts = new Array[Long](dims)
-                var i = 0
-                while (i < nSamples) {
-                  val lo = bytes(2 * i) & 0xFF
-                  val hi = bytes(2 * i + 1).toInt
-                  val s = ((hi << 8) | lo) / 32768.0
-                  val w = math.min(dims - 1, (i.toLong * dims / math.max(1, nSamples)).toInt)
-                  sums(w) += s * s; counts(w) += 1
-                  i += 1
-                }
-                val feats = Array.tabulate(dims)(d =>
-                  if (counts(d) == 0) 0f else math.sqrt(sums(d) / counts(d)).toFloat)
-                val frames = nSamples / math.max(1, fmt.getChannels)
-                val durMs = (frames * 1000L / math.max(1, fmt.getSampleRate.toInt))
-                Some((fmt.getSampleRate.toInt, durMs, feats))
-              } finally in.close()
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
-            }
-        decoded match {
-          case Some((rate, durMs, feats)) =>
-            Row.fromSeq(r.toSeq ++ Seq(rate, durMs, feats))
-          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        val clip =
+          if (payload == null || payload.isEmpty) null
+          else decodePcm(payload) // shared byte→16-bit-PCM kernel
+        if (clip == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val feats = windowedRms(clip.samples, dims)
+          val frames = clip.samples.length / clip.channels
+          val durMs = frames * 1000L / math.max(1, clip.sampleRate)
+          Row.fromSeq(r.toSeq ++ Seq(clip.sampleRate, durMs, feats))
         }
       }
     }(Encoders.row(outSchema))

@@ -63,24 +63,15 @@ object Pq {
   private def fit(corpus: DataFrame, vecCol: String, idCol: String,
                   m: Int, ksub: Int, maxTrain: Int, iters: Int): Codebooks = {
     require(m > 0 && ksub > 0 && ksub <= 256, s"bad PQ params m=$m ksub=$ksub")
-    val sample = corpus
-      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"),
-        xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(maxTrain).select("v")
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    val dim = sample.map(_.length).max
+    // same deterministic bounded sample as the IVF coarse quantizer
+    val pts = Similarity.fitSample(corpus, vecCol, idCol, maxTrain)
+    val dim = pts.map(_.length).max
     val dsub = (dim + m - 1) / m
-    def normalized(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
     def sub(v: Array[Double], j: Int): Array[Double] =
       Array.tabulate(dsub)(i => {
         val idx = j * dsub + i
         if (idx < v.length) v(idx) else 0d
       })
-    val pts = sample.map(normalized)
     val cents = Array.tabulate(m) { j =>
       val sp = pts.map(sub(_, j))
       // init: first ksub DISTINCT subvectors (duplicated corpora would

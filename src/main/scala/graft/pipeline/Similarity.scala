@@ -238,17 +238,7 @@ object Similarity {
   private def fitCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                            nlist: Int, maxTrain: Int,
                            iters: Int): Array[Array[Double]] = {
-    val sample = corpus
-      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"),
-        xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(maxTrain).select("v")
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    def normalized(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
-    val pts = sample.map(normalized)
+    val pts = fitSample(corpus, vecCol, idCol, maxTrain)
     var cents = pts.take(nlist).map(_.clone)
     for (_ <- 0 until iters) {
       val sums = Array.fill(cents.length)(new Array[Double](pts(0).length))
@@ -265,10 +255,32 @@ object Similarity {
       }
       cents = cents.indices.map { ci =>
         if (counts(ci) == 0) cents(ci) // empty cell: keep old centroid
-        else normalized(sums(ci))
+        else unitNormalized(sums(ci))
       }.toArray
     }
     cents
+  }
+
+  /** Deterministic bounded model-fit sample: the first `maxTrain`
+    * vectors in xxhash64(id) order, unit-normalized — THE sampling
+    * contract every driver-side trainer here shares (IVF coarse
+    * quantizer and the PQ codebook fit), so a change to the policy
+    * cannot diverge them.
+    */
+  private[pipeline] def fitSample(corpus: DataFrame, vecCol: String,
+                                  idCol: String, maxTrain: Int): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(maxTrain).select("v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    sample.map(unitNormalized)
+  }
+
+  private[pipeline] def unitNormalized(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
   }
 
   /** Cell ids of fitted centroids ranked by dot product (desc, cell id

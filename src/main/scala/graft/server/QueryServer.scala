@@ -149,7 +149,25 @@ object QueryServer {
             case "" | "true" | "1" => "formatted"
             case m => m
           }
-          val timeoutMs = spark.conf.get("spark.graft.server.timeoutMs", "0").toLong
+          // validate the mode BEFORE the query runs: an invalid mode is
+          // a clean 400 here, and an IllegalArgumentException thrown
+          // later by the query itself is never mislabeled as one
+          val badMode = explainMode.flatMap { m =>
+            try { org.apache.spark.sql.execution.ExplainMode.fromString(m); None }
+            catch { case e: IllegalArgumentException => Some(e.getMessage) }
+          }
+          if (badMode.isDefined) {
+            respond(400, s"bad explain mode: ${badMode.get}", "text/plain")
+            return
+          }
+          val timeoutMsOpt = spark.conf
+            .get("spark.graft.server.timeoutMs", "0").toLongOption.filter(_ >= 0)
+          if (timeoutMsOpt.isEmpty) {
+            respond(500, "spark.graft.server.timeoutMs must be a " +
+              "non-negative long", "text/plain")
+            return
+          }
+          val timeoutMs = timeoutMsOpt.get
           val reqId = reqIds.incrementAndGet()
           val group = s"graft-http-$reqId"
           val task = queryPool.submit(new Callable[String] {
@@ -191,11 +209,15 @@ object QueryServer {
             case e: ExecutionException => e.getCause match {
               case pe: Parser.ParseException =>
                 respond(400, s"parse error: ${pe.msg}", "text/plain")
-              case iae: IllegalArgumentException if explainMode.isDefined =>
-                respond(400, s"bad explain mode: ${iae.getMessage}", "text/plain")
+              // explain modes are validated before submission, so an
+              // IllegalArgumentException here is the QUERY's, not the
+              // mode's — it takes the generic 500 like any other cause
               case c =>
                 respond(500, s"error: ${c.getMessage}", "text/plain")
             }
+            case _: InterruptedException | _: java.util.concurrent.CancellationException =>
+              spark.sparkContext.cancelJobGroup(group)
+              respond(500, "query execution interrupted", "text/plain")
           }
       }
     } catch {

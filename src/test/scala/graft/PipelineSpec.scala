@@ -264,6 +264,19 @@ class PipelineSpec extends SparkTestBase {
       .toDF("codes", "lut")
       .select(Pq.adc(col("codes"), col("lut"), ksub = 2).as("s")).collect()
     assert(arr.head.getDouble(0) === 20.0 + 30.0)
+    // byte codes are UNSIGNED: code 200 is stored as the negative JVM
+    // byte -56 and must select lut(200), not null out (the ksub>128
+    // regression) — byte-array and packed-binary paths alike
+    val lut256 = Array.tabulate(256)(_.toDouble)
+    // Array[Byte] encodes as BinaryType — the packed path
+    val hiBin = Seq((Array(200.toByte), lut256)).toDF("codes", "lut")
+      .select(Pq.adc(col("codes"), col("lut"), ksub = 256).as("s")).collect()
+    assert(hiBin.head.getDouble(0) === 200.0)
+    // explicit array<byte> — the element path
+    val hiArr = Seq(lut256).toDF("lut")
+      .select(Pq.adc(array(lit(200.toByte)), col("lut"), ksub = 256).as("s"))
+      .collect()
+    assert(hiArr.head.getDouble(0) === 200.0)
   }
 
   test("PQ train is deterministic; encode yields m in-range codes") {
@@ -999,6 +1012,23 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2))).toMap
     assert(manifest === recomputed)
     assert(manifest.values.map(_._1).sum === 500L)
+    // small corpus: every shard directory and manifest row still
+    // exists, empties included — the fixed-set loader contract
+    val small = docs500.limit(3)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-jsonl-small").toString
+    Export.exportShardsJsonl(small, "doc_id", dir2, numShards = 6, salt = "j8")
+    val dirs2 = new java.io.File(dir2).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs2 === (0 until 6).map(n => s"shard=$n").toSet)
+    val man2 = spark.read.json(s"$dir2/_manifest")
+    assert(man2.count() === 6L)
+    assert(man2.agg(sum(col("n_rows"))).head().getLong(0) === 3L)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-pq-small").toString
+    Export.exportShards(small, "doc_id", dir3, numShards = 6, salt = "j8")
+    val dirs3 = new java.io.File(dir3).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs3 === (0 until 6).map(n => s"shard=$n").toSet)
+    assert(spark.read.parquet(dir3).count() === 3L)
   }
 
   test("compressionRatio: repetition below varied text, empty=1, binary path works") {
