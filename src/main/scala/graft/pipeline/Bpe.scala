@@ -44,30 +44,87 @@ object Bpe {
       }
       wordFreq(syms) = wordFreq.getOrElse(syms, 0L) + 1L
     }
-    var words = wordFreq.toArray
+    learnFromWordFreq(wordFreq.toArray.map { case (s, f) => (s.toArray, f) },
+      numMerges)
+  }
+
+  /** The merge-learning core, with INCREMENTAL pair maintenance: pair
+    * counts live in a hash map mirrored by a TreeSet ordered
+    * (count desc, pair asc), and each merge touches only the words that
+    * contain the merged pair (tracked by an additive pair→word-set
+    * index; stale entries are skipped by an adjacency re-check).
+    * Per-merge cost is O(touched words × word length + log #pairs)
+    * instead of O(all sample words), so 32k-merge vocabularies train in
+    * seconds. Counts are maintained exactly (subtract a touched word's
+    * old pairs, add its new ones), so the selected sequence is
+    * IDENTICAL to a from-scratch recount each round — the test pins
+    * this against a naive reference.
+    */
+  private[graft] def learnFromWordFreq(init: Array[(Array[String], Long)],
+                                          numMerges: Int): Array[(String, String)] = {
+    import scala.collection.mutable
+    val wordSyms = init.map(_._1)
+    val freqs = init.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    // count DESC, then pair ASC — head is always the next merge
+    val sorted = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String))
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addCount(p: (String, String), delta: Long): Unit = {
+      val old = pairCounts.getOrElse(p, 0L)
+      if (old != 0L) sorted.remove((old, p._1, p._2))
+      val now = old + delta
+      if (now != 0L) { pairCounts(p) = now; sorted.add((now, p._1, p._2)) }
+      else pairCounts.remove(p)
+    }
+    def indexWord(syms: Array[String], wi: Int, f: Long, sign: Int): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        addCount(p, sign * f)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < wordSyms.length) { indexWord(wordSyms(wi), wi, freqs(wi), 1); wi += 1 }
     val merges = Array.newBuilder[(String, String)]
     var m = 0
     var exhausted = false
     while (m < numMerges && !exhausted) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((syms, f) <- words; p <- syms.zip(syms.tail))
-        pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
-      val candidates = pairCounts.filter(_._2 >= 2)
-      if (candidates.isEmpty) exhausted = true
+      if (sorted.isEmpty || sorted.head._1 < 2L) exhausted = true
       else {
-        val best = candidates.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val (_, a, b) = sorted.head
+        val best = (a, b)
         merges += best
-        val joined = best._1 + best._2
-        words = words.map { case (syms, f) =>
-          val out = List.newBuilder[String]
-          var rest = syms
-          while (rest.nonEmpty) rest match {
-            case a :: b :: tail if a == best._1 && b == best._2 =>
-              out += joined; rest = tail
-            case a :: tail => out += a; rest = tail
-            case Nil => ()
+        val joined = a + b
+        // sorted order for determinism is unnecessary (count updates
+        // commute) but free and makes replays byte-identical
+        val touched = pairWords.remove(best).map(_.toArray.sorted)
+          .getOrElse(Array.empty[Int])
+        for (w <- touched) {
+          val syms = wordSyms(w)
+          // the index is additive-only: entries go stale once a word
+          // mutates away from a pair, so re-check adjacency
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == a && syms(i + 1) == b) has = true
+            i += 1
           }
-          (out.result(), f)
+          if (has) {
+            indexWord(syms, w, freqs(w), -1)
+            val out = mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += joined; j += 2 // greedy left-to-right, non-overlapping
+              } else { out += syms(j); j += 1 }
+            }
+            val ns = out.toArray
+            wordSyms(w) = ns
+            indexWord(ns, w, freqs(w), 1)
+          }
         }
         m += 1
       }

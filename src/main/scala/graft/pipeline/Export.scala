@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sharded corpus export — the hand-off contract between a curation
@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * shuffle hash-partitions by shard id so each shard group lands in
   * exactly one task, and `partitionBy` then writes exactly one file
   * per shard directory. Within-shard order is (shard, id) — sorted in
-  * the task, no global sort.
+  * the task, no global sort. Empty-shard backfill is one extra job
+  * TOTAL (not one per shard) and goes through the Hadoop FileSystem
+  * API, so the fixed-directory-set contract holds on hdfs:// and
+  * s3:// exactly as on file://.
   */
 object Export {
 
@@ -45,12 +48,10 @@ object Export {
     // empty ones (small/skewed corpora otherwise break enumeration)
     val dataSchema = org.apache.spark.sql.types.StructType(
       assigned.schema.filterNot(_.name == "shard"))
-    (0 until numShards).foreach { n =>
-      val p = new java.io.File(s"$dir/shard=$n")
-      if (!p.exists())
-        df.sparkSession.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), dataSchema)
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.toString)
+    backfillEmptyShards(df.sparkSession, dir, numShards) { tmp =>
+      df.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), dataSchema)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
   }
 
@@ -81,6 +82,9 @@ object Export {
     * directory, same deterministic membership and in-shard order as
     * the parquet path), with the [[shardManifest]] written alongside
     * at `dir/_manifest` so consumers can verify what they ingest.
+    * Null-valued fields serialize explicitly (`"f":null`) so every
+    * line carries the full column set — strict fixed-schema JSONL
+    * consumers need identical key sets per line.
     */
   def exportShardsJsonl(df: DataFrame, idCol: String, dir: String,
                         numShards: Int, salt: String = ""): Unit = {
@@ -88,19 +92,58 @@ object Export {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .select(col("shard"),
-        to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+        to_json(struct(df.columns.map(col).toSeq: _*),
+          Map("ignoreNullFields" -> "false")).as("value"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").text(dir)
     // fixed directory set, like the parquet path: zero-row shards
     // still get an (empty) JSONL file
     val spark = df.sparkSession
     import spark.implicits._
-    (0 until numShards).foreach { n =>
-      val p = new java.io.File(s"$dir/shard=$n")
-      if (!p.exists())
-        Seq.empty[String].toDF("value")
-          .coalesce(1).write.mode(SaveMode.Overwrite).text(p.toString)
+    backfillEmptyShards(spark, dir, numShards) { tmp =>
+      Seq.empty[String].toDF("value")
+        .coalesce(1).write.mode(SaveMode.Overwrite).text(tmp)
     }
     shardManifest(df, idCol, numShards, salt)
       .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
+  }
+
+  /** Materialize `shard=N` directories for every shard the main
+    * `partitionBy` write skipped (it emits nothing for zero-row
+    * groups), preserving the loader's fixed-directory-set contract.
+    *
+    * Cost is independent of `numShards`: ONE Spark job writes the
+    * empty-shard template once to a temp dir, then plain filesystem
+    * copies fan it out to each missing directory (an empty parquet
+    * part is footer+schema only — a few hundred bytes — so thousands
+    * of copies are milliseconds each, vs. thousands of sequential
+    * Spark jobs before). Existence checks and copies use the Hadoop
+    * FileSystem resolved from the export URI, not `java.io.File`,
+    * so remote stores (hdfs://, s3a://) see the same behavior as the
+    * local filesystem.
+    */
+  private def backfillEmptyShards(spark: SparkSession, dir: String, numShards: Int)
+                                 (writeEmptyTemplate: String => Unit): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val present = fs.listStatus(root).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("shard=") =>
+        scala.util.Try(n.stripPrefix("shard=").toInt).toOption }
+      .flatten.toSet
+    val missing = (0 until numShards).filterNot(present)
+    if (missing.nonEmpty) {
+      val tmp = new Path(root, "_empty_shard_template")
+      writeEmptyTemplate(tmp.toString) // the only job — shard-count independent
+      val parts = fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-"))
+      missing.foreach { n =>
+        val dst = new Path(root, s"shard=$n")
+        fs.mkdirs(dst)
+        parts.foreach(p =>
+          FileUtil.copy(fs, p.getPath, fs, new Path(dst, p.getPath.getName), false, conf))
+      }
+      fs.delete(tmp, true)
+    }
   }
 }

@@ -63,6 +63,10 @@ object Similarity {
     * independent hash tables see independent hyperplanes.
     */
   def planeSignature(v: Column, planes: Int, seed: Int = 0): Column = {
+    // the LSH namespace is [0, 1<<30): seeds ≥ 2^20 would walk into the
+    // random-projection family's offset (1<<30) — fail loudly instead
+    require(seed >= 0 && seed < (1 << 20),
+      s"planeSignature seed $seed outside the LSH plane namespace [0, 2^20)")
     val bits = (0 until planes).map { j =>
       val row = typedLit(planeRow(seed * 1024 + j))
       // native dot runs over the shorter operand, so the plane row
@@ -91,9 +95,14 @@ object Similarity {
     */
   def randomProject(v: Column, k: Int, seed: Int = 0): Column = {
     require(k > 0, s"k $k must be positive")
+    // RP planes live at offset 1<<30, disjoint by construction from the
+    // LSH namespace (planeSignature caps seeds at 2^20, so its ids stay
+    // below 2^30); the seed bound here keeps the Int arithmetic safe
+    require(seed >= 0 && seed < ((Int.MaxValue - (1 << 30)) / 2048),
+      s"randomProject seed $seed outside the RP plane namespace")
     val scale = math.sqrt(k.toDouble)
     array((0 until k).map { j =>
-      val row = typedLit(planeRow((1 << 20) + seed * 2048 + j))
+      val row = typedLit(planeRow((1 << 30) + seed * 2048 + j))
       (dot(v, row) / scale).cast("float")
     }: _*)
   }

@@ -30,12 +30,19 @@ object RelationalQueries {
     */
   private val bucketedDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketedOrderTables(s: SparkSession, d: String): (String, String) = {
-    val cached = bucketedDirs.get(d).filter { case (lt, _) =>
+  private val bucketedLock = new Object
+  // the whole check-and-build is one critical section: concurrent q39
+  // calls must not race overlapping saveAsTable overwrites on the same
+  // table names (builds are once-per-dataset, so contention is nil)
+  private def bucketedOrderTables(s: SparkSession, d: String): (String, String) =
+    bucketedLock.synchronized {
+    val cached = bucketedDirs.get(d).filter { case (lt, ot) =>
       // a recreated session has a fresh in-memory catalog: the layout
       // files may survive on disk but the table registration does not,
-      // so rebuild rather than hand back a dangling name
-      s.catalog.tableExists(lt)
+      // so rebuild rather than hand back a dangling name — and BOTH
+      // tables must exist (orders' build could have failed after
+      // lineitem's succeeded)
+      s.catalog.tableExists(lt) && s.catalog.tableExists(ot)
     }
     cached.getOrElse {
       val tag = java.lang.Integer.toHexString(d.hashCode)

@@ -124,6 +124,18 @@ object QueryServer {
             val fetch = math.min(maxBody.toLong + 1, Int.MaxValue.toLong).toInt
             val bytes = ex.getRequestBody.readNBytes(fetch)
             if (bytes.length > maxBody) {
+              // drain (bounded) before responding: on keep-alive
+              // connections an undrained body makes the JDK server
+              // reset the connection mid-upload instead of delivering
+              // the 413. Clients streaming past the drain cap lose the
+              // connection — that is the correct outcome for them.
+              val drainBuf = new Array[Byte](8192)
+              var drained = 0L
+              var n = 0
+              while (n >= 0 && drained < (8L << 20)) {
+                n = ex.getRequestBody.read(drainBuf)
+                if (n > 0) drained += n
+              }
               respond(413, s"request body exceeds " +
                 s"spark.graft.server.maxBodyBytes=$maxBody", "text/plain")
               return
@@ -215,7 +227,11 @@ object QueryServer {
               case c =>
                 respond(500, s"error: ${c.getMessage}", "text/plain")
             }
-            case _: InterruptedException | _: java.util.concurrent.CancellationException =>
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt() // preserve interrupt status for the pool
+              spark.sparkContext.cancelJobGroup(group)
+              respond(500, "query execution interrupted", "text/plain")
+            case _: java.util.concurrent.CancellationException =>
               spark.sparkContext.cancelJobGroup(group)
               respond(500, "query execution interrupted", "text/plain")
           }

@@ -909,6 +909,50 @@ class PipelineSpec extends SparkTestBase {
     assert(rows(5L) === Seq(0f, 0f)) // null payload → zero vector
   }
 
+  test("bulk-row image featurization is bit-equal to the per-pixel reference") {
+    // A 64x48 image with deterministic per-pixel noise (seeded LCG) so
+    // every luma bucket and strip is populated; the operator's bulk
+    // getRGB(0,y,w,1,…) path must produce EXACTLY the vectors that the
+    // per-pixel getRGB(x,y) reference (computed here) produces.
+    val (w, h, dims) = (64, 48, 8)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var state = 0x12345678L
+    for (y <- 0 until h; x <- 0 until w) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      img.setRGB(x, y, ((state >>> 24) & 0xFFFFFF).toInt)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    // per-pixel reference: luma histogram (contentFeatures branch 1)
+    val counts = new Array[Long](dims)
+    val stripSums = new Array[Double](dims)
+    val stripCounts = new Array[Long](dims)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = decoded.getRGB(x, y)
+      val luma = (((rgb >> 16) & 0xFF) * 0.299 +
+        ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+      counts(math.min(dims - 1, (luma * dims).toInt)) += 1
+      val strip = math.min(dims - 1, x * dims / w)
+      stripSums(strip) += luma; stripCounts(strip) += 1
+    }
+    val expectedHist = Array.tabulate(dims)(i => (counts(i).toDouble / (w.toLong * h)).toFloat)
+    val expectedStrips = Array.tabulate(dims)(i =>
+      if (stripCounts(i) == 0) 0f else (stripSums(i) / stripCounts(i)).toFloat)
+    assert(counts.forall(_ > 0L), "fixture must populate every luma bucket")
+    val media = Seq((1L, png, "image/png")).toDF("media_id", "payload", "mime")
+      .withColumn("meta", struct(lit(w).as("width"), lit(h).as("height"),
+        lit(0L).as("duration_ms"), lit(16000).as("sample_rate")))
+    val hist = Multimodal.extractContentFeatures(media, dims = dims)
+      .collect()(0).getSeq[Float](4)
+    assert(hist === expectedHist.toSeq, "bulk-row histogram diverged from per-pixel reference")
+    val strips = Multimodal.decodeImages(media, dims = dims)
+      .collect()(0).getAs[scala.collection.Seq[Float]]("image_features")
+    assert(strips === expectedStrips.toSeq, "bulk-row strip means diverged from per-pixel reference")
+  }
+
   test("frame sampling emits one offset per second of video") {
     val one = Multimodal.frameSampleOffsets(
       Multimodal.asMediaTable(Seq((5L, "x")).toDF("doc_id", "text"), "doc_id", "text"))
@@ -955,6 +999,67 @@ class PipelineSpec extends SparkTestBase {
     // determinism: retraining yields the identical table
     assert(Bpe.trainMerges(corpus, "text", "doc_id", numMerges = 10)
       .toSeq === merges.toSeq)
+  }
+
+  test("incremental BPE matches the naive from-scratch recount, and scales to big vocabularies") {
+    import graft.pipeline.Bpe
+    // naive reference: full pair recount per merge (the pre-round-9
+    // implementation), run over the same word-frequency input
+    def naive(init: Array[(Array[String], Long)], numMerges: Int): Seq[(String, String)] = {
+      var words = init.map { case (s, f) => (s.toList, f) }
+      val out = Seq.newBuilder[(String, String)]
+      var m = 0
+      var exhausted = false
+      while (m < numMerges && !exhausted) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((syms, f) <- words; p <- syms.zip(syms.tail))
+          pc(p) = pc.getOrElse(p, 0L) + f
+        val cand = pc.filter(_._2 >= 2)
+        if (cand.isEmpty) exhausted = true
+        else {
+          val best = cand.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += best
+          val joined = best._1 + best._2
+          words = words.map { case (syms, f) =>
+            val o = List.newBuilder[String]
+            var rest = syms
+            while (rest.nonEmpty) rest match {
+              case a :: b :: tail if a == best._1 && b == best._2 =>
+                o += joined; rest = tail
+              case a :: tail => o += a; rest = tail
+              case Nil => ()
+            }
+            (o.result(), f)
+          }
+          m += 1
+        }
+      }
+      out.result()
+    }
+    // word set with overlap-heavy shapes (aaa…, repeated stems, ties)
+    def wf(pairs: (String, Long)*): Array[(Array[String], Long)] =
+      pairs.toArray.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val fixtures = Seq(
+      wf("low" -> 5L, "lower" -> 2L, "lowest" -> 1L, "newest" -> 3L, "new" -> 4L),
+      wf("aaaa" -> 3L, "aaab" -> 2L, "abab" -> 2L, "bbbb" -> 1L),
+      wf("xy" -> 2L, "yx" -> 2L, "xx" -> 2L, "yy" -> 2L)) // all-ties round
+    fixtures.foreach { f =>
+      assert(Bpe.learnFromWordFreq(f.map { case (s, c) => (s.clone(), c) }, 50).toSeq
+        === naive(f, 50),
+        s"incremental diverged from naive on ${f.map(_._1.mkString).mkString(",")}")
+    }
+    // big-vocabulary case: 4000 distinct synthetic words, 2000 merges.
+    // The naive recount is quadratic here; the incremental path must
+    // finish in seconds (bounded wall-clock assertion, generous margin)
+    val bigWords = (0 until 4000).map { i =>
+      val w = java.lang.Long.toString((i * 2654435761L) & 0xfffffff, 26) + (i % 7)
+      (w.map(_.toString).toArray, (i % 13 + 1).toLong)
+    }.toArray
+    val t0 = System.nanoTime()
+    val big = Bpe.learnFromWordFreq(bigWords, 2000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(big.length >= 1000, s"expected ≥1000 merges before exhaustion, got ${big.length}")
+    assert(secs < 20.0, s"${big.length} merges over 4000 words took ${secs}s")
   }
 
   test("exportShards: one file per shard, stable membership, round-trip exact") {
@@ -1029,6 +1134,53 @@ class PipelineSpec extends SparkTestBase {
       .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).toSet
     assert(dirs3 === (0 until 6).map(n => s"shard=$n").toSet)
     assert(spark.read.parquet(dir3).count() === 3L)
+  }
+
+  test("empty-shard backfill runs a constant number of jobs, independent of numShards") {
+    // 3 docs into 64 shards: ≥61 shards are empty. The old backfill ran
+    // one Spark job per missing shard (61+ jobs); the fixed version
+    // writes one template job and fans out with filesystem copies.
+    val small = Tables.documents(spark, "/root/testdata/sf0.001").limit(3)
+    small.count() // materialize the limit outside the measured window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Export.exportShards(small, "doc_id", dir, numShards = 64, salt = "jc")
+      // listener events dispatch asynchronously; wait until the count
+      // stabilizes (two equal reads) rather than poking Spark internals
+      var prev = -1
+      var tries = 0
+      while (prev != jobs.get() && tries < 20) {
+        prev = jobs.get(); Thread.sleep(150); tries += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 5, s"export ran ${jobs.get()} jobs — backfill must not scale with numShards")
+    // and the contract still holds: all 64 directories exist, rows intact
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs === (0 until 64).map(n => s"shard=$n").toSet)
+    assert(spark.read.parquet(dir).count() === 3L)
+  }
+
+  test("jsonl export serializes null fields explicitly — fixed key set per line") {
+    val withNulls = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("doc_id", "maybe")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-nulls").toString
+    Export.exportShardsJsonl(withNulls, "doc_id", dir, numShards = 2, salt = "nn")
+    val lines = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".txt")))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+    assert(lines.length === 3)
+    lines.foreach { l =>
+      assert(l.contains("\"maybe\":"), s"every line must carry every field: $l")
+    }
+    assert(lines.exists(_.contains("\"maybe\":null")))
   }
 
   test("compressionRatio: repetition below varied text, empty=1, binary path works") {
