@@ -58,6 +58,38 @@ object Similarity {
   private def planeRow(j: Int): Seq[Double] =
     (0 until MaxDims).map(i => if ((mix(j.toLong * MaxDims + i) & 1L) == 0L) 1d else -1d)
 
+  /** The literal ±1 hyperplane matrix behind [[planeSignature]], sliced
+    * to `dim` columns — exposed so an engine-portable oracle can
+    * re-derive bucket signatures outside Spark. Slicing is exact: the
+    * native dot runs over the shorter operand, so plane row j of a
+    * dim-wide vector uses exactly these `dim` entries.
+    */
+  def lshPlanes(planes: Int, dim: Int, seed: Int = 0): Array[Array[Double]] = {
+    require(dim > 0 && dim <= MaxDims, s"dim $dim outside (0, $MaxDims]")
+    Array.tabulate(planes)(j => planeRow(seed * 1024 + j).take(dim).toArray)
+  }
+
+  /** Data-INDEPENDENT unit-norm coarse-quantizer centroids from a
+    * seeded splitmix stream (a distinct tweak constant keeps the draw
+    * disjoint from the hyperplane family). Where [[trainCentroids]]
+    * adapts cells to the data (better recall, but the fit is state), an
+    * oblivious quantizer is a pure function of (nlist, dim, seed): both
+    * engines of a differential test can regenerate it, and an index
+    * built with it never needs a training pass — the determinized IVF
+    * entry the DuckDB oracle re-derives end to end.
+    */
+  def obliviousCentroids(nlist: Int, dim: Int, seed: Int = 0): Array[Array[Double]] = {
+    require(nlist > 0 && dim > 0, s"nlist $nlist / dim $dim must be positive")
+    Array.tabulate(nlist) { ci =>
+      unitNormalized(Array.tabulate(dim) { i =>
+        // uniform in [-1, 1): top 53 bits of the mixed draw
+        val u = (mix(0x5EEDCE115L + (seed.toLong << 32) + ci.toLong * dim + i) >>> 11)
+          .toDouble / (1L << 53).toDouble
+        u * 2d - 1d
+      })
+    }
+  }
+
   /** LSH signature: one bit per hyperplane = sign of the projection
     * against a literal ±1 plane row. `seed` offsets the plane family so
     * independent hash tables see independent hyperplanes.
@@ -493,9 +525,19 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(trainCentroids(corpus, vecCol, idCol, nlist),
+      corpus, probes, vecCol, idCol, k, nprobe)
+
+  /** [[ivfTopK]] with an explicit coarse quantizer — the seam that
+    * takes either a trained model or the data-independent
+    * [[obliviousCentroids]] (which makes the whole search a pure
+    * function of its literals, re-derivable by an external oracle).
+    */
+  def ivfTopKWith(cents: Array[Array[Double]], corpus: DataFrame, probes: DataFrame,
+                  vecCol: String, idCol: String, k: Int,
+                  nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = trainCentroids(corpus, vecCol, idCol, nlist)
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"),

@@ -10,11 +10,14 @@ import graft.pipeline.{Bpe, Classifier, Dedup, Multimodal, Pq, Sampling, Similar
   * similarity search, text analysis, multimodal) over the synthetic
   * `documents` / `embeddings` tables.
   *
-  * The only entries without an oracle are the ANN/LSH ones whose
-  * output depends on bucketing recall or a k-means fit (p06, p11,
-  * p12) — those run under the driver's rows-only check with recall
-  * asserted in ScalaTest. Everything hash-dependent is gated through
-  * the portable 60-bit md5 word hash, which DuckDB re-derives.
+  * EVERY entry has a DuckDB oracle, the ANN family included: the LSH
+  * hyperplanes are plan literals and the p12 IVF entry uses the
+  * data-independent oblivious quantizer, so the oracle SQL re-derives
+  * bucket signatures / cell assignments from the same inlined
+  * matrices and replays candidate-generation → exact re-rank end to
+  * end (both engines accumulate dots in double, left to right).
+  * Everything hash-dependent is gated through the portable 60-bit md5
+  * word hash, which DuckDB re-derives.
   */
 object PipelineQueries {
 
@@ -78,25 +81,33 @@ object PipelineQueries {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
-    "p06_ann_lsh" -> ((s, d) => { // rows-only; recall asserted in ScalaTest
+    // fully oracle-checked: the hyperplanes are plan literals, so the
+    // DuckDB oracle recomputes every table's signatures + 1-bit-flip
+    // probe buckets from the same inlined matrix and replays the
+    // candidate-union → exact re-rank (recall separately gated by p23)
+    "p06_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
         k = 10, planes = 8)
         .withColumn("cos", round(col("cos"), 6))
     }),
 
-    // rows-only: cell assignment depends on the k-means fit; recall vs
-    // the exact baseline asserted in PipelineSpec
+    // fully oracle-checked IVF: the coarse quantizer here is the
+    // data-INDEPENDENT oblivious one (a pure function of nlist/dim/
+    // seed), so the oracle re-derives cell assignment and nprobe cell
+    // probing from the same centroid literals; the trained-k-means
+    // path keeps its recall gate in p25
     "p12_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
-        k = 10, nlist = 16, nprobe = 6)
+      Similarity.ivfTopKWith(Similarity.obliviousCentroids(16, EmbDim),
+        emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nprobe = 6)
         .withColumn("cos", round(col("cos"), 6))
     }),
 
-    // rows-only: bucketing is hyperplane-LSH (same xxhash64-seeded
-    // planes as p06); pair values asserted in PipelineSpec against the
-    // exact-cosine baseline
+    // fully oracle-checked: single-table signature equality from the
+    // same literal planes + exact cosine at 0.99 (0 rows at small SFs —
+    // no true pairs over near-random vectors; p49 plants rows)
     "p11_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "embedding", "vec_id",
         planes = 8, threshold = 0.99)
@@ -783,6 +794,45 @@ object PipelineQueries {
   private def drawSql(salt: String): String =
     s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), 1, 8) AS BIGINT) / 4294967296.0"
 
+  // ---- ANN bucket re-derivation (p06 / p11 / p12) -------------------
+  // The synthetic embeddings table is 64-wide; the oracle inlines
+  // plane/centroid matrices at this width, so a width change fails the
+  // oracle loudly instead of silently truncating.
+  private val EmbDim = 64
+
+  // Render a double so DuckDB parses back the identical IEEE value:
+  // Double.toString round-trips, and the exponent suffix forces a
+  // DOUBLE literal (a bare decimal parses as DECIMAL and re-rounds).
+  private def dlit(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E")) s.replace("E", "e") else s + "e0"
+  }
+  private def arrLit(v: Array[Double]): String = v.map(dlit).mkString("[", ",", "]")
+
+  /** SQL for `Similarity.planeSignature(e, planes, table)`: per-plane
+    * sign of the dot against the SAME ±1 literal rows, packed into the
+    * same bit positions. Both engines accumulate the dot left-to-right
+    * in double over identical operands, so the signs agree exactly.
+    */
+  private def sigSql(e: String, planes: Int, table: Int): String =
+    Similarity.lshPlanes(planes, EmbDim, table).zipWithIndex.map { case (row, j) =>
+      s"(CASE WHEN list_dot_product($e, ${arrLit(row)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+
+  /** Shared candidate → exact-cosine re-rank tail: top-k per probe with
+    * the same (cos desc, neighbor asc) tie-break as the Spark side.
+    * Expects CTEs `p`/`c` (vec_id, e) and `cand` (probe_id, neighbor_id).
+    */
+  private def rerankSql(k: Int): String =
+    s"""SELECT probe_id, neighbor_id, round(cos, 6) AS cos FROM (
+       |  SELECT cand.probe_id, cand.neighbor_id,
+       |    list_cosine_similarity(pp.e, cc.e) AS cos,
+       |    row_number() OVER (PARTITION BY cand.probe_id
+       |      ORDER BY list_cosine_similarity(pp.e, cc.e) DESC, cand.neighbor_id ASC) rnk
+       |  FROM cand JOIN p pp ON pp.vec_id = cand.probe_id
+       |            JOIN c cc ON cc.vec_id = cand.neighbor_id) t
+       |WHERE rnk <= $k""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
@@ -1093,6 +1143,69 @@ object PipelineQueries {
         |      ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC, c.vec_id ASC) rnk
         |  FROM c JOIN p ON c.vec_id <> p.vec_id)
         |WHERE rnk <= 10""".stripMargin,
+
+    // full LSH replay: 4 tables × 8-plane signatures from the inlined
+    // ±1 matrices, probe buckets = own signature + 8 one-bit flips per
+    // table, distinct candidate union, exact-cosine top-10 re-rank —
+    // the same pipeline the Spark plan runs, re-derived in SQL
+    "p06_ann_lsh" -> {
+      val cb = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS t, CAST(${sigSql("e", 8, t)} AS BIGINT) AS sig FROM c")
+        .mkString("\n  UNION ALL\n  ")
+      val pbase = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS t, CAST(${sigSql("e", 8, t)} AS BIGINT) AS sig FROM p")
+        .mkString("\n  UNION ALL\n  ")
+      val flips = (Seq(0L) ++ (0 until 8).map(j => 1L << j)).map(f => s"($f)").mkString(",")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM EMB),
+         |p AS (SELECT * FROM c WHERE vec_id < 5),
+         |cb AS (
+         |  $cb),
+         |pbase AS (
+         |  $pbase),
+         |pb AS (SELECT DISTINCT vec_id, t, xor(sig, CAST(f AS BIGINT)) AS sig
+         |       FROM pbase, (VALUES $flips) flips(f)),
+         |cand AS (SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS neighbor_id
+         |         FROM pb JOIN cb USING (t, sig) WHERE cb.vec_id <> pb.vec_id)
+         |${rerankSql(10)}""".stripMargin
+    },
+
+    // single-table signature equality from the same literal planes +
+    // exact cosine ≥ 0.99 (unrounded threshold, like the Spark filter)
+    "p11_embedding_neardup" -> {
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM EMB),
+         |s AS (SELECT vec_id, e, CAST(${sigSql("e", 8, 0)} AS BIGINT) AS sig FROM c)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_cosine_similarity(a.e, b.e), 6) AS cos,
+         |    list_cosine_similarity(a.e, b.e) AS rawcos
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id) t
+         |WHERE rawcos >= 0.99""".stripMargin
+    },
+
+    // oblivious-quantizer IVF replay: argmax cell assignment over the
+    // 16 inlined unit-norm centroids (ties → lower cell id, matching
+    // rankedCells), probes scan their top-6 cells, exact re-rank
+    "p12_ann_ivf" -> {
+      val centVals = Similarity.obliviousCentroids(16, EmbDim).zipWithIndex
+        .map { case (cv, i) => s"($i, ${arrLit(cv)})" }.mkString(",\n    ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM EMB),
+         |p AS (SELECT * FROM c WHERE vec_id < 5),
+         |cent AS (SELECT * FROM (VALUES
+         |    $centVals) t(cid, cv)),
+         |ca AS (SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, cent.cid AS cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(c.e, cent.cv) DESC, cent.cid ASC) r
+         |    FROM c, cent) t WHERE r = 1),
+         |pa AS (SELECT probe_id, cell FROM (
+         |    SELECT p.vec_id AS probe_id, cent.cid AS cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_dot_product(p.e, cent.cv) DESC, cent.cid ASC) r
+         |    FROM p, cent) t WHERE r <= 6),
+         |cand AS (SELECT pa.probe_id, ca.vec_id AS neighbor_id
+         |         FROM pa JOIN ca USING (cell) WHERE ca.vec_id <> pa.probe_id)
+         |${rerankSql(10)}""".stripMargin
+    },
 
     "p07_text_metrics" ->
       """SELECT doc_id,

@@ -1643,6 +1643,33 @@ class PipelineSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("oblivious IVF quantizer: unit-norm, deterministic, search recalls against brute force") {
+    val cents = Similarity.obliviousCentroids(16, 64)
+    assert(cents.length === 16 && cents.forall(_.length === 64))
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12, s"centroid norm $n")
+    }
+    // pure function of (nlist, dim, seed): regenerating yields the
+    // identical matrix; a different seed yields a different one
+    assert(Similarity.obliviousCentroids(16, 64).map(_.toSeq).toSeq ===
+      cents.map(_.toSeq).toSeq)
+    assert(Similarity.obliviousCentroids(16, 64, seed = 1).map(_.toSeq).toSeq !==
+      cents.map(_.toSeq).toSeq)
+    // search through the fixed quantizer still finds real neighbors:
+    // probing 6 of 16 random cells must beat the ~6/16 random floor is
+    // not guaranteed for near-random data, but exact duplicates always
+    // share a cell (argmax over identical scores) — plant and assert
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val hits = Similarity.ivfTopKWith(cents, emb.unionByName(planted),
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 1, nprobe = 6)
+      .filter(col("neighbor_id") === col("probe_id") + 10000).count()
+    assert(hits === 5L, s"planted duplicates must be each probe's top-1, got $hits")
+  }
+
   test("dimension reduction: RP is stateless-deterministic, PCA preserves neighbors") {
     import org.apache.spark.sql.functions.{udf => _, _}
     // planted duplicate: vec 0 cloned as id 9001 — any linear map keeps
