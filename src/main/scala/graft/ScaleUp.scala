@@ -46,18 +46,41 @@ object ScaleUp {
       }.drop("__rep")
     }
 
+  /** Pathological-skew transform for stress benchmarks: ~20% of docs
+    * become ONE identical boilerplate string (a single white-hot
+    * shingle group / minhash bucket / winnowing fingerprint) and ~95%
+    * collapse onto one language (a single white-hot resampling key).
+    * This is the data shape that squares a naive dedup engine's pair
+    * counts; the election/cap/temperature paths must stay ~linear on
+    * it, which `graft.SkewBench` records.
+    */
+  def skewDocuments(df: DataFrame): DataFrame = {
+    val boiler = "click here to accept all cookies and subscribe to our " +
+      "newsletter for the latest updates offers and breaking news " +
+      "delivered straight to your inbox every single day"
+    df.withColumn("text",
+        when(pmod(xxhash64(col("doc_id"), lit("skew-text")), lit(5L)) === 0L,
+          lit(boiler)).otherwise(col("text")))
+      .withColumn("lang",
+        when(pmod(xxhash64(col("doc_id"), lit("skew-lang")), lit(20L)) < 19L,
+          lit("en")).otherwise(col("lang")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/data/sf1-derived")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val skew = args.lift(3).contains("skew")
     val spark = GraftSession.get()
     for ((t, keys) <- keyCols) {
       val df = spark.read.parquet(s"$src/$t.parquet")
-      scaleTable(spark, df, keys, factor)
+      val scaled = scaleTable(spark, df, keys, factor)
+      (if (skew && t == "documents") skewDocuments(scaled) else scaled)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       System.err.println(s"[scaleup] $t done")
     }
-    println(s"scaled $src x$factor -> $out")
+    println(s"scaled $src x$factor${if (skew) " +skew" else ""} -> $out")
     spark.stop()
   }
 }

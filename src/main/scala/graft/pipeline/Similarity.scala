@@ -470,6 +470,50 @@ object Similarity {
     stored.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
+  /** Compact fragmented cell partitions of a persisted IVF index: each
+    * [[appendToIvfIndex]] increment adds small files per touched cell,
+    * and many increments degrade scan efficiency (file-open overhead,
+    * tiny row groups). Cells whose file count exceeds
+    * `maxFilesPerCell` are rewritten — ONE Spark job for all of them
+    * (the read prunes to the fragmented cells via the partition
+    * column), then a per-cell directory swap through the Hadoop
+    * FileSystem API. Untouched cells are never rewritten, and rows/
+    * layout are unchanged — only the file count drops. Offline
+    * maintenance like a faiss rebuild: run it between query batches,
+    * not concurrently with them (the swap is not atomic for readers
+    * mid-listing).
+    *
+    * Returns the number of cells compacted.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      maxFilesPerCell: Int = 4): Int = {
+    import org.apache.hadoop.fs.Path
+    require(maxFilesPerCell >= 1, s"maxFilesPerCell $maxFilesPerCell must be ≥ 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val vroot = new Path(s"$dir/vectors")
+    val fs = vroot.getFileSystem(conf)
+    val cells = fs.listStatus(vroot).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerCell)
+      .map(st => st.getPath.getName.stripPrefix("cell=").toInt)
+      .toSeq
+    if (cells.isEmpty) return 0
+    val tmp = new Path(vroot, "_compact_tmp")
+    spark.read.parquet(vroot.toString)
+      .filter(col("cell").isin(cells: _*))
+      .repartition(cells.length, col("cell")) // ≤1 task per cell → 1 file per cell
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    cells.foreach { n =>
+      val src = new Path(tmp, s"cell=$n")
+      val dst = new Path(vroot, s"cell=$n")
+      fs.delete(dst, true)
+      fs.rename(src, dst)
+    }
+    fs.delete(tmp, true)
+    cells.length
+  }
+
   /** IVF search against a persisted [[buildIvfIndex]] layout. The
     * centroid table is a bounded model artifact (nlist rows) collected
     * once; the vectors table joins on its PARTITION column, so dynamic

@@ -390,6 +390,44 @@ class PipelineSpec extends SparkTestBase {
       s"appended vectors not found as top-1: $hits")
   }
 
+  test("IVF compaction shrinks fragmented cells; rows and search results unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 100),
+      "embedding", "vec_id", dir, nlist = 4)
+    // 10 small appends fragment every cell well past the threshold
+    for (i <- 0 until 10)
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") >= i * 10 && col("vec_id") < (i + 1) * 10),
+        "embedding", "vec_id", dir)
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(s"$dir/vectors").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.startsWith("part-"))).toMap
+    def snapshot(): (Long, Long) = {
+      val v = spark.read.parquet(s"$dir/vectors")
+      (v.count(), v.agg(bit_xor(xxhash64(col("vec_id")))).head().getLong(0))
+    }
+    val probes = emb.filter(col("vec_id") < 5)
+    def search(): Set[(Long, Long)] =
+      Similarity.ivfTopKIndexed(probes, dir, "embedding", "vec_id", k = 5, nprobe = 2)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (filesBefore, snapBefore, resBefore) = (cellFiles(), snapshot(), search())
+    assert(filesBefore.values.exists(_ > 4), s"fixture must fragment: $filesBefore")
+    val n = Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 4)
+    assert(n === filesBefore.count(_._2 > 4), s"compacted $n of $filesBefore")
+    val filesAfter = cellFiles()
+    assert(filesAfter.keySet === filesBefore.keySet, "cell set must not change")
+    filesAfter.foreach { case (cell, files) =>
+      if (filesBefore(cell) > 4) assert(files === 1, s"$cell still has $files files")
+      else assert(files === filesBefore(cell), s"$cell was rewritten needlessly")
+    }
+    assert(snapshot() === snapBefore, "rows/ids must survive compaction")
+    assert(search() === resBefore, "search results must survive compaction")
+    // idempotent: a second pass finds nothing to do
+    assert(Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 4) === 0)
+  }
+
   test("IVF-PQ append encodes with stored codebooks; twins found after append") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
     val base = emb.filter(col("vec_id") >= 10)

@@ -85,6 +85,51 @@ class ServerSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.server.timeoutMs")
   }
 
+  test("saturation: 16 concurrent mixed requests; fast queries finish while a runaway burns its own timeout") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // one deliberately slow query (triple cartesian, can only die by
+    // timeout) + 15 fast ones, half GET half POST. FAIR pools must let
+    // the fast ones through while the runaway occupies the cluster,
+    // and the timeout must fire for the runaway REQUEST only.
+    val fastQ = "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 3"
+    val fastGet = "/query?query=" + java.net.URLEncoder.encode(fastQ, "UTF-8")
+    val runaway = "/query?query=" + java.net.URLEncoder.encode(
+      "SELECT ?a ?b ?c WHERE { ?a ?p1 ?o1 . ?b ?p2 ?o2 . ?c ?p3 ?o3 }", "UTF-8")
+    get(fastGet) // warm the translation path outside the measured window
+    spark.conf.set("spark.graft.server.timeoutMs", "20000")
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val slowF = Future(timed(get(runaway)))
+      val fastFs = (0 until 15).map { i =>
+        Future(timed(
+          if (i % 2 == 0) get(fastGet)
+          else post("/query", fastQ, "application/sparql-query")))
+      }
+      val fasts = Await.result(Future.sequence(fastFs), 120.seconds)
+      val ((slowCode, slowBody, _), slowSecs) = Await.result(slowF, 120.seconds)
+      fasts.foreach { case ((code, body, _), secs) =>
+        assert(code === 200, s"fast query failed: $code $body")
+        assert(body.contains("\"bindings\""))
+        assert(secs < 18.0, f"fast query took $secs%.1f s — starved behind the runaway")
+      }
+      assert(slowCode === 503, s"runaway must time out: $slowCode $slowBody")
+      assert(slowBody.contains("spark.graft.server.timeoutMs"))
+      // the timeout fired for the runaway request alone, not globally:
+      // every fast request beat it (strictly interleaved execution)
+      assert(fasts.map(_._2).max < slowSecs,
+        f"fast max ${fasts.map(_._2).max}%.1f s vs runaway $slowSecs%.1f s")
+      // and the session serves cleanly afterwards
+      val (okCode, okBody, _) = get(fastGet)
+      assert(okCode === 200 && okBody.contains("\"bindings\""))
+    } finally spark.conf.unset("spark.graft.server.timeoutMs")
+  }
+
   test("GET /query returns SPARQL-Results-JSON with CORS") {
     val (code, body, headers) =
       get("/query?query=" + java.net.URLEncoder.encode(
