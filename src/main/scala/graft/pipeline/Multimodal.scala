@@ -47,14 +47,18 @@ object Multimodal {
     * codecs and the feature vector is a statistic of the CONTENT, so
     * two encodings of the same media land on (near-)equal vectors —
     * which is what every downstream consumer (semdedup, embedding
-    * near-dup) actually needs. Dispatch, in order:
+    * near-dup) actually needs. Dispatch, in order (each codec is only
+    * ATTEMPTED behind a magic-byte sniff — see [[looksLikeImage]] —
+    * because per-row codec rejection dominates everything else on a
+    * mostly-text corpus):
     *
-    *  1. `javax.imageio` decode succeeds → `dims`-bucket luminance
-    *     HISTOGRAM (fraction of pixels per luma bucket). Lossless
-    *     re-encodes (PNG↔BMP) produce identical vectors; lossy
-    *     re-encodes near-equal ones.
-    *  2. `javax.sound.sampled` decode succeeds → `dims`-window RMS
-    *     energy moments of the 16-bit PCM stream.
+    *  1. image magic (PNG/JPEG/GIF/BMP) and `javax.imageio` decode
+    *     succeeds → `dims`-bucket luminance HISTOGRAM (fraction of
+    *     pixels per luma bucket). Lossless re-encodes (PNG↔BMP)
+    *     produce identical vectors; lossy re-encodes near-equal ones.
+    *  2. audio magic (WAV/AIFF/AU) and `javax.sound.sampled` decode
+    *     succeeds → `dims`-window RMS energy moments of the 16-bit
+    *     PCM stream.
     *  3. otherwise (text/opaque blobs) → per-strip mean byte value in
     *     [0,1]: the payload split into `dims` contiguous strips,
     *     feature i = mean(bytes of strip i)/255.
@@ -77,12 +81,40 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Magic-byte sniff for the formats the JDK ships image codecs for
+    * (PNG/JPEG/GIF/BMP). Decoding is attempted ONLY behind a matching
+    * magic: `ImageIO.read` on a non-image payload walks the whole
+    * reader-SPI registry before failing, and at corpus scale that
+    * per-row rejection cost dominates the actual decodes (p09 was
+    * ~10 s/50k rows of it). A payload with a matching magic that still
+    * fails to decode keeps the corrupt-blob-degrades policy.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 &&
+      ((p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
+  /** Same pre-sniff for the JDK's audio container formats (WAV/AIFF/
+    * AU): `AudioSystem.getAudioInputStream` REJECTS by throwing, and an
+    * exception per non-audio row is even costlier than the image-SPI
+    * walk.
+    */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 4 &&
+      ((p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+        (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+        (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
   /** The per-payload kernel behind [[extractContentFeatures]]. */
   private[pipeline] def contentFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
     if (payload == null || payload.isEmpty) return new Array[Float](dims)
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case scala.util.control.NonFatal(_) => null } // codec bugs degrade, never kill the job
+      if (!looksLikeImage(payload)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null } // codec bugs degrade, never kill the job
     if (img != null) {
       val (w, h) = (img.getWidth, img.getHeight)
       val counts = new Array[Long](dims)
@@ -106,7 +138,7 @@ object Multimodal {
       val n = w.toLong * h
       return Array.tabulate(dims)(i => (counts(i).toDouble / n).toFloat)
     }
-    val clip = decodePcm(payload)
+    val clip = if (looksLikeAudio(payload)) decodePcm(payload) else null
     if (clip != null) return windowedRms(clip.samples, dims)
     // opaque-blob fallback: per-strip mean byte value (engine-portable —
     // this is the branch the DuckDB oracle reproduces over text payloads)
@@ -250,7 +282,7 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val img =
-          if (payload == null || payload.isEmpty) null
+          if (payload == null || payload.isEmpty || !looksLikeImage(payload)) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
             catch { case scala.util.control.NonFatal(_) => null } // codec bugs degrade, never kill the job
@@ -301,7 +333,7 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val img =
-          if (payload == null || payload.isEmpty) null
+          if (payload == null || payload.isEmpty || !looksLikeImage(payload)) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
             catch { case scala.util.control.NonFatal(_) => null } // codec bugs degrade, never kill the job
@@ -350,7 +382,7 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val clip =
-          if (payload == null || payload.isEmpty) null
+          if (payload == null || payload.isEmpty || !looksLikeAudio(payload)) null
           else decodePcm(payload) // shared byte→16-bit-PCM kernel
         if (clip == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
