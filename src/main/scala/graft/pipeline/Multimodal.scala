@@ -94,7 +94,14 @@ object Multimodal {
       ((p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
         (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
         (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
-        (p(0) == 'B' && p(1) == 'M'))
+        (p(0) == 'B' && p(1) == 'M') ||
+        // TIFF, both byte orders (the JDK ships a TIFF reader too)
+        (p(0) == 'I' && p(1) == 'I' && p(2) == 0x2A.toByte && p(3) == 0) ||
+        (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 0x2A.toByte))
+  // Known sniff gap: WBMP has no magic bytes, so WBMP payloads (which
+  // ImageIO could read) take the opaque-blob branch. Acceptable: the
+  // format is extinct in crawls, and a magic-less sniff would reopen
+  // the per-row registry walk this guard exists to avoid.
 
   /** Same pre-sniff for the JDK's audio container formats (WAV/AIFF/
     * AU): `AudioSystem.getAudioInputStream` REJECTS by throwing, and an

@@ -66,6 +66,11 @@ object Similarity {
     */
   def lshPlanes(planes: Int, dim: Int, seed: Int = 0): Array[Array[Double]] = {
     require(dim > 0 && dim <= MaxDims, s"dim $dim outside (0, $MaxDims]")
+    // same namespace guard as planeSignature: this function's contract
+    // is "the matrix BEHIND planeSignature", so it must reject exactly
+    // the seeds planeSignature rejects
+    require(seed >= 0 && seed < (1 << 20),
+      s"lshPlanes seed $seed outside the LSH plane namespace [0, 2^20)")
     Array.tabulate(planes)(j => planeRow(seed * 1024 + j).take(dim).toArray)
   }
 
@@ -124,6 +129,13 @@ object Similarity {
     * operand, so embeddings wider than MaxDims would be projected from
     * their first 128 coordinates only — raise MaxDims before using
     * either API on wider vectors.
+    *
+    * PLANE-FAMILY VERSION NOTE: the RP namespace moved from offset
+    * 2^20 to 2^30 (the old offset collided with LSH seeds ≥ 1024), so
+    * projections differ from those produced before the change. Any
+    * artifact persisted over OLD projections (e.g. an IVF index built
+    * on reduced vectors) must be rebuilt — determinism holds within a
+    * plane-family version, not across the fix.
     */
   def randomProject(v: Column, k: Int, seed: Int = 0): Column = {
     require(k > 0, s"k $k must be positive")
@@ -492,6 +504,19 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     val vroot = new Path(s"$dir/vectors")
     val fs = vroot.getFileSystem(conf)
+    // repair pass: a crash between the two renames below leaves a
+    // cell's rows set aside under _compact_old_cell=N with no live
+    // cell=N — restore it before anything else
+    fs.listStatus(vroot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_compact_old_cell=")) {
+        val live = new Path(vroot, name.stripPrefix("_compact_old_"))
+        if (!fs.exists(live)) {
+          require(fs.rename(st.getPath, live),
+            s"compactIvfIndex: failed to restore $live from ${st.getPath}")
+        } else fs.delete(st.getPath, true) // compacted copy is live; drop leftover
+      }
+    }
     val cells = fs.listStatus(vroot).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .filter(st => fs.listStatus(st.getPath)
@@ -507,8 +532,18 @@ object Similarity {
     cells.foreach { n =>
       val src = new Path(tmp, s"cell=$n")
       val dst = new Path(vroot, s"cell=$n")
-      fs.delete(dst, true)
-      fs.rename(src, dst)
+      // set-aside/rename-in/delete, never delete-then-rename: Hadoop
+      // rename reports failure via its RETURN VALUE, and a delete that
+      // succeeded before a rename that didn't would silently drop the
+      // cell from the index. Each step is checked; a crash mid-swap
+      // leaves the rows under _compact_old_cell=N, which the repair
+      // pass above restores on the next call.
+      val old = new Path(vroot, s"_compact_old_cell=$n")
+      require(fs.rename(dst, old),
+        s"compactIvfIndex: failed to set aside $dst")
+      require(fs.rename(src, dst),
+        s"compactIvfIndex: failed to move compacted $src into place")
+      fs.delete(old, true)
     }
     fs.delete(tmp, true)
     cells.length

@@ -228,9 +228,14 @@ object QueryServer {
                 respond(500, s"error: ${c.getMessage}", "text/plain")
             }
             case _: InterruptedException =>
-              Thread.currentThread().interrupt() // preserve interrupt status for the pool
               spark.sparkContext.cancelJobGroup(group)
+              // respond BEFORE restoring the interrupt flag: the JDK
+              // server writes through an interruptible SocketChannel,
+              // and a blocking write on an already-interrupted thread
+              // throws ClosedByInterruptException instead of delivering
+              // the 500
               respond(500, "query execution interrupted", "text/plain")
+              Thread.currentThread().interrupt() // preserve interrupt status for the pool
             case _: java.util.concurrent.CancellationException =>
               spark.sparkContext.cancelJobGroup(group)
               respond(500, "query execution interrupted", "text/plain")

@@ -916,8 +916,9 @@ class PipelineSpec extends SparkTestBase {
       javax.imageio.ImageIO.write(img, fmtName, buf)
       buf.toByteArray
     }
-    val (png, bmp) = (enc("png"), enc("bmp"))
+    val (png, bmp, tif) = (enc("png"), enc("bmp"), enc("tiff"))
     assert(!png.sameElements(bmp))
+    assert(tif.nonEmpty, "JDK TIFF writer must produce bytes")
     // a real WAV exercises the audio branch
     val rate = 8000
     val samples = new Array[Byte](rate * 2) // 1s of silence
@@ -930,7 +931,8 @@ class PipelineSpec extends SparkTestBase {
     val media = Seq(
       (1L, png), (2L, bmp), (3L, wbuf.toByteArray),
       (4L, "AAAAzzzz".getBytes("UTF-8")), // opaque fallback: strip means
-      (5L, null.asInstanceOf[Array[Byte]]))
+      (5L, null.asInstanceOf[Array[Byte]]),
+      (6L, tif)) // TIFF magic must pass the sniff and decode losslessly
       .toDF("media_id", "payload")
     val out = Multimodal.extractContentFeatures(media, dims = 2)
     val plan = out.queryExecution.explainString(
@@ -938,6 +940,7 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"featurize must not shuffle:\n$plan")
     val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r.getSeq[Float](r.length - 1)).toMap
     assert(rows(1L) === rows(2L), s"lossless re-encode changed features: ${rows(1L)} vs ${rows(2L)}")
+    assert(rows(1L) === rows(6L), s"TIFF re-encode changed features: ${rows(1L)} vs ${rows(6L)}")
     // gradient luma values 0,16,…,240: 8 of 16 pixels per half-range bucket
     assert(rows(1L) === Seq(0.5f, 0.5f))
     assert(rows(3L) === Seq(0f, 0f)) // silence → zero RMS in both windows
