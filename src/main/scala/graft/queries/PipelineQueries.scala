@@ -246,9 +246,14 @@ object PipelineQueries {
 
     // containment / partial-overlap pairs via winnowed fingerprints
     // (md5-based hash so the oracle can re-derive them)
+    // runs with the PRODUCTION hot-fingerprint cap engaged (the
+    // round-7 hazard lever), and the oracle mirrors it with the same
+    // document-frequency anti-join — so wherever the cap bites, both
+    // engines drop the same fingerprints and stay hash-equal
     "p21_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
-        k = 3, w = 4, minShared = 2, hashFn = Dedup.md5Hash60)),
+        k = 3, w = 4, minShared = 2, hashFn = Dedup.md5Hash60,
+        maxDocFreq = 16)),
 
     // benchmark decontamination against a fixed 3-gram blocklist
     "p20_decontaminate" -> ((s, d) => {
@@ -1336,7 +1341,9 @@ object PipelineQueries {
         |        list_distinct([list_min(hs[i:i+3])
         |          FOR i IN range(1, greatest(len(hs)-2, CASE WHEN len(hs) > 0 THEN 2 ELSE 1 END))]) AS fps
         |      FROM h),
-        |f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        |f0 AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+        |hot AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) > 16),
+        |f AS (SELECT * FROM f0 ANTI JOIN hot USING (fp))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
