@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   * PNG re-encode. The AUDIO path is real for the JDK's
   * `javax.sound.sampled` formats (WAV/AIFF/AU): [[decodeAudio]]
   * yields true sample rate, duration, and an RMS-energy envelope.
-  * Only VIDEO decode remains a clearly-marked deterministic STUB
-  * (the JDK ships no video codec); swapping the stub body for a
-  * codec call inside the same `mapPartitions` shape changes nothing
-  * else.
+  * VIDEO is real for MJPEG-in-AVI ([[decodeVideo]]: RIFF container
+  * walk + per-frame JPEG via `javax.imageio` — the one mainstream
+  * video format needing no native codec); other codecs (H.264 etc.)
+  * remain a clearly-marked STUB seam — dropping a native decoder into
+  * the same `mapPartitions` shape changes nothing else.
   */
 object Multimodal {
 
@@ -397,6 +398,143 @@ object Multimodal {
           val frames = clip.samples.length / clip.channels
           val durMs = frames * 1000L / math.max(1, clip.sampleRate)
           Row.fromSeq(r.toSeq ++ Seq(clip.sampleRate, durMs, feats))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** RIFF/AVI sniff: "RIFF" fourcc + "AVI " form type at offset 8. */
+  private def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Extract the JPEG frame payloads of an MJPEG-in-AVI container by
+    * walking its RIFF chunk tree: `RIFF`/`LIST` chunks descend (their
+    * payload is a 4-byte form type then sub-chunks), stream chunks
+    * `NNdc`/`NNdb` whose bytes start with the JPEG SOI marker are
+    * frames. Tolerant by design — truncated or malformed trees yield
+    * the frames parsed so far (corrupt-blob-is-data policy), and
+    * `maxFrames` bounds work per payload. Pure JDK: the container walk
+    * here + `javax.imageio`'s JPEG codec per frame is a REAL video
+    * decode for the one mainstream format that needs no native codec.
+    */
+  private[pipeline] def aviJpegFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var found = 0
+    def chunkSize(at: Int): Long =
+      (payload(at) & 0xFFL) | ((payload(at + 1) & 0xFFL) << 8) |
+        ((payload(at + 2) & 0xFFL) << 16) | ((payload(at + 3) & 0xFFL) << 24)
+    def isStreamData(at: Int): Boolean = {
+      val c2 = payload(at + 2).toChar
+      val c3 = payload(at + 3).toChar
+      Character.isDigit(payload(at).toChar) && Character.isDigit(payload(at + 1).toChar) &&
+        (c2 == 'd' || c2 == 'D') && (c3 == 'b' || c3 == 'c' || c3 == 'B' || c3 == 'C')
+    }
+    def walk(from: Int, until: Int): Unit = {
+      var at = from
+      while (at + 8 <= until && found < maxFrames) {
+        val size = chunkSize(at + 4)
+        val body = at + 8
+        val end = math.min(body + size, until.toLong).toInt
+        if (end < body) return // size overflow / truncation: stop cleanly
+        val isList = (payload(at) == 'R' && payload(at + 1) == 'I' &&
+          payload(at + 2) == 'F' && payload(at + 3) == 'F') ||
+          (payload(at) == 'L' && payload(at + 1) == 'I' &&
+            payload(at + 2) == 'S' && payload(at + 3) == 'T')
+        if (isList) {
+          if (end - body >= 4) walk(body + 4, end) // skip the form type
+        } else if (isStreamData(at) && end - body >= 2 &&
+          payload(body) == 0xFF.toByte && payload(body + 1) == 0xD8.toByte) {
+          out += java.util.Arrays.copyOfRange(payload, body, end)
+          found += 1
+        }
+        // advance from the CLAMPED end, never raw size.toInt (a bogus
+        // 32-bit size would overflow negative and loop forever); when
+        // the declared size was clamped, end == until and we exit
+        at = end + (size & 1L).toInt // chunks pad to even
+      }
+    }
+    walk(0, payload.length)
+    out.result()
+  }
+
+  /** Pack JPEG frame payloads into a minimal MJPEG-in-AVI container —
+    * the inverse of [[aviJpegFrames]], for round-trip tests and for
+    * emitting preview clips from frame samples. Container-only: no
+    * timing header (`hdrl`) is written, which [[decodeVideo]] and
+    * frame extractors don't need (players wanting a frame rate do).
+    */
+  def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(n: Int): Array[Byte] = Array(
+      (n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+      ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(id: String, form: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length + 4) ++
+        form.getBytes("US-ASCII") ++ body
+    list("RIFF", "AVI ", list("LIST", "movi",
+      frames.toArray.flatMap(f => chunk("00dc", f))))
+  }
+
+  /** REAL video decode for MJPEG-in-AVI (the one video format the JDK
+    * can fully decode: RIFF walk + per-frame JPEG through
+    * `javax.imageio`): payloads decode partition-wise to a frame
+    * count, first-frame dimensions, and a `dims`-bucket luminance
+    * histogram AVERAGED over up to `maxFrames` sampled frames — the
+    * same content-derived statistic as the image branch, so a video
+    * and a still of the same scene land near each other. Non-AVI or
+    * undecodable payloads get null columns (corrupt-blob-is-data).
+    * Other codecs (H.264 etc.) still need a native decoder dropped
+    * into this same `mapPartitions` seam. Narrow map, no shuffle.
+    */
+  def decodeVideo(df: DataFrame, dims: Int = 8, maxFrames: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema
+      .add("decoded_frames", IntegerType)
+      .add("frame_width", IntegerType)
+      .add("frame_height", IntegerType)
+      .add("video_features", ArrayType(FloatType))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val frames =
+          if (payload == null || payload.length < 12 || !looksLikeAvi(payload)) Seq.empty
+          else aviJpegFrames(payload, maxFrames)
+        val imgs = frames.flatMap { f =>
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        if (imgs.isEmpty) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else {
+          val acc = new Array[Double](dims)
+          imgs.foreach { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val counts = new Array[Long](dims)
+            val rowBuf = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = rowBuf(x)
+                val luma = (((rgb >> 16) & 0xFF) * 0.299 +
+                  ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+                counts(math.min(dims - 1, (luma * dims).toInt)) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var i = 0
+            while (i < dims) { acc(i) += counts(i).toDouble / n; i += 1 }
+          }
+          val feats = Array.tabulate(dims)(i => (acc(i) / imgs.length).toFloat)
+          Row.fromSeq(r.toSeq ++ Seq(imgs.length, imgs.head.getWidth, imgs.head.getHeight, feats))
         }
       }
     }(Encoders.row(outSchema))

@@ -654,6 +654,37 @@ object PipelineQueries {
         bound = 0.3)
     }),
 
+    // REAL video decode gated end-to-end: deterministic MJPEG-in-AVI
+    // clips are built driver-side (clip i holds i solid-gray JPEG
+    // frames), decoded distributed by the RIFF-walk + javax.imageio
+    // path, and the CONTAINER facts (frame count bounded by maxFrames,
+    // first-frame dimensions) are the checked surface — exact across
+    // engines regardless of JPEG's lossy pixel path, which stays
+    // covered by the luma assertions in ScalaTest
+    "p62_video_decode" -> ((s, _) => {
+      def jpeg(gray: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (gray << 16) | (gray << 8) | gray
+        var y = 0
+        while (y < 6) {
+          var x = 0
+          while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", buf)
+        buf.toByteArray
+      }
+      val clips = (1 to 5).map(i =>
+        (i.toLong, Multimodal.mjpegAvi((0 until i).map(f => jpeg(40 * f)))))
+      import s.implicits._
+      Multimodal.decodeVideo(clips.toDF("media_id", "payload"),
+          dims = 4, maxFrames = 4)
+        .select(col("media_id"), col("decoded_frames"),
+          col("frame_width"), col("frame_height"))
+    }),
+
     // split-leakage audit: near-dup pairs straddling the p15 split
     // assignment — fully hash-checked against a DuckDB re-derivation
     // (exact pairs + the same md5 split draw)
@@ -889,6 +920,16 @@ object PipelineQueries {
     "p57_ivf_append" -> "SELECT 'pass' AS status",
     "p59_quality_classifier" -> "SELECT 'pass' AS status",
     "p61_pca_recall" -> "SELECT 'pass' AS status",
+
+    // container facts of the deterministic fixture clips: clip i holds
+    // i frames, decode is bounded by maxFrames=4, every frame is 8x6
+    "p62_video_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(decoded_frames AS INTEGER) AS decoded_frames,
+        |  CAST(8 AS INTEGER) AS frame_width,
+        |  CAST(6 AS INTEGER) AS frame_height
+        |FROM (VALUES (1, 1), (2, 2), (3, 3), (4, 4), (5, 4))
+        |  t(media_id, decoded_frames)""".stripMargin,
 
     // curation v3 re-derived stage by stage: dedup winners →
     // post-dedup lang rates → per-source rank cap → split carve

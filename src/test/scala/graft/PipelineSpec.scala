@@ -901,6 +901,60 @@ class PipelineSpec extends SparkTestBase {
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("audio_features")))
   }
 
+  test("decodeVideo reads a real MJPEG-AVI: frame count, dimensions, averaged luma") {
+    // hand-assembled RIFF: RIFF('AVI ') { LIST('movi') { 00dc->jpeg }* }
+    // with frames encoded by the same JPEG codec the operator decodes
+    def le32(n: Int): Array[Byte] = Array(
+      (n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+      ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(id: String, form: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length + 4) ++ form.getBytes("US-ASCII") ++ body
+    def solidJpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val (dark, light) = (solidJpeg(0x000000), solidJpeg(0xFFFFFF))
+    def avi(frames: Array[Byte]*): Array[Byte] =
+      list("RIFF", "AVI ", list("LIST", "movi",
+        frames.toArray.flatMap(f => chunk("00dc", f))))
+    val twoFrame = avi(dark, light)
+    val threeFrame = avi(dark, dark, light)
+    val badFrames = avi("not jpeg data".getBytes("UTF-8"))
+    val media = Seq(
+      (1L, twoFrame), (2L, threeFrame), (3L, badFrames),
+      (4L, "not a video at all".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeVideo(media, dims = 2, maxFrames = 2)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getAs[Int]("decoded_frames") === 2)
+    assert(ok.getAs[Int]("frame_width") === 8 && ok.getAs[Int]("frame_height") === 8)
+    val feats = ok.getAs[scala.collection.Seq[Float]]("video_features")
+    // one all-dark + one all-light frame, averaged: half the mass in
+    // each luma bucket (JPEG is lossy, hence the tolerance)
+    assert(feats.length === 2)
+    assert(math.abs(feats(0) - 0.5f) < 0.05f && math.abs(feats(1) - 0.5f) < 0.05f,
+      s"averaged histogram $feats")
+    // maxFrames bounds work per payload: 3 stored, 2 decoded
+    assert(rows(2L).getAs[Int]("decoded_frames") === 2)
+    // AVI container with undecodable frames, non-AVI bytes, null → nulls
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(rows(id).isNullAt(rows(id).fieldIndex("video_features")), s"media $id")
+      assert(rows(id).isNullAt(rows(id).fieldIndex("decoded_frames")), s"media $id")
+    }
+  }
+
   test("content features: re-encoded identical images collide; branches dispatch by content") {
     // one 4x4 gradient image, encoded twice losslessly (PNG and BMP):
     // the bytes (and so any md5-derived vector) are unrelated, but the
