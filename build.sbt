@@ -29,10 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the full suite runs 14 Spark suites sequentially in
+  // 28g default: the full suite runs 14 Spark suites sequentially in
   // ONE forked JVM, and block-manager state (localCheckpoint blocks,
   // broadcast vars) accumulates across suites — 8g OOMed once the
-  // round-8 suites landed. The machine has 128 GiB; override via
-  // SPARK_DRIVER_MEM when running elsewhere.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // round-8 suites landed and 16g flaked once in round 9. The machine
+  // has 128 GiB; override via SPARK_DRIVER_MEM when running elsewhere.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse keyword retrieval over a document corpus — the inverted-index
+  * complement to the dense-vector search in [[Similarity]]. Training-data
+  * pipelines use it for query-grounded curation (pulling the docs a
+  * benchmark question would retrieve), fuzzy decontamination triage, and
+  * building retrieval eval sets.
+  *
+  * The 100 TB shape matters more than the formula: postings are derived
+  * per document WITHOUT a corpus shuffle (term frequencies come from an
+  * in-row `transform` over the token array, so tf extraction is a narrow
+  * map), the tiny query-term table broadcasts INTO that narrow stage, and
+  * only the postings that match a query term ever enter a shuffle. The
+  * corpus is read once; everything that moves afterwards is
+  * query-proportional, not corpus-proportional.
+  */
+object Retrieval {
+
+  /** Whitespace tokens, lowercased, empties dropped — the same
+    * tokenizer as TextAnalysis so retrieval and quality metrics agree
+    * on what a "word" is.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), w => length(w) > 0)
+
+  /** Per-document postings (doc, dl, term, tf) computed in-row: distinct
+    * terms and their counts come from `transform` over the token array,
+    * so the corpus never shuffles to build them. Quadratic in DISTINCT
+    * terms per doc (u·n comparisons), which for natural-language
+    * documents is far cheaper than shuffling the exploded corpus.
+    */
+  private def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("__doc"), ts.as("__ts"))
+      .select(col("__doc"), size(col("__ts")).as("__dl"),
+        explode(transform(array_distinct(col("__ts")),
+          t => struct(t.as("__t"),
+            size(filter(col("__ts"), x => x === t)).as("__tf")))).as("__p"))
+      .select(col("__doc"), col("__dl"), col("__p.__t").as("__t"), col("__p.__tf").as("__tf"))
+  }
+
+  /** BM25 top-k retrieval: for each query row, the `k` highest-scoring
+    * documents under Okapi BM25 with the non-negative (Lucene-style)
+    * idf,
+    *
+    *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   score(q, d) = Σ_{t ∈ distinct(q)} idf(t) ·
+    *                 tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * where N is the corpus size, dl the document token count, avgdl its
+    * corpus mean, and df(t) the number of documents containing t. Query
+    * terms are deduplicated (standard BM25 ignores query-side tf);
+    * terms absent from the corpus contribute nothing. Scores are
+    * rounded to 6 dp BEFORE ranking — ties break on ascending doc id —
+    * so the ranking is reproducible across engines and runs (float
+    * partial-aggregation order cannot flip a rank).
+    *
+    * Plan shape: postings narrow → broadcast semi-filter by query terms
+    * → df over the SURVIVING postings only (tiny agg; equals corpus df
+    * because filtering by term keeps every posting of that term) → one
+    * candidate-proportional shuffle for the per-(query, doc) sum → a
+    * per-query top-k window. N/avgdl ride in as a broadcast scalar row.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: DataFrame, qTextCol: String, qIdCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    val stats = docs.select(tokens(col(textCol)).as("__ts"))
+      .agg(count(lit(1)).as("__n"), avg(size(col("__ts"))).as("__avgdl"))
+    val qTerms = queries
+      .select(col(qIdCol).as("__q"), explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
+    val cand = post.join(broadcast(qTerms.select("__t").distinct()), Seq("__t"))
+    scoreAndRank(cand, qTerms, stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail: candidates (__t, __doc, __dl, __tf) →
+    * df over the surviving postings (row count per term IS the corpus
+    * document frequency — each doc emits one posting row per distinct
+    * term, and candidate filtering keeps every posting of a matched
+    * term) → per-(query, doc) contribution sum → per-query top-k.
+    */
+  private def scoreAndRank(cand: DataFrame, qTerms: DataFrame, stats: DataFrame,
+                           k: Int, k1: Double, b: Double): DataFrame = {
+    val dfT = cand.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val contrib = broadcast(qTerms).join(cand, Seq("__t"))
+      .join(broadcast(dfT), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col("__q"), col("__doc"),
+        (log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+          (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__c"))
+    val scored = contrib.groupBy("__q", "__doc")
+      .agg(round(sum(col("__c")), 6).as("score"))
+    val w = Window.partitionBy("__q").orderBy(col("score").desc, col("__doc").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__doc").as("doc_id"),
+        col("score"), col("rank"))
+  }
+
+  /** Persist an inverted text index: `dir/stats` (one row: corpus size
+    * and mean document length) plus `dir/postings` — (term, doc_id, dl,
+    * tf) partitioned by `bucket = xxhash64(term) mod buckets`. The
+    * tokenize/count pass runs ONCE at build time; every subsequent
+    * query via [[bm25TopKIndexed]] reads only the buckets its terms
+    * hash into. The [[Similarity.buildIvfIndex]]-for-text: at 100 TB the
+    * difference between re-tokenizing the corpus per query batch and a
+    * partition-pruned scan of matched postings.
+    *
+    * `buckets` trades pruning sharpness against file count: each query
+    * term opens one bucket, so a q-term query batch reads ≤ q/buckets
+    * of the postings. Postings within a bucket cluster by term so the
+    * term equi-join stays tight under parquet row-group stats.
+    */
+  def buildTextIndex(docs: DataFrame, textCol: String, idCol: String,
+                     dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    // the bucket modulus is a layout fact queries must reproduce, so it
+    // rides in the stats row alongside the corpus aggregates
+    docs.select(tokens(col(textCol)).as("__ts"))
+      .agg(count(lit(1)).as("__n"), avg(size(col("__ts"))).as("__avgdl"))
+      .withColumn("__buckets", lit(buckets))
+      .repartition(1) // one row: a single stats file read at query time
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    postings(docs, textCol, idCol)
+      .select(col("__t").as("term"), col("__doc").as("doc_id"),
+        col("__dl").as("dl"), col("__tf").as("tf"),
+        pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int").as("bucket"))
+      .sortWithinPartitions("bucket", "term")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  /** BM25 top-k against a persisted [[buildTextIndex]] layout. The
+    * query batch is driver-bounded by contract (like the ANN probe
+    * sets), so its distinct term BUCKETS — computed by the same Spark
+    * `xxhash64` expression the builder used — collect once into a
+    * STATIC `isin` filter: the postings scan partition-prunes to the
+    * matched buckets before the term equi-join, visible as
+    * `PartitionFilters` in the plan. df/avgdl semantics are identical
+    * to [[bm25TopK]]: a term's postings live entirely in its bucket,
+    * so pruning drops no posting of a matched term and document
+    * frequencies stay exact.
+    */
+  def bm25TopKIndexed(queries: DataFrame, dir: String,
+                      qTextCol: String, qIdCol: String,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val statsFull = spark.read.parquet(s"$dir/stats")
+    val buckets = statsFull.head().getAs[Int]("__buckets")
+    val stats = statsFull.select("__n", "__avgdl")
+    val qTerms = queries
+      .select(col(qIdCol).as("__q"), explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
+    val hitBuckets = qTerms
+      .select(pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val cand = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(hitBuckets.toSeq: _*))
+      .select(col("term").as("__t"), col("doc_id").as("__doc"),
+        col("dl").as("__dl"), col("tf").as("__tf"))
+      .join(broadcast(qTerms.select("__t").distinct()), Seq("__t"))
+    scoreAndRank(cand, qTerms, stats, k, k1, b)
+  }
+}

@@ -294,6 +294,72 @@ object TextAnalysis {
           (count(lit(1)) * lit(1e6)), 6).as("avg_logp"))
   }
 
+  /** Interpolated-bigram language-model perplexity per document — the
+    * classic CCNet/KenLM-shaped quality filter one level up from
+    * [[unigramLogProb]]: fluent text scores low, shuffled or boilerplate
+    * text scores high, because the CONDITIONAL probability of each word
+    * given its predecessor carries word-order information a unigram
+    * model cannot see. The model is fit on the scored corpus itself
+    * (self-perplexity; fit on a clean reference corpus by passing it as
+    * `df` and scoring the crawl through the same joins in a variant).
+    *
+    * For each adjacent word pair (w1, w2):
+    *
+    *   p(w2|w1) = λ · C(w1,w2)/C1(w1) + (1−λ) · Cu(w2)/T
+    *
+    * with C(w1,w2) the corpus bigram count, C1(w1) the count of w1 AS A
+    * HISTORY (bigram rows starting with w1 — so p sums to 1 over the
+    * observed vocabulary), Cu/T plain unigram frequency, and λ the
+    * interpolation weight (the unigram back-off makes every observed
+    * word reachable from any history). Per-doc:
+    * `avg_logp = mean ln p`, `perplexity = exp(−avg_logp)`. Documents
+    * with fewer than two tokens have no bigrams: null metrics, row kept.
+    *
+    * Determinism: per-bigram log-probs are fixed to integer micro-nats
+    * (the [[unigramLogProb]] convention) so per-doc sums are exact in
+    * any order; outputs round to 6 dp.
+    *
+    * Scale shape: bigram extraction is an in-row `transform` (narrow);
+    * the three model tables are count shuffles with map-side combine
+    * whose outputs are vocabulary-sized; scoring joins exploded bigrams
+    * to the models (post-aggregation small — AQE broadcasts them) and
+    * re-aggregates on the doc id. Document bodies never shuffle.
+    */
+  def bigramPerplexity(df: DataFrame, textCol: String, idCol: String,
+                       lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda $lambda must be in (0, 1]")
+    val ts = words(col(textCol))
+    // adjacent pairs via an index walk; guard: sequence(1, 0) would
+    // DESCEND, so short docs must short-circuit to an empty array
+    val pairs = when(size(col("__ts")) < 2, array())
+      .otherwise(transform(sequence(lit(1), size(col("__ts")) - 1),
+        i => struct(element_at(col("__ts"), i).as("__w1"),
+          element_at(col("__ts"), i + 1).as("__w2"))))
+    val bg = df.select(col(idCol), ts.as("__ts"))
+      .select(col(idCol), explode(pairs).as("__b"))
+      .select(col(idCol), col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
+    val tok = df.select(explode(ts).as("__w"))
+    val total = tok.agg(count(lit(1)).as("__tt"))
+    val uni = tok.groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+    val hist = bg.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val bi = bg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
+    val scored = bg
+      .join(bi, Seq("__w1", "__w2"))
+      .join(hist, Seq("__w1"))
+      .join(uni.withColumnRenamed("__w", "__w2"), Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(lit(lambda) * col("__c2").cast(DoubleType) / col("__c1") +
+          lit(1.0 - lambda) * col("__cu").cast(DoubleType) / col("__tt")) * 1e6)
+          .cast(LongType).as("__micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__micro")).as("__sm"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sm") / (col("n_bigrams") * lit(1e6)), 6).as("avg_logp"),
+        round(exp(-(col("__sm") / (col("n_bigrams") * lit(1e6)))), 6).as("perplexity"))
+  }
+
   /** DSIR-style hashed-unigram importance log-weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every corpus document by how much more likely its words are

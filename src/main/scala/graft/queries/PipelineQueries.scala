@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Classifier, Dedup, Multimodal, Pq, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Classifier, Dedup, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -685,6 +685,41 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"))
     }),
 
+    // BM25 keyword retrieval, fully oracle-checked: queries are the
+    // first 8 tokens of docs 0-2 (self-retrieval — each query's source
+    // doc should surface), scores round to 6 dp BEFORE ranking so the
+    // top-10 set is engine-exact
+    "p63_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
+      Retrieval.bm25TopK(docs, "text", "doc_id", queries, "qtext", "query_id", k = 10)
+    }),
+
+    // interpolated-bigram LM perplexity (CCNet-shaped quality filter),
+    // fully oracle-checked via the integer micro-nat convention
+    "p64_bigram_ppl" -> ((s, d) =>
+      TextAnalysis.bigramPerplexity(Tables.documents(s, d), "text", "doc_id")),
+
+    // the same retrieval through the PERSISTED partition-pruned
+    // inverted index — deterministic, so it shares p63's full oracle
+    // (a hash mismatch here means the index layout corrupted postings
+    // or stats, not an approximation artifact)
+    "p65_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
+      val dir = textIndexDirs.getOrElseUpdate(d, {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-textidx-gate").toString
+        Retrieval.buildTextIndex(docs, "text", "doc_id", scratch, buckets = 16)
+        scratch
+      })
+      Retrieval.bm25TopKIndexed(queries, dir, "qtext", "query_id", k = 10)
+    }),
+
     // split-leakage audit: near-dup pairs straddling the p15 split
     // assignment — fully hash-checked against a DuckDB re-derivation
     // (exact pairs + the same md5 split draw)
@@ -751,6 +786,12 @@ object PipelineQueries {
     */
   /** One persisted IVF build per (JVM, dataset) for the p44 gate. */
   private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One persisted inverted-text-index build per (JVM, dataset) for
+    * the p65 gate.
+    */
+  private val textIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** One persisted IVF-PQ build per (JVM, dataset) for the p55 gate. */
@@ -930,6 +971,56 @@ object PipelineQueries {
         |  CAST(6 AS INTEGER) AS frame_height
         |FROM (VALUES (1, 1), (2, 2), (3, 3), (4, 4), (5, 4))
         |  t(media_id, decoded_frames)""".stripMargin,
+
+    // full BM25 replay: same tokenizer, Lucene-style non-negative idf,
+    // k1=1.2 b=0.75, scores rounded to 6 dp before ranking, ties by
+    // ascending doc id — queries are the first 8 tokens of docs 0-2
+    "p63_bm25_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> len(w) > 0) AS ts FROM DOCS),
+        |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM t),
+        |post AS (SELECT doc_id, len(ts) AS dl, u.term, count(*) AS tf
+        |         FROM t, unnest(ts) AS u(term) GROUP BY doc_id, len(ts), u.term),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, u.term
+        |       FROM t, unnest(list_slice(ts, 1, 8)) AS u(term) WHERE doc_id < 3),
+        |dfs AS (SELECT term, count(*) AS df FROM post
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |contrib AS (SELECT qt.query_id, post.doc_id,
+        |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      (post.tf * 2.2) /
+        |      (post.tf + 1.2 * (0.25 + 0.75 * post.dl / stats.avgdl)) AS c
+        |  FROM qt JOIN post USING (term) JOIN dfs USING (term), stats),
+        |scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+        |           FROM contrib GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS rank FROM scores)
+        |WHERE rank <= 10""".stripMargin,
+
+    // interpolated-bigram LM replay: history-conditioned MLE mixed 0.9
+    // with unigram frequency, per-bigram log-probs quantized to integer
+    // micro-nats so distributed sums agree exactly across engines
+    "p64_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> len(w) > 0) AS ts FROM DOCS),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM t, unnest(generate_series(1, len(ts) - 1)) AS r(i)),
+        |tok AS (SELECT u.w FROM t, unnest(ts) AS u(w)),
+        |tot AS (SELECT count(*) AS tt FROM tok),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        |h AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |agg AS (SELECT bg.doc_id, count(*) AS nb,
+        |    sum(CAST(round(ln(0.9 * c2 / c1 + 0.1 * cu / tt) * 1e6) AS BIGINT)) AS sm
+        |  FROM bg JOIN b2 USING (w1, w2) JOIN h USING (w1)
+        |    JOIN uni ON uni.w = bg.w2, tot
+        |  GROUP BY bg.doc_id)
+        |SELECT d.doc_id, agg.nb AS n_bigrams,
+        |  round(agg.sm / (agg.nb * 1e6), 6) AS avg_logp,
+        |  round(exp(-(agg.sm / (agg.nb * 1e6))), 6) AS perplexity
+        |FROM DOCS d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
 
     // curation v3 re-derived stage by stage: dedup winners →
     // post-dedup lang rates → per-source rank cap → split carve
@@ -1575,5 +1666,9 @@ object PipelineQueries {
   ).map { case (k, v) =>
     // the driver's DuckDB session exposes the sf tables as views
     k -> v.replace("DOCS", "documents").replace("EMB", "embeddings")
+  } match {
+    // the indexed retrieval is deterministic and layout-independent,
+    // so it shares the in-memory entry's full oracle verbatim
+    case m => m + ("p65_bm25_indexed" -> m("p63_bm25_topk"))
   }
 }

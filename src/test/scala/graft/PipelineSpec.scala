@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Export, Multimodal, Pq, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Dedup, Export, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators on controlled
   * inputs plus the sf0.001 synthetic tables (recall measurement for the
@@ -1850,6 +1850,74 @@ class PipelineSpec extends SparkTestBase {
       k = 10, nprobe = 4))
     val overlap = (quant intersect mem).size.toDouble / mem.size
     assert(mem.nonEmpty && overlap >= 0.9, s"quantized overlap $overlap")
+  }
+
+  // ---- retrieval & LM scoring -----------------------------------------
+
+  test("bm25TopK ranks the term-matching doc first and keeps postings narrow") {
+    val docs = Seq(
+      (1L, "spark shuffle exchange partition spark"),
+      (2L, "quantum entanglement spectroscopy result"),
+      (3L, "the cat sat on the mat"),
+      (4L, "partition pruning in the scan stage"),
+      (5L, "spark partition")).toDF("doc_id", "text")
+    val queries = Seq((100L, "quantum spectroscopy"), (200L, "spark partition"))
+      .toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      queries, "qtext", "query_id", k = 3)
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r).toMap
+    // only doc 2 contains any query-100 term → sole hit, rank 1
+    assert(rows((100L, 1)).getAs[Long]("doc_id") === 2L)
+    assert(!rows.contains((100L, 2)))
+    // both query-200 terms hit docs 1/4/5; the short doc with both
+    // terms ("spark partition") beats partial/longer matches
+    assert(rows((200L, 1)).getAs[Long]("doc_id") === 5L)
+    assert(rows((200L, 2)).getAs[Long]("doc_id") === 1L) // spark twice
+    assert(rows((200L, 3)).getAs[Long]("doc_id") === 4L)
+    // the query-term candidate filter must reach postings as a
+    // broadcast join — the corpus-wide postings never hash-shuffle
+    // to meet the query table
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast candidate filter:\n$plan")
+  }
+
+  test("persisted text index: same BM25 answer, postings scan partition-pruned") {
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Retrieval.buildTextIndex(docs, "text", "doc_id", dir, buckets = 16)
+    val direct = Retrieval.bm25TopK(docs, "text", "doc_id",
+      queries, "qtext", "query_id", k = 10)
+    val indexed = Retrieval.bm25TopKIndexed(queries, dir, "qtext", "query_id", k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(rows(indexed) === rows(direct))
+    // the static bucket isin must reach the postings scan as a
+    // partition filter — queries read matched buckets, not the index
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"), s"postings scan not pruned:\n$plan")
+  }
+
+  test("bigramPerplexity: scrambled word order scores higher; short docs keep null rows") {
+    // ten fluent copies fix the bigram stats; the scrambled doc uses the
+    // SAME words (unigram model identical) in never-seen orders
+    val fluent = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val docs = (fluent :+ (11L, "mat the on sat cat the") :+ (12L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(docs, "text", "doc_id")
+    assert(out.count() === 12) // short doc kept
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(12L).isNullAt(byId(12L).fieldIndex("perplexity")))
+    val fluentPpl = byId(1L).getAs[Double]("perplexity")
+    val scramPpl = byId(11L).getAs[Double]("perplexity")
+    assert(fluentPpl > 0 && scramPpl > fluentPpl,
+      s"scrambled $scramPpl should exceed fluent $fluentPpl")
+    // identical docs score identically (the model is corpus-global)
+    assert(byId(2L).getAs[Double]("perplexity") === fluentPpl)
   }
 
   // ---- loaders (ADVICE: events nanos→micros) --------------------------
