@@ -182,6 +182,39 @@ object TextAnalysis {
     docs.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Per-document contamination REPORT against a benchmark gram set —
+    * the audit-grade companion to the binary drop in [[decontaminate]]:
+    * for every document, how many of its DISTINCT word `n`-grams
+    * appear in the benchmark (`hits`) out of how many it has
+    * (`n_grams`), and the fraction. Pipelines threshold the fraction
+    * (a single shared title is noise; 40% overlap is a leaked eval
+    * document) and publish the distribution as the contamination audit
+    * next to a release.
+    *
+    * Scale shape: the gram set is small by construction and broadcasts
+    * into the shingle-explode stage (`left` join, not a shuffle); the
+    * per-doc re-aggregation moves (id, hit) pairs only. Documents
+    * shorter than `n` words follow the [[Dedup.shingles]] convention —
+    * one partial shingle (empty text: the empty string) — so they
+    * report 1 gram, 0 hits, fraction 0, rows kept.
+    */
+  def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
+                          grams: DataFrame, gramCol: String, n: Int): DataFrame = {
+    val gset = broadcast(
+      grams.select(lower(col(gramCol)).as("__g")).distinct()
+        .withColumn("__hit", lit(1)))
+    docs
+      .select(col(idCol),
+        explode_outer(Dedup.shingles(lower(col(textCol)), n)).as("__g"))
+      .join(gset, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__g")).as("n_grams"), count(col("__hit")).as("hits"))
+      .withColumn("contamination",
+        when(col("n_grams") > 0,
+          round(col("hits").cast(DoubleType) / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Bloom-filter decontamination: the zero-corpus-shuffle variant of
     * [[decontaminate]], returning the FLAGGED doc ids. The
     * contamination set's n-gram hashes fold into a Bloom sketch via a

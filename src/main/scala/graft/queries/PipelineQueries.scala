@@ -268,6 +268,19 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // audit-grade contamination report: per-doc distinct-3-gram overlap
+    // counts and fraction against the same blocklist p20 drops on
+    "p66_contamination_report" -> ((s, d) => {
+      val grams = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("slow fast table"),
+          org.apache.spark.sql.Row("batch window spark")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gram",
+            org.apache.spark.sql.types.StringType))))
+      TextAnalysis.contaminationReport(Tables.documents(s, d), "text", "doc_id",
+        grams, "gram", n = 3)
+    }),
+
     // the flagship composition: near-dup removal → benchmark
     // decontamination → minimum-quality filter → deterministic split
     // assignment, all chained on the same frame (each stage is one of
@@ -1490,6 +1503,28 @@ object PipelineQueries {
         |      FROM w)
         |SELECT doc_id FROM s
         |WHERE NOT list_has_any(sh, ['slow fast table', 'batch window spark'])""".stripMargin,
+
+    // distinct 3-gram overlap counts re-derived with the same slicing
+    // as p20; docs shorter than n follow the shingles convention (one
+    // partial shingle — empty text: the empty string)
+    "p66_contamination_report" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |s AS (SELECT doc_id,
+        |        list_distinct(CASE WHEN len(ws) > 2
+        |          THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+        |          ELSE [array_to_string(ws, ' ')] END) AS sh
+        |      FROM w)
+        |SELECT doc_id,
+        |  CAST(len(sh) AS BIGINT) AS n_grams,
+        |  CAST(len(list_filter(sh, g ->
+        |    list_contains(['slow fast table', 'batch window spark'], g))) AS BIGINT) AS hits,
+        |  round(CAST(len(list_filter(sh, g ->
+        |    list_contains(['slow fast table', 'batch window spark'], g))) AS DOUBLE)
+        |    / len(sh), 6) AS contamination
+        |FROM s""".stripMargin,
 
     "p19_pii_redact" ->
       """SELECT doc_id,

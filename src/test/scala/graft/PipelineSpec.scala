@@ -1882,6 +1882,23 @@ class PipelineSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast candidate filter:\n$plan")
   }
 
+  test("contaminationReport counts distinct-gram hits; short docs get one partial shingle") {
+    val docs = Seq(
+      (1L, "a b c d"),          // distinct 3-grams: "a b c", "b c d"
+      (2L, "x y"),              // shorter than n → one partial shingle "x y"
+      (3L, "a b c a b c d"))    // repeats dedupe: {a b c, b c a, c a b, b c d}
+      .toDF("doc_id", "text")
+    val grams = Seq("a b c").toDF("gram")
+    val out = TextAnalysis.contaminationReport(docs, "text", "doc_id",
+        grams, "gram", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("hits"),
+          r.getAs[Double]("contamination"))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((1L, 0L, 0.0)))
+    assert(out(3L) === ((4L, 1L, 0.25)))
+  }
+
   test("persisted text index: same BM25 answer, postings scan partition-pruned") {
     val docs = Tables.documents(spark, sf)
     val queries = docs.filter(col("doc_id") < 3)
