@@ -215,6 +215,66 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** RAKE-style keyword extraction (Rose et al. 2010, "Automatic
+    * Keyword Extraction from Individual Documents"): stopwords split
+    * each document into candidate phrases; every content word gets
+    * doc-level stats (`freq` = occurrences, `degree` = summed length
+    * of the phrase instances containing it); a phrase scores the sum
+    * of its words' scores, and the top `topK` distinct phrases per
+    * document win. `scoring` picks the word score: `"ratio"`
+    * (degree/freq — canonical RAKE, favors words in long phrases),
+    * `"degree"` (integer-exact, what the oracle-checked query uses),
+    * or `"freq"`.
+    *
+    * Scale shape: ONE hash exchange on the doc id. The cumulative
+    * stopword count (phrase segmentation), the per-(doc, phrase)
+    * length, the per-(doc, word) stats, and the final top-k rank are
+    * all windows/groupings whose keys are supersets of the doc id, so
+    * Catalyst reuses the first exchange (PlanSpec pins "keyword
+    * extraction shuffles once"); per-partition cost is bounded by
+    * document length, never corpus size. Docs that are empty or all
+    * stopwords have no candidate phrases and are absent from the
+    * output. Ties rank by score desc then phrase asc; scores round to
+    * 6 dp before ranking so the ordering is engine-portable.
+    */
+  def keywords(docs: DataFrame, textCol: String, idCol: String,
+               stopwords: Seq[String], topK: Int,
+               scoring: String = "ratio"): DataFrame = {
+    require(Set("ratio", "degree", "freq")(scoring),
+      s"scoring must be ratio|degree|freq, got $scoring")
+    val toks = docs.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val seg = toks
+      .withColumn("__stop", col("__w").isin(stopwords: _*))
+      .withColumn("__pid", sum(when(col("__stop"), 1).otherwise(0)).over(byDoc))
+      .filter(!col("__stop"))
+      .withColumn("__plen",
+        count(lit(1)).over(Window.partitionBy(col(idCol), col("__pid"))))
+    val byWord = Window.partitionBy(col(idCol), col("__w"))
+    val wordScore = scoring match {
+      case "ratio" =>
+        sum(col("__plen")).over(byWord).cast(DoubleType) /
+          count(lit(1)).over(byWord).cast(DoubleType)
+      case "degree" => sum(col("__plen")).over(byWord).cast(DoubleType)
+      case "freq"   => count(lit(1)).over(byWord).cast(DoubleType)
+    }
+    seg.withColumn("__ws", wordScore)
+      .groupBy(col(idCol), col("__pid"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+            s => s.getField("__w"))).as("phrase"),
+        round(sum(col("__ws")), 6).as("__s"))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(max(col("__s")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("phrase").asc)))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("phrase"), col("score"), col("rank"))
+  }
+
   /** Bloom-filter decontamination: the zero-corpus-shuffle variant of
     * [[decontaminate]], returning the FLAGGED doc ids. The
     * contamination set's n-gram hashes fold into a Bloom sketch via a

@@ -281,6 +281,13 @@ object PipelineQueries {
         grams, "gram", n = 3)
     }),
 
+    // RAKE keyword extraction, degree scoring (integer-exact so the
+    // oracle hash can't drift on float sum order); top-5 per doc
+    "p67_keywords" -> ((s, d) => {
+      TextAnalysis.keywords(Tables.documents(s, d), "text", "doc_id",
+        TextAnalysis.markers("en"), topK = 5, scoring = "degree")
+    }),
+
     // the flagship composition: near-dup removal → benchmark
     // decontamination → minimum-quality filter → deterministic split
     // assignment, all chained on the same frame (each stage is one of
@@ -1525,6 +1532,35 @@ object PipelineQueries {
         |    list_contains(['slow fast table', 'batch window spark'], g))) AS DOUBLE)
         |    / len(sh), 6) AS contamination
         |FROM s""".stripMargin,
+
+    // full RAKE replay: stopword-delimited phrase segmentation via a
+    // cumulative stopword count, doc-level word degree, phrase score =
+    // sum of degrees (rounded 6 dp), top-5 per doc with ties by phrase
+    "p67_keywords" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM DOCS),
+        |t AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM w),
+        |s AS (SELECT doc_id, w, pos,
+        |        sum(CASE WHEN w IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        |      FROM t),
+        |n AS (SELECT doc_id, w, pos, pid FROM s
+        |      WHERE w NOT IN ('the','a','of','and','to','in','is')),
+        |pl AS (SELECT doc_id, w, pos, pid,
+        |         count(*) OVER (PARTITION BY doc_id, pid) AS plen FROM n),
+        |ds AS (SELECT doc_id, w, pos, pid, plen,
+        |         sum(plen) OVER (PARTITION BY doc_id, w) AS deg FROM pl),
+        |ph AS (SELECT doc_id, pid,
+        |         string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |         round(sum(CAST(deg AS DOUBLE)), 6) AS sc
+        |       FROM ds GROUP BY doc_id, pid),
+        |pp AS (SELECT doc_id, phrase, max(sc) AS score FROM ph GROUP BY doc_id, phrase)
+        |SELECT doc_id, phrase, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase) AS INTEGER) AS rank
+        |FROM pp
+        |QUALIFY rank <= 5""".stripMargin,
 
     "p19_pii_redact" ->
       """SELECT doc_id,

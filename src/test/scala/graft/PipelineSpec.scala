@@ -1899,6 +1899,47 @@ class PipelineSpec extends SparkTestBase {
     assert(out(3L) === ((4L, 1L, 0.25)))
   }
 
+  test("keywords: RAKE ratio scoring on the canonical hand example") {
+    val docs = Seq((1L, "deep learning of keyword extraction a compact deep system"))
+      .toDF("doc_id", "text")
+    // phrases: [deep learning] [keyword extraction] [compact deep system]
+    // deep: freq 2, degree 2+3=5 -> 2.5; learning 2/1; keyword 2/1;
+    // extraction 2/1; compact 3/1; system 3/1
+    val out = TextAnalysis.keywords(docs, "text", "doc_id",
+        Seq("of", "a"), topK = 5, scoring = "ratio")
+      .collect().map(r => r.getAs[String]("phrase") ->
+        (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap
+    assert(out("compact deep system") === ((8.5, 1)))
+    assert(out("deep learning") === ((4.5, 2)))
+    assert(out("keyword extraction") === ((4.0, 3)))
+  }
+
+  test("keywords: repeated phrases dedupe; degree scoring; topK truncates") {
+    val docs = Seq((1L, "x y a x y a z")).toDF("doc_id", "text")
+    // x: freq 2 deg 4; y: freq 2 deg 4; z: freq 1 deg 1
+    val deg = TextAnalysis.keywords(docs, "text", "doc_id",
+        Seq("a"), topK = 1, scoring = "degree").collect()
+    assert(deg.length === 1)
+    assert(deg.head.getAs[String]("phrase") === "x y")
+    assert(deg.head.getAs[Double]("score") === 8.0)
+    // all-stopword and empty docs vanish
+    val none = TextAnalysis.keywords(
+      Seq((1L, "a a a"), (2L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", Seq("a"), topK = 3)
+    assert(none.count() === 0)
+  }
+
+  test("keywords: single hash exchange — segmentation, stats, and rank reuse it") {
+    val docs = Tables.documents(spark, sf)
+    val p = TextAnalysis.keywords(docs, "text", "doc_id",
+      TextAnalysis.markers("en"), topK = 5, scoring = "degree")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"keyword extraction must shuffle exactly once:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no driver-funnel exchange in keyword extraction:\n$p")
+  }
+
   test("persisted text index: same BM25 answer, postings scan partition-pruned") {
     val docs = Tables.documents(spark, sf)
     val queries = docs.filter(col("doc_id") < 3)
