@@ -522,16 +522,31 @@ object Dedup {
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3,
                      hashFn: Column => Column = xxhash64(_),
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    // representative election directly on the 64-bit simhash: both the
+                     maxBucket: Int = Int.MaxValue): DataFrame =
+    hammingNearDup64(
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("__wh", wordHashes(col(textCol), hashFn))
+        .select(col(idCol).as("id"), simhashFromHashes(col("__wh")).as("h")),
+      maxHamming, maxBucket)
+
+  /** Banded Hamming near-dup over ANY 64-bit hash column — the engine
+    * behind [[simhashNearDup]] and the perceptual-image-hash near-dup
+    * ([[Multimodal.perceptualHash]]). Input must expose `id` and `h`
+    * (null `h` rows — e.g. payloads that didn't decode — are dropped:
+    * no hash, no near-dup verdict); output is (id_a, id_b, hamming)
+    * with id_a < id_b. Candidates share one of four 16-bit bands,
+    * which detects Hamming distance ≤ 3 with CERTAINTY by pigeonhole;
+    * larger `maxHamming` values still verify exactly but may miss
+    * pairs whose differing bits spread across all four bands.
+    */
+  def hammingNearDup64(input: DataFrame, maxHamming: Int = 3,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // representative election directly on the 64-bit hash: both the
     // banding and the Hamming verdict are functions of `h` alone, so
-    // pairing runs once per DISTINCT simhash and member expansion
+    // pairing runs once per DISTINCT hash and member expansion
     // reconstructs the per-document pairs exactly (within a group the
     // Hamming distance is 0, which every maxHamming >= 0 admits)
-    val withH = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("__wh", wordHashes(col(textCol), hashFn))
-      .select(col(idCol).as("id"), simhashFromHashes(col("__wh")).as("h"))
-      .localCheckpoint(false)
+    val withH = input.filter(col("h").isNotNull).localCheckpoint(false)
     val groups = withH.groupBy(col("h")).agg(min(col("id")).as("id"))
     val banded = capBuckets(
       groups.select(col("id"), col("h"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Classifier, Dedup, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Classifier, Dedup, Incremental, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -286,6 +286,19 @@ object PipelineQueries {
     "p67_keywords" -> ((s, d) => {
       TextAnalysis.keywords(Tables.documents(s, d), "text", "doc_id",
         TextAnalysis.markers("en"), topK = 5, scoring = "degree")
+    }),
+
+    // incremental front gate: diff two derived snapshots (old drops
+    // id%7==0 and edits id%5==0; new drops id%11==0) — md5 content
+    // hash so DuckDB replays the comparison exactly
+    "p68_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text",
+        includeUnchanged = true, hashFn = md5(_))
     }),
 
     // the flagship composition: near-dup removal → benchmark
@@ -1532,6 +1545,20 @@ object PipelineQueries {
         |    list_contains(['slow fast table', 'batch window spark'], g))) AS DOUBLE)
         |    / len(sh), 6) AS contamination
         |FROM s""".stripMargin,
+
+    // same snapshot derivation, full-outer join on id, md5 comparison
+    "p68_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
+        |  FROM DOCS WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, text FROM DOCS WHERE doc_id % 11 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // full RAKE replay: stopword-delimited phrase segmentation via a
     // cumulative stopword count, doc-level word degree, phrase score =

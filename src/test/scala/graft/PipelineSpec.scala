@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Export, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Dedup, Export, Incremental, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Behavior tests for the LLM-data-pipeline operators on controlled
   * inputs plus the sf0.001 synthetic tables (recall measurement for the
@@ -1938,6 +1938,31 @@ class PipelineSpec extends SparkTestBase {
       s"keyword extraction must shuffle exactly once:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"no driver-funnel exchange in keyword extraction:\n$p")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; delta-only by default") {
+    val oldSnap = Seq((1L, "same"), (2L, "old body"), (3L, "gone")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "new body"), (4L, "fresh")).toDF("doc_id", "text")
+    val full = Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text",
+        includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val delta = Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(delta === Set(2L, 3L, 4L))
+  }
+
+  test("snapshotDiff hashes content below the join — wide text never shuffles") {
+    val docs = Tables.documents(spark, sf)
+    val p = Incremental.snapshotDiff(
+        docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(p.contains("xxhash64"), s"expected content hashed in-plan:\n$p")
+    // the join keys/output carry only id + hash columns, never text
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(!joinLine.contains("text"), s"text reached the join:\n$joinLine")
   }
 
   test("persisted text index: same BM25 answer, postings scan partition-pruned") {
