@@ -28,13 +28,20 @@ object Incremental {
                    textCol: String,
                    includeUnchanged: Boolean = false,
                    hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val o = oldDf.select(col(idCol), hashFn(col(textCol)).as("__oh"))
-    val n = newDf.select(col(idCol), hashFn(col(textCol)).as("__nh"))
+    // presence is tracked by an explicit per-side flag, never by hash
+    // nullness: a null text column hashes to null under md5, and a
+    // hash-null test would misread a present-but-null document as
+    // missing. The content compare is null-safe (<=>) so null-text on
+    // both sides reads `unchanged`, matching a join-side oracle.
+    val o = oldDf.select(col(idCol), hashFn(col(textCol)).as("__oh"),
+      lit(true).as("__op"))
+    val n = newDf.select(col(idCol), hashFn(col(textCol)).as("__nh"),
+      lit(true).as("__np"))
     val d = o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") === col("__nh"), "unchanged")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(col("__oh") <=> col("__nh"), "unchanged")
           .otherwise("changed"))
       .select(col(idCol), col("status"))
     if (includeUnchanged) d else d.filter(col("status") =!= "unchanged")

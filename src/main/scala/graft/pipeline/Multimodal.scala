@@ -431,7 +431,13 @@ object Multimodal {
       Character.isDigit(payload(at).toChar) && Character.isDigit(payload(at + 1).toChar) &&
         (c2 == 'd' || c2 == 'D') && (c3 == 'b' || c3 == 'c' || c3 == 'B' || c3 == 'C')
     }
-    def walk(from: Int, until: Int): Unit = {
+    // recursion depth is CAPPED: each nested RIFF/LIST header costs 12
+    // bytes, so a crafted payload could nest ~100k lists in ~1 MB and
+    // overflow the stack — and StackOverflowError is not NonFatal, so
+    // it would kill the task instead of degrading (the corrupt-blob-is-
+    // data policy). Real AVIs nest 2-3 deep; 64 is generous headroom,
+    // and deeper trees just stop descending cleanly.
+    def walk(from: Int, until: Int, depth: Int): Unit = {
       var at = from
       while (at + 8 <= until && found < maxFrames) {
         val size = chunkSize(at + 4)
@@ -443,7 +449,8 @@ object Multimodal {
           (payload(at) == 'L' && payload(at + 1) == 'I' &&
             payload(at + 2) == 'S' && payload(at + 3) == 'T')
         if (isList) {
-          if (end - body >= 4) walk(body + 4, end) // skip the form type
+          if (end - body >= 4 && depth < 64)
+            walk(body + 4, end, depth + 1) // skip the form type
         } else if (isStreamData(at) && end - body >= 2 &&
           payload(body) == 0xFF.toByte && payload(body + 1) == 0xD8.toByte) {
           out += java.util.Arrays.copyOfRange(payload, body, end)
@@ -455,7 +462,7 @@ object Multimodal {
         at = end + (size & 1L).toInt // chunks pad to even
       }
     }
-    walk(0, payload.length)
+    walk(0, payload.length, 0)
     out.result()
   }
 

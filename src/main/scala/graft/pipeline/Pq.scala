@@ -235,6 +235,7 @@ object Pq {
     val cb = train(corpus, vecCol, idCol, m, ksub)
     coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
+      .withColumn("fmt", lit(Similarity.IndexFormatVersion))
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
     (for (j <- 0 until cb.m; ci <- 0 until cb.ksub)
       yield (j, ci, cb.cents(j)(ci).toSeq)).toDF("j", "c", "centroid")
@@ -261,8 +262,7 @@ object Pq {
   def appendToIvfPqIndex(newVectors: DataFrame, vecCol: String,
                          idCol: String, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val coarse = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val coarse = Similarity.readIndexCentroids(spark, dir)
     val cb = readCodebooks(spark, dir)
     newVectors.select(col(idCol),
         encode(cb, normalize(col(vecCol))).as("codes"),
@@ -294,8 +294,7 @@ object Pq {
                        rerank: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
-    val coarse = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val coarse = Similarity.readIndexCentroids(spark, dir)
     val cb = readCodebooks(spark, dir)
     val c = spark.read.parquet(s"$dir/vectors")
       .select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))

@@ -425,6 +425,39 @@ object Similarity {
       .select(col("probe_id"), col("__lab").as("pred_label"), col("votes"))
   }
 
+  /** On-disk vector-index format version, stamped into the centroids
+    * table of every persisted index ([[buildIvfIndex]] /
+    * [[Pq.buildIvfPqIndex]]) and REQUIRED to match at read time. The
+    * version covers everything an index's stored artifacts implicitly
+    * depend on — today, the deterministic plane family (the RP
+    * namespace moved from offset 2^20 to 2^30, so projections — and
+    * any index built over reduced vectors — changed incompatibly).
+    * Bump it whenever a persisted index would silently return wrong
+    * neighbors under the new code; readers then fail loudly with a
+    * rebuild instruction instead. Indexes written before versioning
+    * existed (no `fmt` column) read as version 1 and are rejected the
+    * same way.
+    */
+  val IndexFormatVersion = 2
+
+  /** Read + validate a persisted index's coarse centroids: rejects a
+    * stale [[IndexFormatVersion]] before any search math runs.
+    */
+  private[pipeline] def readIndexCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] = {
+    val df = spark.read.parquet(s"$dir/centroids")
+    val fmt =
+      if (df.columns.contains("fmt")) df.select(max(col("fmt"))).head.getInt(0)
+      else 1
+    require(fmt == IndexFormatVersion,
+      s"index at $dir has on-disk format $fmt but this build reads " +
+        s"$IndexFormatVersion (the deterministic plane family changed); " +
+        "rebuild the index with buildIvfIndex/buildIvfPqIndex")
+    df.orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
   /** Persist a fitted IVF index: the trained coarse quantizer
     * (`dir/centroids`, nlist rows) plus the corpus re-written
     * cell-partitioned (`dir/vectors`, partitioned by `cell`). The
@@ -441,6 +474,7 @@ object Similarity {
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
+      .withColumn("fmt", lit(IndexFormatVersion))
       .repartition(1) // nlist rows: one file, read whole at query time
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val assigned = corpus.select(col(idCol), col(vecCol),
@@ -470,8 +504,7 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, vecCol: String, idCol: String,
                        dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val cents = readIndexCentroids(spark, dir)
     val quantized = spark.read.parquet(s"$dir/vectors").columns.contains("qv")
     val assigned = newVectors.select(col(idCol), col(vecCol),
       element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))
@@ -504,6 +537,11 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     val vroot = new Path(s"$dir/vectors")
     val fs = vroot.getFileSystem(conf)
+    // a fresh or mistyped dir should name the missing layout, not
+    // surface as a raw FileNotFoundException from listStatus
+    require(fs.exists(vroot),
+      s"compactIvfIndex: no IVF index at $dir (expected $vroot — " +
+        "build one with buildIvfIndex first)")
     // repair pass: a crash between the two renames below leaves a
     // cell's rows set aside under _compact_old_cell=N with no live
     // cell=N — restore it before anything else
@@ -560,9 +598,7 @@ object Similarity {
                      nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = readIndexCentroids(spark, dir)
     val vectors = spark.read.parquet(s"$dir/vectors")
     // both index layouts read identically past this select: quantized
     // stores dequantize to a numeric array (still a narrow map in the

@@ -428,6 +428,36 @@ class PipelineSpec extends SparkTestBase {
     assert(Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 4) === 0)
   }
 
+  test("compactIvfIndex on a missing index names the expected layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-miss").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, s"$dir/nope")
+    }
+    assert(e.getMessage.contains("no IVF index"), e.getMessage)
+  }
+
+  test("stale index format version is rejected at read time, not searched") {
+    // an index persisted before the plane-family fix (modeled here by a
+    // centroids table with no fmt column → version 1) must fail loudly
+    // with a rebuild instruction — silently wrong neighbors are the
+    // failure mode the version stamp exists to prevent
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 4)
+    val c = spark.read.parquet(s"$dir/centroids").drop("fmt")
+    val rows = java.util.Arrays.asList(c.collect(): _*)
+    spark.createDataFrame(rows, c.schema)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val probes = emb.filter(col("vec_id") < 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(probes, dir, "embedding", "vec_id", k = 1).collect()
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(probes, "embedding", "vec_id", dir)
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+  }
+
   test("IVF-PQ append encodes with stored codebooks; twins found after append") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
     val base = emb.filter(col("vec_id") >= 10)
@@ -953,6 +983,33 @@ class PipelineSpec extends SparkTestBase {
       assert(rows(id).isNullAt(rows(id).fieldIndex("video_features")), s"media $id")
       assert(rows(id).isNullAt(rows(id).fieldIndex("decoded_frames")), s"media $id")
     }
+  }
+
+  test("decodeVideo survives a deeply-nested LIST bomb (depth cap, no StackOverflowError)") {
+    // ~200k nested LIST headers in ~2.4 MB: unbounded recursion would
+    // overflow the stack, and SOE is fatal (not NonFatal) — the depth
+    // cap must stop descending cleanly and classify the blob as
+    // undecodable instead of killing the task
+    val depth = 200000
+    val bytes = new Array[Byte](12 * depth)
+    def put32(off: Int, n: Int): Unit = {
+      bytes(off) = (n & 0xFF).toByte
+      bytes(off + 1) = ((n >> 8) & 0xFF).toByte
+      bytes(off + 2) = ((n >> 16) & 0xFF).toByte
+      bytes(off + 3) = ((n >> 24) & 0xFF).toByte
+    }
+    for (i <- 0 until depth) {
+      val off = 12 * i
+      val id = if (i == 0) "RIFF" else "LIST"
+      val form = if (i == 0) "AVI " else "movi"
+      System.arraycopy(id.getBytes("US-ASCII"), 0, bytes, off, 4)
+      put32(off + 4, 12 * (depth - i) - 8) // form + all nested levels
+      System.arraycopy(form.getBytes("US-ASCII"), 0, bytes, off + 8, 4)
+    }
+    val media = Seq((1L, bytes)).toDF("media_id", "payload")
+    val rows = Multimodal.decodeVideo(media, dims = 2, maxFrames = 2).collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("decoded_frames")))
   }
 
   test("content features: re-encoded identical images collide; branches dispatch by content") {
@@ -1951,6 +2008,22 @@ class PipelineSpec extends SparkTestBase {
     val delta = Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
     assert(delta === Set(2L, 3L, 4L))
+  }
+
+  test("snapshotDiff classifies null-text docs by presence, not hash nullness") {
+    // md5(null) is null: hash-nullness classification would misread a
+    // present-but-null document as added/removed. Presence flags + the
+    // null-safe compare keep every case honest.
+    val oldSnap = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "body")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, null.asInstanceOf[String]), (2L, "body"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val full = Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text",
+        includeUnchanged = true, hashFn = md5(_))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 4L -> "added"))
   }
 
   test("snapshotDiff hashes content below the join — wide text never shuffles") {
