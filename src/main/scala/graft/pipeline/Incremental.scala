@@ -46,4 +46,58 @@ object Incremental {
       .select(col(idCol), col("status"))
     if (includeUnchanged) d else d.filter(col("status") =!= "unchanged")
   }
+
+  /** Delta-only maintenance of a persisted IVF index
+    * ([[Similarity.buildIvfIndex]] layout): diff the old embedding
+    * snapshot (what the index was built from) against the new one,
+    * then touch ONLY the delta — tombstone `removed` and `changed`
+    * ids, append `added` and `changed` vectors, both at generation
+    * `gen` (a tombstone kills strictly older copies, so the same-gen
+    * append re-adds a changed id; see [[Similarity.tombstoneIvfIds]]).
+    * No existing index file is rewritten and no unchanged vector is
+    * re-embedded or re-assigned — at 100 TB the update costs
+    * O(|delta|), not O(corpus), and the live index contents equal a
+    * full rebuild over the new snapshot (hash-gated by the p72 entry;
+    * cell ASSIGNMENTS may differ because the rebuild refits centroids,
+    * which changes pruning efficiency, never stored vectors).
+    *
+    * Returns the diff statuses it acted on (id, status), so callers
+    * can chain downstream delta work off the same frame.
+    */
+  def incrementalIvfUpdate(oldEmb: DataFrame, newEmb: DataFrame,
+                           idCol: String, vecCol: String, dir: String,
+                           gen: Long = 1L): DataFrame = {
+    val d = snapshotDiff(oldEmb, newEmb, idCol, vecCol)
+    Similarity.tombstoneIvfIds(
+      d.filter(col("status").isin("removed", "changed")).select(col(idCol)),
+      idCol, dir, gen)
+    Similarity.appendToIvfIndex(
+      newEmb.join(
+        d.filter(col("status").isin("added", "changed")).select(col(idCol)),
+        Seq(idCol)),
+      vecCol, idCol, dir, gen)
+    d
+  }
+
+  /** Audit an incremental index against a full rebuild: full-outer join
+    * the LIVE contents of both layouts on id and compare the stored
+    * payload column (`qv` for the default int8 layout — quantization is
+    * deterministic, so identical input vectors yield bit-equal structs).
+    * One row: (n_incremental, n_full, all_match). `all_match` demands
+    * every id present on both sides with equal payload; cell
+    * assignments are deliberately NOT compared (a rebuild refits
+    * centroids — different pruning, same contents).
+    */
+  def compareIvfContents(spark: org.apache.spark.sql.SparkSession,
+                         incDir: String, fullDir: String, idCol: String,
+                         contentCol: String = "qv"): DataFrame = {
+    val a = Similarity.liveIndexVectors(spark, incDir, idCol)
+      .select(col(idCol), col(contentCol).as("__ca"))
+    val b = Similarity.liveIndexVectors(spark, fullDir, idCol)
+      .select(col(idCol), col(contentCol).as("__cb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .agg(count(col("__ca")).as("n_incremental"),
+        count(col("__cb")).as("n_full"),
+        min(col("__ca") <=> col("__cb")).as("all_match"))
+  }
 }

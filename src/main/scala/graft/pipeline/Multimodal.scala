@@ -520,31 +520,104 @@ object Multimodal {
         else {
           val acc = new Array[Double](dims)
           imgs.foreach { img =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            val counts = new Array[Long](dims)
-            val rowBuf = new Array[Int](w)
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, rowBuf, 0, w)
-              var x = 0
-              while (x < w) {
-                val rgb = rowBuf(x)
-                val luma = (((rgb >> 16) & 0xFF) * 0.299 +
-                  ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
-                counts(math.min(dims - 1, (luma * dims).toInt)) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val n = w.toLong * h
+            val h = lumaHistogram(img, dims)
             var i = 0
-            while (i < dims) { acc(i) += counts(i).toDouble / n; i += 1 }
+            while (i < dims) { acc(i) += h(i); i += 1 }
           }
           val feats = Array.tabulate(dims)(i => (acc(i) / imgs.length).toFloat)
           Row.fromSeq(r.toSeq ++ Seq(imgs.length, imgs.head.getWidth, imgs.head.getHeight, feats))
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** `dims`-bucket luminance histogram of one frame (bulk row fetch,
+    * Rec.601 luma) — the shared content statistic of the image and
+    * video branches, per-frame here and frame-averaged in
+    * [[decodeVideo]].
+    */
+  private def lumaHistogram(img: java.awt.image.BufferedImage,
+                            dims: Int): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val counts = new Array[Long](dims)
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val luma = (((rgb >> 16) & 0xFF) * 0.299 +
+          ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+        counts(math.min(dims - 1, (luma * dims).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Array.tabulate(dims)(i => counts(i).toDouble / n)
+  }
+
+  /** Explode each MJPEG-AVI clip into per-frame rows
+    * (input columns + `frame_idx` + `frame_sig`, the frame's
+    * `dims`-bucket luma histogram). The frame-level complement of
+    * [[decodeVideo]]'s clip average — the input to frame dedup.
+    * Undecodable payloads simply emit no rows (corrupt-blob-is-data).
+    * Narrow map: explosion happens inside the partition, no shuffle,
+    * and work per payload is bounded by `maxFrames`.
+    */
+  def videoFrameSignatures(df: DataFrame, dims: Int = 8,
+                           maxFrames: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType)
+      .add("frame_sig", ArrayType(FloatType))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val frames =
+          if (payload == null || payload.length < 12 || !looksLikeAvi(payload)) Seq.empty
+          else aviJpegFrames(payload, maxFrames)
+        frames.flatMap { f =>
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.zipWithIndex.map { case (img, i) =>
+          Row.fromSeq(r.toSeq ++ Seq(i,
+            lumaHistogram(img, dims).map(_.toFloat)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Near-duplicate CLIPS via shared frame content: two clips pair when
+    * at least `minShared` of their distinct quantized frame signatures
+    * collide (luma histogram buckets rounded to 1/`quant` — absorbing
+    * JPEG loss while separating genuinely different frames). The video
+    * member of the dedup family, same plan discipline as
+    * [[Dedup.containmentPairs]]: signatures whose clip frequency
+    * exceeds `maxSigFreq` (black frames, station logos — the all-pairs
+    * blowup shape) are anti-joined away BEFORE the self-join, so the
+    * join is signature-equality only and output is bounded by true
+    * collisions, never corpus².
+    */
+  def videoNearDupClips(media: DataFrame, idCol: String, dims: Int = 4,
+                        maxFrames: Int = 8, quant: Int = 8,
+                        minShared: Int = 2, maxSigFreq: Int = 64): DataFrame = {
+    val sigs = videoFrameSignatures(media, dims, maxFrames)
+      .select(col(idCol),
+        xxhash64(transform(col("frame_sig"),
+          x => round(x * quant).cast("int"))).as("__sig"))
+      .distinct()
+    val hot = sigs.groupBy("__sig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxSigFreq).select("__sig")
+    val kept = sigs.join(broadcast(hot), Seq("__sig"), "left_anti")
+    val a = kept.select(col("__sig"), col(idCol).as("id_a"))
+    val b = kept.select(col("__sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("__sig")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
   }
 
   /** Full demo pipeline over a text table standing in for media blobs. */

@@ -243,6 +243,7 @@ object Pq {
     corpus.select(col(idCol),
         encode(cb, normalize(col(vecCol))).as("codes"),
         element_at(Similarity.rankedCells(coarse, col(vecCol)), 1).as("cell"))
+      .withColumn("gen", lit(0L)) // same v3 layout as the IVF index
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
@@ -267,6 +268,7 @@ object Pq {
     newVectors.select(col(idCol),
         encode(cb, normalize(col(vecCol))).as("codes"),
         element_at(Similarity.rankedCells(coarse, col(vecCol)), 1).as("cell"))
+      .withColumn("gen", lit(0L)) // same v3 layout as the IVF index
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 

@@ -27,21 +27,47 @@ object Retrieval {
   def tokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), w => length(w) > 0)
 
-  /** Per-document postings (doc, dl, term, tf) computed in-row: distinct
-    * terms and their counts come from `transform` over the token array,
-    * so the corpus never shuffles to build them. Quadratic in DISTINCT
-    * terms per doc (u·n comparisons), which for natural-language
-    * documents is far cheaper than shuffling the exploded corpus.
+  /** Token-count threshold above which [[postings]] switches from the
+    * in-row tf kernel to explode+groupBy. The in-row kernel is
+    * quadratic in distinct terms per document (u·n comparisons): ideal
+    * for web-page-length text, but one book-length document (10⁵⁺
+    * tokens, 10⁴⁺ distinct terms) would cost ~10⁹ comparisons inside a
+    * single row and stall an executor core. At 8192 tokens the
+    * worst-case in-row cost stays ~10⁷ comparisons (&lt;10 ms), and
+    * anything longer pays one SHUFFLE OF ITS OWN TOKENS instead —
+    * linear, and proportional to the long tail only, never the corpus.
     */
-  private def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  val LongDocTokens = 8192
+
+  /** Per-document postings (doc, dl, term, tf). Documents at or below
+    * `longDocTokens` compute term frequencies in-row (`transform` over
+    * the token array — a narrow map, no corpus shuffle; quadratic in
+    * distinct terms, cheap at that length). Longer documents explode
+    * their tokens and groupBy (doc, term) — linear per token, with a
+    * shuffle proportional to the LONG documents' tokens only. Both
+    * branches produce identical rows (pinned by test); the cost of the
+    * split is a second column-pruned pass over (id, text) for the long
+    * branch, which on a mixed 100 TB corpus is noise next to either an
+    * executor-stalling row or an all-corpus shuffle.
+    */
+  private[pipeline] def postings(docs: DataFrame, textCol: String, idCol: String,
+                                 longDocTokens: Int = LongDocTokens): DataFrame = {
+    require(longDocTokens > 0, s"longDocTokens $longDocTokens must be positive")
     val ts = tokens(col(textCol))
-    docs
-      .select(col(idCol).as("__doc"), ts.as("__ts"))
-      .select(col("__doc"), size(col("__ts")).as("__dl"),
+    val base = docs.select(col(idCol).as("__doc"), ts.as("__ts"))
+      .select(col("__doc"), col("__ts"), size(col("__ts")).as("__dl"))
+    val short = base.filter(col("__dl") <= longDocTokens)
+      .select(col("__doc"), col("__dl"),
         explode(transform(array_distinct(col("__ts")),
           t => struct(t.as("__t"),
             size(filter(col("__ts"), x => x === t)).as("__tf")))).as("__p"))
       .select(col("__doc"), col("__dl"), col("__p.__t").as("__t"), col("__p.__tf").as("__tf"))
+    val long = base.filter(col("__dl") > longDocTokens)
+      .select(col("__doc"), col("__dl"), explode(col("__ts")).as("__t"))
+      .groupBy(col("__doc"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).cast("int").as("__tf"))
+      .select(col("__doc"), col("__dl"), col("__t"), col("__tf"))
+    short.union(long)
   }
 
   /** BM25 top-k retrieval: for each query row, the `k` highest-scoring
@@ -68,8 +94,9 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, qTextCol: String, qIdCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = postings(docs, textCol, idCol)
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               longDocTokens: Int = LongDocTokens): DataFrame = {
+    val post = postings(docs, textCol, idCol, longDocTokens)
     val stats = docs.select(tokens(col(textCol)).as("__ts"))
       .agg(count(lit(1)).as("__n"), avg(size(col("__ts"))).as("__avgdl"))
     val qTerms = queries
@@ -119,9 +146,53 @@ object Retrieval {
     * of the postings. Postings within a bucket cluster by term so the
     * term equi-join stays tight under parquet row-group stats.
     */
+  /** Fuzzy decontamination triage — the composed use this module was
+    * built for: BM25-score the corpus against benchmark questions, keep
+    * documents whose best score reaches `minScore` (the fuzzy recall
+    * net: paraphrases and partial copies that exact n-gram matching
+    * misses), then EXACT-verify just those candidates with
+    * [[TextAnalysis.contaminationReport]] against the benchmark's word
+    * `n`-grams. Output per flagged doc: (id, max_bm25, n_grams, hits,
+    * contamination) — threshold `contamination` to drop, audit the
+    * rest.
+    *
+    * Scale shape: stage 1 is [[bm25TopK]] (corpus read once, candidate-
+    * proportional shuffle); stage 2 re-reads only the ≤ |bench|·k
+    * flagged docs for exact gram counting. The expensive exact pass is
+    * candidate-proportional, never corpus-proportional.
+    */
+  def decontaminationTriage(docs: DataFrame, textCol: String, idCol: String,
+                            bench: DataFrame, qTextCol: String, qIdCol: String,
+                            minScore: Double, k: Int = 100, n: Int = 3,
+                            longDocTokens: Int = LongDocTokens): DataFrame = {
+    val flagged = bm25TopK(docs, textCol, idCol, bench, qTextCol, qIdCol, k,
+        longDocTokens = longDocTokens)
+      .groupBy(col("doc_id")).agg(max(col("score")).as("max_bm25"))
+      .filter(col("max_bm25") >= minScore)
+      .select(col("doc_id").as(idCol), col("max_bm25"))
+    val grams = bench.select(
+      explode(Dedup.shingles(lower(col(qTextCol)), n)).as("gram")).distinct()
+    TextAnalysis.contaminationReport(docs.join(flagged, Seq(idCol)),
+        textCol, idCol, grams, "gram", n)
+      .join(flagged, Seq(idCol))
+      .select(col(idCol), col("max_bm25"), col("n_grams"), col("hits"),
+        col("contamination"))
+  }
+
+  /** Per-JVM cache of each text index's stats row (corpus size, mean
+    * doc length, bucket modulus): the values are immutable facts of a
+    * written index, and caching them saves one driver job per
+    * [[bm25TopKIndexed]] query batch. [[buildTextIndex]] invalidates
+    * its dir on rebuild.
+    */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Double, Int)]
+
   def buildTextIndex(docs: DataFrame, textCol: String, idCol: String,
-                     dir: String, buckets: Int = 64): Unit = {
+                     dir: String, buckets: Int = 64,
+                     longDocTokens: Int = LongDocTokens): Unit = {
     require(buckets > 0, s"buckets $buckets must be positive")
+    statsCache.remove(dir) // a rebuild at the same path changes the facts
     // the bucket modulus is a layout fact queries must reproduce, so it
     // rides in the stats row alongside the corpus aggregates
     docs.select(tokens(col(textCol)).as("__ts"))
@@ -129,7 +200,7 @@ object Retrieval {
       .withColumn("__buckets", lit(buckets))
       .repartition(1) // one row: a single stats file read at query time
       .write.mode("overwrite").parquet(s"$dir/stats")
-    postings(docs, textCol, idCol)
+    postings(docs, textCol, idCol, longDocTokens)
       .select(col("__t").as("term"), col("__doc").as("doc_id"),
         col("__dl").as("dl"), col("__tf").as("tf"),
         pmod(xxhash64(col("__t")), lit(buckets.toLong)).cast("int").as("bucket"))
@@ -152,9 +223,11 @@ object Retrieval {
                       qTextCol: String, qIdCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = queries.sparkSession
-    val statsFull = spark.read.parquet(s"$dir/stats")
-    val buckets = statsFull.head().getAs[Int]("__buckets")
-    val stats = statsFull.select("__n", "__avgdl")
+    val (n, avgdl, buckets) = statsCache.getOrElseUpdate(dir, {
+      val r = spark.read.parquet(s"$dir/stats").head()
+      (r.getAs[Long]("__n"), r.getAs[Double]("__avgdl"), r.getAs[Int]("__buckets"))
+    })
+    val stats = spark.range(1).select(lit(n).as("__n"), lit(avgdl).as("__avgdl"))
     val qTerms = queries
       .select(col(qIdCol).as("__q"), explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
     val hitBuckets = qTerms

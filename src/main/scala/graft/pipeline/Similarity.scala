@@ -429,16 +429,18 @@ object Similarity {
     * table of every persisted index ([[buildIvfIndex]] /
     * [[Pq.buildIvfPqIndex]]) and REQUIRED to match at read time. The
     * version covers everything an index's stored artifacts implicitly
-    * depend on — today, the deterministic plane family (the RP
-    * namespace moved from offset 2^20 to 2^30, so projections — and
-    * any index built over reduced vectors — changed incompatibly).
-    * Bump it whenever a persisted index would silently return wrong
-    * neighbors under the new code; readers then fail loudly with a
-    * rebuild instruction instead. Indexes written before versioning
-    * existed (no `fmt` column) read as version 1 and are rejected the
-    * same way.
+    * depend on: v2 = the deterministic plane family (the RP namespace
+    * moved from offset 2^20 to 2^30, so projections — and any index
+    * built over reduced vectors — changed incompatibly); v3 = vector
+    * rows carry a `gen` generation column (tombstone liveness needs
+    * it, and mixing gen-less and gen-ful parquet files in one layout
+    * would read inconsistently). Bump it whenever a persisted index
+    * would silently return wrong neighbors under the new code; readers
+    * then fail loudly with a rebuild instruction instead. Indexes
+    * written before versioning existed (no `fmt` column) read as
+    * version 1 and are rejected the same way.
     */
-  val IndexFormatVersion = 2
+  val IndexFormatVersion = 3
 
   /** Read + validate a persisted index's coarse centroids: rejects a
     * stale [[IndexFormatVersion]] before any search math runs.
@@ -488,7 +490,8 @@ object Similarity {
       if (quantize)
         assigned.select(col(idCol), quantizeInt8(col(vecCol)).as("qv"), col("cell"))
       else assigned
-    stored.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    stored.withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
   /** Incremental append to a persisted [[buildIvfIndex]] layout — the
@@ -502,7 +505,7 @@ object Similarity {
     * exactly faiss's `add` vs `train` split.
     */
   def appendToIvfIndex(newVectors: DataFrame, vecCol: String, idCol: String,
-                       dir: String): Unit = {
+                       dir: String, gen: Long = 0L): Unit = {
     val spark = newVectors.sparkSession
     val cents = readIndexCentroids(spark, dir)
     val quantized = spark.read.parquet(s"$dir/vectors").columns.contains("qv")
@@ -512,7 +515,45 @@ object Similarity {
       if (quantized)
         assigned.select(col(idCol), quantizeInt8(col(vecCol)).as("qv"), col("cell"))
       else assigned
-    stored.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    stored.withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Tombstone ids in a persisted IVF index: appends (id, tgen) rows to
+    * `dir/tombstones`. A vector row is LIVE iff no tombstone for its id
+    * carries a strictly greater generation — so tombstoning at gen g
+    * kills every copy written before g while an [[appendToIvfIndex]] AT
+    * g (or later) re-adds the id. That ordering is what lets one
+    * incremental step replace a changed vector: tombstone + append with
+    * the same gen, no rewrite of any existing file. Readers
+    * ([[ivfTopKIndexed]]) anti-join the tombstone table on id — an
+    * equi-join proportional to the DELETED set, never the corpus.
+    * Compaction does not fold tombstones in (they stay a separate
+    * small table); a full rebuild clears them.
+    */
+  def tombstoneIvfIds(ids: DataFrame, idCol: String, dir: String,
+                      gen: Long): Unit =
+    ids.select(col(idCol).as("__tomb_id"), lit(gen).as("__tgen"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The live rows of a persisted index's vectors table: tombstoned
+    * generations dropped (see [[tombstoneIvfIds]]). No-op when the
+    * index has no tombstone table.
+    */
+  private[pipeline] def liveIndexVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val tpath = new Path(s"$dir/tombstones")
+    val fs = tpath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tpath)) vectors
+    else {
+      val tombs = spark.read.parquet(tpath.toString)
+      vectors.join(tombs,
+        vectors(idCol) === tombs("__tomb_id") &&
+          tombs("__tgen") > vectors("gen"), "left_anti")
+    }
   }
 
   /** Compact fragmented cell partitions of a persisted IVF index: each
@@ -599,7 +640,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     val cents = readIndexCentroids(spark, dir)
-    val vectors = spark.read.parquet(s"$dir/vectors")
+    val vectors = liveIndexVectors(spark, dir, idCol)
     // both index layouts read identically past this select: quantized
     // stores dequantize to a numeric array (still a narrow map in the
     // scan stage), float stores pass through

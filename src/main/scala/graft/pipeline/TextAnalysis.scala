@@ -236,14 +236,25 @@ object TextAnalysis {
     * stopwords have no candidate phrases and are absent from the
     * output. Ties rank by score desc then phrase asc; scores round to
     * 6 dp before ranking so the ordering is engine-portable.
+    *
+    * `maxDocTokens` makes the per-task bound EXPLICIT: because the doc
+    * id is the window partition key, one document is one task's work,
+    * and a 10⁶-token book would land whole on a single core. Tokens
+    * past the cap are truncated (RAKE's stats are doc-local, so the
+    * result equals running on the truncated text — pinned by test);
+    * the 256k default admits any real article untouched while bounding
+    * a task at ~seconds of window work.
     */
   def keywords(docs: DataFrame, textCol: String, idCol: String,
                stopwords: Seq[String], topK: Int,
-               scoring: String = "ratio"): DataFrame = {
+               scoring: String = "ratio",
+               maxDocTokens: Int = 1 << 18): DataFrame = {
     require(Set("ratio", "degree", "freq")(scoring),
       s"scoring must be ratio|degree|freq, got $scoring")
+    require(maxDocTokens > 0, s"maxDocTokens $maxDocTokens must be positive")
     val toks = docs.select(col(idCol),
       posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+      .filter(col("__pos") < maxDocTokens)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val seg = toks
       .withColumn("__stop", col("__w").isin(stopwords: _*))

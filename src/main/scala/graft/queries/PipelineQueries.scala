@@ -301,6 +301,47 @@ object PipelineQueries {
         includeUnchanged = true, hashFn = md5(_))
     }),
 
+    // incremental pipeline end-to-end: an index built over an OLD
+    // embedding snapshot is brought to the NEW snapshot touching only
+    // the delta (tombstone removed/changed, append added/changed) and
+    // must hold contents BIT-EQUAL to a full rebuild — old snapshot
+    // drops vec_id%7==0 and reverses %5==0 vectors, new drops %11==0
+    "p72_incremental_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val oldSnap = emb.filter(col("vec_id") % 7 =!= 0)
+        .withColumn("embedding", when(col("vec_id") % 5 === 0,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      val newSnap = emb.filter(col("vec_id") % 11 =!= 0)
+      val (inc, full) = incIndexDirs.getOrElseUpdate(d, {
+        val i = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+        val f = java.nio.file.Files.createTempDirectory("graft-ivf-fullrb").toString
+        Similarity.buildIvfIndex(oldSnap, "embedding", "vec_id", i, nlist = 8)
+        Incremental.incrementalIvfUpdate(oldSnap, newSnap,
+          "vec_id", "embedding", i)
+        Similarity.buildIvfIndex(newSnap, "embedding", "vec_id", f, nlist = 8)
+        (i, f)
+      })
+      Incremental.compareIvfContents(s, inc, full, "vec_id")
+    }),
+
+    // whole-graph analytics over the quad store's entity graph (the
+    // GraphX north star): undirected connected components, every
+    // entity labeled with the minimum reachable entity id — exactly
+    // re-derivable by a recursive-CTE closure, so fully oracle-checked
+    "p69_graph_components" -> ((s, _) =>
+      graft.graph.GraphAnalytics.connectedComponents(
+        graft.ingest.WikidataIngest.statements(s,
+          s.conf.get("spark.graft.store.dir",
+            graft.ingest.WikidataIngest.defaultDir)))),
+
+    // degree profile of the same entity graph — the one-shuffle stats
+    // pass that sizes the iterative jobs
+    "p70_graph_degrees" -> ((s, _) =>
+      graft.graph.GraphAnalytics.degrees(
+        graft.ingest.WikidataIngest.statements(s,
+          s.conf.get("spark.graft.store.dir",
+            graft.ingest.WikidataIngest.defaultDir)))),
+
     // the flagship composition: near-dup removal → benchmark
     // decontamination → minimum-quality filter → deterministic split
     // assignment, all chained on the same frame (each stage is one of
@@ -718,6 +759,40 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"))
     }),
 
+    // frame-level video dedup: deterministic solid-gray clips whose
+    // luma-bucket patterns are constructed facts (grays 32/96/160/224
+    // land in buckets 0-3 with JPEG loss unable to cross a boundary),
+    // so the near-dup pairs — clips sharing ≥2 distinct quantized
+    // frame signatures — are exactly enumerable by the oracle
+    "p71_video_neardup" -> ((s, _) => {
+      def jpeg(gray: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (gray << 16) | (gray << 8) | gray
+        var y = 0
+        while (y < 6) {
+          var x = 0
+          while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", buf)
+        buf.toByteArray
+      }
+      val grays = Map(0 -> 32, 1 -> 96, 2 -> 160, 3 -> 224)
+      def clip(buckets: Int*): Array[Byte] =
+        Multimodal.mjpegAvi(buckets.map(b => jpeg(grays(b))))
+      val clips = Seq(
+        (1L, clip(0, 1, 2)), // {b0,b1,b2}
+        (2L, clip(0, 1, 3)), // shares {b0,b1} with 1
+        (3L, clip(0, 3)),    // shares {b0,b3} with 2, only b0 with 1
+        (4L, clip(2, 2, 1)), // distinct {b1,b2}: shares both with 1
+        (5L, clip(3)))       // one frame: never reaches minShared=2
+      import s.implicits._
+      Multimodal.videoNearDupClips(clips.toDF("media_id", "payload"),
+        "media_id", dims = 4, maxFrames = 4, quant = 8, minShared = 2)
+    }),
+
     // BM25 keyword retrieval, fully oracle-checked: queries are the
     // first 8 tokens of docs 0-2 (self-retrieval — each query's source
     // doc should surface), scores round to 6 dp BEFORE ranking so the
@@ -751,6 +826,19 @@ object PipelineQueries {
         scratch
       })
       Retrieval.bm25TopKIndexed(queries, dir, "qtext", "query_id", k = 10)
+    }),
+
+    // fuzzy decontamination triage: BM25 against the same benchmark
+    // questions as p63 (top-10, max score per doc ≥ 1.0), then the
+    // exact distinct-3-gram verification over just the flagged docs —
+    // the full chain replayed by the oracle
+    "p73_decon_triage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
+      Retrieval.decontaminationTriage(docs, "text", "doc_id",
+        bench, "qtext", "query_id", minScore = 1.0, k = 10)
     }),
 
     // split-leakage audit: near-dup pairs straddling the p15 split
@@ -834,6 +922,10 @@ object PipelineQueries {
   /** One build+append per (JVM, dataset) for the p57 gate. */
   private val ivfAppendDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One incremental-vs-full index pair per (JVM, dataset) for p72. */
+  private val incIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** One classifier fit per (JVM, dataset) for the p59 gate. */
   private val clfModels = scala.collection.concurrent.TrieMap
@@ -1005,6 +1097,48 @@ object PipelineQueries {
         |FROM (VALUES (1, 1), (2, 2), (3, 3), (4, 4), (5, 4))
         |  t(media_id, decoded_frames)""".stripMargin,
 
+    // constructed-fact pairs: clips sharing ≥2 luma buckets by design
+    "p71_video_neardup" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(shared_frames AS BIGINT) AS shared_frames
+        |FROM (VALUES (1, 2, 2), (1, 4, 2), (2, 3, 2))
+        |  t(id_a, id_b, shared_frames)""".stripMargin,
+
+    // the delta-updated index must hold exactly the new snapshot's
+    // rows; all_match is the Spark-side bit-equality verdict
+    "p72_incremental_index" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_incremental,
+        |  CAST(count(*) AS BIGINT) AS n_full,
+        |  true AS all_match
+        |FROM EMB WHERE vec_id % 11 <> 0""".stripMargin,
+
+    // undirected reachability closure per entity vertex (both edge
+    // directions), component = min reachable id — the same canonical
+    // label GraphX's ConnectedComponents converges to
+    "p69_graph_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(s['num'] AS BIGINT) AS a, CAST(o['num'] AS BIGINT) AS b
+        |  FROM read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')
+        |  WHERE s['kind']='Q' AND o['kind']='Q'),
+        |ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(v, u) AS (
+        |  SELECT DISTINCT a, a FROM ed
+        |  UNION
+        |  SELECT r.v, e.b FROM reach r JOIN ed e ON r.u = e.a)
+        |SELECT v AS entity_id, min(u) AS component FROM reach GROUP BY v""".stripMargin,
+
+    "p70_graph_degrees" ->
+      """WITH e AS (
+        |  SELECT CAST(s['num'] AS BIGINT) AS a, CAST(o['num'] AS BIGINT) AS b
+        |  FROM read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')
+        |  WHERE s['kind']='Q' AND o['kind']='Q'),
+        |od AS (SELECT a AS entity_id, count(*) AS out_degree FROM e GROUP BY a),
+        |id_ AS (SELECT b AS entity_id, count(*) AS in_degree FROM e GROUP BY b)
+        |SELECT COALESCE(od.entity_id, id_.entity_id) AS entity_id,
+        |  COALESCE(out_degree, 0) AS out_degree,
+        |  COALESCE(in_degree, 0) AS in_degree
+        |FROM od FULL OUTER JOIN id_ ON od.entity_id = id_.entity_id""".stripMargin,
+
     // full BM25 replay: same tokenizer, Lucene-style non-negative idf,
     // k1=1.2 b=0.75, scores rounded to 6 dp before ranking, ties by
     // ascending doc id — queries are the first 8 tokens of docs 0-2
@@ -1030,6 +1164,53 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id ASC) AS rank FROM scores)
         |WHERE rank <= 10""".stripMargin,
+
+    // the full triage chain: p63's BM25 replay → top-10 → max-score
+    // threshold → p66's distinct-3-gram verification on flagged docs,
+    // benchmark grams = 3-grams of the first-8-token query texts
+    "p73_decon_triage" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> len(w) > 0) AS ts FROM DOCS),
+        |stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM t),
+        |post AS (SELECT doc_id, len(ts) AS dl, u.term, count(*) AS tf
+        |         FROM t, unnest(ts) AS u(term) GROUP BY doc_id, len(ts), u.term),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, u.term
+        |       FROM t, unnest(list_slice(ts, 1, 8)) AS u(term) WHERE doc_id < 3),
+        |dfs AS (SELECT term, count(*) AS df FROM post
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |contrib AS (SELECT qt.query_id, post.doc_id,
+        |    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      (post.tf * 2.2) /
+        |      (post.tf + 1.2 * (0.25 + 0.75 * post.dl / stats.avgdl)) AS c
+        |  FROM qt JOIN post USING (term) JOIN dfs USING (term), stats),
+        |scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+        |           FROM contrib GROUP BY query_id, doc_id),
+        |topk AS (SELECT doc_id, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rnk FROM scores)
+        |  WHERE rnk <= 10),
+        |flagged AS (SELECT doc_id, max(score) AS max_bm25 FROM topk
+        |            GROUP BY doc_id HAVING max(score) >= 1.0),
+        |bg AS (SELECT DISTINCT u.g AS gram FROM (
+        |    SELECT CASE WHEN len(list_slice(ts, 1, 8)) > 2
+        |      THEN [array_to_string(list_slice(ts, 1, 8)[i:i+2], ' ')
+        |            FOR i IN range(1, len(list_slice(ts, 1, 8)) - 1)]
+        |      ELSE [array_to_string(list_slice(ts, 1, 8), ' ')] END AS gs
+        |    FROM t WHERE doc_id < 3) q, unnest(q.gs) AS u(g)),
+        |sh AS (SELECT t.doc_id, list_distinct(CASE WHEN len(ts) > 2
+        |      THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]
+        |      ELSE [array_to_string(ts, ' ')] END) AS sh
+        |    FROM t JOIN flagged USING (doc_id)),
+        |hits AS (SELECT s.doc_id, count(*) AS hits
+        |         FROM (SELECT doc_id, unnest(sh) AS g FROM sh) s
+        |         JOIN bg ON s.g = bg.gram GROUP BY s.doc_id)
+        |SELECT f.doc_id, f.max_bm25,
+        |  CAST(len(sh.sh) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / len(sh.sh), 6) AS contamination
+        |FROM flagged f JOIN sh ON f.doc_id = sh.doc_id
+        |LEFT JOIN hits h ON f.doc_id = h.doc_id""".stripMargin,
 
     // interpolated-bigram LM replay: history-conditioned MLE mixed 0.9
     // with unigram frequency, per-bigram log-probs quantized to integer

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphAnalytics
+
+/** GraphX analytics over the entity graph: component labels, degrees,
+  * and fixed-iteration PageRank on hand graphs plus the fixture store.
+  */
+class GraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Minimal statements frame: only the struct fields the edge
+    * extractor reads (s.kind/s.num/o.kind/o.num).
+    */
+  private def stmts(edges: (Long, Long)*): DataFrame =
+    edges.toSeq.toDF("sn", "on")
+      .select(
+        struct(lit("Q").as("kind"), col("sn").cast("double").as("num")).as("s"),
+        struct(lit("Q").as("kind"), col("on").cast("double").as("num")).as("o"))
+
+  test("connectedComponents labels each vertex with the min reachable id") {
+    // two components: {1,2,3,4} chained both directions-ish, {10,11}
+    val cc = GraphAnalytics.connectedComponents(
+        stmts(2L -> 1L, 2L -> 3L, 4L -> 3L, 10L -> 11L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("entityEdges keeps only item-to-item rows") {
+    val mixed = Seq(("Q", 1L, "Q", 2L), ("Q", 1L, "ident", 9L),
+      ("nedge", 7L, "Q", 3L)).toDF("sk", "sn", "ok", "on")
+      .select(
+        struct(col("sk").as("kind"), col("sn").cast("double").as("num")).as("s"),
+        struct(col("ok").as("kind"), col("on").cast("double").as("num")).as("o"))
+    val e = GraphAnalytics.entityEdges(mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq === Seq((1L, 2L)))
+  }
+
+  test("degrees: directed in/out counts with zero-fill on either side") {
+    val d = GraphAnalytics.degrees(stmts(1L -> 2L, 1L -> 3L, 2L -> 3L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d === Map(1L -> (2L, 0L), 2L -> (1L, 1L), 3L -> (0L, 2L)))
+  }
+
+  test("pageRank: deterministic, rounded, and in-link mass ranks the hub first") {
+    val g = stmts(1L -> 3L, 2L -> 3L, 4L -> 3L, 3L -> 1L)
+    val run1 = GraphAnalytics.pageRank(g, numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val run2 = GraphAnalytics.pageRank(g, numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run1 === run2, "fixed-iteration PageRank must be run-stable")
+    assert(run1.keySet === Set(1L, 2L, 3L, 4L))
+    // 3 collects every in-link and funnels its whole mass to 1, so the
+    // 1↔3 cycle dominates the leaf vertices, which stay symmetric
+    assert(run1(3L) > run1(2L) && run1(1L) > run1(2L), s"cycle beats leaves: $run1")
+    assert(run1(2L) === run1(4L), s"leaves are symmetric: $run1")
+    assert(run1.values.forall(v => v > 0 && v == math.rint(v * 1e6) / 1e6))
+  }
+
+  test("fixture entity graph: one giant component anchored at the min id") {
+    val cc = GraphAnalytics.connectedComponents(
+      graft.ingest.WikidataIngest.statements(spark))
+    val comps = cc.select("component").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(comps === Set(5L), s"fixture closure collapses to one component: $comps")
+    assert(cc.count() === 390)
+  }
+}

@@ -329,9 +329,10 @@ class PipelineSpec extends SparkTestBase {
   test("IVF-PQ persisted index round-trips and searches with usable recall") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
     Pq.buildIvfPqIndex(emb, "embedding", "vec_id", dir, nlist = 8, m = 8, ksub = 16)
-    // stored layout: codes only, no float vectors at rest
+    // stored layout: codes only (plus the v3 generation stamp), no
+    // float vectors at rest
     val vecs = spark.read.parquet(s"$dir/vectors")
-    assert(vecs.columns.toSet === Set("vec_id", "codes", "cell"))
+    assert(vecs.columns.toSet === Set("vec_id", "codes", "cell", "gen"))
     assert(vecs.count() === emb.count())
     val probes = emb.filter(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -426,6 +427,51 @@ class PipelineSpec extends SparkTestBase {
     assert(search() === resBefore, "search results must survive compaction")
     // idempotent: a second pass finds nothing to do
     assert(Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 4) === 0)
+  }
+
+  test("tombstones hide ids from indexed search; a same-gen append re-adds them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-tomb").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 4)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 900).as("vec_id"), col("embedding"))
+    def top1(): Long =
+      Similarity.ivfTopKIndexed(probe, dir, "embedding", "vec_id", k = 1, nprobe = 4)
+        .collect()(0).getLong(1)
+    assert(top1() === 0L, "before tombstoning, the twin is the top hit")
+    Similarity.tombstoneIvfIds(
+      emb.filter(col("vec_id") < 2).select("vec_id"), "vec_id", dir, gen = 1L)
+    assert(top1() !== 0L, "tombstoned id must not be returned")
+    assert(top1() !== 1L)
+    // same-gen append re-adds the id (the changed-vector replace path)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") === 0),
+      "embedding", "vec_id", dir, gen = 1L)
+    assert(top1() === 0L, "re-added id is live again")
+  }
+
+  test("incrementalIvfUpdate: delta-updated index contents equal a full rebuild") {
+    val oldSnap = emb.filter(col("vec_id") % 7 =!= 0)
+      .withColumn("embedding", when(col("vec_id") % 5 === 0,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+    val newSnap = emb.filter(col("vec_id") % 11 =!= 0)
+    val inc = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-fullrb").toString
+    Similarity.buildIvfIndex(oldSnap, "embedding", "vec_id", inc, nlist = 4)
+    val acted = Incremental.incrementalIvfUpdate(oldSnap, newSnap,
+      "vec_id", "embedding", inc)
+    // the diff covers added (%7==0 unless %11==0), removed (%11==0),
+    // changed (%5==0 survivors) — and nothing else
+    val statuses = acted.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses.forall { case (id, st) => st match {
+      case "added"   => id % 7 == 0 && id % 11 != 0
+      case "removed" => id % 11 == 0 && id % 7 != 0
+      case "changed" => id % 5 == 0 && id % 7 != 0 && id % 11 != 0
+      case _         => false
+    }}, s"unexpected statuses: $statuses")
+    Similarity.buildIvfIndex(newSnap, "embedding", "vec_id", full, nlist = 4)
+    val row = Incremental.compareIvfContents(spark, inc, full, "vec_id").collect()(0)
+    val expected = newSnap.count()
+    assert(row.getLong(0) === expected && row.getLong(1) === expected)
+    assert(row.getBoolean(2), "live contents must be bit-equal to the rebuild")
   }
 
   test("compactIvfIndex on a missing index names the expected layout") {
@@ -983,6 +1029,66 @@ class PipelineSpec extends SparkTestBase {
       assert(rows(id).isNullAt(rows(id).fieldIndex("video_features")), s"media $id")
       assert(rows(id).isNullAt(rows(id).fieldIndex("decoded_frames")), s"media $id")
     }
+  }
+
+  test("videoFrameSignatures explodes per-frame luma histograms, narrow plan") {
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      (1L, Multimodal.mjpegAvi(Seq(jpeg(32), jpeg(224)))),
+      (2L, "not a video".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.videoFrameSignatures(media, dims = 4, maxFrames = 4)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"frame explosion must stay narrow:\n$plan")
+    val rows = out.select("media_id", "frame_idx", "frame_sig").collect()
+    assert(rows.length === 2, "undecodable payload emits no rows")
+    val sigs = rows.map(r => (r.getLong(0), r.getInt(1)) ->
+      r.getAs[scala.collection.Seq[Float]](2)).toMap
+    // solid gray 32 → all mass in bucket 0; 224 → bucket 3 (JPEG loss
+    // cannot cross a 64-wide boundary from an interior gray)
+    assert(sigs((1L, 0))(0) === 1.0f && sigs((1L, 1))(3) === 1.0f)
+  }
+
+  test("videoNearDupClips pairs clips sharing frames; hot signatures capped first") {
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    // every clip opens with the same "logo" frame (bucket 0) — the
+    // all-pairs hazard; clips 1 and 2 also share two real frames
+    val logo = jpeg(32)
+    val clips = Seq(
+      (1L, Multimodal.mjpegAvi(Seq(logo, jpeg(96), jpeg(160)))),
+      (2L, Multimodal.mjpegAvi(Seq(logo, jpeg(96), jpeg(160)))),
+      (3L, Multimodal.mjpegAvi(Seq(logo, jpeg(224)))),
+      (4L, Multimodal.mjpegAvi(Seq(logo))),
+      (5L, Multimodal.mjpegAvi(Seq(logo))))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.videoNearDupClips(clips, "media_id",
+        dims = 4, maxFrames = 4, quant = 8, minShared = 2, maxSigFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the logo signature appears in 5 clips > maxSigFreq=3 → capped, so
+    // only the true near-dup pair (sharing b1+b2) survives
+    assert(pairs.toSeq === Seq((1L, 2L, 2L)), pairs.mkString(","))
+    val plan = Multimodal.videoNearDupClips(clips, "media_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"clip pairing must stay an equi-join:\n$plan")
   }
 
   test("decodeVideo survives a deeply-nested LIST bomb (depth cap, no StackOverflowError)") {
@@ -2036,6 +2142,114 @@ class PipelineSpec extends SparkTestBase {
     // the join keys/output carry only id + hash columns, never text
     val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
     assert(!joinLine.contains("text"), s"text reached the join:\n$joinLine")
+  }
+
+  test("BM25 long-doc fallback: explode+groupBy postings equal the in-row kernel") {
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
+    def run(thr: Int): Set[(Long, Long, Double, Int)] =
+      Retrieval.bm25TopK(docs, "text", "doc_id", queries, "qtext", "query_id",
+          k = 10, longDocTokens = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    // threshold 1 routes EVERY document through the explode+groupBy
+    // branch; the default keeps every fixture doc in-row — identical
+    // rows prove the two kernels agree exactly (dl, tf, scores, ranks)
+    assert(run(1) === run(Retrieval.LongDocTokens))
+  }
+
+  test("book-length documents retrieve correctly through the long-doc branch") {
+    // a ~200k-token document with ~1k distinct terms: the in-row kernel
+    // would burn ~2e8 comparisons inside one row; above the threshold it
+    // takes the linear explode+groupBy path instead and must still
+    // score/retrieve exactly
+    val longText = (0 until 200000).map(i => s"w${(i * 2654435761L) % 1000}").mkString(" ")
+    val mixed = Seq((1L, longText), (2L, "quick brown fox"), (3L, "lazy dog sleeps"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "w1 w7 w13"), (20L, "quick fox")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(mixed, "text", "doc_id", queries, "qtext", "query_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(out((10L, 1)) === 1L, s"long doc must win its own terms: $out")
+    assert(out((20L, 1)) === 2L, s"short doc retrieval unaffected: $out")
+    // and the long doc's own plan stays identical to a doc truncated at
+    // nothing — tf through the explode path is exact, verified by a
+    // deterministic score recomputation on a single-term query
+    val one = Retrieval.bm25TopK(mixed, "text", "doc_id",
+      Seq((1L, "w999")).toDF("query_id", "qtext"), "qtext", "query_id", k = 1)
+      .collect()
+    assert(one.length === 1 && one(0).getLong(1) === 1L)
+  }
+
+  test("keywords maxDocTokens equals running on pre-truncated text") {
+    val full = "alpha beta the gamma delta the epsilon zeta eta theta iota kappa"
+    val toks = full.split(" ")
+    val truncated = toks.take(7).mkString(" ")
+    val a = TextAnalysis.keywords(
+      Seq((1L, full)).toDF("doc_id", "text"), "text", "doc_id",
+      Seq("the"), topK = 5, scoring = "degree", maxDocTokens = 7)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = TextAnalysis.keywords(
+      Seq((1L, truncated)).toDF("doc_id", "text"), "text", "doc_id",
+      Seq("the"), topK = 5, scoring = "degree")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a === b)
+    assert(a.exists(_._1.startsWith("gamma delta")), s"phrases survived: $a")
+  }
+
+  test("decontaminationTriage flags the leaked doc and exact-verifies it") {
+    val corpus = Seq(
+      (1L, "the capital of france is paris and its river is the seine"),
+      (2L, "completely unrelated text about spark shuffles and parquet files"),
+      (3L, "what is the capital of france extra words here beyond")) // paraphrase-ish
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "what is the capital of france"))
+      .toDF("query_id", "qtext")
+    val out = Retrieval.decontaminationTriage(corpus, "text", "doc_id",
+        bench, "qtext", "query_id", minScore = 0.1, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 3 contains the question's grams verbatim → high contamination;
+    // doc 1 shares terms (BM25-flagged) but few exact 3-grams; doc 2
+    // shares only stopword-ish terms
+    assert(out.contains(3L) && out(3L)._4 > 0.3, s"leaked doc verified: $out")
+    assert(out.get(1L).forall(_._4 < out(3L)._4), s"partial overlap ranks lower: $out")
+    out.get(2L).foreach { case (_, _, hits, _) => assert(hits === 0L) }
+  }
+
+  test("indexed BM25 caches the stats row: repeat query batches save a driver job") {
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(Retrieval.tokens(col("text")), 1, 6), " ").as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-textidx-cache").toString
+    Retrieval.buildTextIndex(docs, "text", "doc_id", dir, buckets = 8)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def settledJobs(): Int = {
+      var prev = -1
+      var tries = 0
+      while (prev != jobs.get() && tries < 20) {
+        prev = jobs.get(); Thread.sleep(150); tries += 1
+      }
+      jobs.get()
+    }
+    def run(): Array[org.apache.spark.sql.Row] =
+      Retrieval.bm25TopKIndexed(queries, dir, "qtext", "query_id", k = 5).collect()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r1 = run()
+      val j1 = settledJobs()
+      jobs.set(0)
+      val r2 = run()
+      val j2 = settledJobs()
+      assert(j2 < j1, s"cached stats must save at least the head() job: $j1 -> $j2")
+      assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("persisted text index: same BM25 answer, postings scan partition-pruned") {
