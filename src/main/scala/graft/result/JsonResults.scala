@@ -32,21 +32,25 @@ object JsonResults {
     sb.toString
   }
 
-  /** Serialize a term-column result (from [[graft.sparql.Sparql.query]]).
+  /** Serialize a term-column result (from [[graft.sparql.Sparql.query]])
+    * to a String.
     *
     * The sink is for protocol responses, which are bounded result sets
     * — but the bound is ENFORCED, never silent: a result with more than
     * `spark.graft.json.maxRows` rows (default `limit`) raises, it does
     * not truncate. Rows stream through `toLocalIterator` (one partition
     * of rendered strings on the driver at a time), so memory is bounded
-    * by a partition, not the result.
+    * by a partition — plus, here, the assembled String.
     */
   def toJson(df: DataFrame, limit: Int = 1000000): String = {
-    if (df.columns.sameElements(Array("boolean"))) {
-      val b = df.head().getBoolean(0)
-      return s"""{"head":{"vars":[]},"boolean":$b}"""
-    }
-    val maxRows = df.sparkSession.conf
+    val buf = new java.io.ByteArrayOutputStream()
+    writeJson(df, buf, maxBytes = Long.MaxValue, maxRows = confMaxRows(df, limit))
+    buf.toString("UTF-8")
+  }
+
+  /** The `spark.graft.json.maxRows` row cap, validated. */
+  def confMaxRows(df: DataFrame, limit: Int): Int =
+    df.sparkSession.conf
       .getOption("spark.graft.json.maxRows").map { v =>
         val n = try v.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -56,6 +60,35 @@ object JsonResults {
           s"spark.graft.json.maxRows must be a positive int, got '$v'")
         n
       }.getOrElse(limit)
+
+  /** Stream the serialization to `out` (UTF-8), returning bytes
+    * written. Rows flow binding-by-binding from `toLocalIterator`, so
+    * driver memory is bounded by ONE partition of rendered strings no
+    * matter how large the result — the 100 TB-safe sink the buffered
+    * [[toJson]] cannot be. Two independent ENFORCED bounds, both
+    * fail-loud, never truncating: `maxRows` (the protocol row cap;
+    * pass `Int.MaxValue` to disable for streaming consumers) and
+    * `maxBytes` (the hard byte budget — a streamed response can abort
+    * mid-body, so the budget throws rather than silently closing a
+    * syntactically-complete-looking prefix).
+    */
+  def writeJson(df: DataFrame, out: java.io.OutputStream,
+                maxBytes: Long, maxRows: Int): Long = {
+    var written = 0L
+    def w(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      written += b.length
+      if (written > maxBytes)
+        throw new IllegalStateException(
+          s"result exceeds the $maxBytes-byte budget; " +
+            "raise spark.graft.server.maxResultBytes or add LIMIT to the query")
+      out.write(b)
+    }
+    if (df.columns.sameElements(Array("boolean"))) {
+      val b = df.head().getBoolean(0)
+      w(s"""{"head":{"vars":[]},"boolean":$b}""")
+      return written
+    }
     val vars = df.columns.toSeq
     // render per-variable fields distributed, collect only strings
     val rendered = df.select(vars.flatMap { v =>
@@ -70,9 +103,12 @@ object JsonResults {
     // fetch maxRows+1 so overflow is observable, then fail loudly
     // (clamped: maxRows = Int.MaxValue must not overflow the limit)
     val fetch = math.min(maxRows.toLong + 1, Int.MaxValue.toLong).toInt
-    val rows = rendered.limit(fetch).toLocalIterator()
+    val rows =
+      if (fetch == Int.MaxValue) rendered.toLocalIterator()
+      else rendered.limit(fetch).toLocalIterator()
+    val head = vars.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
+    w(s"""{"head":{"vars":$head},"results":{"bindings":[""")
     var n = 0
-    val bindings = new scala.collection.mutable.ArrayBuffer[String]()
     while (rows.hasNext) {
       val row = rows.next()
       n += 1
@@ -80,7 +116,6 @@ object JsonResults {
         throw new IllegalStateException(
           s"result exceeds spark.graft.json.maxRows=$maxRows rows; " +
             "raise the limit or add LIMIT to the query")
-      bindings += {
       val fields = vars.zipWithIndex.flatMap { case (v, i) =>
         val base = i * 5
         val isNull = row.getBoolean(base + 4)
@@ -97,10 +132,9 @@ object JsonResults {
           Some(sb.toString)
         }
       }
-      fields.mkString("{", ",", "}")
-      }
+      w((if (n > 1) "," else "") + fields.mkString("{", ",", "}"))
     }
-    val head = vars.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
-    s"""{"head":{"vars":$head},"results":{"bindings":${bindings.mkString("[", ",", "]")}}}"""
+    w("]}}")
+    written
   }
 }

@@ -180,10 +180,25 @@ object QueryServer {
             return
           }
           val timeoutMs = timeoutMsOpt.get
+          // opt-in chunked streaming (`spark.graft.server.streamResults`):
+          // bindings flow to the socket via toLocalIterator under a hard
+          // BYTE budget instead of buffering under the row cap — the
+          // 100 TB sink. Once the stream starts, a failure aborts the
+          // chunked body (the client observes a truncated transfer);
+          // it is never papered over with a 200-complete-looking prefix.
+          val streaming = explainMode.isEmpty && spark.conf
+            .get("spark.graft.server.streamResults", "false")
+            .equalsIgnoreCase("true")
+          // exactly-one-response guard: the worker (streaming success)
+          // and the watchdog (timeout 503) race for the response; the
+          // CAS decides, and a started stream wins by construction
+          val sent = new java.util.concurrent.atomic.AtomicBoolean(false)
+          def respondOnce(code: Int, body: String, contentType: String): Unit =
+            if (sent.compareAndSet(false, true)) respond(code, body, contentType)
           val reqId = reqIds.incrementAndGet()
           val group = s"graft-http-$reqId"
-          val task = queryPool.submit(new Callable[String] {
-            def call(): String = {
+          val task = queryPool.submit(new Callable[Option[String]] {
+            def call(): Option[String] = {
               spark.sparkContext.setJobGroup(group, s"HTTP query: $q",
                 interruptOnCancel = true)
               // per-request FAIR pool (bounded name set — pools live for
@@ -195,9 +210,24 @@ object QueryServer {
               try {
                 val df = Sparql.query(spark, q, dir)
                 explainMode match {
-                  case Some(m) => df.queryExecution.explainString(
-                    org.apache.spark.sql.execution.ExplainMode.fromString(m))
-                  case None => JsonResults.toJson(df)
+                  case Some(m) => Some(df.queryExecution.explainString(
+                    org.apache.spark.sql.execution.ExplainMode.fromString(m)))
+                  case None if streaming =>
+                    val budget = spark.conf
+                      .get("spark.graft.server.maxResultBytes", (1L << 30).toString)
+                      .toLongOption.filter(_ > 0)
+                      .getOrElse(throw new IllegalArgumentException(
+                        "spark.graft.server.maxResultBytes must be a positive long"))
+                    if (sent.compareAndSet(false, true)) {
+                      ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+                      ex.getResponseHeaders.add("Content-Type", "application/json")
+                      ex.sendResponseHeaders(200, 0L) // 0 = chunked
+                      val os = ex.getResponseBody
+                      try JsonResults.writeJson(df, os, budget, Int.MaxValue)
+                      finally { try os.close() catch { case _: Throwable => } }
+                    }
+                    None
+                  case None => Some(JsonResults.toJson(df))
                 }
               } finally {
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
@@ -209,23 +239,23 @@ object QueryServer {
             val body =
               if (timeoutMs > 0) task.get(timeoutMs, TimeUnit.MILLISECONDS)
               else task.get()
-            respond(200, body,
+            body.foreach(b => respondOnce(200, b,
               if (explainMode.isDefined) "text/plain; charset=utf-8"
-              else "application/json")
+              else "application/json"))
           } catch {
             case _: TimeoutException =>
               spark.sparkContext.cancelJobGroup(group)
               task.cancel(true)
-              respond(503,
+              respondOnce(503,
                 s"query exceeded spark.graft.server.timeoutMs=$timeoutMs", "text/plain")
             case e: ExecutionException => e.getCause match {
               case pe: Parser.ParseException =>
-                respond(400, s"parse error: ${pe.msg}", "text/plain")
+                respondOnce(400, s"parse error: ${pe.msg}", "text/plain")
               // explain modes are validated before submission, so an
               // IllegalArgumentException here is the QUERY's, not the
               // mode's — it takes the generic 500 like any other cause
               case c =>
-                respond(500, s"error: ${c.getMessage}", "text/plain")
+                respondOnce(500, s"error: ${c.getMessage}", "text/plain")
             }
             case _: InterruptedException =>
               spark.sparkContext.cancelJobGroup(group)
@@ -234,11 +264,11 @@ object QueryServer {
               // and a blocking write on an already-interrupted thread
               // throws ClosedByInterruptException instead of delivering
               // the 500
-              respond(500, "query execution interrupted", "text/plain")
+              respondOnce(500, "query execution interrupted", "text/plain")
               Thread.currentThread().interrupt() // preserve interrupt status for the pool
             case _: java.util.concurrent.CancellationException =>
               spark.sparkContext.cancelJobGroup(group)
-              respond(500, "query execution interrupted", "text/plain")
+              respondOnce(500, "query execution interrupted", "text/plain")
           }
       }
     } catch {

@@ -274,6 +274,36 @@ class ServerSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.json.maxRows")
   }
 
+  test("streaming mode serves results past the row cap; byte budget aborts the stream") {
+    val big = "/query?query=" + java.net.URLEncoder.encode(
+      "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", "UTF-8") // 3385 rows
+    spark.conf.set("spark.graft.json.maxRows", "10")
+    spark.conf.set("spark.graft.server.streamResults", "true")
+    try {
+      // above the row cap → still 200, chunked, COMPLETE (the buffered
+      // path 500s on this exact query — pinned by the oversize test)
+      val (code, body, headers) = get(big)
+      assert(code === 200)
+      assert(headers.get("Transfer-encoding").exists(_.contains("chunked")) ||
+        !headers.contains("Content-length"), s"expected a chunked response: $headers")
+      assert(body.endsWith("]}}"), "stream ran to completion")
+      assert("\"s\":\\{".r.findAllIn(body).length === 3385, "every binding present")
+      // a hard byte budget aborts the chunked body instead of lying
+      // with a complete-looking prefix
+      spark.conf.set("spark.graft.server.maxResultBytes", "512")
+      val aborted =
+        try {
+          val (c2, b2, _) = get(big)
+          (c2 != 200) || !b2.endsWith("]}}")
+        } catch { case _: java.io.IOException => true }
+      assert(aborted, "an over-budget stream must not read as complete")
+    } finally {
+      spark.conf.unset("spark.graft.json.maxRows")
+      spark.conf.unset("spark.graft.server.streamResults")
+      spark.conf.unset("spark.graft.server.maxResultBytes")
+    }
+  }
+
   test("maxRows edge values: Int.MaxValue serves; junk fails with a clear message") {
     val small = "/query?query=" + java.net.URLEncoder.encode(
       "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 3", "UTF-8")
