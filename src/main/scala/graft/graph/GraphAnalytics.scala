@@ -59,10 +59,13 @@ object GraphAnalytics {
 
   /** Static PageRank over the directed entity graph: `numIter` fixed
     * synchronous iterations with damping `resetProb` (GraphX's
-    * `staticPageRank`), scores rounded to `dp` decimals so the ranking
-    * is reproducible across runs and engines (float message order
-    * cannot flip a rounded score). Fixed-iteration, not tolerance-
-    * converged, for the same determinism reason.
+    * `staticPageRank` — r_0 = 1.0; r_{i+1}(v) = resetProb +
+    * (1−resetProb)·Σ_{u→v} r_i(u)/outdeg(u); final ranks renormalized
+    * to sum N, restoring the mass dangling vertices leak), scores
+    * rounded to `dp` decimals so the ranking is reproducible across
+    * runs and engines (float message order cannot flip a rounded
+    * score). Fixed-iteration, not tolerance-converged, for the same
+    * determinism reason.
     */
   def pageRank(statements: DataFrame, numIter: Int = 10,
                resetProb: Double = 0.15, dp: Int = 6): DataFrame = {

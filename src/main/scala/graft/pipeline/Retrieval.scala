@@ -54,15 +54,23 @@ object Retrieval {
                                  longDocTokens: Int = LongDocTokens): DataFrame = {
     require(longDocTokens > 0, s"longDocTokens $longDocTokens must be positive")
     val ts = tokens(col(textCol))
-    val base = docs.select(col(idCol).as("__doc"), ts.as("__ts"))
+    val short = docs.select(col(idCol).as("__doc"), ts.as("__ts"))
       .select(col("__doc"), col("__ts"), size(col("__ts")).as("__dl"))
-    val short = base.filter(col("__dl") <= longDocTokens)
+      .filter(col("__dl") <= longDocTokens)
       .select(col("__doc"), col("__dl"),
         explode(transform(array_distinct(col("__ts")),
           t => struct(t.as("__t"),
             size(filter(col("__ts"), x => x === t)).as("__tf")))).as("__p"))
       .select(col("__doc"), col("__dl"), col("__p.__t").as("__t"), col("__p.__tf").as("__tf"))
-    val long = base.filter(col("__dl") > longDocTokens)
+    // cheap sieve before the long branch re-tokenizes: k whitespace
+    // tokens need ≥ 2k−1 characters (k token chars + k−1 separators),
+    // so length ≤ 2·threshold rules a doc out with a per-row length
+    // check — on an all-short corpus the second pass scans text bytes
+    // but never pays the split/explode
+    val long = docs.filter(length(col(textCol)) > lit(2L * longDocTokens))
+      .select(col(idCol).as("__doc"), ts.as("__ts"))
+      .select(col("__doc"), col("__ts"), size(col("__ts")).as("__dl"))
+      .filter(col("__dl") > longDocTokens)
       .select(col("__doc"), col("__dl"), explode(col("__ts")).as("__t"))
       .groupBy(col("__doc"), col("__dl"), col("__t"))
       .agg(count(lit(1)).cast("int").as("__tf"))
@@ -164,9 +172,35 @@ object Retrieval {
   def decontaminationTriage(docs: DataFrame, textCol: String, idCol: String,
                             bench: DataFrame, qTextCol: String, qIdCol: String,
                             minScore: Double, k: Int = 100, n: Int = 3,
-                            longDocTokens: Int = LongDocTokens): DataFrame = {
-    val flagged = bm25TopK(docs, textCol, idCol, bench, qTextCol, qIdCol, k,
-        longDocTokens = longDocTokens)
+                            longDocTokens: Int = LongDocTokens): DataFrame =
+    triageVerify(
+      bm25TopK(docs, textCol, idCol, bench, qTextCol, qIdCol, k,
+        longDocTokens = longDocTokens),
+      docs, textCol, idCol, bench, qTextCol, minScore, n)
+
+  /** [[decontaminationTriage]] against a persisted [[buildTextIndex]]
+    * layout: the corpus is never re-tokenized — BM25 candidates come
+    * from the partition-pruned postings scan, and only the flagged
+    * documents are read back for exact gram verification. Identical
+    * output to the direct form (both reduce to the same deterministic
+    * scores), at index-lookup cost instead of a corpus pass — the
+    * production shape when triage runs per benchmark drop, not once.
+    */
+  def decontaminationTriageIndexed(docs: DataFrame, textCol: String, idCol: String,
+                                   bench: DataFrame, qTextCol: String, qIdCol: String,
+                                   indexDir: String, minScore: Double,
+                                   k: Int = 100, n: Int = 3): DataFrame =
+    triageVerify(
+      bm25TopKIndexed(bench, indexDir, qTextCol, qIdCol, k),
+      docs, textCol, idCol, bench, qTextCol, minScore, n)
+
+  /** Shared triage tail: max-score threshold over the BM25 top-k, then
+    * exact contamination verification on the flagged docs only.
+    */
+  private def triageVerify(topk: DataFrame, docs: DataFrame, textCol: String,
+                           idCol: String, bench: DataFrame, qTextCol: String,
+                           minScore: Double, n: Int): DataFrame = {
+    val flagged = topk
       .groupBy(col("doc_id")).agg(max(col("score")).as("max_bm25"))
       .filter(col("max_bm25") >= minScore)
       .select(col("doc_id").as(idCol), col("max_bm25"))

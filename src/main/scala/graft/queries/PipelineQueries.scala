@@ -342,6 +342,14 @@ object PipelineQueries {
           s.conf.get("spark.graft.store.dir",
             graft.ingest.WikidataIngest.defaultDir)))),
 
+    // fixed-iteration PageRank (5 synchronous steps, 6-dp rounding) —
+    // the oracle unrolls the exact recurrence, parallel edges included
+    "p74_graph_pagerank" -> ((s, _) =>
+      graft.graph.GraphAnalytics.pageRank(
+        graft.ingest.WikidataIngest.statements(s,
+          s.conf.get("spark.graft.store.dir",
+            graft.ingest.WikidataIngest.defaultDir)), numIter = 5)),
+
     // the flagship composition: near-dup removal → benchmark
     // decontamination → minimum-quality filter → deterministic split
     // assignment, all chained on the same frame (each stage is one of
@@ -841,6 +849,25 @@ object PipelineQueries {
         bench, "qtext", "query_id", minScore = 1.0, k = 10)
     }),
 
+    // the same triage through the PERSISTED inverted index (shares
+    // p73's oracle — deterministic): corpus never re-tokenized, BM25
+    // candidates come partition-pruned, exact grams verify flagged
+    // docs only. The production shape for per-benchmark-drop triage.
+    "p75_decon_triage_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
+      val dir = textIndexDirs.getOrElseUpdate(d, {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-textidx-gate").toString
+        Retrieval.buildTextIndex(docs, "text", "doc_id", scratch, buckets = 16)
+        scratch
+      })
+      Retrieval.decontaminationTriageIndexed(docs, "text", "doc_id",
+        bench, "qtext", "query_id", dir, minScore = 1.0, k = 10)
+    }),
+
     // split-leakage audit: near-dup pairs straddling the p15 split
     // assignment — fully hash-checked against a DuckDB re-derivation
     // (exact pairs + the same md5 split draw)
@@ -1138,6 +1165,45 @@ object PipelineQueries {
         |  COALESCE(out_degree, 0) AS out_degree,
         |  COALESCE(in_degree, 0) AS in_degree
         |FROM od FULL OUTER JOIN id_ ON od.entity_id = id_.entity_id""".stripMargin,
+
+    // GraphX staticPageRank unrolled: r0 = 1.0; r_{i+1}(v) = 0.15 +
+    // 0.85·Σ_{u→v} r_i(u)/outdeg(u) over the raw edge MULTISET
+    // (parallel edges each carry a message); 5 iterations, 6-dp round
+    "p74_graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT CAST(s['num'] AS BIGINT) AS a, CAST(o['num'] AS BIGINT) AS b
+        |  FROM read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')
+        |  WHERE s['kind']='Q' AND o['kind']='Q'),
+        |od AS (SELECT a, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY a),
+        |v AS (SELECT DISTINCT x AS v FROM
+        |  (SELECT a AS x FROM e UNION ALL SELECT b FROM e)),
+        |p0 AS (SELECT v, 1.0 AS r FROM v),
+        |p1 AS (SELECT v.v, 0.15 + 0.85 * COALESCE(m.m, 0) AS r FROM v LEFT JOIN
+        |  (SELECT e.b AS v, sum(p.r / od.od) AS m FROM e
+        |   JOIN p0 p ON e.a = p.v JOIN od ON e.a = od.a GROUP BY e.b) m
+        |  ON v.v = m.v),
+        |p2 AS (SELECT v.v, 0.15 + 0.85 * COALESCE(m.m, 0) AS r FROM v LEFT JOIN
+        |  (SELECT e.b AS v, sum(p.r / od.od) AS m FROM e
+        |   JOIN p1 p ON e.a = p.v JOIN od ON e.a = od.a GROUP BY e.b) m
+        |  ON v.v = m.v),
+        |p3 AS (SELECT v.v, 0.15 + 0.85 * COALESCE(m.m, 0) AS r FROM v LEFT JOIN
+        |  (SELECT e.b AS v, sum(p.r / od.od) AS m FROM e
+        |   JOIN p2 p ON e.a = p.v JOIN od ON e.a = od.a GROUP BY e.b) m
+        |  ON v.v = m.v),
+        |p4 AS (SELECT v.v, 0.15 + 0.85 * COALESCE(m.m, 0) AS r FROM v LEFT JOIN
+        |  (SELECT e.b AS v, sum(p.r / od.od) AS m FROM e
+        |   JOIN p3 p ON e.a = p.v JOIN od ON e.a = od.a GROUP BY e.b) m
+        |  ON v.v = m.v),
+        |p5 AS (SELECT v.v, 0.15 + 0.85 * COALESCE(m.m, 0) AS r FROM v LEFT JOIN
+        |  (SELECT e.b AS v, sum(p.r / od.od) AS m FROM e
+        |   JOIN p4 p ON e.a = p.v JOIN od ON e.a = od.a GROUP BY e.b) m
+        |  ON v.v = m.v)
+        |-- GraphX renormalizes the final ranks to sum N (dangling
+        |-- vertices leak mass during iteration; the scale restores it)
+        |SELECT v AS entity_id,
+        |  round(r * (SELECT count(*) FROM v) / (SELECT sum(r) FROM p5), 6)
+        |    AS pagerank
+        |FROM p5""".stripMargin,
 
     // full BM25 replay: same tokenizer, Lucene-style non-negative idf,
     // k1=1.2 b=0.75, scores rounded to 6 dp before ranking, ties by
@@ -1946,8 +2012,11 @@ object PipelineQueries {
     // the driver's DuckDB session exposes the sf tables as views
     k -> v.replace("DOCS", "documents").replace("EMB", "embeddings")
   } match {
-    // the indexed retrieval is deterministic and layout-independent,
-    // so it shares the in-memory entry's full oracle verbatim
-    case m => m + ("p65_bm25_indexed" -> m("p63_bm25_topk"))
+    // the indexed retrieval/triage paths are deterministic and
+    // layout-independent, so they share the in-memory entries' full
+    // oracles verbatim
+    case m => m +
+      ("p65_bm25_indexed" -> m("p63_bm25_topk")) +
+      ("p75_decon_triage_indexed" -> m("p73_decon_triage"))
   }
 }

@@ -62,6 +62,30 @@ class GraphSpec extends SparkTestBase {
     assert(run1.values.forall(v => v > 0 && v == math.rint(v * 1e6) / 1e6))
   }
 
+  test("pageRank matches the explicitly-replayed recurrence (what the oracle unrolls)") {
+    // GraphX staticPageRank: r_0 = 1.0 everywhere; r_{i+1}(v) = 0.15 +
+    // 0.85 * Σ_{u→v} r_i(u)/outdeg(u), parallel edges each carrying a
+    // message, vertices with no in-edges resetting to 0.15 + 0; the
+    // FINAL ranks renormalize to sum N (dangling vertices — here 5 —
+    // leak mass during iteration, and the scale restores it; probed
+    // empirically, a no-dangling graph cannot distinguish)
+    val edges = Seq(1L -> 3L, 2L -> 3L, 4L -> 3L, 3L -> 1L, 3L -> 4L,
+      1L -> 3L, 3L -> 5L)
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.size }
+    var r = verts.map(_ -> 1.0).toMap
+    for (_ <- 0 until 7)
+      r = verts.map(v => v -> (0.15 + 0.85 * edges.collect {
+        case (u, w) if w == v => r(u) / outdeg(u) }.sum)).toMap
+    val norm = verts.size / r.values.sum
+    val expected = r.map { case (v, x) => v -> x * norm }
+    val got = GraphAnalytics.pageRank(stmts(edges: _*), numIter = 7)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got.keySet === verts.toSet)
+    verts.foreach(v => assert(math.abs(got(v) - expected(v)) < 2e-6,
+      s"vertex $v: graphx ${got(v)} vs replay ${expected(v)}"))
+  }
+
   test("fixture entity graph: one giant component anchored at the min id") {
     val cc = GraphAnalytics.connectedComponents(
       graft.ingest.WikidataIngest.statements(spark))

@@ -2218,6 +2218,24 @@ class PipelineSpec extends SparkTestBase {
     out.get(2L).foreach { case (_, _, hits, _) => assert(hits === 0L) }
   }
 
+  test("indexed triage equals the direct form; corpus text stays out of stage 1") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-triage-idx").toString
+    Retrieval.buildTextIndex(docs, "text", "doc_id", dir, buckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val direct = rows(Retrieval.decontaminationTriage(docs, "text", "doc_id",
+      bench, "qtext", "query_id", minScore = 1.0, k = 10))
+    val indexed = rows(Retrieval.decontaminationTriageIndexed(docs, "text", "doc_id",
+      bench, "qtext", "query_id", dir, minScore = 1.0, k = 10))
+    assert(direct === indexed)
+    assert(direct.nonEmpty, "self-retrieval must flag the query source docs")
+  }
+
   test("indexed BM25 caches the stats row: repeat query batches save a driver job") {
     val docs = Tables.documents(spark, sf)
     val queries = docs.filter(col("doc_id") < 2)
