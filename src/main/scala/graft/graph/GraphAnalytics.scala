@@ -79,6 +79,55 @@ object GraphAnalytics {
       .select(col("entity_id"), round(col("raw"), dp).as("pagerank"))
   }
 
+  /** Per-vertex triangle counts on the undirected simple entity graph
+    * (GraphX `TriangleCount` — self-loops dropped, parallel/reverse
+    * duplicates canonicalized internally): how many triangles pass
+    * through each entity, the standard local-clustering signal for
+    * community structure. Exact, so an external engine re-derives it
+    * by materializing each (a&lt;b&lt;c) triangle once from the
+    * deduplicated undirected edge list — fully oracle-checkable.
+    *
+    * Scale shape: GraphX's implementation intersects sorted neighbor
+    * sets per edge after one partitioning pass — cost Σ min(deg(u),
+    * deg(v)) over edges, never vertices². Degree skew (celebrity
+    * entities) bounds per-task work by the hot vertex's neighbor set,
+    * the known hazard of triangle counting at 100 TB; cap candidates
+    * with [[degrees]] before running it on a power-law graph.
+    */
+  def triangleCounts(statements: DataFrame): DataFrame = {
+    val spark = statements.sparkSession
+    import spark.implicits._
+    org.apache.spark.graphx.lib.TriangleCount
+      .run(toGraph(entityEdges(statements)))
+      .vertices
+      .map { case (v, c) => (v, c.toLong) }
+      .toDF("entity_id", "triangles")
+  }
+
+  /** Directed BFS hop distance from `source` to every reachable entity
+    * (GraphX Pregel, `maxHops` supersteps — the iteration bound is the
+    * budget lever, like `path.maxRows` in the SPARQL path engine).
+    * Exact min-hop labels, re-derivable as a bounded reachability
+    * closure — fully oracle-checkable.
+    */
+  def hopDistances(statements: DataFrame, source: Long,
+                   maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 0, s"maxHops $maxHops must be non-negative")
+    val spark = statements.sparkSession
+    import spark.implicits._
+    val g = toGraph(entityEdges(statements))
+      .mapVertices((id, _) => if (id == source) 0.0 else Double.PositiveInfinity)
+    g.pregel(Double.PositiveInfinity, maxIterations = maxHops)(
+        (_, dist, msg) => math.min(dist, msg),
+        t => if (t.srcAttr + 1 < t.dstAttr) Iterator((t.dstId, t.srcAttr + 1))
+             else Iterator.empty,
+        (a, b) => math.min(a, b))
+      .vertices
+      .filter(_._2 != Double.PositiveInfinity)
+      .map { case (v, d) => (v, d.toLong) }
+      .toDF("entity_id", "hops")
+  }
+
   /** In/out degree per entity — the one-shuffle profile that sizes the
     * iterative jobs above (max degree bounds per-task message volume).
     */

@@ -350,6 +350,23 @@ object PipelineQueries {
           s.conf.get("spark.graft.store.dir",
             graft.ingest.WikidataIngest.defaultDir)), numIter = 5)),
 
+    // per-vertex triangle counts on the undirected simple entity graph
+    // — the oracle materializes each a<b<c triangle once
+    "p76_graph_triangles" -> ((s, _) =>
+      graft.graph.GraphAnalytics.triangleCounts(
+        graft.ingest.WikidataIngest.statements(s,
+          s.conf.get("spark.graft.store.dir",
+            graft.ingest.WikidataIngest.defaultDir)))),
+
+    // directed BFS hop distances from wd:Q31, 10-superstep budget —
+    // the oracle replays the bounded reachability closure
+    "p77_graph_hops" -> ((s, _) =>
+      graft.graph.GraphAnalytics.hopDistances(
+        graft.ingest.WikidataIngest.statements(s,
+          s.conf.get("spark.graft.store.dir",
+            graft.ingest.WikidataIngest.defaultDir)),
+        source = 31L, maxHops = 10)),
+
     // the flagship composition: near-dup removal → benchmark
     // decontamination → minimum-quality filter → deterministic split
     // assignment, all chained on the same frame (each stage is one of
@@ -1165,6 +1182,39 @@ object PipelineQueries {
         |  COALESCE(out_degree, 0) AS out_degree,
         |  COALESCE(in_degree, 0) AS in_degree
         |FROM od FULL OUTER JOIN id_ ON od.entity_id = id_.entity_id""".stripMargin,
+
+    // every a<b<c triangle of the deduplicated undirected edge list
+    // materialized once; per-vertex count = memberships, 0-filled
+    "p76_graph_triangles" ->
+      """WITH e0 AS (
+        |  SELECT CAST(s['num'] AS BIGINT) AS a, CAST(o['num'] AS BIGINT) AS b
+        |  FROM read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')
+        |  WHERE s['kind']='Q' AND o['kind']='Q'),
+        |ed AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+        |       FROM e0 WHERE a <> b),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM ed e1
+        |        JOIN ed e2 ON e2.x = e1.y
+        |        JOIN ed e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |pv AS (SELECT v, count(*) AS n FROM (
+        |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY v),
+        |vv AS (SELECT DISTINCT x AS v FROM
+        |  (SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0))
+        |SELECT vv.v AS entity_id, CAST(COALESCE(pv.n, 0) AS BIGINT) AS triangles
+        |FROM vv LEFT JOIN pv ON vv.v = pv.v""".stripMargin,
+
+    // bounded directed reachability closure from entity 31; min depth
+    "p77_graph_hops" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(s['num'] AS BIGINT) AS a, CAST(o['num'] AS BIGINT) AS b
+        |  FROM read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')
+        |  WHERE s['kind']='Q' AND o['kind']='Q'),
+        |r(v, d) AS (
+        |  SELECT CAST(31 AS BIGINT), 0
+        |  UNION
+        |  SELECT e0.b, r.d + 1 FROM r JOIN e0 ON e0.a = r.v WHERE r.d < 10)
+        |SELECT v AS entity_id, CAST(min(d) AS BIGINT) AS hops
+        |FROM r GROUP BY v""".stripMargin,
 
     // GraphX staticPageRank unrolled: r0 = 1.0; r_{i+1}(v) = 0.15 +
     // 0.85·Σ_{u→v} r_i(u)/outdeg(u) over the raw edge MULTISET

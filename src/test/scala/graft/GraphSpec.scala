@@ -86,6 +86,29 @@ class GraphSpec extends SparkTestBase {
       s"vertex $v: graphx ${got(v)} vs replay ${expected(v)}"))
   }
 
+  test("triangleCounts: canonicalizes direction/duplicates/self-loops, zero-fills") {
+    // triangle {1,2,3} expressed with reversed and duplicate edges plus
+    // a self-loop; 4 hangs off 3 and closes nothing
+    val t = GraphAnalytics.triangleCounts(stmts(
+        1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 3L -> 3L, 3L -> 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("hopDistances: directed min-hop labels, budget truncates the frontier") {
+    val g = stmts(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 3L)
+    val full = GraphAnalytics.hopDistances(g, source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // unreached vertices are absent, and direction matters
+    val from4 = GraphAnalytics.hopDistances(g, source = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(from4 === Map(4L -> 0L))
+    val capped = GraphAnalytics.hopDistances(g, source = 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("fixture entity graph: one giant component anchored at the min id") {
     val cc = GraphAnalytics.connectedComponents(
       graft.ingest.WikidataIngest.statements(spark))
