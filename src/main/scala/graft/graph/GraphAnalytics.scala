@@ -79,6 +79,28 @@ object GraphAnalytics {
       .select(col("entity_id"), round(col("raw"), dp).as("pagerank"))
   }
 
+  /** Strongly connected components of the DIRECTED entity graph
+    * (GraphX `StronglyConnectedComponents`): every entity labeled with
+    * the smallest id in its SCC — the directed refinement of
+    * [[connectedComponents]] (mutual reachability, not just
+    * undirected contact), which is what cycle/cluster analysis over a
+    * knowledge graph actually wants. `numIter` bounds the
+    * color-propagation rounds; the label is exact once iterations
+    * cover the largest SCC's diameter, and an external engine
+    * re-derives it as min over the MUTUAL reachability closure —
+    * fully oracle-checkable.
+    */
+  def stronglyConnectedComponents(statements: DataFrame,
+                                  numIter: Int = 10): DataFrame = {
+    val spark = statements.sparkSession
+    import spark.implicits._
+    org.apache.spark.graphx.lib.StronglyConnectedComponents
+      .run(toGraph(entityEdges(statements)), numIter)
+      .vertices
+      .map { case (v, c) => (v, c) }
+      .toDF("entity_id", "component")
+  }
+
   /** Per-vertex triangle counts on the undirected simple entity graph
     * (GraphX `TriangleCount` — self-loops dropped, parallel/reverse
     * duplicates canonicalized internally): how many triangles pass

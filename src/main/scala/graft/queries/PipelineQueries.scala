@@ -350,6 +350,14 @@ object PipelineQueries {
           s.conf.get("spark.graft.store.dir",
             graft.ingest.WikidataIngest.defaultDir)), numIter = 5)),
 
+    // strongly connected components (directed mutual reachability) —
+    // the oracle takes min over the pairwise mutual closure
+    "p78_graph_scc" -> ((s, _) =>
+      graft.graph.GraphAnalytics.stronglyConnectedComponents(
+        graft.ingest.WikidataIngest.statements(s,
+          s.conf.get("spark.graft.store.dir",
+            graft.ingest.WikidataIngest.defaultDir)))),
+
     // per-vertex triangle counts on the undirected simple entity graph
     // — the oracle materializes each a<b<c triangle once
     "p76_graph_triangles" -> ((s, _) =>
@@ -1182,6 +1190,23 @@ object PipelineQueries {
         |  COALESCE(out_degree, 0) AS out_degree,
         |  COALESCE(in_degree, 0) AS in_degree
         |FROM od FULL OUTER JOIN id_ ON od.entity_id = id_.entity_id""".stripMargin,
+
+    // min over the directed MUTUAL reachability closure: u and v share
+    // an SCC iff each reaches the other; (v,v) seeds make singletons
+    "p78_graph_scc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(s['num'] AS BIGINT) AS a, CAST(o['num'] AS BIGINT) AS b
+        |  FROM read_parquet('/root/repo/data/wikidata/statements.parquet/*.parquet')
+        |  WHERE s['kind']='Q' AND o['kind']='Q'),
+        |vv AS (SELECT DISTINCT x AS v FROM
+        |  (SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0)),
+        |r(v, u) AS (
+        |  SELECT v, v FROM vv
+        |  UNION
+        |  SELECT r.v, e0.b FROM r JOIN e0 ON e0.a = r.u)
+        |SELECT a.v AS entity_id, min(a.u) AS component
+        |FROM r a JOIN r b ON a.v = b.u AND a.u = b.v
+        |GROUP BY a.v""".stripMargin,
 
     // every a<b<c triangle of the deduplicated undirected edge list
     // materialized once; per-vertex count = memberships, 0-filled

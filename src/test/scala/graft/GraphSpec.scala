@@ -86,6 +86,23 @@ class GraphSpec extends SparkTestBase {
       s"vertex $v: graphx ${got(v)} vs replay ${expected(v)}"))
   }
 
+  test("stronglyConnectedComponents: cycles collapse, direction separates") {
+    // two directed cycles bridged one-way: {1,2,3} and {4,5} are SCCs,
+    // 6 hangs off 5 alone (reachable but not mutually)
+    val scc = GraphAnalytics.stronglyConnectedComponents(
+        stmts(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 4L,
+          5L -> 6L), numIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+    // the undirected labeling would merge everything — direction matters
+    val cc = GraphAnalytics.connectedComponents(
+        stmts(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 4L,
+          5L -> 6L))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cc === Set(1L))
+  }
+
   test("triangleCounts: canonicalizes direction/duplicates/self-loops, zero-fills") {
     // triangle {1,2,3} expressed with reversed and duplicate edges plus
     // a self-loop; 4 hangs off 3 and closes nothing
