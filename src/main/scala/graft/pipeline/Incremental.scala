@@ -67,7 +67,12 @@ object Incremental {
   def incrementalIvfUpdate(oldEmb: DataFrame, newEmb: DataFrame,
                            idCol: String, vecCol: String, dir: String,
                            gen: Long = 1L): DataFrame = {
-    val d = snapshotDiff(oldEmb, newEmb, idCol, vecCol)
+    // the diff feeds THREE consumers (tombstone write, append write,
+    // the returned frame) — materialize it once or every action
+    // re-reads and re-joins both full snapshots. The delta is tiny by
+    // premise (ids + statuses), so localCheckpoint holds it in block
+    // storage instead of recomputing two corpus passes.
+    val d = snapshotDiff(oldEmb, newEmb, idCol, vecCol).localCheckpoint()
     Similarity.tombstoneIvfIds(
       d.filter(col("status").isin("removed", "changed")).select(col(idCol)),
       idCol, dir, gen)
