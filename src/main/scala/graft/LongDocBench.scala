@@ -61,9 +61,13 @@ object LongDocBench {
           queries, "qtext", "query_id", k = 10,
           longDocTokens = Int.MaxValue).count()
       },
+      // the cap must actually BITE for the entry to measure the guard:
+      // 64k < bookTokens truncates every book, bounding one task's
+      // window work at 64k tokens regardless of document length
       time("keywords_capped") {
         TextAnalysis.keywords(corpus, "text", "doc_id",
-          TextAnalysis.markers("en"), topK = 5, scoring = "degree").count()
+          TextAnalysis.markers("en"), topK = 5, scoring = "degree",
+          maxDocTokens = 1 << 16).count()
       })
 
     val ops = results.map { case (n, s, r) =>

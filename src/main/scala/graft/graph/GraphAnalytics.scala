@@ -139,6 +139,11 @@ object GraphAnalytics {
     import spark.implicits._
     val g = toGraph(entityEdges(statements))
       .mapVertices((id, _) => if (id == source) 0.0 else Double.PositiveInfinity)
+    // Pregel requires maxIterations > 0; a 0-hop budget is just "the
+    // source itself, if it is a vertex of the graph"
+    if (maxHops == 0)
+      return g.vertices.filter(_._1 == source)
+        .map { case (v, _) => (v, 0L) }.toDF("entity_id", "hops")
     g.pregel(Double.PositiveInfinity, maxIterations = maxHops)(
         (_, dist, msg) => math.min(dist, msg),
         t => if (t.srcAttr + 1 < t.dstAttr) Iterator((t.dstId, t.srcAttr + 1))

@@ -51,9 +51,13 @@ object Incremental {
     * ([[Similarity.buildIvfIndex]] layout): diff the old embedding
     * snapshot (what the index was built from) against the new one,
     * then touch ONLY the delta — tombstone `removed` and `changed`
-    * ids, append `added` and `changed` vectors, both at generation
-    * `gen` (a tombstone kills strictly older copies, so the same-gen
-    * append re-adds a changed id; see [[Similarity.tombstoneIvfIds]]).
+    * ids, append `added` and `changed` vectors, both at one generation
+    * (a tombstone kills strictly older copies, so the same-gen append
+    * re-adds a changed id; see [[Similarity.tombstoneIvfIds]]). The
+    * generation defaults to [[Similarity.nextIndexGen]] — one past
+    * everything already in the index — so REPEATED updates stay
+    * monotonic (a fixed value would stop killing rows the previous
+    * update wrote); pass `gen` explicitly only to replay a known step.
     * No existing index file is rewritten and no unchanged vector is
     * re-embedded or re-assigned — at 100 TB the update costs
     * O(|delta|), not O(corpus), and the live index contents equal a
@@ -66,7 +70,8 @@ object Incremental {
     */
   def incrementalIvfUpdate(oldEmb: DataFrame, newEmb: DataFrame,
                            idCol: String, vecCol: String, dir: String,
-                           gen: Long = 1L): DataFrame = {
+                           gen: Option[Long] = None): DataFrame = {
+    val g = gen.getOrElse(Similarity.nextIndexGen(newEmb.sparkSession, dir))
     // the diff feeds THREE consumers (tombstone write, append write,
     // the returned frame) — materialize it once or every action
     // re-reads and re-joins both full snapshots. The delta is tiny by
@@ -75,12 +80,12 @@ object Incremental {
     val d = snapshotDiff(oldEmb, newEmb, idCol, vecCol).localCheckpoint()
     Similarity.tombstoneIvfIds(
       d.filter(col("status").isin("removed", "changed")).select(col(idCol)),
-      idCol, dir, gen)
+      idCol, dir, g)
     Similarity.appendToIvfIndex(
       newEmb.join(
         d.filter(col("status").isin("added", "changed")).select(col(idCol)),
         Seq(idCol)),
-      vecCol, idCol, dir, gen)
+      vecCol, idCol, dir, g)
     d
   }
 

@@ -298,7 +298,9 @@ object Pq {
     val spark = probes.sparkSession
     val coarse = Similarity.readIndexCentroids(spark, dir)
     val cb = readCodebooks(spark, dir)
-    val c = spark.read.parquet(s"$dir/vectors")
+    // same v3 liveness rule as the IVF index: tombstoned generations
+    // never reach scoring (without this, deleted ids resurface)
+    val c = Similarity.liveIndexVectors(spark, dir, idCol)
       .select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))
     val p = probes.select(col(idCol).as("probe_id"),
       lut(cb, normalize(col(vecCol))).as("lut"),

@@ -214,13 +214,16 @@ object Retrieval {
   }
 
   /** Per-JVM cache of each text index's stats row (corpus size, mean
-    * doc length, bucket modulus): the values are immutable facts of a
-    * written index, and caching them saves one driver job per
-    * [[bm25TopKIndexed]] query batch. [[buildTextIndex]] invalidates
-    * its dir on rebuild.
+    * doc length, bucket modulus), keyed by the stats directory's
+    * MODIFICATION TIME: a rebuild at the same path — from any JVM —
+    * changes the mtime and forces a reload, so a long-running query
+    * server can never keep serving a stale bucket modulus (which would
+    * silently prune to the wrong partitions). The mtime probe is one
+    * filesystem metadata call per query batch vs. the Spark job the
+    * cache saves.
     */
   private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Double, Int)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, (Long, Double, Int))]
 
   def buildTextIndex(docs: DataFrame, textCol: String, idCol: String,
                      dir: String, buckets: Int = 64,
@@ -257,10 +260,17 @@ object Retrieval {
                       qTextCol: String, qIdCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = queries.sparkSession
-    val (n, avgdl, buckets) = statsCache.getOrElseUpdate(dir, {
-      val r = spark.read.parquet(s"$dir/stats").head()
-      (r.getAs[Long]("__n"), r.getAs[Double]("__avgdl"), r.getAs[Int]("__buckets"))
-    })
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val mtime = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(statsPath).getModificationTime
+    val (n, avgdl, buckets) = statsCache.get(dir).filter(_._1 == mtime)
+      .map(_._2).getOrElse {
+        val r = spark.read.parquet(statsPath.toString).head()
+        val v = (r.getAs[Long]("__n"), r.getAs[Double]("__avgdl"),
+          r.getAs[Int]("__buckets"))
+        statsCache.put(dir, (mtime, v))
+        v
+      }
     val stats = spark.range(1).select(lit(n).as("__n"), lit(avgdl).as("__avgdl"))
     val qTerms = queries
       .select(col(qIdCol).as("__q"), explode(array_distinct(tokens(col(qTextCol)))).as("__t"))

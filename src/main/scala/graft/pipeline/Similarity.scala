@@ -507,6 +507,23 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, vecCol: String, idCol: String,
                        dir: String, gen: Long = 0L): Unit = {
     val spark = newVectors.sparkSession
+    // a default-generation append to an index that has tombstones is a
+    // silent no-op (any tombstone kills gen-0 rows on arrival) — fail
+    // loudly instead of losing the vectors
+    locally {
+      import org.apache.hadoop.fs.Path
+      val tpath = new Path(s"$dir/tombstones")
+      val fs = tpath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(tpath)) {
+        val maxT = spark.read.parquet(tpath.toString)
+          .agg(max(col("__tgen"))).head().getLong(0)
+        require(gen >= maxT,
+          s"appendToIvfIndex at gen=$gen would be shadowed by existing " +
+            s"tombstones up to gen=$maxT at $dir — pass gen >= $maxT " +
+            "(nextIndexGen gives a safe value) or use " +
+            "Incremental.incrementalIvfUpdate")
+      }
+    }
     val cents = readIndexCentroids(spark, dir)
     val quantized = spark.read.parquet(s"$dir/vectors").columns.contains("qv")
     val assigned = newVectors.select(col(idCol), col(vecCol),
@@ -517,6 +534,26 @@ object Similarity {
       else assigned
     stored.withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** The next safe write generation for a persisted index: one past
+    * the maximum generation present in either the vectors or the
+    * tombstone table. Tombstoning at this generation kills every
+    * existing copy of an id; appending at it survives those
+    * tombstones — the monotonic step [[Incremental.incrementalIvfUpdate]]
+    * uses so REPEATED delta updates stay correct (a fixed generation
+    * would stop killing rows written by the previous update).
+    */
+  def nextIndexGen(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def maxIn(path: String, genCol: String): Long =
+      if (!fs.exists(new Path(path))) 0L
+      else Option(spark.read.parquet(path).agg(max(col(genCol))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    math.max(maxIn(s"$dir/vectors", "gen"),
+      maxIn(s"$dir/tombstones", "__tgen")) + 1L
   }
 
   /** Tombstone ids in a persisted IVF index: appends (id, tgen) rows to

@@ -244,10 +244,19 @@ object QueryServer {
               else "application/json"))
           } catch {
             case _: TimeoutException =>
-              spark.sparkContext.cancelJobGroup(group)
-              task.cancel(true)
-              respondOnce(503,
-                s"query exceeded spark.graft.server.timeoutMs=$timeoutMs", "text/plain")
+              // the timeout bounds time-to-first-byte. If the stream
+              // already claimed the response, the query itself finished
+              // and the elapsed time is transfer (bounded by the byte
+              // budget) — killing the job group here would truncate a
+              // HEALTHY large response mid-body. Wait it out instead.
+              if (sent.get()) {
+                try { task.get(); () } catch { case _: Throwable => }
+              } else {
+                spark.sparkContext.cancelJobGroup(group)
+                task.cancel(true)
+                respondOnce(503,
+                  s"query exceeded spark.graft.server.timeoutMs=$timeoutMs", "text/plain")
+              }
             case e: ExecutionException => e.getCause match {
               case pe: Parser.ParseException =>
                 respondOnce(400, s"parse error: ${pe.msg}", "text/plain")

@@ -124,6 +124,12 @@ class GraphSpec extends SparkTestBase {
     val capped = GraphAnalytics.hopDistances(g, source = 1L, maxHops = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // a 0-hop budget is the source itself (Pregel needs iterations > 0,
+    // so this is a dedicated path), and an absent source yields nothing
+    val zero = GraphAnalytics.hopDistances(g, source = 1L, maxHops = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero === Map(1L -> 0L))
+    assert(GraphAnalytics.hopDistances(g, source = 99L, maxHops = 0).count() === 0)
   }
 
   test("fixture entity graph: one giant component anchored at the min id") {

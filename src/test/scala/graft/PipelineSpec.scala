@@ -474,6 +474,54 @@ class PipelineSpec extends SparkTestBase {
     assert(row.getBoolean(2), "live contents must be bit-equal to the rebuild")
   }
 
+  test("repeated incremental updates stay monotonic via auto generations") {
+    // three snapshots: each update must kill what the PREVIOUS update
+    // wrote — a fixed generation would leave stale copies live
+    val a = emb.filter(col("vec_id") < 300)
+    val b = emb.filter(col("vec_id") < 400)
+      .withColumn("embedding", when(col("vec_id") % 5 === 0,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+    val c = emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") < 400)
+    val inc = java.nio.file.Files.createTempDirectory("graft-inc2").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-full2").toString
+    Similarity.buildIvfIndex(a, "embedding", "vec_id", inc, nlist = 4)
+    Incremental.incrementalIvfUpdate(a, b, "vec_id", "embedding", inc)
+    Incremental.incrementalIvfUpdate(b, c, "vec_id", "embedding", inc)
+    Similarity.buildIvfIndex(c, "embedding", "vec_id", full, nlist = 4)
+    val row = Incremental.compareIvfContents(spark, inc, full, "vec_id").collect()(0)
+    val expected = c.count()
+    assert(row.getLong(0) === expected, s"stale copies survived: $row")
+    assert(row.getLong(1) === expected)
+    assert(row.getBoolean(2), s"contents diverged after two updates: $row")
+  }
+
+  test("default-gen append into a tombstoned index fails loudly, never silently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-shadow").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 4)
+    Similarity.tombstoneIvfIds(
+      emb.filter(col("vec_id") < 2).select("vec_id"), "vec_id", dir, gen = 3L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", dir) // default gen=0 < tombstone gen 3
+    }
+    assert(e.getMessage.contains("shadowed"), e.getMessage)
+    assert(Similarity.nextIndexGen(spark, dir) === 4L)
+  }
+
+  test("IVF-PQ search honors tombstones like the IVF index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-tomb").toString
+    Pq.buildIvfPqIndex(emb, "embedding", "vec_id", dir, nlist = 4, m = 8, ksub = 16)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 900).as("vec_id"), col("embedding"))
+    def top1(): Long =
+      Pq.ivfPqTopKIndexed(probe, dir, "embedding", "vec_id", k = 1,
+        nprobe = 4, rerankWith = Some(emb)).collect()(0).getLong(1)
+    assert(top1() === 0L)
+    Similarity.tombstoneIvfIds(
+      emb.filter(col("vec_id") === 0).select("vec_id"), "vec_id", dir, gen = 1L)
+    assert(top1() !== 0L, "tombstoned id resurfaced through the PQ path")
+  }
+
   test("compactIvfIndex on a missing index names the expected layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-miss").toString
     val e = intercept[IllegalArgumentException] {
@@ -2268,6 +2316,23 @@ class PipelineSpec extends SparkTestBase {
       assert(j2 < j1, s"cached stats must save at least the head() job: $j1 -> $j2")
       assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("stats cache invalidates on rebuild: a changed bucket modulus is picked up") {
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(Retrieval.tokens(col("text")), 1, 6), " ").as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-textidx-mtime").toString
+    def run(): Set[String] =
+      Retrieval.bm25TopKIndexed(queries, dir, "qtext", "query_id", k = 5)
+        .collect().map(_.toString).toSet
+    Retrieval.buildTextIndex(docs, "text", "doc_id", dir, buckets = 8)
+    val before = run() // populates the cache with buckets=8
+    // rebuild IN PLACE with a different modulus — a stale cached
+    // modulus would prune to the wrong partitions and drop postings
+    Retrieval.buildTextIndex(docs, "text", "doc_id", dir, buckets = 2)
+    assert(run() === before, "results must survive an in-place rebuild")
   }
 
   test("persisted text index: same BM25 answer, postings scan partition-pruned") {
