@@ -261,14 +261,18 @@ object Pq {
     * [[Similarity.appendToIvfIndex]].
     */
   def appendToIvfPqIndex(newVectors: DataFrame, vecCol: String,
-                         idCol: String, dir: String): Unit = {
+                         idCol: String, dir: String, gen: Long = 0L): Unit = {
     val spark = newVectors.sparkSession
+    // same fail-loud contract as Similarity.appendToIvfIndex:
+    // ivfPqTopKIndexed honors tombstones, so appending below an
+    // existing tombstone generation would silently lose the vectors
+    Similarity.requireAppendGenUnshadowed(spark, dir, gen, "appendToIvfPqIndex")
     val coarse = Similarity.readIndexCentroids(spark, dir)
     val cb = readCodebooks(spark, dir)
     newVectors.select(col(idCol),
         encode(cb, normalize(col(vecCol))).as("codes"),
         element_at(Similarity.rankedCells(coarse, col(vecCol)), 1).as("cell"))
-      .withColumn("gen", lit(0L)) // same v3 layout as the IVF index
+      .withColumn("gen", lit(gen)) // same v3 layout as the IVF index
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 

@@ -214,16 +214,28 @@ object Retrieval {
   }
 
   /** Per-JVM cache of each text index's stats row (corpus size, mean
-    * doc length, bucket modulus), keyed by the stats directory's
-    * MODIFICATION TIME: a rebuild at the same path — from any JVM —
-    * changes the mtime and forces a reload, so a long-running query
-    * server can never keep serving a stale bucket modulus (which would
-    * silently prune to the wrong partitions). The mtime probe is one
-    * filesystem metadata call per query batch vs. the Spark job the
-    * cache saves.
+    * doc length, bucket modulus), keyed by a CONTENT TOKEN of the stats
+    * directory — the sorted (name, length, mtime) listing of its data
+    * files: a rebuild at the same path — from any JVM — writes part
+    * files with fresh task-UUID names, so the token changes even when
+    * the rebuild lands within the same coarse (1 s) filesystem
+    * timestamp as a prior read, and the reload is forced; a
+    * long-running query server can never keep serving a stale bucket
+    * modulus (which would silently prune to the wrong partitions). The
+    * token probe is one filesystem listing per query batch vs. the
+    * Spark job the cache saves.
     */
   private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, (Long, Double, Int))]
+    scala.collection.concurrent.TrieMap.empty[String, (String, (Long, Double, Int))]
+
+  private def statsToken(spark: org.apache.spark.sql.SparkSession,
+                         statsPath: org.apache.hadoop.fs.Path): String = {
+    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(statsPath)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(";")
+  }
 
   def buildTextIndex(docs: DataFrame, textCol: String, idCol: String,
                      dir: String, buckets: Int = 64,
@@ -261,14 +273,13 @@ object Retrieval {
                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = queries.sparkSession
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val mtime = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(statsPath).getModificationTime
-    val (n, avgdl, buckets) = statsCache.get(dir).filter(_._1 == mtime)
+    val token = statsToken(spark, statsPath)
+    val (n, avgdl, buckets) = statsCache.get(dir).filter(_._1 == token)
       .map(_._2).getOrElse {
         val r = spark.read.parquet(statsPath.toString).head()
         val v = (r.getAs[Long]("__n"), r.getAs[Double]("__avgdl"),
           r.getAs[Int]("__buckets"))
-        statsCache.put(dir, (mtime, v))
+        statsCache.put(dir, (token, v))
         v
       }
     val stats = spark.range(1).select(lit(n).as("__n"), lit(avgdl).as("__avgdl"))

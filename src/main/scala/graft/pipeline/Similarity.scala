@@ -449,9 +449,18 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Double]] = {
     val df = spark.read.parquet(s"$dir/centroids")
+    // an empty or partially-written centroids table yields a null max —
+    // that is a broken index, and it gets the same loud rebuild
+    // instruction, not an opaque NullPointerException
     val fmt =
-      if (df.columns.contains("fmt")) df.select(max(col("fmt"))).head.getInt(0)
-      else 1
+      if (!df.columns.contains("fmt")) 1
+      else {
+        val r = df.select(max(col("fmt"))).head
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"index at $dir has an empty or partially-written centroids " +
+            "table; rebuild the index with buildIvfIndex/buildIvfPqIndex")
+        r.getInt(0)
+      }
     require(fmt == IndexFormatVersion,
       s"index at $dir has on-disk format $fmt but this build reads " +
         s"$IndexFormatVersion (the deterministic plane family changed); " +
@@ -507,23 +516,7 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, vecCol: String, idCol: String,
                        dir: String, gen: Long = 0L): Unit = {
     val spark = newVectors.sparkSession
-    // a default-generation append to an index that has tombstones is a
-    // silent no-op (any tombstone kills gen-0 rows on arrival) — fail
-    // loudly instead of losing the vectors
-    locally {
-      import org.apache.hadoop.fs.Path
-      val tpath = new Path(s"$dir/tombstones")
-      val fs = tpath.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(tpath)) {
-        val maxT = spark.read.parquet(tpath.toString)
-          .agg(max(col("__tgen"))).head().getLong(0)
-        require(gen >= maxT,
-          s"appendToIvfIndex at gen=$gen would be shadowed by existing " +
-            s"tombstones up to gen=$maxT at $dir — pass gen >= $maxT " +
-            "(nextIndexGen gives a safe value) or use " +
-            "Incremental.incrementalIvfUpdate")
-      }
-    }
+    requireAppendGenUnshadowed(spark, dir, gen, "appendToIvfIndex")
     val cents = readIndexCentroids(spark, dir)
     val quantized = spark.read.parquet(s"$dir/vectors").columns.contains("qv")
     val assigned = newVectors.select(col(idCol), col(vecCol),
@@ -534,6 +527,28 @@ object Similarity {
       else assigned
     stored.withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** A default-generation append to an index that has tombstones is a
+    * silent no-op (any tombstone kills gen-0 rows on arrival) — fail
+    * loudly instead of losing the vectors. Shared by every incremental
+    * append path ([[appendToIvfIndex]], [[Pq.appendToIvfPqIndex]]).
+    */
+  private[pipeline] def requireAppendGenUnshadowed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, gen: Long, caller: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tpath = new Path(s"$dir/tombstones")
+    val fs = tpath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tpath)) {
+      val maxT = spark.read.parquet(tpath.toString)
+        .agg(max(col("__tgen"))).head().getLong(0)
+      require(gen >= maxT,
+        s"$caller at gen=$gen would be shadowed by existing " +
+          s"tombstones up to gen=$maxT at $dir — pass gen >= $maxT " +
+          "(nextIndexGen gives a safe value) or use " +
+          "Incremental.incrementalIvfUpdate")
+    }
   }
 
   /** The next safe write generation for a persisted index: one past

@@ -73,21 +73,90 @@ object JsonResults {
     * syntactically-complete-looking prefix).
     */
   def writeJson(df: DataFrame, out: java.io.OutputStream,
-                maxBytes: Long, maxRows: Int): Long = {
-    var written = 0L
-    def w(s: String): Unit = {
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      written += b.length
-      if (written > maxBytes)
-        throw new IllegalStateException(
-          s"result exceeds the $maxBytes-byte budget; " +
-            "raise spark.graft.server.maxResultBytes or add LIMIT to the query")
-      out.write(b)
+                maxBytes: Long, maxRows: Int): Long =
+    prepare(df, maxRows).write(out, maxBytes)
+
+  /** A streaming serialization whose FIRST rows have already been
+    * materialized: [[prepare]] runs every Spark job needed to produce
+    * the first partition of bindings before returning, so a caller
+    * that must commit to a response (e.g. send HTTP headers) before
+    * writing can do so AFTER the query has demonstrably started
+    * producing — a hung scan fails or times out in [[prepare]], where
+    * the caller can still serve an error. Later partitions still
+    * execute lazily during [[PreparedJson.write]].
+    */
+  final class PreparedJson private[JsonResults] (
+      askBody: Option[String],
+      vars: Seq[String],
+      rows: java.util.Iterator[Row],
+      maxRows: Int) {
+
+    /** Write the serialization to `out` (UTF-8), returning bytes
+      * written. `progress` is invoked with the cumulative byte count
+      * after every write — a watchdog can distinguish a flowing
+      * transfer from a hung one.
+      */
+    def write(out: java.io.OutputStream, maxBytes: Long,
+              progress: java.util.function.LongConsumer = _ => ()): Long = {
+      var written = 0L
+      def w(s: String): Unit = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        written += b.length
+        if (written > maxBytes)
+          throw new IllegalStateException(
+            s"result exceeds the $maxBytes-byte budget; " +
+              "raise spark.graft.server.maxResultBytes or add LIMIT to the query")
+        out.write(b)
+        progress.accept(written)
+      }
+      askBody match {
+        case Some(body) =>
+          w(body)
+          return written
+        case None =>
+      }
+      val head = vars.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
+      w(s"""{"head":{"vars":$head},"results":{"bindings":[""")
+      var n = 0
+      while (rows.hasNext) {
+        val row = rows.next()
+        n += 1
+        if (n > maxRows)
+          throw new IllegalStateException(
+            s"result exceeds spark.graft.json.maxRows=$maxRows rows; " +
+              "raise the limit or add LIMIT to the query")
+        val fields = vars.zipWithIndex.flatMap { case (v, i) =>
+          val base = i * 5
+          val isNull = row.getBoolean(base + 4)
+          if (isNull) None
+          else {
+            val sb = new StringBuilder
+            sb.append('"').append(esc(v)).append("\":{\"type\":\"")
+              .append(row.getString(base)).append("\",\"value\":\"")
+              .append(esc(Option(row.getString(base + 1)).getOrElse("")))
+              .append('"')
+            Option(row.getString(base + 2)).foreach(l => sb.append(",\"xml:lang\":\"").append(esc(l)).append('"'))
+            Option(row.getString(base + 3)).foreach(d => sb.append(",\"datatype\":\"").append(esc(d)).append('"'))
+            sb.append('}')
+            Some(sb.toString)
+          }
+        }
+        w((if (n > 1) "," else "") + fields.mkString("{", ",", "}"))
+      }
+      w("]}}")
+      written
     }
+  }
+
+  /** Build a [[PreparedJson]], forcing the first partition of rendered
+    * bindings (and the whole job for ASK). Runs on the calling thread,
+    * so job-group cancellation set there applies to these jobs.
+    */
+  def prepare(df: DataFrame, maxRows: Int): PreparedJson = {
     if (df.columns.sameElements(Array("boolean"))) {
       val b = df.head().getBoolean(0)
-      w(s"""{"head":{"vars":[]},"boolean":$b}""")
-      return written
+      return new PreparedJson(Some(s"""{"head":{"vars":[]},"boolean":$b}"""),
+        Nil, java.util.Collections.emptyIterator[Row](), maxRows)
     }
     val vars = df.columns.toSeq
     // render per-variable fields distributed, collect only strings
@@ -106,35 +175,7 @@ object JsonResults {
     val rows =
       if (fetch == Int.MaxValue) rendered.toLocalIterator()
       else rendered.limit(fetch).toLocalIterator()
-    val head = vars.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
-    w(s"""{"head":{"vars":$head},"results":{"bindings":[""")
-    var n = 0
-    while (rows.hasNext) {
-      val row = rows.next()
-      n += 1
-      if (n > maxRows)
-        throw new IllegalStateException(
-          s"result exceeds spark.graft.json.maxRows=$maxRows rows; " +
-            "raise the limit or add LIMIT to the query")
-      val fields = vars.zipWithIndex.flatMap { case (v, i) =>
-        val base = i * 5
-        val isNull = row.getBoolean(base + 4)
-        if (isNull) None
-        else {
-          val sb = new StringBuilder
-          sb.append('"').append(esc(v)).append("\":{\"type\":\"")
-            .append(row.getString(base)).append("\",\"value\":\"")
-            .append(esc(Option(row.getString(base + 1)).getOrElse("")))
-            .append('"')
-          Option(row.getString(base + 2)).foreach(l => sb.append(",\"xml:lang\":\"").append(esc(l)).append('"'))
-          Option(row.getString(base + 3)).foreach(d => sb.append(",\"datatype\":\"").append(esc(d)).append('"'))
-          sb.append('}')
-          Some(sb.toString)
-        }
-      }
-      w((if (n > 1) "," else "") + fields.mkString("{", ",", "}"))
-    }
-    w("]}}")
-    written
+    rows.hasNext // force the first partition's job NOW, on this thread
+    new PreparedJson(None, vars, rows, maxRows)
   }
 }

@@ -75,6 +75,41 @@ object QueryServer {
     server
   }
 
+  /** Stamped into a chunked body when the stream fails mid-write, so an
+    * aborted response is detectable even by a consumer that does not
+    * JSON-parse. It is raw bytes inside the (unterminated) JSON text,
+    * so the body is guaranteed invalid JSON after an abort.
+    */
+  val StreamAbortMarker = "\n\u0000GRAFT-STREAM-ABORTED\u0000"
+
+  /** Abort a started chunked response so the client cannot mistake it
+    * for a complete transfer. Best effort, in preference order: close
+    * the raw connection without the terminal 0-chunk (only reachable
+    * reflectively — the JDK server's public API always finishes the
+    * chunked encoding on close, and the reflective path needs
+    * `--add-opens jdk.httpserver/sun.net.httpserver=ALL-UNNAMED`);
+    * otherwise stamp [[StreamAbortMarker]] into the body before
+    * closing, which leaves the JSON unbalanced AND explicitly marked.
+    * Either way the abort is observable; it is never a clean-looking
+    * prefix of a valid body.
+    */
+  private def abortStream(ex: HttpExchange, os: java.io.OutputStream): Unit = {
+    val hardClosed =
+      try {
+        val implField = ex.getClass.getDeclaredField("impl")
+        implField.setAccessible(true)
+        val impl = implField.get(ex)
+        val conn = impl.getClass.getMethod("getConnection").invoke(impl)
+        conn.getClass.getMethod("close").invoke(conn)
+        true
+      } catch { case _: Throwable => false }
+    if (!hardClosed) {
+      try os.write(StreamAbortMarker.getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => }
+      try os.close() catch { case _: Throwable => }
+    }
+  }
+
   private def handle(spark: SparkSession, dir: String, ex: HttpExchange): Unit = {
     def respond(code: Int, body: String, contentType: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -183,9 +218,10 @@ object QueryServer {
           // opt-in chunked streaming (`spark.graft.server.streamResults`):
           // bindings flow to the socket via toLocalIterator under a hard
           // BYTE budget instead of buffering under the row cap — the
-          // 100 TB sink. Once the stream starts, a failure aborts the
-          // chunked body (the client observes a truncated transfer);
-          // it is never papered over with a 200-complete-looking prefix.
+          // 100 TB sink. Once the stream starts, a failure breaks the
+          // chunked body mid-JSON and stamps an explicit abort marker;
+          // it is never papered over with a syntactically complete
+          // 200 body (see the abort path below for the exact contract).
           val streaming = explainMode.isEmpty && spark.conf
             .get("spark.graft.server.streamResults", "false")
             .equalsIgnoreCase("true")
@@ -193,6 +229,10 @@ object QueryServer {
           // and the watchdog (timeout 503) race for the response; the
           // CAS decides, and a started stream wins by construction
           val sent = new java.util.concurrent.atomic.AtomicBoolean(false)
+          // cumulative bytes the stream has written (-1 = not writing
+          // yet): the watchdog reads it to tell a flowing transfer from
+          // a hung one
+          val streamedBytes = new AtomicLong(-1L)
           def respondOnce(code: Int, body: String, contentType: String): Unit =
             if (sent.compareAndSet(false, true)) respond(code, body, contentType)
           val reqId = reqIds.incrementAndGet()
@@ -218,13 +258,27 @@ object QueryServer {
                       .toLongOption.filter(_ > 0)
                       .getOrElse(throw new IllegalArgumentException(
                         "spark.graft.server.maxResultBytes must be a positive long"))
+                    // materialize the first batch of bindings BEFORE
+                    // claiming the response: every Spark job needed for
+                    // the first rows runs here, under this thread's job
+                    // group, where the timeout watchdog can still cancel
+                    // it and serve a clean 503. Only a query that has
+                    // demonstrably started producing claims the stream.
+                    val prepared = JsonResults.prepare(df, Int.MaxValue)
                     if (sent.compareAndSet(false, true)) {
                       ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
                       ex.getResponseHeaders.add("Content-Type", "application/json")
                       ex.sendResponseHeaders(200, 0L) // 0 = chunked
                       val os = ex.getResponseBody
-                      try JsonResults.writeJson(df, os, budget, Int.MaxValue)
-                      finally { try os.close() catch { case _: Throwable => } }
+                      streamedBytes.set(0L)
+                      var ok = false
+                      try {
+                        prepared.write(os, budget, n => streamedBytes.set(n))
+                        ok = true
+                      } finally {
+                        if (ok) { try os.close() catch { case _: Throwable => } }
+                        else abortStream(ex, os)
+                      }
                     }
                     None
                   case None => Some(JsonResults.toJson(df))
@@ -244,13 +298,33 @@ object QueryServer {
               else "application/json"))
           } catch {
             case _: TimeoutException =>
-              // the timeout bounds time-to-first-byte. If the stream
-              // already claimed the response, the query itself finished
-              // and the elapsed time is transfer (bounded by the byte
-              // budget) — killing the job group here would truncate a
-              // HEALTHY large response mid-body. Wait it out instead.
+              // the timeout bounds time-to-first-rows. If the stream
+              // already claimed the response, the first partition's rows
+              // were materialized before headers went out, so the
+              // elapsed time is transfer (bounded by the byte budget) —
+              // killing the job group NOW would truncate a HEALTHY large
+              // response mid-body. But later partitions still execute
+              // lazily during the write, so "wait it out" must not be
+              // unbounded: wait in timeout-sized windows, and cancel the
+              // job group only when a full window passes with ZERO byte
+              // progress — a flowing transfer is never cut, a hung one
+              // cannot tie up this worker forever.
               if (sent.get()) {
-                try { task.get(); () } catch { case _: Throwable => }
+                var finished = false
+                var last = streamedBytes.get()
+                while (!finished) {
+                  try { task.get(timeoutMs, TimeUnit.MILLISECONDS); finished = true }
+                  catch {
+                    case _: TimeoutException =>
+                      val cur = streamedBytes.get()
+                      if (cur == last) {
+                        spark.sparkContext.cancelJobGroup(group)
+                        task.cancel(true)
+                        finished = true
+                      } else last = cur
+                    case _: Throwable => finished = true
+                  }
+                }
               } else {
                 spark.sparkContext.cancelJobGroup(group)
                 task.cancel(true)

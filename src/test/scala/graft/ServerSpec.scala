@@ -289,18 +289,50 @@ class ServerSpec extends SparkTestBase {
       assert(body.endsWith("]}}"), "stream ran to completion")
       assert("\"s\":\\{".r.findAllIn(body).length === 3385, "every binding present")
       // a hard byte budget aborts the chunked body instead of lying
-      // with a complete-looking prefix
+      // with a complete-looking prefix: either the connection dies
+      // mid-transfer (hard close) or the body carries the explicit
+      // abort marker and unbalanced JSON
       spark.conf.set("spark.graft.server.maxResultBytes", "512")
       val aborted =
         try {
           val (c2, b2, _) = get(big)
-          (c2 != 200) || !b2.endsWith("]}}")
+          (c2 != 200) ||
+            (!b2.endsWith("]}}") && b2.contains(QueryServer.StreamAbortMarker.trim))
         } catch { case _: java.io.IOException => true }
       assert(aborted, "an over-budget stream must not read as complete")
     } finally {
       spark.conf.unset("spark.graft.json.maxRows")
       spark.conf.unset("spark.graft.server.streamResults")
       spark.conf.unset("spark.graft.server.maxResultBytes")
+    }
+  }
+
+  test("streaming mode: a runaway query 503s before claiming the stream") {
+    // the stream claims the response only AFTER the first rows are
+    // materialized — a query whose first partition cannot finish inside
+    // the timeout must get the clean 503, never headers + a hung body
+    val runaway = "/query?query=" + java.net.URLEncoder.encode(
+      "SELECT ?a ?b ?c WHERE { ?a ?p1 ?o1 . ?b ?p2 ?o2 . ?c ?p3 ?o3 }", "UTF-8")
+    spark.conf.set("spark.graft.server.streamResults", "true")
+    spark.conf.set("spark.graft.server.timeoutMs", "2000")
+    try {
+      val t0 = System.nanoTime()
+      val (code, body, _) = get(runaway)
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      assert(code === 503, s"streamed runaway must time out cleanly: $code $body")
+      assert(body.contains("spark.graft.server.timeoutMs"))
+      assert(elapsedS < 60, f"503 took $elapsedS%.1f s")
+      // the shared session serves (and streams) cleanly afterwards —
+      // without the tight timeout, which on a loaded JVM (cancelled
+      // cartesian tasks still draining) is not a health property
+      spark.conf.unset("spark.graft.server.timeoutMs")
+      val ok = "/query?query=" + java.net.URLEncoder.encode(
+        "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 3", "UTF-8")
+      val (okCode, okBody, _) = get(ok)
+      assert(okCode === 200 && okBody.endsWith("]}}"))
+    } finally {
+      spark.conf.unset("spark.graft.server.streamResults")
+      spark.conf.unset("spark.graft.server.timeoutMs")
     }
   }
 
