@@ -303,10 +303,25 @@ object Dedup {
 
   /** Portable 60-bit hash: the first 15 hex chars of md5. Slower than
     * xxhash64 but reproducible in any engine with md5, which is what
-    * lets the winnowing entries be oracle-checked end-to-end.
+    * lets the winnowing entries be oracle-checked end-to-end. Backed
+    * by the native codegen'd [[graft.functions.Md5Hash60]] (value
+    * parity with `conv(substring(md5(c),1,15),16,10)` pinned by test);
+    * a stable function VALUE so [[mapHash]] can recognize it and hash
+    * a whole array in one expression node.
     */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  val md5Hash60: Column => Column =
+    c => call_function(graft.functions.Md5Hash60.name, c)
+
+  /** Per-element hashing of a string array. The generic path is a
+    * `transform` lambda; [[md5Hash60]] is recognized by identity and
+    * dispatched as ONE native array-input expression node — no
+    * interpreted per-element lambda, no hex/decimal string churn
+    * (PERF_r10.md "Bench-noise note": that churn dominated
+    * p04_simhash's cost).
+    */
+  def mapHash(arr: Column, hashFn: Column => Column): Column =
+    if (hashFn eq md5Hash60) call_function(graft.functions.Md5Hash60.name, arr)
+    else transform(arr, hashFn)
 
   /** Winnowed fingerprints of a document (MOSS): sorted distinct
     * sliding-window minima over the ordered k-gram hashes — see
@@ -316,7 +331,7 @@ object Dedup {
   def winnowedFingerprints(text: Column, k: Int, w: Int,
                            hashFn: Column => Column = xxhash64(_)): Column =
     call_function(graft.functions.WinnowSig.name,
-      transform(orderedKgrams(lower(text), k), hashFn), lit(w))
+      mapHash(orderedKgrams(lower(text), k), hashFn), lit(w))
 
   /** Containment / partial-overlap candidate pairs: documents sharing
     * at least `minShared` winnowed fingerprints. Detects copied
@@ -375,7 +390,7 @@ object Dedup {
                      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        explode(array_distinct(transform(orderedKgrams(lower(col(textCol)), k), hashFn))).as("h"))
+        explode(array_distinct(mapHash(orderedKgrams(lower(col(textCol)), k), hashFn))).as("h"))
       .localCheckpoint(false) // feeds three branches below
     val dupHashes = grams.groupBy(col("h"))
       .agg(count_distinct(col("id")).as("nd"))
@@ -430,7 +445,7 @@ object Dedup {
       .select(col(idCol).as("id"), wsCol.as("ws"))
       .localCheckpoint(false) // feeds the census and the rebuild
     val grams = base.select(col("id"),
-      posexplode(transform(kgramsFromWords(col("ws"), k), hashFn)).as(Seq("pos", "h")))
+      posexplode(mapHash(kgramsFromWords(col("ws"), k), hashFn)).as(Seq("pos", "h")))
     val dupH = grams.groupBy(col("h"))
       .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("min_id"))
       .filter(col("nd") >= 2)
@@ -508,7 +523,7 @@ object Dedup {
     call_function(graft.functions.SimHashSig.name, hashes)
 
   def wordHashes(text: Column, hashFn: Column => Column = xxhash64(_)): Column =
-    transform(split(trim(text), "\\s+"), w => hashFn(w))
+    mapHash(split(trim(text), "\\s+"), hashFn)
 
   /** One-shot SimHash (prefer staging [[wordHashes]] when reused). */
   def simhash(text: Column): Column = simhashFromHashes(wordHashes(text))

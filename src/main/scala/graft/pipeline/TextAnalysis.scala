@@ -88,7 +88,7 @@ object TextAnalysis {
     */
   private val fpMod = 1000000007L
   def fingerprint(text: Column, hashFn: Column => Column = xxhash64(_)): Column =
-    aggregate(transform(words(text), w => hashFn(w)),
+    aggregate(Dedup.mapHash(words(text), hashFn),
       lit(0L), (acc, h) => pmod(acc * 31L + pmod(h, lit(fpMod)), lit(fpMod)))
 
   /** Gopher-style within-document repetition signals: the fraction of

@@ -522,6 +522,32 @@ class PipelineSpec extends SparkTestBase {
     assert(top1() !== 0L, "tombstoned id resurfaced through the PQ path")
   }
 
+  test("IVF-PQ append into a tombstoned index: default gen fails loudly; safe gen lands live") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-shadow").toString
+    Pq.buildIvfPqIndex(emb.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", dir, nlist = 4, m = 8, ksub = 16)
+    Similarity.tombstoneIvfIds(
+      emb.filter(col("vec_id") === 10).select("vec_id"), "vec_id", dir, gen = 3L)
+    val delta = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 700).as("vec_id"), col("embedding"))
+    // same fail-loud contract as the IVF index: gen-0 rows would be
+    // shadowed by the gen-3 tombstone on arrival
+    val e = intercept[IllegalArgumentException] {
+      Pq.appendToIvfPqIndex(delta, "embedding", "vec_id", dir)
+    }
+    assert(e.getMessage.contains("shadowed"), e.getMessage)
+    // at nextIndexGen the append survives the tombstones and is
+    // immediately searchable: the probe's identical twin surfaces
+    Pq.appendToIvfPqIndex(delta, "embedding", "vec_id", dir,
+      gen = Similarity.nextIndexGen(spark, dir))
+    val hit = Pq.ivfPqTopKIndexed(emb.filter(col("vec_id") === 0), dir,
+      "embedding", "vec_id", k = 1, nprobe = 4,
+      rerankWith = Some(delta.unionByName(
+        emb.filter(col("vec_id") >= 10).select("vec_id", "embedding"))))
+      .collect()(0).getLong(1)
+    assert(hit === 700L, s"appended twin not found, got $hit")
+  }
+
   test("compactIvfIndex on a missing index names the expected layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-miss").toString
     val e = intercept[IllegalArgumentException] {
@@ -642,6 +668,30 @@ class PipelineSpec extends SparkTestBase {
       Dedup.simhashFromHashes(col("hb")).as("sh")).collect()(0)
     assert(er.getSeq[Any](0).forall(_ == null))
     assert(er.getLong(1) === 0L)
+  }
+
+  test("native md5 60-bit hash matches the conv/substring/md5 formulation") {
+    import org.apache.spark.sql.types.LongType
+    // the hex-string formulation the native expression replaced — the
+    // exact value the DuckDB oracles re-derive
+    def hofMd5(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    val texts = Seq("", " ", "a", "hello world", "naïve — ünïcödé ✓",
+      "\tmixed\nwhitespace ", "0", "ffffffffffffffff")
+    val df = texts.toDF("t")
+    df.select((Dedup.md5Hash60(col("t")) <=> hofMd5(col("t"))).as("ok"), col("t"))
+      .collect().foreach(r => assert(r.getBoolean(0), s"scalar: '${r.getString(1)}'"))
+    // array form = one node per document; parity with per-element HOF,
+    // null elements preserved, null array → null
+    val arrs = Seq(Some(texts), Some(Seq.empty[String]), None).toDF("ws")
+    val ar = arrs.select(
+      (Dedup.mapHash(col("ws"), Dedup.md5Hash60) <=>
+        transform(col("ws"), w => hofMd5(w))).as("ok")).collect()
+    ar.foreach(r => assert(r.getBoolean(0)))
+    val nullElem = Seq(1).toDF("x")
+      .select(Dedup.mapHash(array(lit("a"), lit(null).cast("string")),
+        Dedup.md5Hash60).as("h")).collect()(0).getSeq[Any](0)
+    assert(nullElem(0) != null && nullElem(1) == null)
   }
 
   test("native lang_id matches the greatest-over-filters formulation") {
