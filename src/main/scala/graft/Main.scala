@@ -7,7 +7,7 @@ package graft
   *
   * {{{
   * runMain graft.Main create-db <dump> <dbDir> [--partitioned]
-  *   [--buckets=N] [--no-qualifiers] [--lang=en,de,...]
+  *   [--buckets=N] [--no-qualifiers] [--lang=en,de,...] [--lexemes]
   * runMain graft.Main create-index <flatDbDir> <outDir> [--buckets=N]
   * runMain graft.Main server [port] [dbDir]
   * runMain graft.Main cli ["<sparql>"] [dbDir]
@@ -18,7 +18,7 @@ object Main {
   private val usage =
     """usage: graft.Main <create-db|create-index|server|cli> [args]
       |  create-db <dump> <dbDir> [--partitioned] [--buckets=N]
-      |            [--no-qualifiers] [--lang=en,de,...]
+      |            [--no-qualifiers] [--lang=en,de,...] [--lexemes]
       |  create-index <flatDbDir> <outDir> [--buckets=N] [--zorder=colA,colB]
       |  server [port] [dbDir]
       |  cli ["<sparql>"] [dbDir]""".stripMargin
@@ -39,12 +39,15 @@ object Main {
       val langs = rest.collectFirst { case a if a.startsWith("--lang=") =>
         a.stripPrefix("--lang=").split(",").toSet }
       val quals = !rest.contains("--no-qualifiers")
+      // opt-in: default parity skips lexeme lines exactly as the
+      // reference's serde does (required `labels` absent)
+      val lexemes = rest.contains("--lexemes")
       val spark = GraftSession.get()
       if (rest.contains("--partitioned"))
         ingest.WikidataIngest.buildPartitioned(spark, dump, dir,
           intFlag(rest, "buckets", ingest.WikidataIngest.NumPredBuckets),
-          quals, langs)
-      else ingest.WikidataIngest.build(spark, dump, dir, quals, langs)
+          quals, langs, lexemes)
+      else ingest.WikidataIngest.build(spark, dump, dir, quals, langs, lexemes)
       val n = spark.read.parquet(s"$dir/statements.parquet").count()
       println(s"ingested $n quads from $dump into $dir")
       0

@@ -27,12 +27,43 @@ object WikidataIngest {
   /** Default location of the ingested fixture store inside the repo. */
   val defaultDir = "/root/repo/data/wikidata"
 
+  /** The reference's lexeme example (L4589 "flower", lemmas + 2 forms +
+    * 4 senses), shipped in API-wrapper form (`{"entities":{"L4589":…}}`)
+    * rather than as a dump line (`/root/reference/tests/data/
+    * form_sense_example.txt`).
+    */
+  val lexemeFixturePath = "/root/reference/tests/data/form_sense_example.txt"
+
+  /** Default location of the opt-in lexeme fixture store. */
+  val lexemeDir = "/root/repo/data/wikidata-lex"
+
+  /** Build (once) and return the lexeme fixture store: the entities of
+    * [[lexemeFixturePath]] unwrapped to dump lines and ingested with
+    * `lexemes = true`. Self-contained like [[statements]]' auto-build.
+    */
+  def lexemeStore(spark: SparkSession, dir: String = lexemeDir): String = {
+    if (!new java.io.File(s"$dir/statements.parquet").exists()) {
+      val src = scala.io.Source.fromFile(lexemeFixturePath, "UTF-8")
+      val rootNode =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(src.mkString)
+        finally src.close()
+      val lines = rootNode.get("entities").properties()
+      new java.io.File(dir).mkdirs()
+      val dump = new java.io.File(dir, "dump.jsonl")
+      val w = new java.io.PrintWriter(dump, "UTF-8")
+      try lines.forEach(e => w.println(e.getValue.toString)) finally w.close()
+      build(spark, dump.getAbsolutePath, dir, lexemes = true)
+    }
+    dir
+  }
+
   /** Parse a dump file into the statements DataFrame (term-struct
     * columns `s, p, o, id` + long `ord`).
     */
   def ingest(spark: SparkSession, path: String,
              parseQualifiers: Boolean = true,
-             languageFilter: Option[Set[String]] = None): DataFrame = {
+             languageFilter: Option[Set[String]] = None,
+             lexemes: Boolean = false): DataFrame = {
     import spark.implicits._
     val lines: Dataset[String] = spark.read.textFile(path)
     // Per-quad insertion ordinal, assigned AFTER the flatMap:
@@ -45,7 +76,7 @@ object WikidataIngest {
     // input at scale) and the lineIdx*1e6+seq packing (whose silent
     // <1M-quads-per-line assumption is gone with it — no packing, no
     // bound, no overflow at any input size).
-    lines.flatMap(line => WikidataParser.parseLine(line, parseQualifiers, languageFilter))
+    lines.flatMap(line => WikidataParser.parseLine(line, parseQualifiers, languageFilter, lexemes))
       .toDF()
       .withColumn("ord", monotonically_increasing_id())
   }
@@ -73,8 +104,9 @@ object WikidataIngest {
   def build(spark: SparkSession, path: String = fixturePath,
             dir: String = defaultDir,
             parseQualifiers: Boolean = true,
-            languageFilter: Option[Set[String]] = None): Unit = {
-    rendered(ingest(spark, path, parseQualifiers, languageFilter))
+            languageFilter: Option[Set[String]] = None,
+            lexemes: Boolean = false): Unit = {
+    rendered(ingest(spark, path, parseQualifiers, languageFilter, lexemes))
       .sortWithinPartitions(col("p.key"), col("s.key"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/statements.parquet")
@@ -146,9 +178,10 @@ object WikidataIngest {
   def buildPartitioned(spark: SparkSession, path: String = fixturePath,
                        dir: String, buckets: Int = NumPredBuckets,
                        parseQualifiers: Boolean = true,
-                       languageFilter: Option[Set[String]] = None): Unit =
+                       languageFilter: Option[Set[String]] = None,
+                       lexemes: Boolean = false): Unit =
     writePartitioned(spark,
-      rendered(ingest(spark, path, parseQualifiers, languageFilter)), dir, buckets)
+      rendered(ingest(spark, path, parseQualifiers, languageFilter, lexemes)), dir, buckets)
 
   /** The reference's `create-index` (`src/main.rs:44-47`): build the
     * permutation copies over an ALREADY-INGESTED store instead of

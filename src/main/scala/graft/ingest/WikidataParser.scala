@@ -167,58 +167,124 @@ object WikidataParser extends Serializable {
   }
 
   /** Parse one dump line into quads. Returns empty on skipped/malformed
-    * lines, mirroring `parse_line` (`parser.rs:423-438`).
+    * lines, mirroring `parse_line` (`parser.rs:423-438`). With
+    * `lexemes=true`, L-entity lines (which the reference's serde schema
+    * declares but can never deserialize — its required `labels` field
+    * is absent from lexeme lines, `parser.rs:73,88-140`, so every one
+    * is skipped) parse into quads too; default off keeps exact
+    * reference parity.
     */
   def parseLine(line: String, parseQualifiers: Boolean = true,
-                languageFilter: Option[Set[String]] = None): Seq[Quad] = {
+                languageFilter: Option[Set[String]] = None,
+                lexemes: Boolean = false): Seq[Quad] = {
     if (line.length <= 1) return Nil // skip "[", "]" framing lines
     val body = if (line.endsWith(",")) line.dropRight(1) else line
     val root =
       try mapper.readTree(body)
       catch { case _: Exception => return Nil }
     if (root == null || !root.isObject) return Nil
-    try parseItem(root, parseQualifiers, languageFilter)
-    catch { case ParseError(_) => Nil }
+    try {
+      if (lexemes && root.has("type") && root.get("type").asText() == "lexeme")
+        parseLexeme(root, parseQualifiers, languageFilter)
+      else parseItem(root, parseQualifiers, languageFilter)
+    } catch { case ParseError(_) => Nil }
   }
 
-  private def parseItem(root: JsonNode, parseQualifiers: Boolean,
-                        languageFilter: Option[Set[String]]): Seq[Quad] = {
-    // serde requires these fields (parser.rs:62-96); missing → skip line
-    for (f <- Seq("id", "type", "labels", "descriptions", "aliases", "claims"))
-      if (!root.has(f)) throw ParseError(s"missing $f")
-
-    val subject = entityTerm(root.get("id").asText())
+  /** Per-line quad accumulator: insertion-ordered quads, anonymous edge
+    * ids minted per entity document, provenance graph = the document's
+    * entity (qualifiers and form/sense edges carry their parent
+    * document's graph even though their subject is another node).
+    */
+  private final class Builder(entityId: String, graph: T) {
     val quads = ArrayBuffer.empty[Quad]
-    var seq = 0L
-    var anonSeq = 0L
-    val entityId = root.get("id").asText()
-
-    def langOk(lang: String): Boolean = languageFilter.forall(_.contains(lang))
-
+    private var seq = 0L
+    private var anonSeq = 0L
     def anonEdge(): T = {
       anonSeq += 1
       val id = s"$entityId-a$anonSeq"
       T(graft.model.Term.Kind.Edge, None, Some(id), None, s"E:$id")
     }
-
     def add(s: T, p: T, o: T, id: T): Unit = {
-      quads += Quad(s, p, o, id, subject, seq); seq += 1
+      quads += Quad(s, p, o, id, graph, seq); seq += 1
     }
+  }
 
-    // labels / descriptions: one edge per language (parser.rs:441-461)
-    for ((field, kind, prefix) <- Seq(("labels", Kind.Label, "lab"), ("descriptions", Kind.Desc, "des"))) {
-      val obj = root.get(field)
-      if (obj.isObject) {
-        obj.properties().asScala.foreach { e =>
-          val lang = e.getKey
-          if (langOk(lang)) {
-            val value = req(e.getValue, "value").asText()
-            add(subject, T(kind, None, Some(lang), None, s"$prefix:$lang"),
-              strT(Kind.Str, "s", value), anonEdge())
+  /** `{lang: {value: …}}` language map → one `kind(lang)` edge per
+    * entry; labels/descriptions (`parser.rs:441-461`), lexeme lemmas,
+    * form representations and sense glosses all share this dump shape.
+    */
+  private def addLangMap(b: Builder, subject: T, node: JsonNode,
+                         kind: String, prefix: String,
+                         langOk: String => Boolean): Unit =
+    if (node != null && node.isObject)
+      node.properties().asScala.foreach { e =>
+        val lang = e.getKey
+        if (langOk(lang)) {
+          val value = req(e.getValue, "value").asText()
+          b.add(subject, T(kind, None, Some(lang), None, s"$prefix:$lang"),
+            strT(Kind.Str, "s", value), b.anonEdge())
+        }
+      }
+
+  /** Claims object (`{prop: [claim…]}`) → named edges + qualifier
+    * edges-on-edges (`parser.rs:476-493`); shared by entity, lexeme,
+    * form and sense subjects.
+    */
+  private def addClaims(b: Builder, subject: T, claims: JsonNode,
+                        parseQualifiers: Boolean): Unit = {
+    if (claims == null || !claims.isObject) return
+    claims.properties().asScala.foreach { e =>
+      if (e.getValue.isArray) {
+        e.getValue.elements().asScala.foreach { claim =>
+          val mainsnak = req(claim, "mainsnak")
+          for (f <- Seq("snaktype", "property", "datatype")) req(mainsnak, f)
+          for (f <- Seq("type", "id", "rank")) req(claim, f)
+          val p = entityTerm(mainsnak.get("property").asText())
+          val o =
+            if (mainsnak.get("datavalue") == null || mainsnak.get("datavalue").isNull) {
+              // somevalue / novalue snak → Null object (parser.rs:373)
+              if (!knownDatatypes.contains(mainsnak.get("datatype").asText()))
+                throw ParseError("unknown datatype")
+              nullT
+            } else snakValue(mainsnak.get("datatype").asText(), mainsnak.get("datavalue"))
+          // "$" in the dump claim id → "-" (parser.rs:480-483)
+          val claimId = claim.get("id").asText().replace("$", "-")
+          val edge = T(Kind.NamedEdge, None, Some(claimId), None, s"NE:$claimId")
+          b.add(subject, p, o, edge)
+          if (parseQualifiers && claim.has("qualifiers") && claim.get("qualifiers").isObject) {
+            claim.get("qualifiers").properties().asScala.foreach { q =>
+              val qp = entityTerm(q.getKey)
+              if (q.getValue.isArray) {
+                q.getValue.elements().asScala.foreach { snak =>
+                  for (f <- Seq("snaktype", "property", "datatype")) req(snak, f)
+                  val qo =
+                    if (snak.get("datavalue") == null || snak.get("datavalue").isNull) nullT
+                    else snakValue(snak.get("datatype").asText(), snak.get("datavalue"))
+                  b.add(edge, qp, qo, b.anonEdge())
+                }
+              }
+            }
           }
         }
       }
     }
+  }
+
+  private def parseItem(root: JsonNode, parseQualifiers: Boolean,
+                        languageFilter: Option[Set[String]]): Seq[Quad] = {
+    // serde requires these fields (parser.rs:62-96); missing -> skip line
+    for (f <- Seq("id", "type", "labels", "descriptions", "aliases", "claims"))
+      if (!root.has(f)) throw ParseError(s"missing $f")
+
+    val entityId = root.get("id").asText()
+    val subject = entityTerm(entityId)
+    val b = new Builder(entityId, subject)
+
+    def langOk(lang: String): Boolean = languageFilter.forall(_.contains(lang))
+
+    // labels / descriptions: one edge per language (parser.rs:441-461)
+    addLangMap(b, subject, root.get("labels"), Kind.Label, "lab", langOk)
+    addLangMap(b, subject, root.get("descriptions"), Kind.Desc, "des", langOk)
 
     // aliases: multiple values per language, flattened (parser.rs:463-474)
     val aliases = root.get("aliases")
@@ -227,52 +293,79 @@ object WikidataParser extends Serializable {
         val lang = e.getKey
         if (langOk(lang) && e.getValue.isArray) {
           e.getValue.elements().asScala.foreach { a =>
-            add(subject, T(Kind.Alias, None, Some(lang), None, s"ali:$lang"),
-              strT(Kind.Str, "s", req(a, "value").asText()), anonEdge())
+            b.add(subject, T(Kind.Alias, None, Some(lang), None, s"ali:$lang"),
+              strT(Kind.Str, "s", req(a, "value").asText()), b.anonEdge())
           }
         }
       }
     }
 
     // claims: named edges, qualifiers as edges-on-edges (parser.rs:476-493)
-    val claims = root.get("claims")
-    if (claims.isObject) {
-      claims.properties().asScala.foreach { e =>
-        if (e.getValue.isArray) {
-          e.getValue.elements().asScala.foreach { claim =>
-            val mainsnak = req(claim, "mainsnak")
-            for (f <- Seq("snaktype", "property", "datatype")) req(mainsnak, f)
-            for (f <- Seq("type", "id", "rank")) req(claim, f)
-            val p = entityTerm(mainsnak.get("property").asText())
-            val o =
-              if (mainsnak.get("datavalue") == null || mainsnak.get("datavalue").isNull) {
-                // somevalue / novalue snak → Null object (parser.rs:373)
-                if (!knownDatatypes.contains(mainsnak.get("datatype").asText()))
-                  throw ParseError("unknown datatype")
-                nullT
-              } else snakValue(mainsnak.get("datatype").asText(), mainsnak.get("datavalue"))
-            // "$" in the dump claim id → "-" (parser.rs:480-483)
-            val claimId = claim.get("id").asText().replace("$", "-")
-            val edge = T(Kind.NamedEdge, None, Some(claimId), None, s"NE:$claimId")
-            add(subject, p, o, edge)
-            if (parseQualifiers && claim.has("qualifiers") && claim.get("qualifiers").isObject) {
-              claim.get("qualifiers").properties().asScala.foreach { q =>
-                val qp = entityTerm(q.getKey)
-                if (q.getValue.isArray) {
-                  q.getValue.elements().asScala.foreach { snak =>
-                    for (f <- Seq("snaktype", "property", "datatype")) req(snak, f)
-                    val qo =
-                      if (snak.get("datavalue") == null || snak.get("datavalue").isNull) nullT
-                      else snakValue(snak.get("datatype").asText(), snak.get("datavalue"))
-                    add(edge, qp, qo, anonEdge())
-                  }
-                }
-              }
-            }
-          }
-        }
-      }
+    addClaims(b, subject, root.get("claims"), parseQualifiers)
+    b.quads.toSeq
+  }
+
+  // Lexeme vocabulary: the predicates real Wikidata RDF uses for the
+  // lexicographic model; unregistered IRIs are plain string terms, so
+  // SPARQL reaches these via the ontolex:/wikibase:/dct: prefixes the
+  // default prefix set already carries (sparql/Iris.scala) with no
+  // translator changes.
+  val LexicalCategoryIri = "http://wikiba.se/ontology#lexicalCategory"
+  val LexemeLanguageIri = "http://purl.org/dc/terms/language"
+  val LexicalFormIri = "http://www.w3.org/ns/lemon/ontolex#lexicalForm"
+  val SenseIri = "http://www.w3.org/ns/lemon/ontolex#sense"
+  val GrammaticalFeatureIri = "http://wikiba.se/ontology#grammaticalFeature"
+
+  /** Opt-in lexeme-line quads, the extension the reference's schema
+    * visibly intends (`parser.rs:88-96,119-140` declares lemmas/forms/
+    * senses structs that never deserialize):
+    *   - lemmas → Label(lang) edges on the L-entity (the label service
+    *     then resolves lexeme labels like any entity's),
+    *   - lexicalCategory / language → `wikibase:lexicalCategory` /
+    *     `dct:language` edges to Q-entities,
+    *   - each form → `ontolex:lexicalForm` edge to an identifier node
+    *     (`L4589-F1`), whose representations are Label(lang) edges,
+    *     grammaticalFeatures are `wikibase:grammaticalFeature` edges,
+    *     and claims use the standard named-edge machinery,
+    *   - each sense → `ontolex:sense` edge; glosses are
+    *     Description(lang) edges; claims likewise.
+    */
+  private def parseLexeme(root: JsonNode, parseQualifiers: Boolean,
+                          languageFilter: Option[Set[String]]): Seq[Quad] = {
+    for (f <- Seq("id", "type", "lemmas", "lexicalCategory", "language", "claims"))
+      if (!root.has(f)) throw ParseError(s"missing $f")
+
+    val entityId = root.get("id").asText()
+    val subject = entityTerm(entityId)
+    val b = new Builder(entityId, subject)
+    def langOk(lang: String): Boolean = languageFilter.forall(_.contains(lang))
+    def pred(iri: String): T = strT(Kind.Str, "s", iri)
+
+    addLangMap(b, subject, root.get("lemmas"), Kind.Label, "lab", langOk)
+    b.add(subject, pred(LexicalCategoryIri),
+      entityTerm(root.get("lexicalCategory").asText()), b.anonEdge())
+    b.add(subject, pred(LexemeLanguageIri),
+      entityTerm(root.get("language").asText()), b.anonEdge())
+    addClaims(b, subject, root.get("claims"), parseQualifiers)
+
+    val forms = root.get("forms")
+    if (forms != null && forms.isArray) forms.elements().asScala.foreach { f =>
+      val fT = strT(Kind.Ident, "id", req(f, "id").asText())
+      b.add(subject, pred(LexicalFormIri), fT, b.anonEdge())
+      addLangMap(b, fT, f.get("representations"), Kind.Label, "lab", langOk)
+      val gf = f.get("grammaticalFeatures")
+      if (gf != null && gf.isArray) gf.elements().asScala.foreach(g =>
+        b.add(fT, pred(GrammaticalFeatureIri), entityTerm(g.asText()), b.anonEdge()))
+      addClaims(b, fT, f.get("claims"), parseQualifiers)
     }
-    quads.toSeq
+
+    val senses = root.get("senses")
+    if (senses != null && senses.isArray) senses.elements().asScala.foreach { sN =>
+      val sT = strT(Kind.Ident, "id", req(sN, "id").asText())
+      b.add(subject, pred(SenseIri), sT, b.anonEdge())
+      addLangMap(b, sT, sN.get("glosses"), Kind.Desc, "des", langOk)
+      addClaims(b, sT, sN.get("claims"), parseQualifiers)
+    }
+    b.quads.toSeq
   }
 }

@@ -528,6 +528,102 @@ object SparqlQueries {
          |WHERE a.p['key']='P:31' AND b.p['key']='P:1082'""".stripMargin)
   )
 
+  // ---- opt-in lexeme ingest (beyond the reference: its serde schema
+  // declares lemmas/forms/senses but required `labels` fields make
+  // every lexeme dump line fail deserialization, parser.rs:73,88-140;
+  // CONFORMANCE #16). These run against a store built with
+  // `--lexemes` from the reference's own L4589 example, unwrapped to a
+  // dump line (WikidataIngest.lexemeStore).
+  private val LX = s"read_parquet('${graft.ingest.WikidataIngest.lexemeDir}/statements.parquet/*.parquet')"
+  private val LXL = s"read_parquet('${graft.ingest.WikidataIngest.lexemeDir}/labels.parquet/*.parquet')"
+
+  private def ql(text: String): (SparkSession, String) => DataFrame =
+    (spark, _) =>
+      Sparql.rendered(spark, text, graft.ingest.WikidataIngest.lexemeStore(spark))
+
+  private val lexemeEntries: Seq[(String, String, String)] = Seq(
+
+    // full subject scan of the lexeme: lemmas (Label edges),
+    // lexicalCategory/language, claims, form/sense membership edges
+    ("sp67_lexeme_scan",
+      "SELECT ?p ?o WHERE { wd:L4589 ?p ?o . }",
+      s"SELECT p_lex AS p, o_lex AS o FROM $LX WHERE s['key']='L:4589'"),
+
+    // BGP join THROUGH a form node (identifier term): each form's
+    // grammatical features
+    ("sp68_lexeme_form_features",
+      """SELECT ?f ?feat WHERE { wd:L4589 ontolex:lexicalForm ?f .
+        |  ?f wikibase:grammaticalFeature ?feat . }""".stripMargin,
+      s"""SELECT a.o_lex AS f, b.o_lex AS feat
+         |FROM $LX a JOIN $LX b ON a.o['key']=b.s['key']
+         |WHERE a.s['key']='L:4589'
+         |  AND a.p['key']='s:${graft.ingest.WikidataParser.LexicalFormIri}'
+         |  AND b.p['key']='s:${graft.ingest.WikidataParser.GrammaticalFeatureIri}'""".stripMargin),
+
+    // the label service resolves lexeme lemmas (modeled as Label
+    // edges) exactly like entity labels — implicit ?lLabel form
+    ("sp69_lexeme_lemma_label",
+      """SELECT DISTINCT ?l ?lLabel WHERE { ?l ontolex:sense ?sense .
+        |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
+      s"""SELECT DISTINCT a.s_lex AS l, en.text AS "lLabel"
+         |FROM (SELECT * FROM $LX
+         |      WHERE p['key']='s:${graft.ingest.WikidataParser.SenseIri}') a
+         |LEFT JOIN (SELECT entity_key, text FROM $LXL
+         |           WHERE kind='label' AND lang='en') en
+         |  ON a.s['key']=en.entity_key""".stripMargin))
+
+  /** Like [[q]] but with the spec-mode scalar functions flag on
+    * (BNODE/STRDT/TIMEZONE; parity default returns the reference's
+    * `todo!` Null). Conf is read at translate time only, so toggling it
+    * around the call is safe even though the DataFrame runs later.
+    */
+  private def qSpecFns(text: String): (SparkSession, String) => DataFrame =
+    (spark, _) => {
+      spark.conf.set("spark.graft.functions.spec", "true")
+      try Sparql.rendered(spark, text,
+        spark.conf.get("spark.graft.store.dir", graft.ingest.WikidataIngest.defaultDir))
+      finally spark.conf.unset("spark.graft.functions.spec")
+    }
+
+  // spec-mode BNODE: per-solution-and-call freshness is the observable —
+  // COUNT(DISTINCT) of minted nodes equals the row count, which a SQL
+  // oracle can re-derive without seeing the (uuid) node ids themselves
+  private val sp70Sparql =
+    "SELECT (COUNT(DISTINCT ?b) AS ?n) WHERE { ?s wdt:P31 ?o . BIND(BNODE() AS ?b) }"
+  private val sp70Oracle =
+    s"SELECT CAST(count(*) AS VARCHAR) AS n FROM $ST WHERE p['key']='P:31'"
+
+  // spec-mode STRDT over the representable datatype subset: integer /
+  // double / boolean each parse or fall to Null (unbound) per lexical
+  private val sp71Sparql =
+    """SELECT ?x ?i ?f ?b WHERE { VALUES ?x { "42" "3.5" "true" "zzz" }
+      |  BIND(STRDT(?x, xsd:integer) AS ?i)
+      |  BIND(STRDT(?x, xsd:double) AS ?f)
+      |  BIND(STRDT(?x, xsd:boolean) AS ?b) }""".stripMargin
+  private val sp71Oracle =
+    """SELECT * FROM (VALUES
+      |  ('42', '42', '42', NULL),
+      |  ('3.5', NULL, '3.5', NULL),
+      |  ('true', NULL, NULL, 'true'),
+      |  ('zzz', NULL, NULL, NULL)) AS t(x, i, f, b)""".stripMargin
+
+  // spec-mode TIMEZONE: the stored minute offset as a dayTimeDuration
+  // lexical form, re-derived by the oracle from the time-term key
+  private val sp72Sparql =
+    "SELECT ?s ?tzd WHERE { ?s wdt:P569 ?d . BIND(TIMEZONE(?d) AS ?tzd) }"
+  private val sp72Oracle =
+    s"""WITH t AS (SELECT s_lex, CAST(split_part(o['key'],'|',5) AS INT) AS tz
+       |           FROM $ST WHERE p['key']='P:569')
+       |SELECT s_lex AS s,
+       |  CASE WHEN tz=0 THEN 'PT0S'
+       |       ELSE (CASE WHEN tz<0 THEN '-' ELSE '' END) || 'PT' ||
+       |            (CASE WHEN abs(tz)//60 > 0
+       |                  THEN CAST(abs(tz)//60 AS VARCHAR) || 'H' ELSE '' END) ||
+       |            (CASE WHEN abs(tz)%60 > 0
+       |                  THEN CAST(abs(tz)%60 AS VARCHAR) || 'M' ELSE '' END)
+       |  END AS tzd
+       |FROM t""".stripMargin
+
   /** Like [[q]] but with the spec-correlation LATERAL flag on. The conf
     * is read at translate time only (plan construction), so toggling it
     * around the call is safe even though the DataFrame runs later.
@@ -561,10 +657,18 @@ object SparqlQueries {
        |WHERE r.rn <= 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map { case (name, sparql, _) => name -> q(sparql) }.toMap +
-      ("sp63_lateral_limit" -> qSpecLateral(sp63Sparql))
+    entries.map { case (name, sparql, _) => name -> q(sparql) }.toMap ++
+      lexemeEntries.map { case (name, sparql, _) => name -> ql(sparql) } +
+      ("sp63_lateral_limit" -> qSpecLateral(sp63Sparql)) +
+      ("sp70_spec_bnode" -> qSpecFns(sp70Sparql)) +
+      ("sp71_spec_strdt" -> qSpecFns(sp71Sparql)) +
+      ("sp72_spec_timezone" -> qSpecFns(sp72Sparql))
 
   val oracles: Map[String, String] =
-    entries.map { case (name, _, sql) => name -> sql }.toMap +
-      ("sp63_lateral_limit" -> sp63Oracle)
+    entries.map { case (name, _, sql) => name -> sql }.toMap ++
+      lexemeEntries.map { case (name, _, sql) => name -> sql } +
+      ("sp63_lateral_limit" -> sp63Oracle) +
+      ("sp70_spec_bnode" -> sp70Oracle) +
+      ("sp71_spec_strdt" -> sp71Oracle) +
+      ("sp72_spec_timezone" -> sp72Oracle)
 }

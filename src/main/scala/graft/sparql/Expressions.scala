@@ -20,6 +20,16 @@ object Expressions {
   import Term.Kind
   import TermOps._
 
+  /** `spark.graft.functions.spec=true` implements BNODE/STRDT/TIMEZONE
+    * per spec (documented subsets at each site) instead of the
+    * reference's `todo!` Null (calc_engine.rs:1319-1331,2553-2558).
+    * Read at plan-construction time, like the other spec flags
+    * (`spark.graft.optional.specFilter`, `spark.graft.lateral.spec`).
+    */
+  private def specFns: Boolean =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.functions.spec", "false").toBoolean
+
   private def kindOf(t: Column) = t.getField("kind")
   private def strOf(t: Column) = t.getField("str")
   private def numOf(t: Column) = t.getField("num")
@@ -155,7 +165,46 @@ object Expressions {
         when(kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.NamedEdge), a0)
           .when(isStr(a0), iriFromString(strOf(a0)))
           .otherwise(nul)
-      case Func.BNode | Func.StrDt => nul // reference todo! (calc_engine.rs:1319-1331)
+      case Func.BNode => // reference todo! (calc_engine.rs:1319-1331)
+        // spec mode: a fresh blank node per solution (SPARQL §17.4.1.9).
+        // Each call site compiles independently, so a 1-arg label is a
+        // readable prefix only — within-solution label stability has no
+        // observable here. Parity default: Null, like the reference.
+        if (!specFns) nul
+        else {
+          val label =
+            if (as.isEmpty) uuid()
+            else when(isStr(a0), concat(strOf(a0), lit("_"), uuid())).otherwise(uuid())
+          Term.struct_(lit(Kind.Edge), lit(null).cast(DoubleType), label,
+            lit(null).cast(StringType), concat(lit("bn:"), label))
+        }
+      case Func.StrDt => // reference todo! (calc_engine.rs:1319-1331)
+        // spec mode: construct a typed literal for the datatypes the
+        // term model represents (integer family → Int term, float
+        // family → Float, boolean → Bool, string → Str); anything else
+        // — including xsd:dateTime, whose term needs Wikidata calendar
+        // fields the lexical form alone doesn't carry — stays Null, as
+        // does an unparseable lexical form. Parity default: Null.
+        if (!specFns) nul
+        else {
+          val xsd = "http://www.w3.org/2001/XMLSchema#"
+          val dt = strOf(a1) // unknown IRIs resolve to string terms
+          val lex = strOf(a0)
+          // rlike guards, not bare casts: ANSI mode (Spark 4 default)
+          // throws on a malformed cast, and SPARQL wants an eval error
+          // (→ Null term) instead
+          val intOk = lex.rlike("^[+-]?\\d{1,9}$") // fits Int, no ANSI overflow
+          val fltOk = lex.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$")
+          when(!isStr(a0) || !isStr(a1), nul)
+            .when(dt.isin(s"${xsd}integer", s"${xsd}int", s"${xsd}long"),
+              when(intOk, intTerm(lex.cast(IntegerType))).otherwise(nul))
+            .when(dt.isin(s"${xsd}float", s"${xsd}double", s"${xsd}decimal"),
+              when(fltOk, floatTerm(lex.cast(FloatType))).otherwise(nul))
+            .when(dt === s"${xsd}boolean",
+              when(lex.isin("true", "false"), boolTerm(lex === "true")).otherwise(nul))
+            .when(dt === s"${xsd}string", strTerm(lex))
+            .otherwise(nul)
+        }
       case Func.StrLang =>
         when(isStr(a0) && isStr(a1),
           Term.struct_(lit(Kind.Mono), lit(null).cast(DoubleType), strOf(a0), strOf(a1),
@@ -244,7 +293,25 @@ object Expressions {
       case Func.Hours => timeField2(a0, 1e4, 100)
       case Func.Minutes => timeField2(a0, 1e2, 100)
       case Func.Seconds => timeField2(a0, 1d, 100)
-      case Func.Timezone => nul // reference todo! (calc_engine.rs:2553-2558)
+      case Func.Timezone => // reference todo! (calc_engine.rs:2553-2558)
+        // spec mode: the stored minute offset (time-key field 5) as the
+        // xsd:dayTimeDuration lexical form ("PT0S", "-PT5H", "PT1H30M");
+        // rendered as a plain string term — the term model has no
+        // duration kind, so the datatype is carried by documentation,
+        // not the term. Parity default: Null.
+        if (!specFns) nul
+        else {
+          val tz = split(a0.getField("key"), "\\|").getItem(4).cast(IntegerType)
+          val aTz = abs(tz)
+          val h = (aTz / 60).cast(IntegerType)
+          val m = aTz % 60
+          val dur = concat(
+            when(tz < 0, lit("-")).otherwise(lit("")), lit("PT"),
+            when(tz === 0, lit("0S")).otherwise(concat(
+              when(h > 0, concat(h.cast(StringType), lit("H"))).otherwise(lit("")),
+              when(m > 0, concat(m.cast(StringType), lit("M"))).otherwise(lit("")))))
+          when(kindOf(a0) === Kind.Time && tz.isNotNull, strTerm(dur)).otherwise(nul)
+        }
       case Func.Tz => // raw minute-offset string (calc_engine.rs:2559-2576)
         when(kindOf(a0) === Kind.Time,
           strTerm(split(a0.getField("key"), "\\|").getItem(4))).otherwise(nul)

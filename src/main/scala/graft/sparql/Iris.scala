@@ -23,6 +23,11 @@ object Iris {
   private val wds = "http://www.wikidata.org/entity/statement/"
 
   private val entQ = ("^" + java.util.regex.Pattern.quote(wd) + """Q(\d+)""").r.unanchored
+  // lexeme sub-entities (forms/senses, `wd:L4589-F1`): identifier
+  // terms, matching the opt-in lexeme ingest's form/sense nodes (the
+  // reference collapses such ids to L0 via its u64-parse fallback,
+  // `src/parser.rs:287-297` — a documented tolerance, like dirQ below)
+  private val entSub = ("^" + java.util.regex.Pattern.quote(wd) + """(L\d+-[FS]\d+)$""").r
   private val entL = ("^" + java.util.regex.Pattern.quote(wd) + """L(\d+)""").r.unanchored
   private val dirP = ("^" + java.util.regex.Pattern.quote(wdt) + """P(\d+)""").r.unanchored
   private val dirQ = ("^" + java.util.regex.Pattern.quote(wdt) + """Q(\d+)""").r.unanchored
@@ -35,6 +40,7 @@ object Iris {
     */
   def resolve(iri: String): TermValue = iri match {
     case entQ(n) => TermValue.entityQ(n.toLong)
+    case entSub(id) => TermValue.ident(id)
     case entL(n) => TermValue.entityL(n.toLong)
     case dirP(n) => TermValue.propDirect(n.toLong)
     case dirQ(n) => TermValue.entityQ(n.toLong) // tolerant: wdt:Q31

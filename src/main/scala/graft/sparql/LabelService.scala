@@ -164,8 +164,15 @@ object LabelService {
           .agg(min(struct(col("prio"), col("ord"), col("text"))).getField("text").as("__lsv_text"))
     }
 
-    // only Q/P entities resolve (calc_engine.rs:2700-2711)
-    val targetKey = when(target.getField("kind").isin(Term.Kind.Q, Term.Kind.P),
+    // Q/P entities resolve (calc_engine.rs:2700-2711); L entities and
+    // form/sense identifier nodes additionally resolve when the store
+    // was built with the opt-in lexeme ingest (their lemmas and
+    // representations are Label edges). On a parity store no L/Ident
+    // label can exist (the reference's serde skips every lexeme line,
+    // so does the default ingest) — the widened key finds no row and
+    // yields the same Null the reference returns, so parity holds.
+    val targetKey = when(target.getField("kind").isin(
+      Term.Kind.Q, Term.Kind.P, Term.Kind.L, Term.Kind.Ident),
       target.getField("key"))
     // Broadcast only when the optimizer's size estimate fits under the
     // configured threshold: a full-Wikidata store has ~100M labeled

@@ -2,6 +2,7 @@ package graft
 
 import graft.ingest.WikidataIngest
 import graft.sparql.Sparql
+import org.apache.spark.sql.functions.col
 
 /** End-to-end parity on the reference's own fixture and query corpus:
   * `/root/reference/tests/data/first_5_lines.txt` +
@@ -271,6 +272,72 @@ class SparqlFixtureSpec extends SparkTestBase {
     val df = WikidataIngest.ingest(spark,
       "/root/reference/tests/data/form_sense_example.txt")
     assert(df.count() === 0L)
+  }
+
+  test("opt-in lexeme ingest parses lemmas, forms and senses into quads") {
+    // the extension the reference's schema visibly intends
+    // (parser.rs:88-140 declares the structs that never deserialize):
+    // same fixture, `--lexemes`, unwrapped to a dump line
+    val lexDir = WikidataIngest.lexemeStore(spark)
+    val df = spark.read.parquet(s"$lexDir/statements.parquet")
+    // L4589: lemma + lexicalCategory + language + 1 claim + 2 forms +
+    // 2 senses = 8 subject rows; F1 rep/feature/claim(+1 qualifier),
+    // F2 rep/feature, S1 gloss+5 claims, S2 gloss+1 claim → 22 total
+    assert(df.count() === 22L)
+    assert(df.filter(col("s.key") === "L:4589").count() === 8L)
+    val forms = Sparql.rendered(spark,
+      "SELECT ?f WHERE { wd:L4589 ontolex:lexicalForm ?f . }", lexDir)
+      .collect().map(_.getString(0)).sorted
+    assert(forms.map(_.endsWith("-F1")).contains(true) && forms.length === 2)
+    // join THROUGH the form node; feature is a Q-entity
+    val feats = Sparql.rendered(spark,
+      """SELECT ?feat WHERE { wd:L4589 ontolex:lexicalForm ?f .
+        |  ?f wikibase:grammaticalFeature ?feat . }""".stripMargin, lexDir)
+      .collect().map(_.getString(0)).toSet
+    assert(feats === Set("http://www.wikidata.org/entity/Q110786",
+      "http://www.wikidata.org/entity/Q146786"))
+    // lemma rides the label service like any entity label
+    val lab = Sparql.rendered(spark,
+      """SELECT DISTINCT ?l ?lLabel WHERE { ?l ontolex:sense ?sense .
+        |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
+      lexDir).collect()
+    assert(lab.length === 1 && lab(0).getString(1) === "flower")
+    // default ingest (no flag) still skips lexeme dump lines — parity
+    val strict = WikidataIngest.ingest(spark, s"$lexDir/dump.jsonl")
+    assert(strict.count() === 0L)
+  }
+
+  test("spec-mode BNODE/STRDT/TIMEZONE: non-zero offsets; parity default stays Null") {
+    // a store whose time values carry non-zero minute offsets (the repo
+    // fixture is all tz=0), exercising the H/M duration rendering
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tz").toString
+    def line(id: String, tz: Int) =
+      s"""{"id":"$id","type":"item","labels":{},"descriptions":{},"aliases":{},
+         |"claims":{"P569":[{"mainsnak":{"snaktype":"value","property":"P569",
+         |"datatype":"time","datavalue":{"type":"time","value":{
+         |"time":"+1990-01-02T03:04:05Z","precision":11,"before":0,"after":0,
+         |"timezone":$tz,"calendarmodel":"http://www.wikidata.org/entity/Q1985727"}}},
+         |"type":"statement","id":"$id$$x","rank":"normal"}]}}""".stripMargin.replace("\n", "")
+    val dump = new java.io.PrintWriter(s"$tmp/dump.jsonl")
+    try Seq(line("Q1", -300), line("Q2", 90), line("Q3", 0), line("Q4", -45))
+      .foreach(dump.println)
+    finally dump.close()
+    WikidataIngest.build(spark, s"$tmp/dump.jsonl", tmp)
+    val q = "SELECT ?s ?tzd WHERE { ?s wdt:P569 ?d . BIND(TIMEZONE(?d) AS ?tzd) }"
+    // parity default: the reference's todo! Null → unbound
+    assert(Sparql.rendered(spark, q, tmp).collect().forall(_.isNullAt(1)))
+    spark.conf.set("spark.graft.functions.spec", "true")
+    try {
+      val got = Sparql.rendered(spark, q, tmp).collect()
+        .map(r => r.getString(0).split("/").last -> r.getString(1)).toMap
+      assert(got === Map("Q1" -> "-PT5H", "Q2" -> "PT1H30M",
+        "Q3" -> "PT0S", "Q4" -> "-PT45M"))
+      // STRDT parity default likewise Null; spec mode types the literal
+      val sd = Sparql.rendered(spark,
+        """SELECT ?i WHERE { VALUES ?x { "7" } BIND(STRDT(?x, xsd:integer) AS ?i) }""",
+        tmp).collect()
+      assert(sd(0).getString(0) === "7")
+    } finally spark.conf.unset("spark.graft.functions.spec")
   }
 
   test("sub-SELECT projects only its selected variables into the outer scope") {
