@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` formats (WAV/AIFF/AU): [[decodeAudio]]
   * yields true sample rate, duration, and an RMS-energy envelope.
   * VIDEO is real for MJPEG-in-AVI ([[decodeVideo]]: RIFF container
-  * walk + per-frame JPEG via `javax.imageio` — the one mainstream
-  * video format needing no native codec); other codecs (H.264 etc.)
-  * remain a clearly-marked STUB seam — dropping a native decoder into
-  * the same `mapPartitions` shape changes nothing else.
+  * walk + per-frame JPEG via `javax.imageio`) and animated GIF
+  * ([[gifFrames]]: composited multi-frame read) — the two moving-image
+  * formats needing no native codec; other codecs (H.264 etc.) remain a
+  * clearly-marked STUB seam — dropping a native decoder into the
+  * [[clipFrames]] dispatch changes nothing else.
   */
 object Multimodal {
 
@@ -486,16 +487,147 @@ object Multimodal {
       frames.toArray.flatMap(f => chunk("00dc", f))))
   }
 
-  /** REAL video decode for MJPEG-in-AVI (the one video format the JDK
-    * can fully decode: RIFF walk + per-frame JPEG through
-    * `javax.imageio`): payloads decode partition-wise to a frame
-    * count, first-frame dimensions, and a `dims`-bucket luminance
-    * histogram AVERAGED over up to `maxFrames` sampled frames — the
-    * same content-derived statistic as the image branch, so a video
-    * and a still of the same scene land near each other. Non-AVI or
-    * undecodable payloads get null columns (corrupt-blob-is-data).
-    * Other codecs (H.264 etc.) still need a native decoder dropped
-    * into this same `mapPartitions` seam. Narrow map, no shuffle.
+  /** GIF sniff: "GIF87a" / "GIF89a" signature. */
+  private def looksLikeGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+
+  /** Decode up to `maxFrames` frames of an (animated) GIF — the second
+    * JDK-native video container, widening [[decodeVideo]] beyond
+    * MJPEG-AVI with zero new dependencies. Frames are COMPOSITED: each
+    * stored frame is drawn at its descriptor offset onto a persistent
+    * canvas sized from the logical screen descriptor, so patch-encoded
+    * animations (each frame storing only the changed rectangle) yield
+    * full frames, which is what the luma-signature paths must see.
+    * Simplification, documented: disposal methods are treated as
+    * "do not dispose" — restore-to-background/previous animations
+    * composite slightly differently, which shifts luma mass but never
+    * fails. Malformed payloads yield the frames decoded so far
+    * (corrupt-blob-is-data policy).
+    */
+  private[pipeline] def gifFrames(payload: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
+    import java.awt.image.BufferedImage
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Seq.empty
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      // logical screen = the animation's full frame size
+      val (sw, sh) =
+        try {
+          val tree = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+          val kids = tree.getChildNodes
+          var w = 0; var h = 0
+          var j = 0
+          while (j < kids.getLength) {
+            val n = kids.item(j)
+            if (n.getNodeName == "LogicalScreenDescriptor") {
+              val at = n.getAttributes
+              w = at.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+              h = at.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+            }
+            j += 1
+          }
+          (w, h)
+        } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+      val out = Seq.newBuilder[BufferedImage]
+      var canvas: BufferedImage = null
+      var i = 0
+      var done = false
+      while (i < maxFrames && !done) {
+        try {
+          val frame = reader.read(i)
+          // frame placement from the image descriptor (patch encoding)
+          var (fx, fy) = (0, 0)
+          try {
+            val tree = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+            val kids = tree.getChildNodes
+            var j = 0
+            while (j < kids.getLength) {
+              val n = kids.item(j)
+              if (n.getNodeName == "ImageDescriptor") {
+                val at = n.getAttributes
+                fx = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+                fy = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+              }
+              j += 1
+            }
+          } catch { case scala.util.control.NonFatal(_) => }
+          if (canvas == null) {
+            val w = math.max(sw, fx + frame.getWidth)
+            val h = math.max(sh, fy + frame.getHeight)
+            canvas = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          }
+          val g = canvas.createGraphics()
+          try g.drawImage(frame, fx, fy, null) finally g.dispose()
+          val snap = new BufferedImage(canvas.getWidth, canvas.getHeight,
+            BufferedImage.TYPE_INT_RGB)
+          val gs = snap.createGraphics()
+          try gs.drawImage(canvas, 0, 0, null) finally gs.dispose()
+          out += snap
+          i += 1
+        } catch {
+          case _: IndexOutOfBoundsException => done = true // past last frame
+          case scala.util.control.NonFatal(_) => done = true // truncated/corrupt
+        }
+      }
+      out.result()
+    } finally {
+      try reader.dispose() finally { try iis.close() catch { case _: Throwable => } }
+    }
+  }
+
+  /** Pack frames into an animated GIF (JDK `gif` writer sequence API) —
+    * the [[mjpegAvi]] analogue for round-trip tests and constructed-
+    * fact oracles. GIF is palette-based, so solid-color test frames
+    * survive EXACTLY (no JPEG loss).
+    */
+  def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally {
+      try writer.dispose() finally ios.close()
+    }
+    buf.toByteArray
+  }
+
+  /** Container dispatch shared by [[decodeVideo]] and
+    * [[videoFrameSignatures]]: sniff the payload and decode up to
+    * `maxFrames` frames — MJPEG-in-AVI via the RIFF walk + JPEG codec,
+    * animated GIF via the composited reader. Unknown containers or
+    * undecodable payloads yield no frames. Every new decoder dropped
+    * in here immediately feeds the whole signature/near-dup stack.
+    */
+  private def clipFrames(payload: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length < 12) Seq.empty
+    else if (looksLikeAvi(payload))
+      aviJpegFrames(payload, maxFrames).flatMap { f =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    else if (looksLikeGif(payload)) gifFrames(payload, maxFrames)
+    else Seq.empty
+
+  /** REAL video decode for the JDK-native containers ([[clipFrames]]:
+    * MJPEG-in-AVI via RIFF walk + per-frame JPEG, animated GIF via the
+    * composited multi-frame reader): payloads decode partition-wise to
+    * a frame count, first-frame dimensions, and a `dims`-bucket
+    * luminance histogram AVERAGED over up to `maxFrames` sampled
+    * frames — the same content-derived statistic as the image branch,
+    * so a video and a still of the same scene land near each other.
+    * Unknown-container or undecodable payloads get null columns
+    * (corrupt-blob-is-data). Other codecs (H.264 etc.) still need a
+    * native decoder dropped into the same dispatch. Narrow map, no
+    * shuffle.
     */
   def decodeVideo(df: DataFrame, dims: Int = 8, maxFrames: Int = 8): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -509,13 +641,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val frames =
-          if (payload == null || payload.length < 12 || !looksLikeAvi(payload)) Seq.empty
-          else aviJpegFrames(payload, maxFrames)
-        val imgs = frames.flatMap { f =>
-          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }
+        val imgs = clipFrames(payload, maxFrames)
         if (imgs.isEmpty) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         else {
           val acc = new Array[Double](dims)
@@ -558,7 +684,7 @@ object Multimodal {
     Array.tabulate(dims)(i => counts(i).toDouble / n)
   }
 
-  /** Explode each MJPEG-AVI clip into per-frame rows
+  /** Explode each clip (MJPEG-AVI or animated GIF) into per-frame rows
     * (input columns + `frame_idx` + `frame_sig`, the frame's
     * `dims`-bucket luma histogram). The frame-level complement of
     * [[decodeVideo]]'s clip average — the input to frame dedup.
@@ -577,13 +703,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val frames =
-          if (payload == null || payload.length < 12 || !looksLikeAvi(payload)) Seq.empty
-          else aviJpegFrames(payload, maxFrames)
-        frames.flatMap { f =>
-          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }.zipWithIndex.map { case (img, i) =>
+        clipFrames(payload, maxFrames).zipWithIndex.map { case (img, i) =>
           Row.fromSeq(r.toSeq ++ Seq(i,
             lumaHistogram(img, dims).map(_.toFloat)))
         }

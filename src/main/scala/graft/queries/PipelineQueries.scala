@@ -826,6 +826,42 @@ object PipelineQueries {
         "media_id", dims = 4, maxFrames = 4, quant = 8, minShared = 2)
     }),
 
+    // second video container: animated GIFs and an MJPEG-AVI clip in
+    // ONE media table, dispatched by payload sniff inside the same
+    // narrow decode; an unknown-container blob degrades to nulls. GIF
+    // is palette-exact (no JPEG loss), so frame counts and dimensions
+    // are constructed facts
+    "p79_gif_video_decode" -> ((s, _) => {
+      def gray(g: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(
+          8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < 6) {
+          var x = 0
+          while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        img
+      }
+      def jpeg(g: Int): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(gray(g), "jpg", buf)
+        buf.toByteArray
+      }
+      val clips = Seq(
+        (1L, Multimodal.animatedGif(Seq(gray(32)))),
+        (2L, Multimodal.animatedGif(Seq(gray(32), gray(224)))),
+        (3L, Multimodal.animatedGif(Seq(gray(32), gray(96), gray(160), gray(224)))),
+        (4L, Multimodal.mjpegAvi(Seq(jpeg(96)))), // AVI beside the GIFs
+        (5L, Array.tabulate[Byte](64)(_.toByte))) // unknown container
+      import s.implicits._
+      Multimodal.decodeVideo(clips.toDF("media_id", "payload"),
+          dims = 4, maxFrames = 3) // cap: clip 3's 4th frame not read
+        .select(col("media_id"), col("decoded_frames"),
+          col("frame_width"), col("frame_height"))
+    }),
+
     // BM25 keyword retrieval, fully oracle-checked: queries are the
     // first 8 tokens of docs 0-2 (self-retrieval — each query's source
     // doc should surface), scores round to 6 dp BEFORE ranking so the
@@ -1148,6 +1184,17 @@ object PipelineQueries {
         |  CAST(6 AS INTEGER) AS frame_height
         |FROM (VALUES (1, 1), (2, 2), (3, 3), (4, 4), (5, 4))
         |  t(media_id, decoded_frames)""".stripMargin,
+
+    // mixed-container decode: GIF frame counts capped at maxFrames=3,
+    // the AVI clip decodes beside them, the junk blob yields nulls
+    "p79_gif_video_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(decoded_frames AS INTEGER) AS decoded_frames,
+        |  CAST(frame_width AS INTEGER) AS frame_width,
+        |  CAST(frame_height AS INTEGER) AS frame_height
+        |FROM (VALUES (1, 1, 8, 6), (2, 2, 8, 6), (3, 3, 8, 6),
+        |             (4, 1, 8, 6), (5, NULL, NULL, NULL))
+        |  t(media_id, decoded_frames, frame_width, frame_height)""".stripMargin,
 
     // constructed-fact pairs: clips sharing ≥2 luma buckets by design
     "p71_video_neardup" ->

@@ -1156,6 +1156,49 @@ class PipelineSpec extends SparkTestBase {
     assert(sigs((1L, 0))(0) === 1.0f && sigs((1L, 1))(3) === 1.0f)
   }
 
+  test("animated GIF decodes beside AVI: roundtrip, cross-container sigs, corrupt degrade") {
+    def gray(g: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      img
+    }
+    def jpeg(g: Int): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gray(g), "jpg", buf)
+      buf.toByteArray
+    }
+    val gif = Multimodal.animatedGif(Seq(gray(32), gray(96), gray(224)))
+    // roundtrip: same frame count, dims, and (palette-exact) luma mass
+    val media = Seq(
+      (1L, gif),
+      (2L, Multimodal.mjpegAvi(Seq(jpeg(32), jpeg(96), jpeg(224)))),
+      (3L, gif.take(gif.length / 3)), // truncated mid-animation
+      (4L, Array[Byte]('G', 'I', 'F', '8', '9', 'a'))) // header only
+      .toDF("media_id", "payload")
+    val sigs = Multimodal.videoFrameSignatures(media, dims = 4, maxFrames = 8)
+      .select("media_id", "frame_idx", "frame_sig").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getAs[scala.collection.Seq[Float]](2)).toMap
+    assert(sigs.keys.count(_._1 == 1L) === 3)
+    // the same grays through GIF and through AVI-JPEG land in the same
+    // luma buckets — cross-container near-dup works frame-for-frame
+    for (i <- 0 until 3)
+      assert(sigs((1L, i)) === sigs((2L, i)),
+        s"container changed the frame-$i signature")
+    // truncated GIF: whatever frames survive, never an exception; the
+    // 6-byte header yields none
+    assert(sigs.keys.count(_._1 == 3L) < 3)
+    assert(sigs.keys.count(_._1 == 4L) === 0)
+    // decodeVideo dispatches per row in one mixed table
+    val dec = Multimodal.decodeVideo(media, dims = 4, maxFrames = 8)
+      .select("media_id", "decoded_frames", "frame_width", "frame_height")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(dec(1L) === 3 && dec(2L) === 3 && dec(4L) === -1)
+  }
+
   test("videoNearDupClips pairs clips sharing frames; hot signatures capped first") {
     def jpeg(gray: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
