@@ -104,9 +104,28 @@ object Retrieval {
                queries: DataFrame, qTextCol: String, qIdCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75,
                longDocTokens: Int = LongDocTokens): DataFrame = {
-    val post = postings(docs, textCol, idCol, longDocTokens)
-    val stats = docs.select(tokens(col(textCol)).as("__ts"))
-      .agg(count(lit(1)).as("__n"), avg(size(col("__ts"))).as("__avgdl"))
+    val (post, stats) = corpusPostings(docs, textCol, idCol, longDocTokens)
+    bm25TopKFromPostings(post, stats, queries, qTextCol, qIdCol, k, k1, b)
+  }
+
+  /** The tokenize-and-count pass of [[bm25TopK]] as a reusable value:
+    * (postings, stats). A corpus snapshot serving several retrieval
+    * tasks in one job — ranking plus decontamination triage is the
+    * canonical pair — should compute this ONCE (and typically
+    * `localCheckpoint` it) instead of paying a corpus pass per task;
+    * at 100 TB the corpus passes are the whole cost. The persisted
+    * [[buildTextIndex]] is the cross-job form of the same idea.
+    */
+  def corpusPostings(docs: DataFrame, textCol: String, idCol: String,
+                     longDocTokens: Int = LongDocTokens): (DataFrame, DataFrame) =
+    (postings(docs, textCol, idCol, longDocTokens),
+      docs.select(tokens(col(textCol)).as("__ts"))
+        .agg(count(lit(1)).as("__n"), avg(size(col("__ts"))).as("__avgdl")))
+
+  /** [[bm25TopK]] over precomputed [[corpusPostings]]. */
+  def bm25TopKFromPostings(post: DataFrame, stats: DataFrame,
+                           queries: DataFrame, qTextCol: String, qIdCol: String,
+                           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = queries
       .select(col(qIdCol).as("__q"), explode(array_distinct(tokens(col(qTextCol)))).as("__t"))
     val cand = post.join(broadcast(qTerms.select("__t").distinct()), Seq("__t"))
@@ -172,10 +191,19 @@ object Retrieval {
   def decontaminationTriage(docs: DataFrame, textCol: String, idCol: String,
                             bench: DataFrame, qTextCol: String, qIdCol: String,
                             minScore: Double, k: Int = 100, n: Int = 3,
-                            longDocTokens: Int = LongDocTokens): DataFrame =
+                            longDocTokens: Int = LongDocTokens,
+                            precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame =
     triageVerify(
-      bm25TopK(docs, textCol, idCol, bench, qTextCol, qIdCol, k,
-        longDocTokens = longDocTokens),
+      precomputed match {
+        // a caller already holding corpusPostings (e.g. because BM25
+        // ranking runs in the same job) skips this operator's corpus
+        // pass — stage 1 becomes candidate-proportional too
+        case Some((post, stats)) =>
+          bm25TopKFromPostings(post, stats, bench, qTextCol, qIdCol, k)
+        case None =>
+          bm25TopK(docs, textCol, idCol, bench, qTextCol, qIdCol, k,
+            longDocTokens = longDocTokens)
+      },
       docs, textCol, idCol, bench, qTextCol, minScore, n)
 
   /** [[decontaminationTriage]] against a persisted [[buildTextIndex]]

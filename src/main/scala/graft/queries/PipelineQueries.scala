@@ -871,7 +871,8 @@ object PipelineQueries {
       val queries = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"),
           array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
-      Retrieval.bm25TopK(docs, "text", "doc_id", queries, "qtext", "query_id", k = 10)
+      val (post, stats) = postingsFor(s, d) // one corpus pass, shared with p73
+      Retrieval.bm25TopKFromPostings(post, stats, queries, "qtext", "query_id", k = 10)
     }),
 
     // interpolated-bigram LM perplexity (CCNet-shaped quality filter),
@@ -907,7 +908,8 @@ object PipelineQueries {
         .select(col("doc_id").as("query_id"),
           array_join(slice(Retrieval.tokens(col("text")), 1, 8), " ").as("qtext"))
       Retrieval.decontaminationTriage(docs, "text", "doc_id",
-        bench, "qtext", "query_id", minScore = 1.0, k = 10)
+        bench, "qtext", "query_id", minScore = 1.0, k = 10,
+        precomputed = Some(postingsFor(s, d))) // shares p63's corpus pass
     }),
 
     // the same triage through the PERSISTED inverted index (shares
@@ -1002,6 +1004,22 @@ object PipelineQueries {
     */
   private val textIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One corpus tokenize-and-count per (session, dataset), shared by
+    * the direct BM25 (p63) and direct triage (p73) gates — the
+    * [[graft.pipeline.Retrieval.corpusPostings]] reuse pattern those
+    * entries exist to demonstrate: several retrieval tasks over one
+    * corpus snapshot pay ONE corpus pass. Lazy `localCheckpoint`:
+    * materialized by whichever entry runs first, reused by the next.
+    */
+  private val sharedPostings = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def postingsFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    sharedPostings.getOrElseUpdate((s, d), {
+      val (post, stats) =
+        Retrieval.corpusPostings(Tables.documents(s, d), "text", "doc_id")
+      (post.localCheckpoint(false), stats.localCheckpoint(false))
+    })
 
   /** One persisted IVF-PQ build per (JVM, dataset) for the p55 gate. */
   private val ivfPqIndexDirs =
