@@ -266,10 +266,26 @@ object WikidataIngest {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Drop cached reads under `dir` after a rebuild (the cached file
-    * listing would otherwise point at deleted parquet parts).
+    * listing would otherwise point at deleted parquet parts), and bump
+    * the store's epoch so downstream plan caches keyed on it
+    * (QueryServer's translated-plan LRU) stop serving plans over the
+    * old file listing.
     */
-  private def invalidate(dir: String): Unit =
+  private def invalidate(dir: String): Unit = {
     readCache.keys.filter(_._2.startsWith(dir)).foreach(readCache.remove)
+    epochs.updateWith(dir) { v => Some(v.getOrElse(0L) + 1L) }
+  }
+
+  // per-JVM rebuild counter per store dir; same staleness contract as
+  // readCache (a rebuild from ANOTHER process is invisible to both —
+  // restart or re-create-db in this JVM to pick it up)
+  private val epochs = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Monotonic per-JVM epoch of `dir`, bumped on every rebuild through
+    * this class. Cache keys that include it go stale-safe against
+    * in-process rebuilds.
+    */
+  def storeEpoch(dir: String): Long = epochs.getOrElse(dir, 0L)
 
   /** Load the persisted statements table, building it first if absent
     * (keeps `Verify`/`Bench` self-contained on a fresh checkout).

@@ -33,6 +33,76 @@ object QueryServer {
 
   private val reqIds = new AtomicLong()
 
+  /** Bounded LRU of translated (analyzed, unexecuted) DataFrames.
+    * Every repeated SPARQL string otherwise re-pays
+    * parse → translate → analyze on the driver — 50–300 ms for typical
+    * queries — which for a dashboard-style workload of a few hot
+    * queries is pure waste. A DataFrame is an immutable plan, so
+    * serving the same instance to concurrent requests is safe; each
+    * request still executes under its own job group/FAIR pool (both are
+    * applied at action time, not build time).
+    *
+    * The key carries everything translation depends on besides the
+    * text: the store dir, the store's in-process rebuild epoch
+    * ([[graft.ingest.WikidataIngest.storeEpoch]] — a `create-db` into a
+    * served dir must not keep serving plans over the old file listing),
+    * and the translate-time semantics flags (spec OPTIONAL/LATERAL/
+    * functions, path budget), which are read during plan construction
+    * and would otherwise be baked stale into a shared plan.
+    *
+    * Size via `spark.graft.server.planCacheSize` (entries; 0 disables).
+    * Plans are driver-heap small (no data), so the default is generous.
+    */
+  private val PlanCacheDefaultSize = 256
+  private val planCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      @volatile var maxEntries: Int = PlanCacheDefaultSize
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.DataFrame]): Boolean =
+        size() > maxEntries
+    }
+  // test/ops visibility: how often the cache short-circuits translation
+  private[graft] val planCacheHits = new AtomicLong()
+  private[graft] val planCacheMisses = new AtomicLong()
+  private[graft] def planCacheReset(): Unit = planCache.synchronized {
+    planCache.clear(); planCacheHits.set(0L); planCacheMisses.set(0L)
+  }
+
+  /** Translate `q` against `dir`, through the plan cache. Parse errors
+    * propagate (and are never cached — a later fixed parser/flag state
+    * must get a fresh attempt).
+    */
+  private def translated(spark: SparkSession, q: String, dir: String): org.apache.spark.sql.DataFrame = {
+    val maxEntries = spark.conf
+      .get("spark.graft.server.planCacheSize", PlanCacheDefaultSize.toString)
+      .toIntOption.filter(_ >= 0)
+      .getOrElse(throw new IllegalArgumentException(
+        "spark.graft.server.planCacheSize must be a non-negative int"))
+    if (maxEntries == 0) return Sparql.query(spark, q, dir)
+    val flags = Seq("spark.graft.optional.specFilter",
+      "spark.graft.lateral.spec", "spark.graft.functions.spec",
+      "spark.graft.path.maxRows")
+      .map(k => spark.conf.get(k, "")).mkString(",")
+    val key = s"$dir|${graft.ingest.WikidataIngest.storeEpoch(dir)}|$flags|$q"
+    val cached = planCache.synchronized {
+      planCache.maxEntries = maxEntries
+      Option(planCache.get(key))
+    }
+    cached match {
+      case Some(df) => planCacheHits.incrementAndGet(); df
+      case None =>
+        // translate OUTSIDE the lock: translation can take hundreds of
+        // ms and must not serialize unrelated queries. Concurrent
+        // misses on the same key both translate; last write wins —
+        // identical plans, so the duplicated work is one-off.
+        val df = Sparql.query(spark, q, dir)
+        planCacheMisses.incrementAndGet()
+        planCache.synchronized { planCache.put(key, df) }
+        df
+    }
+  }
+
   private def daemonFactory(prefix: String): ThreadFactory = new ThreadFactory {
     private val n = new AtomicLong()
     def newThread(r: Runnable): Thread = {
@@ -248,7 +318,7 @@ object QueryServer {
               spark.sparkContext.setLocalProperty("spark.scheduler.pool",
                 s"graft-req-${reqId % 16}")
               try {
-                val df = Sparql.query(spark, q, dir)
+                val df = translated(spark, q, dir)
                 explainMode match {
                   case Some(m) => Some(df.queryExecution.explainString(
                     org.apache.spark.sql.execution.ExplainMode.fromString(m)))

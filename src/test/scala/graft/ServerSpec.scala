@@ -44,6 +44,63 @@ class ServerSpec extends SparkTestBase {
     super.afterAll()
   }
 
+  test("repeated queries hit the translated-plan cache; toggled flags and rebuilds miss") {
+    QueryServer.planCacheReset()
+    val sparql = "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 4"
+    val q = "/query?query=" + java.net.URLEncoder.encode(sparql, "UTF-8")
+    val first = get(q)
+    assert(first._1 === 200)
+    assert(QueryServer.planCacheMisses.get() === 1L)
+    // repeats reuse the analyzed plan: no re-parse/translate, and the
+    // served bytes are identical
+    val repeats = (1 to 3).map(_ => get(q))
+    repeats.foreach { r => assert(r._1 === 200); assert(r._2 === first._2) }
+    assert(QueryServer.planCacheHits.get() === 3L)
+    assert(QueryServer.planCacheMisses.get() === 1L)
+    // a translate-time semantics flag is part of the key — toggling it
+    // must NOT serve the other mode's plan
+    spark.conf.set("spark.graft.functions.spec", "true")
+    try { assert(get(q)._1 === 200) }
+    finally spark.conf.unset("spark.graft.functions.spec")
+    assert(QueryServer.planCacheMisses.get() === 2L)
+    // cache off via size 0: every request translates fresh
+    spark.conf.set("spark.graft.server.planCacheSize", "0")
+    try {
+      assert(get(q)._1 === 200)
+      assert(QueryServer.planCacheHits.get() === 3L) // unchanged
+    } finally spark.conf.unset("spark.graft.server.planCacheSize")
+  }
+
+  test("a store rebuild bumps the epoch and invalidates cached plans") {
+    // rebuild into a TEMP dir served by a second server: the epoch is
+    // per store dir, so the shared fixture store stays untouched
+    val tmp = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    graft.ingest.WikidataIngest.build(spark, dir = tmp)
+    val srv2 = QueryServer.start(spark, tmp, 0)
+    val port2 = srv2.getAddress.getPort
+    try {
+      QueryServer.planCacheReset()
+      def get2(sparql: String) = {
+        val conn = new java.net.URL(s"http://localhost:$port2/query?query=" +
+          java.net.URLEncoder.encode(sparql, "UTF-8")).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(120000)
+        (conn.getResponseCode,
+          scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString)
+      }
+      val sparql = "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 2"
+      assert(get2(sparql)._1 === 200)
+      assert(get2(sparql)._1 === 200)
+      assert(QueryServer.planCacheHits.get() === 1L)
+      // an in-process rebuild of the served store must invalidate: the
+      // cached plan's file listing points at overwritten parquet parts
+      graft.ingest.WikidataIngest.build(spark, dir = tmp)
+      val after = get2(sparql)
+      assert(after._1 === 200 && after._2.contains("\"bindings\""))
+      assert(QueryServer.planCacheMisses.get() === 2L)
+    } finally srv2.stop(0)
+  }
+
   test("concurrent requests all succeed (shared session, parallel jobs)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
