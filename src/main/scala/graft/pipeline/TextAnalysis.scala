@@ -423,11 +423,18 @@ object TextAnalysis {
     * (the [[unigramLogProb]] convention) so per-doc sums are exact in
     * any order; outputs round to 6 dp.
     *
-    * Scale shape: bigram extraction is an in-row `transform` (narrow);
-    * the three model tables are count shuffles with map-side combine
-    * whose outputs are vocabulary-sized; scoring joins exploded bigrams
-    * to the models (post-aggregation small — AQE broadcasts them) and
-    * re-aggregates on the doc id. Document bodies never shuffle.
+    * Scale shape: bigram extraction is an in-row `transform` (narrow),
+    * aggregated ONCE to per-(doc, bigram) counts that feed everything
+    * downstream: the bigram and history model tables derive from that
+    * frame by re-aggregation (never a second corpus pass), and scoring
+    * joins the DISTINCT (doc, bigram) groups — each group's rounded
+    * micro-nat log-prob is identical for every occurrence, so weighting
+    * by the group count is exactly the per-occurrence sum at a fraction
+    * of the join volume (natural text repeats bigrams). The unigram
+    * table is the one other corpus pass (bigram ends under-count final
+    * tokens, so it cannot be derived); its total is its own sum.
+    * Post-aggregation model tables are vocabulary-sized — AQE
+    * broadcasts them. Document bodies never shuffle.
     */
   def bigramPerplexity(df: DataFrame, textCol: String, idCol: String,
                        lambda: Double = 0.9): DataFrame = {
@@ -439,25 +446,29 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(1), size(col("__ts")) - 1),
         i => struct(element_at(col("__ts"), i).as("__w1"),
           element_at(col("__ts"), i + 1).as("__w2"))))
-    val bg = df.select(col(idCol), ts.as("__ts"))
+    // one logical corpus pass → per-(doc, bigram) counts, feeding the
+    // model tables by re-aggregation and the scoring join directly
+    val bgc = df.select(col(idCol), ts.as("__ts"))
       .select(col(idCol), explode(pairs).as("__b"))
-      .select(col(idCol), col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
-    val tok = df.select(explode(ts).as("__w"))
-    val total = tok.agg(count(lit(1)).as("__tt"))
-    val uni = tok.groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
-    val hist = bg.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
-    val bi = bg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
-    val scored = bg
+      .groupBy(col(idCol), col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val uni = df.select(explode(ts).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+    val total = uni.agg(sum(col("__cu")).as("__tt"))
+    val bi = bgc.groupBy(col("__w1"), col("__w2")).agg(sum(col("__cb")).as("__c2"))
+    val hist = bi.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    val scored = bgc
       .join(bi, Seq("__w1", "__w2"))
       .join(hist, Seq("__w1"))
       .join(uni.withColumnRenamed("__w", "__w2"), Seq("__w2"))
       .crossJoin(broadcast(total))
-      .select(col(idCol),
+      .select(col(idCol), col("__cb"),
         round(log(lit(lambda) * col("__c2").cast(DoubleType) / col("__c1") +
           lit(1.0 - lambda) * col("__cu").cast(DoubleType) / col("__tt")) * 1e6)
           .cast(LongType).as("__micro"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__micro")).as("__sm"))
+      .agg(sum(col("__cb")).as("n_bigrams"),
+        sum(col("__cb") * col("__micro")).as("__sm"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), col("n_bigrams"),
         round(col("__sm") / (col("n_bigrams") * lit(1e6)), 6).as("avg_logp"),
