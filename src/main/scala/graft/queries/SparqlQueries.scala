@@ -570,7 +570,27 @@ object SparqlQueries {
          |      WHERE p['key']='s:${graft.ingest.WikidataParser.SenseIri}') a
          |LEFT JOIN (SELECT entity_key, text FROM $LXL
          |           WHERE kind='label' AND lang='en') en
-         |  ON a.s['key']=en.entity_key""".stripMargin))
+         |  ON a.s['key']=en.entity_key""".stripMargin),
+
+    // property paths compose with the lexeme model's string-IRI
+    // predicates: a sequence path THROUGH the form nodes, plus an
+    // alternative over the two membership predicates
+    ("sp73_lexeme_path",
+      """SELECT ?feat WHERE {
+        |  wd:L4589 ontolex:lexicalForm/wikibase:grammaticalFeature ?feat . }""".stripMargin,
+      s"""SELECT b.o_lex AS feat
+         |FROM $LX a JOIN $LX b ON a.o['key']=b.s['key']
+         |WHERE a.s['key']='L:4589'
+         |  AND a.p['key']='s:${graft.ingest.WikidataParser.LexicalFormIri}'
+         |  AND b.p['key']='s:${graft.ingest.WikidataParser.GrammaticalFeatureIri}'""".stripMargin),
+
+    ("sp74_lexeme_alt_path",
+      """SELECT ?n WHERE {
+        |  wd:L4589 ontolex:lexicalForm|ontolex:sense ?n . }""".stripMargin,
+      s"""SELECT o_lex AS n FROM $LX
+         |WHERE s['key']='L:4589'
+         |  AND p['key'] IN ('s:${graft.ingest.WikidataParser.LexicalFormIri}',
+         |                   's:${graft.ingest.WikidataParser.SenseIri}')""".stripMargin))
 
   /** Like [[q]] but with the spec-mode scalar functions flag on
     * (BNODE/STRDT/TIMEZONE; parity default returns the reference's

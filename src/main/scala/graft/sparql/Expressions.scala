@@ -144,7 +144,13 @@ object Expressions {
       // ---- RDF term functions ---------------------------------------
       case Func.IsIri =>
         boolTerm(kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.Edge, Kind.NamedEdge))
-      case Func.IsBlank => boolTerm(lit(false)) // no bnodes stored (calc_engine.rs:1204-1208)
+      case Func.IsBlank =>
+        // parity: no bnodes stored (calc_engine.rs:1204-1208) → false.
+        // spec mode can MINT bnodes (BNODE(), CONSTRUCT templates — Edge
+        // terms keyed "bn:…"), so there isBlank recognizes them.
+        if (!specFns) boolTerm(lit(false))
+        else boolTerm(kindOf(a0) === Kind.Edge &&
+          a0.getField("key").startsWith("bn:"))
       case Func.IsLiteral =>
         boolTerm(a0.isNotNull &&
           !kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.Edge, Kind.NamedEdge, Kind.Null))

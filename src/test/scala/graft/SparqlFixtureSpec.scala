@@ -337,6 +337,12 @@ class SparqlFixtureSpec extends SparkTestBase {
         """SELECT ?i WHERE { VALUES ?x { "7" } BIND(STRDT(?x, xsd:integer) AS ?i) }""",
         tmp).collect()
       assert(sd(0).getString(0) === "7")
+      // minted bnodes are recognized by spec-mode ISBLANK; entities not
+      val ib = Sparql.rendered(spark,
+        """SELECT ?mb ?eb WHERE { ?s wdt:P569 ?d .
+          |BIND(ISBLANK(BNODE()) AS ?mb) BIND(ISBLANK(?s) AS ?eb) } LIMIT 1""".stripMargin,
+        tmp).collect()
+      assert(ib(0).getString(0) === "true" && ib(0).getString(1) === "false")
     } finally spark.conf.unset("spark.graft.functions.spec")
   }
 
