@@ -541,13 +541,16 @@ object Similarity {
     val tpath = new Path(s"$dir/tombstones")
     val fs = tpath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(tpath)) {
-      val maxT = spark.read.parquet(tpath.toString)
-        .agg(max(col("__tgen"))).head().getLong(0)
-      require(gen >= maxT,
+      // max over an EMPTY tombstones table is null — a dir with zero
+      // rows exists after an adds-only incrementalIvfUpdate (its
+      // tombstone write appends an empty frame), and shadows nothing
+      val maxT = Option(spark.read.parquet(tpath.toString)
+        .agg(max(col("__tgen"))).head().get(0)).map(_.asInstanceOf[Long])
+      maxT.foreach(t => require(gen >= t,
         s"$caller at gen=$gen would be shadowed by existing " +
-          s"tombstones up to gen=$maxT at $dir — pass gen >= $maxT " +
+          s"tombstones up to gen=$t at $dir — pass gen >= $t " +
           "(nextIndexGen gives a safe value) or use " +
-          "Incremental.incrementalIvfUpdate")
+          "Incremental.incrementalIvfUpdate"))
     }
   }
 

@@ -474,6 +474,26 @@ class PipelineSpec extends SparkTestBase {
     assert(row.getBoolean(2), "live contents must be bit-equal to the rebuild")
   }
 
+  test("adds-only incremental update leaves an appendable index (empty tombstones)") {
+    // an adds-only delta writes an EMPTY tombstones append — the dir
+    // exists with zero rows, shadows nothing, and the NEXT append must
+    // proceed (regression: max over the empty table is null and the
+    // shadow guard NPE'd instead of passing)
+    val a = emb.filter(col("vec_id") < 200)
+    val b = emb.filter(col("vec_id") < 260) // pure additions
+    val inc = java.nio.file.Files.createTempDirectory("graft-inc3").toString
+    Similarity.buildIvfIndex(a, "embedding", "vec_id", inc, nlist = 4)
+    val d = Incremental.incrementalIvfUpdate(a, b, "vec_id", "embedding", inc)
+    assert(d.collect().forall(_.getString(1) == "added"))
+    // next increment (also adds-only) goes through the guarded append
+    val c = emb.filter(col("vec_id") < 300)
+    Incremental.incrementalIvfUpdate(b, c, "vec_id", "embedding", inc)
+    val full = java.nio.file.Files.createTempDirectory("graft-full3").toString
+    Similarity.buildIvfIndex(c, "embedding", "vec_id", full, nlist = 4)
+    val row = Incremental.compareIvfContents(spark, inc, full, "vec_id").collect()(0)
+    assert(row.getLong(0) === 300L && row.getLong(1) === 300L && row.getBoolean(2))
+  }
+
   test("repeated incremental updates stay monotonic via auto generations") {
     // three snapshots: each update must kill what the PREVIOUS update
     // wrote — a fixed generation would leave stale copies live
