@@ -614,18 +614,25 @@ object SparqlQueries {
     s"SELECT CAST(count(*) AS VARCHAR) AS n FROM $ST WHERE p['key']='P:31'"
 
   // spec-mode STRDT over the representable datatype subset: integer /
-  // double / boolean each parse or fall to Null (unbound) per lexical
+  // double / boolean / dateTime each parse or fall to Null (unbound)
+  // per lexical; a constructed Time term chains into TIMEZONE and YEAR
   private val sp71Sparql =
-    """SELECT ?x ?i ?f ?b WHERE { VALUES ?x { "42" "3.5" "true" "zzz" }
+    """SELECT ?x ?i ?f ?b ?d ?tzd ?y WHERE {
+      |  VALUES ?x { "42" "3.5" "true" "zzz" "2011-01-10T14:45:13-05:00" }
       |  BIND(STRDT(?x, xsd:integer) AS ?i)
       |  BIND(STRDT(?x, xsd:double) AS ?f)
-      |  BIND(STRDT(?x, xsd:boolean) AS ?b) }""".stripMargin
+      |  BIND(STRDT(?x, xsd:boolean) AS ?b)
+      |  BIND(STRDT(?x, xsd:dateTime) AS ?d)
+      |  BIND(TIMEZONE(?d) AS ?tzd)
+      |  BIND(YEAR(?d) AS ?y) }""".stripMargin
   private val sp71Oracle =
     """SELECT * FROM (VALUES
-      |  ('42', '42', '42', NULL),
-      |  ('3.5', NULL, '3.5', NULL),
-      |  ('true', NULL, NULL, 'true'),
-      |  ('zzz', NULL, NULL, NULL)) AS t(x, i, f, b)""".stripMargin
+      |  ('42', '42', '42', NULL, NULL, NULL, NULL),
+      |  ('3.5', NULL, '3.5', NULL, NULL, NULL, NULL),
+      |  ('true', NULL, NULL, 'true', NULL, NULL, NULL),
+      |  ('zzz', NULL, NULL, NULL, NULL, NULL, NULL),
+      |  ('2011-01-10T14:45:13-05:00', NULL, NULL, NULL,
+      |   '2011-01-10T14:45:13Z', '-PT5H', '2011')) AS t(x, i, f, b, d, tzd, y)""".stripMargin
 
   // spec-mode TIMEZONE: the stored minute offset as a dayTimeDuration
   // lexical form, re-derived by the oracle from the time-term key

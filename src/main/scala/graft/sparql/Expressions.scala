@@ -187,10 +187,12 @@ object Expressions {
       case Func.StrDt => // reference todo! (calc_engine.rs:1319-1331)
         // spec mode: construct a typed literal for the datatypes the
         // term model represents (integer family → Int term, float
-        // family → Float, boolean → Bool, string → Str); anything else
-        // — including xsd:dateTime, whose term needs Wikidata calendar
-        // fields the lexical form alone doesn't carry — stays Null, as
-        // does an unparseable lexical form. Parity default: Null.
+        // family → Float, boolean → Bool, string → Str, dateTime →
+        // Time with the store's conventions: lexical datetime fields +
+        // the offset as the separate minute field, Gregorian,
+        // second precision — exactly how the dump parser stores an
+        // offset time); anything else stays Null, as does an
+        // unparseable lexical form. Parity default: Null.
         if (!specFns) nul
         else {
           val xsd = "http://www.w3.org/2001/XMLSchema#"
@@ -201,6 +203,20 @@ object Expressions {
           // (→ Null term) instead
           val intOk = lex.rlike("^[+-]?\\d{1,9}$") // fits Int, no ANSI overflow
           val fltOk = lex.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$")
+          // ISO dateTime, Z or ±HH:MM offset; fields taken as written
+          // (the key layout WikidataParser.snakValue writes)
+          val dtRe = "^(\\d{4})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2})(Z|[+-]\\d{2}:\\d{2})$"
+          def dtG(i: Int) = regexp_extract(lex, dtRe, i)
+          val tzTok = dtG(7)
+          val tzMin = when(tzTok === "Z", lit(0)).otherwise(
+            when(substring(tzTok, 1, 1) === "-", lit(-1)).otherwise(lit(1)) *
+              (substring(tzTok, 2, 2).cast(IntegerType) * 60 +
+                substring(tzTok, 5, 2).cast(IntegerType)))
+          val dtNum = dtG(1).cast(DoubleType) * 1e10 + dtG(2).cast(DoubleType) * 1e8 +
+            dtG(3).cast(DoubleType) * 1e6 + dtG(4).cast(DoubleType) * 1e4 +
+            dtG(5).cast(DoubleType) * 1e2 + dtG(6).cast(DoubleType)
+          val dtIso = concat(dtG(1), lit("-"), dtG(2), lit("-"), dtG(3), lit("T"),
+            dtG(4), lit(":"), dtG(5), lit(":"), dtG(6), lit("Z"))
           when(!isStr(a0) || !isStr(a1), nul)
             .when(dt.isin(s"${xsd}integer", s"${xsd}int", s"${xsd}long"),
               when(intOk, intTerm(lex.cast(IntegerType))).otherwise(nul))
@@ -209,6 +225,11 @@ object Expressions {
             .when(dt === s"${xsd}boolean",
               when(lex.isin("true", "false"), boolTerm(lex === "true")).otherwise(nul))
             .when(dt === s"${xsd}string", strTerm(lex))
+            .when(dt === s"${xsd}dateTime",
+              when(lex.rlike(dtRe), Term.struct_(lit(Kind.Time), dtNum, dtIso,
+                lit(null).cast(StringType),
+                concat(lit("t:"), dtIso, lit("|11|0|0|"),
+                  tzMin.cast(StringType), lit("|G")))).otherwise(nul))
             .otherwise(nul)
         }
       case Func.StrLang =>
