@@ -38,7 +38,10 @@ object GraphBench {
     */
   def syntheticStatements(spark: SparkSession, nEdges: Long,
                           nVertices: Long, blocks: Int): DataFrame = {
-    require(nVertices >= blocks && blocks > 0)
+    require(blocks > 0 && nVertices / blocks >= 2,
+      s"need >= 2 vertices per block ($nVertices vertices / $blocks " +
+        "blocks) — a 1-vertex block has no spine and breaks the " +
+        "planted-components invariant; pass fewer blocks or more edges")
     val perBlock = nVertices / blocks
     // uniform [0,1) from the edge index — 2^64-scaled signed hash
     def u(salt: String) =
@@ -108,7 +111,9 @@ object GraphBench {
         })
 
       val ops = results.map { case (n, s, r) =>
-        f""""$n":{"sec":$s%.3f,"rows":$r}"""
+        // Locale.ROOT: the f-interpolator is locale-sensitive and a
+        // comma-decimal JVM locale would corrupt the JSON artifact
+        s""""$n":{"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))},"rows":$r}"""
       }.mkString(",")
       s"""{"edges":$nEdges,"vertices":$nVertices,"ops":{$ops}}"""
     }

@@ -197,7 +197,10 @@ object Retrieval {
       precomputed match {
         // a caller already holding corpusPostings (e.g. because BM25
         // ranking runs in the same job) skips this operator's corpus
-        // pass — stage 1 becomes candidate-proportional too
+        // pass — stage 1 becomes candidate-proportional too. NOTE:
+        // `longDocTokens` is then unused — the routing threshold was
+        // fixed when the postings were built, so pass the SAME value to
+        // corpusPostings or accept its default
         case Some((post, stats)) =>
           bm25TopKFromPostings(post, stats, bench, qTextCol, qIdCol, k)
         case None =>

@@ -80,13 +80,24 @@ object QueryServer {
       .getOrElse(throw new IllegalArgumentException(
         "spark.graft.server.planCacheSize must be a non-negative int"))
     if (maxEntries == 0) return Sparql.query(spark, q, dir)
+    // EVERY conf read during plan construction must be in this list —
+    // a missing one means a cached plan silently serves the OTHER
+    // setting's semantics (grep `conf.get("spark.graft` under sparql/
+    // when adding a translate-time flag)
     val flags = Seq("spark.graft.optional.specFilter",
       "spark.graft.lateral.spec", "spark.graft.functions.spec",
-      "spark.graft.path.maxRows")
+      "spark.graft.path.maxRows", "spark.graft.groupConcat.maxElements")
       .map(k => spark.conf.get(k, "")).mkString(",")
     val key = s"$dir|${graft.ingest.WikidataIngest.storeEpoch(dir)}|$flags|$q"
     val cached = planCache.synchronized {
       planCache.maxEntries = maxEntries
+      // removeEldestEntry evicts at most one entry per put, so a
+      // LOWERED size bound needs an explicit trim or the cache stays
+      // pinned at its previously attained size forever
+      val it = planCache.entrySet().iterator()
+      while (planCache.size() > maxEntries && it.hasNext) {
+        it.next(); it.remove()
+      }
       Option(planCache.get(key))
     }
     cached match {
@@ -375,15 +386,24 @@ object QueryServer {
               // killing the job group NOW would truncate a HEALTHY large
               // response mid-body. But later partitions still execute
               // lazily during the write, so "wait it out" must not be
-              // unbounded: wait in timeout-sized windows, and cancel the
-              // job group only when a full window passes with ZERO byte
-              // progress — a flowing transfer is never cut, a hung one
-              // cannot tie up this worker forever.
+              // unbounded: cancel only after a STALL budget passes with
+              // ZERO byte progress. The budget is deliberately much
+              // larger than the timeout (`streamStallMs`, default
+              // 10×timeoutMs, floor 60 s): a later partition can
+              // legitimately compute for longer than time-to-first-rows
+              // without writing a byte, and cutting a healthy response
+              // is worse than holding a worker a little longer — only a
+              // genuinely hung query trips it.
               if (sent.get()) {
+                val stallMs = spark.conf
+                  .get("spark.graft.server.streamStallMs",
+                    math.max(10 * timeoutMs, 60000L).toString)
+                  .toLongOption.filter(_ > 0)
+                  .getOrElse(math.max(10 * timeoutMs, 60000L))
                 var finished = false
                 var last = streamedBytes.get()
                 while (!finished) {
-                  try { task.get(timeoutMs, TimeUnit.MILLISECONDS); finished = true }
+                  try { task.get(stallMs, TimeUnit.MILLISECONDS); finished = true }
                   catch {
                     case _: TimeoutException =>
                       val cur = streamedBytes.get()

@@ -143,7 +143,14 @@ object Expressions {
     fn match {
       // ---- RDF term functions ---------------------------------------
       case Func.IsIri =>
-        boolTerm(kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.Edge, Kind.NamedEdge))
+        // spec mode can mint blank nodes as `bn:`-keyed Edge terms, and
+        // SPARQL term categories are disjoint — a blank node is never an
+        // IRI. Parity default: Edge terms are store edge ids, IRI-like.
+        val iriKind =
+          kindOf(a0).isin(Kind.Q, Kind.P, Kind.Pstmt, Kind.L, Kind.Edge, Kind.NamedEdge)
+        boolTerm(
+          if (!specFns) iriKind
+          else iriKind && !a0.getField("key").startsWith("bn:"))
       case Func.IsBlank =>
         // parity: no bnodes stored (calc_engine.rs:1204-1208) → false.
         // spec mode can MINT bnodes (BNODE(), CONSTRUCT templates — Edge

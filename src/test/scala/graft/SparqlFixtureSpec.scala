@@ -337,12 +337,15 @@ class SparqlFixtureSpec extends SparkTestBase {
         """SELECT ?i WHERE { VALUES ?x { "7" } BIND(STRDT(?x, xsd:integer) AS ?i) }""",
         tmp).collect()
       assert(sd(0).getString(0) === "7")
-      // minted bnodes are recognized by spec-mode ISBLANK; entities not
+      // minted bnodes are recognized by spec-mode ISBLANK and — term
+      // categories being disjoint — are NOT IRIs; entities the reverse
       val ib = Sparql.rendered(spark,
-        """SELECT ?mb ?eb WHERE { ?s wdt:P569 ?d .
-          |BIND(ISBLANK(BNODE()) AS ?mb) BIND(ISBLANK(?s) AS ?eb) } LIMIT 1""".stripMargin,
+        """SELECT ?mb ?eb ?mi ?ei WHERE { ?s wdt:P569 ?d .
+          |BIND(ISBLANK(BNODE()) AS ?mb) BIND(ISBLANK(?s) AS ?eb)
+          |BIND(ISIRI(BNODE()) AS ?mi) BIND(ISIRI(?s) AS ?ei) } LIMIT 1""".stripMargin,
         tmp).collect()
       assert(ib(0).getString(0) === "true" && ib(0).getString(1) === "false")
+      assert(ib(0).getString(2) === "false" && ib(0).getString(3) === "true")
     } finally spark.conf.unset("spark.graft.functions.spec")
   }
 
