@@ -24,6 +24,8 @@ object GraftFunctions {
       exprs => SimHashSig(exprs.head))
     inject(ext, Md5Hash60.name, classOf[Md5Hash60],
       exprs => Md5Hash60(exprs.head))
+    inject(ext, BNodeTerm.name, classOf[BNodeTerm],
+      exprs => BNodeTerm(exprs.head))
     inject(ext, WordNgrams.name, classOf[WordNgrams],
       exprs => WordNgrams(exprs(0), foldToInt(exprs(1))))
     inject(ext, LangIdSig.name, classOf[LangIdSig],

@@ -313,15 +313,28 @@ object Dedup {
     c => call_function(graft.functions.Md5Hash60.name, c)
 
   /** Per-element hashing of a string array. The generic path is a
-    * `transform` lambda; [[md5Hash60]] is recognized by identity and
+    * `transform` lambda; [[md5Hash60]] is recognized STRUCTURALLY and
     * dispatched as ONE native array-input expression node — no
     * interpreted per-element lambda, no hex/decimal string churn
     * (PERF_r10.md "Bench-noise note": that churn dominated
     * p04_simhash's cost).
+    *
+    * Recognition probes `hashFn` with a marker literal and compares the
+    * built expression tree against the canonical `md5Hash60` application
+    * of the same marker — so an eta-expanded or wrapped-but-equivalent
+    * caller (`c => Dedup.md5Hash60(c)`) still gets the native path
+    * (reference identity would silently drop it), while a genuinely
+    * different function (`c => md5Hash60(lower(c))`) builds a different
+    * tree and correctly takes the per-element path.
     */
-  def mapHash(arr: Column, hashFn: Column => Column): Column =
-    if (hashFn eq md5Hash60) call_function(graft.functions.Md5Hash60.name, arr)
+  def mapHash(arr: Column, hashFn: Column => Column): Column = {
+    val marker = lit(" graft-maphash-probe ")
+    val native =
+      try hashFn(marker).toString == md5Hash60(marker).toString
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (native) call_function(graft.functions.Md5Hash60.name, arr)
     else transform(arr, hashFn)
+  }
 
   /** Winnowed fingerprints of a document (MOSS): sorted distinct
     * sliding-window minima over the ordered k-gram hashes — see

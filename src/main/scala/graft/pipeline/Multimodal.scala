@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` formats (WAV/AIFF/AU): [[decodeAudio]]
   * yields true sample rate, duration, and an RMS-energy envelope.
   * VIDEO is real for MJPEG-in-AVI ([[decodeVideo]]: RIFF container
-  * walk + per-frame JPEG via `javax.imageio`) and animated GIF
-  * ([[gifFrames]]: composited multi-frame read) — the two moving-image
-  * formats needing no native codec; other codecs (H.264 etc.) remain a
-  * clearly-marked STUB seam — dropping a native decoder into the
-  * [[clipFrames]] dispatch changes nothing else.
+  * walk + per-frame JPEG via `javax.imageio`), animated GIF
+  * ([[gifFrames]]: composited multi-frame read), and MJPEG-in-MP4
+  * ([[mp4VideoTrack]]: full ISO-BMFF sample-table demux; samples
+  * decode when the fourcc is a JPEG family) — the moving-image shapes
+  * needing no native codec. For MP4's dominant real-world codecs
+  * (H.264/H.265/VP9) the CONTAINER walk is the same real demux but
+  * the per-sample pixel decode remains a clearly-marked STUB seam —
+  * dropping a native decoder into the [[clipFrames]] dispatch changes
+  * nothing else.
   */
 object Multimodal {
 
@@ -600,26 +604,256 @@ object Multimodal {
     buf.toByteArray
   }
 
+  // ------------------------------------------------------------ MP4
+
+  /** ISO-BMFF sniff: every MP4-family file opens with a box whose type
+    * is `ftyp` at byte 4 (ISO/IEC 14496-12 §4.3).
+    */
+  private def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  private def be16(p: Array[Byte], at: Int): Int =
+    ((p(at) & 0xFF) << 8) | (p(at + 1) & 0xFF)
+  private def be32(p: Array[Byte], at: Int): Long =
+    ((p(at) & 0xFFL) << 24) | ((p(at + 1) & 0xFFL) << 16) |
+      ((p(at + 2) & 0xFFL) << 8) | (p(at + 3) & 0xFFL)
+  private def be64(p: Array[Byte], at: Int): Long =
+    (be32(p, at) << 32) | be32(p, at + 4)
+
+  /** Child boxes of the byte range `[from, until)` as
+    * `(type, payloadStart, payloadEnd)` triples. Handles 64-bit
+    * (`size==1`) and to-end-of-file (`size==0`) largesize forms;
+    * stops (returning what parsed so far) at the first corrupt or
+    * truncated header — degradation, never an exception.
+    */
+  private def mp4Boxes(p: Array[Byte], from: Int, until: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var at = from
+    var ok = true
+    while (ok && at + 8 <= until) {
+      var size = be32(p, at)
+      var hdr = 8
+      val typ = new String(p, at + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (size == 1L && at + 16 <= until) { size = be64(p, at + 8); hdr = 16 }
+      else if (size == 0L) size = (until - at).toLong
+      if (size < hdr || at.toLong + size > until) ok = false
+      else {
+        out += ((typ, at + hdr, at + size.toInt))
+        at += size.toInt
+      }
+    }
+    out.toSeq
+  }
+
+  /** The demuxed video track of an MP4: codec fourcc, declared
+    * dimensions, and each sample's (absolute offset, size) — the
+    * sample table decoded from `stsd`/`stsz`/`stsc`/`stco`(`co64`).
+    */
+  private[graft] final case class Mp4Track(
+      fourcc: String, width: Int, height: Int, samples: Seq[(Long, Int)])
+
+  /** REAL ISO-BMFF demux (ISO/IEC 14496-12): walk
+    * `moov → trak → mdia`, pick the track whose `hdlr` handler is
+    * `vide`, and rebuild its frame byte-ranges from the sample tables —
+    * `stsd` (codec fourcc + declared dims), `stsz` (sizes, fixed or
+    * per-sample), `stsc` (sample→chunk runs), `stco`/`co64` (chunk
+    * offsets). Returns None on anything malformed or truncated
+    * (corrupt-blob-is-data, like the AVI walk). Pure JVM, no codec —
+    * whether the samples then DECODE depends on the fourcc
+    * ([[mp4JpegFrames]]).
+    */
+  private[graft] def mp4VideoTrack(p: Array[Byte]): Option[Mp4Track] =
+    try {
+      def kids(b: (String, Int, Int)) = mp4Boxes(p, b._2, b._3)
+      def find(bs: Seq[(String, Int, Int)], t: String) = bs.filter(_._1 == t)
+      val top = mp4Boxes(p, 0, p.length)
+      find(top, "moov").headOption.flatMap { moov =>
+        find(kids(moov), "trak").iterator.flatMap { trak =>
+          val mdia = find(kids(trak), "mdia")
+          val isVideo = mdia.exists(m => find(kids(m), "hdlr").exists { h =>
+            // hdlr payload: version/flags(4) pre_defined(4) handler(4)
+            h._2 + 12 <= h._3 &&
+              new String(p, h._2 + 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1) == "vide"
+          })
+          if (!isVideo) Iterator.empty
+          else mdia.iterator.flatMap(m => find(kids(m), "minf"))
+            .flatMap(mi => find(kids(mi), "stbl"))
+            .flatMap { stbl =>
+              val bs = kids(stbl)
+              for {
+                stsd <- find(bs, "stsd").headOption
+                stsz <- find(bs, "stsz").headOption
+                stsc <- find(bs, "stsc").headOption
+                stco <- find(bs, "stco").headOption
+                  .orElse(find(bs, "co64").headOption)
+                track <- decodeSampleTables(p, stsd, stsz, stsc, stco)
+              } yield track
+            }
+        }.nextOption()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sample-table decode for [[mp4VideoTrack]]; bounds-checked
+    * throughout, None on any inconsistency.
+    */
+  private def decodeSampleTables(p: Array[Byte],
+                                 stsd: (String, Int, Int), stsz: (String, Int, Int),
+                                 stsc: (String, Int, Int),
+                                 stco: (String, Int, Int)): Option[Mp4Track] = {
+    // stsd: version/flags(4) entry_count(4), then the first visual
+    // sample entry: size(4) fourcc(4) reserved(6) dri(2)
+    // pre_defined/reserved(16) width(2) height(2) …
+    if (stsd._2 + 8 > stsd._3 || be32(p, stsd._2 + 4) < 1) return None
+    val entry = stsd._2 + 8
+    if (entry + 36 > stsd._3) return None
+    val fourcc = new String(p, entry + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val width = be16(p, entry + 32)
+    val height = be16(p, entry + 34)
+    // stsz: version/flags(4) sample_size(4) sample_count(4) [sizes…]
+    if (stsz._2 + 12 > stsz._3) return None
+    val fixedSize = be32(p, stsz._2 + 4)
+    val nSamples = be32(p, stsz._2 + 8).toInt
+    if (nSamples < 0 || nSamples > (1 << 22)) return None // sanity cap
+    val sizes: Int => Long =
+      if (fixedSize != 0L) _ => fixedSize
+      else {
+        if (stsz._2 + 12 + 4L * nSamples > stsz._3) return None
+        i => be32(p, stsz._2 + 12 + 4 * i)
+      }
+    // stco/co64: version/flags(4) entry_count(4) [offsets…]
+    if (stco._2 + 8 > stco._3) return None
+    val nChunks = be32(p, stco._2 + 4).toInt
+    val w = if (stco._1 == "co64") 8 else 4
+    if (nChunks < 0 || stco._2 + 8 + w.toLong * nChunks > stco._3) return None
+    def chunkOffset(i: Int): Long =
+      if (w == 8) be64(p, stco._2 + 8 + 8 * i) else be32(p, stco._2 + 8 + 4 * i)
+    // stsc: version/flags(4) entry_count(4) [(first_chunk,
+    // samples_per_chunk, sample_description_index)…] — runs: entry k
+    // applies from its first_chunk until the next entry's
+    if (stsc._2 + 8 > stsc._3) return None
+    val nRuns = be32(p, stsc._2 + 4).toInt
+    if (nRuns < 1 || stsc._2 + 8 + 12L * nRuns > stsc._3) return None
+    def run(k: Int): (Int, Int) =
+      (be32(p, stsc._2 + 8 + 12 * k).toInt, be32(p, stsc._2 + 8 + 12 * k + 4).toInt)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var s = 0
+    var k = 0
+    var chunk = 1
+    while (s < nSamples && chunk <= nChunks) {
+      while (k + 1 < nRuns && run(k + 1)._1 <= chunk) k += 1
+      val perChunk = run(k)._2
+      var off = chunkOffset(chunk - 1)
+      var j = 0
+      while (j < perChunk && s < nSamples) {
+        val sz = sizes(s)
+        if (sz < 0 || off < 0 || off + sz > p.length) return None
+        samples += ((off, sz.toInt))
+        off += sz
+        s += 1; j += 1
+      }
+      chunk += 1
+    }
+    if (samples.isEmpty) None
+    else Some(Mp4Track(fourcc, width, height, samples.toSeq))
+  }
+
+  /** Frame payloads of an MP4 whose video track is motion-JPEG
+    * (fourcc `jpeg`/`mjpa`/`mjpb` — every sample a complete JPEG the
+    * JDK codec decodes). Inter-coded codecs (`avc1` H.264, `hev1`,
+    * `vp09`, …) demux fine but need a native entropy decoder the JVM
+    * does not have — for those the container walk still yields the
+    * sample table (count, dims, byte ranges) while THIS returns empty:
+    * the pixel-decode step is the documented stub seam, exactly like
+    * non-MJPEG AVI.
+    */
+  private[graft] def mp4JpegFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+    mp4VideoTrack(payload) match {
+      case Some(t) if Set("jpeg", "mjpa", "mjpb").contains(t.fourcc) =>
+        t.samples.take(maxFrames).map { case (off, len) =>
+          java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + len)
+        }
+      case _ => Seq.empty
+    }
+
+  /** Minimal MJPEG-in-MP4 writer (fixture/test constructor, the MP4
+    * counterpart of [[mjpegAvi]]/[[animatedGif]]): one `vide` track,
+    * fourcc `jpeg`, one chunk holding all samples back-to-back in
+    * `mdat`, sample tables in `moov`. 10 fps at timescale 1000.
+    */
+  def mjpegMp4(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty, "mjpegMp4 needs at least one frame")
+    def u16(n: Int): Array[Byte] = Array(((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+    def u32(n: Long): Array[Byte] = Array(
+      ((n >> 24) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte,
+      ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val payload = body.flatten.toArray
+      u32(8L + payload.length) ++ fourcc(typ) ++ payload
+    }
+    val n = frames.length
+    val ftyp = box("ftyp", fourcc("isom"), u32(0x200), fourcc("isom"), fourcc("mp41"))
+    val mdat = box("mdat", frames.flatten.toArray)
+    val firstSample = ftyp.length + 8L // samples start after mdat's header
+    val matrix = u32(0x10000) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x10000) ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000)
+    val durMs = 100L * n
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(1000), u32(durMs),
+      u32(0x10000), u16(0x0100), u16(0), u32(0), u32(0), matrix,
+      Array.fill(24)(0.toByte), u32(2))
+    val tkhd = box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0), u32(durMs),
+      u32(0), u32(0), u16(0), u16(0), u16(0), u16(0), matrix,
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(1000), u32(durMs),
+      u16(0x55C4), u16(0))
+    val hdlr = box("hdlr", u32(0), u32(0), fourcc("vide"), u32(0), u32(0), u32(0),
+      "VideoHandler".getBytes ++ Array(0.toByte))
+    val sampleEntry = u32(86L) ++ fourcc("jpeg") ++ Array.fill(6)(0.toByte) ++
+      u16(1) ++ Array.fill(16)(0.toByte) ++ u16(width) ++ u16(height) ++
+      u32(0x480000) ++ u32(0x480000) ++ u32(0) ++ u16(1) ++
+      Array.fill(32)(0.toByte) ++ u16(24) ++ u16(0xFFFF)
+    val stsd = box("stsd", u32(0), u32(1), sampleEntry)
+    val stts = box("stts", u32(0), u32(1), u32(n.toLong), u32(100))
+    val stsc = box("stsc", u32(0), u32(1), u32(1), u32(n.toLong), u32(1))
+    val stsz = box("stsz", u32(0), u32(0), u32(n.toLong),
+      frames.toArray.flatMap(f => u32(f.length.toLong)))
+    val stco = box("stco", u32(0), u32(1), u32(firstSample))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val dinf = box("dinf", box("dref", u32(0), u32(1), box("url ", u32(1))))
+    val vmhd = box("vmhd", u32(1), u16(0), u16(0), u16(0), u16(0))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Container dispatch shared by [[decodeVideo]] and
     * [[videoFrameSignatures]]: sniff the payload and decode up to
     * `maxFrames` frames — MJPEG-in-AVI via the RIFF walk + JPEG codec,
-    * animated GIF via the composited reader. Unknown containers or
-    * undecodable payloads yield no frames. Every new decoder dropped
-    * in here immediately feeds the whole signature/near-dup stack.
+    * animated GIF via the composited reader, MJPEG-in-MP4 via the
+    * ISO-BMFF sample-table demux + JPEG codec. Unknown containers,
+    * undecodable payloads, and MP4 tracks in codecs the JVM cannot
+    * decode (H.264 etc. — [[mp4JpegFrames]]) yield no frames. Every
+    * new decoder dropped in here immediately feeds the whole
+    * signature/near-dup stack.
     */
-  private def clipFrames(payload: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] =
+  private def clipFrames(payload: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
+    def jpegs(fs: Seq[Array[Byte]]) = fs.flatMap { f =>
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
     if (payload == null || payload.length < 12) Seq.empty
-    else if (looksLikeAvi(payload))
-      aviJpegFrames(payload, maxFrames).flatMap { f =>
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
-        catch { case scala.util.control.NonFatal(_) => None }
-      }
+    else if (looksLikeAvi(payload)) jpegs(aviJpegFrames(payload, maxFrames))
     else if (looksLikeGif(payload)) gifFrames(payload, maxFrames)
+    else if (looksLikeMp4(payload)) jpegs(mp4JpegFrames(payload, maxFrames))
     else Seq.empty
+  }
 
   /** REAL video decode for the JDK-native containers ([[clipFrames]]:
     * MJPEG-in-AVI via RIFF walk + per-frame JPEG, animated GIF via the
-    * composited multi-frame reader): payloads decode partition-wise to
+    * composited multi-frame reader, MJPEG-in-MP4 via the ISO-BMFF
+    * sample-table demux): payloads decode partition-wise to
     * a frame count, first-frame dimensions, and a `dims`-bucket
     * luminance histogram AVERAGED over up to `maxFrames` sampled
     * frames — the same content-derived statistic as the image branch,

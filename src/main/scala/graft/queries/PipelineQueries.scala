@@ -862,6 +862,45 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"))
     }),
 
+    // MJPEG-in-MP4 beside AVI in one mixed table: the ISO-BMFF
+    // sample-table demux feeds the same frame path; an avc1 (H.264)
+    // track demuxes but yields nulls — the pixel decode for
+    // inter-coded codecs is the documented stub seam
+    "p80_mp4_video_decode" -> ((s, _) => {
+      def gray(g: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(
+          8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < 6) {
+          var x = 0
+          while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        img
+      }
+      def jpeg(g: Int): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(gray(g), "jpg", buf)
+        buf.toByteArray
+      }
+      val avc1 = Multimodal.mjpegMp4(Seq(jpeg(32), jpeg(224)), 8, 6).clone()
+      val at = avc1.toSeq.indexOfSlice("jpeg".getBytes.toSeq)
+      Array[Byte]('a', 'v', 'c', '1').copyToArray(avc1, at)
+      val clips = Seq(
+        (1L, Multimodal.mjpegMp4(Seq(jpeg(32)), 8, 6)),
+        (2L, Multimodal.mjpegMp4(Seq(jpeg(32), jpeg(224)), 8, 6)),
+        (3L, Multimodal.mjpegMp4(
+          Seq(jpeg(32), jpeg(96), jpeg(160), jpeg(224)), 8, 6)),
+        (4L, Multimodal.mjpegAvi(Seq(jpeg(96)))), // AVI beside the MP4s
+        (5L, avc1)) // real MP4 container, undecodable codec
+      import s.implicits._
+      Multimodal.decodeVideo(clips.toDF("media_id", "payload"),
+          dims = 4, maxFrames = 3) // cap: clip 3's 4th frame not read
+        .select(col("media_id"), col("decoded_frames"),
+          col("frame_width"), col("frame_height"))
+    }),
+
     // BM25 keyword retrieval, fully oracle-checked: queries are the
     // first 8 tokens of docs 0-2 (self-retrieval — each query's source
     // doc should surface), scores round to 6 dp BEFORE ranking so the
@@ -1206,6 +1245,17 @@ object PipelineQueries {
     // mixed-container decode: GIF frame counts capped at maxFrames=3,
     // the AVI clip decodes beside them, the junk blob yields nulls
     "p79_gif_video_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(decoded_frames AS INTEGER) AS decoded_frames,
+        |  CAST(frame_width AS INTEGER) AS frame_width,
+        |  CAST(frame_height AS INTEGER) AS frame_height
+        |FROM (VALUES (1, 1, 8, 6), (2, 2, 8, 6), (3, 3, 8, 6),
+        |             (4, 1, 8, 6), (5, NULL, NULL, NULL))
+        |  t(media_id, decoded_frames, frame_width, frame_height)""".stripMargin,
+
+    // MJPEG-in-MP4 decode: frame counts capped at maxFrames=3, the AVI
+    // clip decodes beside them, the avc1-codec MP4 yields nulls
+    "p80_mp4_video_decode" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id,
         |  CAST(decoded_frames AS INTEGER) AS decoded_frames,
         |  CAST(frame_width AS INTEGER) AS frame_width,

@@ -80,14 +80,11 @@ object QueryServer {
       .getOrElse(throw new IllegalArgumentException(
         "spark.graft.server.planCacheSize must be a non-negative int"))
     if (maxEntries == 0) return Sparql.query(spark, q, dir)
-    // EVERY conf read during plan construction must be in this list —
-    // a missing one means a cached plan silently serves the OTHER
-    // setting's semantics (grep `conf.get("spark.graft` under sparql/
-    // when adding a translate-time flag)
-    val flags = Seq("spark.graft.optional.specFilter",
-      "spark.graft.lateral.spec", "spark.graft.functions.spec",
-      "spark.graft.path.maxRows", "spark.graft.groupConcat.maxElements")
-      .map(k => spark.conf.get(k, "")).mkString(",")
+    // EVERY conf read during plan construction is in the key via the
+    // TranslateFlags registry: read sites can only read registered
+    // names (TranslateFlags.get throws on an unregistered one) and the
+    // fingerprint iterates the same registry, so the list cannot drift
+    val flags = graft.sparql.TranslateFlags.fingerprint(spark)
     val key = s"$dir|${graft.ingest.WikidataIngest.storeEpoch(dir)}|$flags|$q"
     val cached = planCache.synchronized {
       planCache.maxEntries = maxEntries
@@ -131,6 +128,24 @@ object QueryServer {
     Executors.newCachedThreadPool(daemonFactory("graft-query"))
 
   def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
+    // opt-in warmup (spark.graft.server.warmup=true): a fresh JVM pays
+    // seconds of JIT + codegen + parquet-footer listing on its FIRST
+    // real query (PERF_r11 PlanDump rep-0: 5.6 s build vs 0.7 s warm).
+    // One representative translation + tiny action before binding the
+    // port moves that cost out of the first client's latency. Failure
+    // is non-fatal — a warmup must never stop the server from serving.
+    if (spark.conf.get("spark.graft.server.warmup", "false").toBoolean) {
+      val t0 = System.nanoTime()
+      try {
+        translated(spark,
+          "SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(ISIRI(?s)) } ORDER BY ?o LIMIT 1",
+          dir).collect()
+        System.err.println(f"[graft-server] warmup in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-server] warmup failed (serving anyway): $e")
+      }
+    }
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query", (ex: HttpExchange) => handle(spark, dir, ex))
     // static query UI (reference frontend/ parity; original page)
@@ -163,27 +178,36 @@ object QueryServer {
     */
   val StreamAbortMarker = "\n\u0000GRAFT-STREAM-ABORTED\u0000"
 
+  /** Reflectively close the exchange's underlying TCP connection (the
+    * only way to make the JDK http server drop a chunked response
+    * mid-body without the terminal 0-chunk — the public API always
+    * finishes the chunked encoding on close; needs `--add-opens
+    * jdk.httpserver/sun.net.httpserver=ALL-UNNAMED`). Also the only
+    * way a watchdog thread can unblock a writer stuck in a socket
+    * write to a client that stopped reading: socket writes are not
+    * interrupt-responsive, so `task.cancel(true)` alone leaves the
+    * worker pinned until TCP timeouts.
+    */
+  private def forceCloseConnection(ex: HttpExchange): Boolean =
+    try {
+      val implField = ex.getClass.getDeclaredField("impl")
+      implField.setAccessible(true)
+      val impl = implField.get(ex)
+      val conn = impl.getClass.getMethod("getConnection").invoke(impl)
+      conn.getClass.getMethod("close").invoke(conn)
+      true
+    } catch { case _: Throwable => false }
+
   /** Abort a started chunked response so the client cannot mistake it
     * for a complete transfer. Best effort, in preference order: close
-    * the raw connection without the terminal 0-chunk (only reachable
-    * reflectively — the JDK server's public API always finishes the
-    * chunked encoding on close, and the reflective path needs
-    * `--add-opens jdk.httpserver/sun.net.httpserver=ALL-UNNAMED`);
-    * otherwise stamp [[StreamAbortMarker]] into the body before
-    * closing, which leaves the JSON unbalanced AND explicitly marked.
-    * Either way the abort is observable; it is never a clean-looking
-    * prefix of a valid body.
+    * the raw connection without the terminal 0-chunk
+    * ([[forceCloseConnection]]); otherwise stamp [[StreamAbortMarker]]
+    * into the body before closing, which leaves the JSON unbalanced
+    * AND explicitly marked. Either way the abort is observable; it is
+    * never a clean-looking prefix of a valid body.
     */
   private def abortStream(ex: HttpExchange, os: java.io.OutputStream): Unit = {
-    val hardClosed =
-      try {
-        val implField = ex.getClass.getDeclaredField("impl")
-        implField.setAccessible(true)
-        val impl = implField.get(ex)
-        val conn = impl.getClass.getMethod("getConnection").invoke(impl)
-        conn.getClass.getMethod("close").invoke(conn)
-        true
-      } catch { case _: Throwable => false }
+    val hardClosed = forceCloseConnection(ex)
     if (!hardClosed) {
       try os.write(StreamAbortMarker.getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => }
@@ -410,6 +434,13 @@ object QueryServer {
                       if (cur == last) {
                         spark.sparkContext.cancelJobGroup(group)
                         task.cancel(true)
+                        // a writer blocked in a socket write to a dead
+                        // client is NOT interrupt-responsive — without
+                        // this, each such client pins a worker thread
+                        // until TCP-level timeouts and a few of them
+                        // drain the bounded pool despite the stall budget
+                        forceCloseConnection(ex)
+                        try ex.close() catch { case _: Throwable => }
                         finished = true
                       } else last = cur
                     case _: Throwable => finished = true

@@ -27,8 +27,8 @@ object Expressions {
     * (`spark.graft.optional.specFilter`, `spark.graft.lateral.spec`).
     */
   private def specFns: Boolean =
-    org.apache.spark.sql.SparkSession.active.conf
-      .get("spark.graft.functions.spec", "false").toBoolean
+    TranslateFlags.get(org.apache.spark.sql.SparkSession.active,
+      TranslateFlags.FunctionsSpec).toBoolean
 
   private def kindOf(t: Column) = t.getField("kind")
   private def strOf(t: Column) = t.getField("str")
@@ -182,24 +182,30 @@ object Expressions {
         // spec mode: a fresh blank node per solution (SPARQL §17.4.1.9).
         // Each call site compiles independently, so a 1-arg label is a
         // readable prefix only — within-solution label stability has no
-        // observable here. Parity default: Null, like the reference.
+        // observable here. One NATIVE node ([[graft.functions.BNodeTerm]])
+        // fills str and key from a single minted value: a shared uuid()
+        // Column would be re-seeded per tree occurrence (nondeterministic
+        // expressions are excluded from subexpression elimination), making
+        // the lexical form disagree with the identity key. Parity
+        // default: Null, like the reference.
         if (!specFns) nul
         else {
-          val label =
-            if (as.isEmpty) uuid()
-            else when(isStr(a0), concat(strOf(a0), lit("_"), uuid())).otherwise(uuid())
-          Term.struct_(lit(Kind.Edge), lit(null).cast(DoubleType), label,
-            lit(null).cast(StringType), concat(lit("bn:"), label))
+          val prefix =
+            if (as.isEmpty) lit(null).cast(StringType)
+            else when(isStr(a0), strOf(a0)).otherwise(lit(null).cast(StringType))
+          call_function(graft.functions.BNodeTerm.name, prefix)
         }
       case Func.StrDt => // reference todo! (calc_engine.rs:1319-1331)
         // spec mode: construct a typed literal for the datatypes the
         // term model represents (integer family → Int term, float
         // family → Float, boolean → Bool, string → Str, dateTime →
         // Time with the store's conventions: lexical datetime fields +
-        // the offset as the separate minute field, Gregorian,
-        // second precision — exactly how the dump parser stores an
-        // offset time); anything else stays Null, as does an
-        // unparseable lexical form. Parity default: Null.
+        // the offset as the separate minute field, Gregorian, and
+        // SECOND precision (14) in the key — the precision the dump
+        // parser stores for a second-resolution time, so a minted term
+        // key-equals (sameTerm/join/DISTINCT) a store-parsed time of
+        // the same instant+offset); anything else stays Null, as does
+        // an unparseable lexical form. Parity default: Null.
         if (!specFns) nul
         else {
           val xsd = "http://www.w3.org/2001/XMLSchema#"
@@ -235,7 +241,7 @@ object Expressions {
             .when(dt === s"${xsd}dateTime",
               when(lex.rlike(dtRe), Term.struct_(lit(Kind.Time), dtNum, dtIso,
                 lit(null).cast(StringType),
-                concat(lit("t:"), dtIso, lit("|11|0|0|"),
+                concat(lit("t:"), dtIso, lit("|14|0|0|"),
                   tzMin.cast(StringType), lit("|G")))).otherwise(nul))
             .otherwise(nul)
         }

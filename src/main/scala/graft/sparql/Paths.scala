@@ -112,7 +112,7 @@ object Paths {
     * throws — a silently truncated closure would be a wrong answer.
     */
   private def maxRowsBudget(df: DataFrame): Long =
-    df.sparkSession.conf.get("spark.graft.path.maxRows", Long.MaxValue.toString).toLong
+    TranslateFlags.get(df.sparkSession, TranslateFlags.PathMaxRows).toLong
 
   /** Evaluate a path over `statements`. `graphVar` switches on
     * [[GraphMode]]: `statements` must then carry the `graph` column

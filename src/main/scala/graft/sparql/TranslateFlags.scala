@@ -1,0 +1,68 @@
+package graft.sparql
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry of every `spark.graft.*` conf flag that is read DURING
+  * SPARQL plan construction (parse → translate → analyze).
+  *
+  * These flags are the part of a translated plan's identity that is
+  * not in the query text: a plan cached under one setting must not be
+  * served under another (QueryServer's translated-plan LRU keys on
+  * [[fingerprint]]). Keeping the list correct by convention — a
+  * comment telling future editors to grep — failed the review bar: a
+  * sixth translate-time flag added under `sparql/` without updating
+  * the cache key would silently serve the other setting's semantics
+  * from cache. So the list is structural instead: every translate-time
+  * read site goes through [[get]], which only accepts names registered
+  * in [[all]] — an unregistered flag read through the helper throws at
+  * first use (loudly, in any test that exercises it), and the cache
+  * key iterates the same [[all]], so the two can not drift apart.
+  *
+  * Action-time flags (`server.json.maxRows`, `server.maxResultBytes`,
+  * `server.timeoutMs`, …) are deliberately NOT here: they are read
+  * when the plan is executed, never baked into the plan.
+  */
+object TranslateFlags {
+
+  /** Spec-correct OPTIONAL filter placement (Translator LeftJoin). */
+  val OptionalSpecFilter = "spark.graft.optional.specFilter"
+
+  /** SPARQL 1.2 correlated LATERAL slices (Translator Lateral). */
+  val LateralSpec = "spark.graft.lateral.spec"
+
+  /** Spec-mode BNODE/STRDT/TIMEZONE (Expressions). */
+  val FunctionsSpec = "spark.graft.functions.spec"
+
+  /** Path-closure row budget (Paths fixpoint). */
+  val PathMaxRows = "spark.graft.path.maxRows"
+
+  /** GROUP_CONCAT bounded-state element cap (Translator aggregates). */
+  val GroupConcatMaxElements = "spark.graft.groupConcat.maxElements"
+
+  /** Every translate-time flag with its default, in fingerprint order. */
+  val all: Seq[(String, String)] = Seq(
+    OptionalSpecFilter -> "false",
+    LateralSpec -> "false",
+    FunctionsSpec -> "false",
+    PathMaxRows -> Long.MaxValue.toString,
+    GroupConcatMaxElements -> "0")
+
+  private val defaults: Map[String, String] = all.toMap
+
+  /** Read a REGISTERED translate-time flag (name + default come from
+    * [[all]]). The only sanctioned way to read a `spark.graft.*` conf
+    * during plan construction — reading an unregistered name throws,
+    * which is the guard that keeps the plan-cache key complete.
+    */
+  def get(spark: SparkSession, name: String): String = {
+    val default = defaults.getOrElse(name, throw new IllegalArgumentException(
+      s"$name is not a registered translate-time flag; add it to " +
+        "TranslateFlags.all (it is part of the plan-cache key) before reading " +
+        "it during plan construction"))
+    spark.conf.get(name, default)
+  }
+
+  /** Current values of ALL translate-time flags, for plan-cache keys. */
+  def fingerprint(spark: SparkSession): String =
+    all.map { case (name, _) => get(spark, name) }.mkString(",")
+}

@@ -89,7 +89,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       // LEFT SOLUTION, not once globally. For plain graph patterns
       // substitution ≡ natural join on the shared variables, so the
       // parity plan is already spec-correct there.
-      if (spark.conf.get("spark.graft.lateral.spec", "false").toBoolean)
+      if (TranslateFlags.get(spark, TranslateFlags.LateralSpec).toBoolean)
         execLateralSpec(l, r)
       else naturalJoin(exec(l), exec(r), "inner")
     case LeftJoin(l, r, cond) =>
@@ -101,7 +101,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       // solution as part of the join condition, so a left row whose
       // matches all fail the filter survives unbound.
       val left = exec(l)
-      val specMode = spark.conf.get("spark.graft.optional.specFilter", "false").toBoolean
+      val specMode = TranslateFlags.get(spark, TranslateFlags.OptionalSpecFilter).toBoolean
       cond match {
         case Some(c) if specMode => naturalJoin(left, exec(r), "left_outer", joinFilter = Some(c))
         case Some(c) => naturalJoin(left.filter(ebv(eval(c, colResolver(left))) <=> true),
@@ -844,8 +844,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
           // an executor at 100 TB: the BoundedSortedConcat aggregate
           // trims its buffer on every insert, so per-group state is
           // O(maxElements) even map-side (CONFORMANCE #10).
-          val maxElems = df.sparkSession.conf
-            .get("spark.graft.groupConcat.maxElements", "0").toInt
+          val maxElems = TranslateFlags
+            .get(df.sparkSession, TranslateFlags.GroupConcatMaxElements).toInt
           val out =
             if (maxElems > 0)
               call_function(graft.functions.BoundedSortedConcat.name,

@@ -714,6 +714,23 @@ class PipelineSpec extends SparkTestBase {
     assert(nullElem(0) != null && nullElem(1) == null)
   }
 
+  test("mapHash dispatches the native array node structurally, not by reference identity") {
+    val arr = array(lit("a"), lit("b"))
+    val canonical = Dedup.mapHash(arr, Dedup.md5Hash60).toString
+    assert(canonical.contains(graft.functions.Md5Hash60.name))
+    assert(!canonical.contains("transform"))
+    // an eta-expanded / wrapped-but-equivalent caller must NOT silently
+    // lose the whole-array fast path (reference identity did)
+    val wrapped = Dedup.mapHash(arr, c => Dedup.md5Hash60(c)).toString
+    assert(wrapped === canonical)
+    // a genuinely different function builds a different tree — it must
+    // take the per-element transform path, never the native node
+    val different = Dedup.mapHash(arr, c => Dedup.md5Hash60(lower(c))).toString
+    assert(different.contains("transform"))
+    val other = Dedup.mapHash(arr, c => xxhash64(c)).toString
+    assert(other.contains("transform") && other.contains("xxhash64"))
+  }
+
   test("native lang_id matches the greatest-over-filters formulation") {
     // the pre-native Column formulation, rebuilt for the parity pin
     def oldLangId(text: org.apache.spark.sql.Column) = {
@@ -1217,6 +1234,62 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
     assert(dec(1L) === 3 && dec(2L) === 3 && dec(4L) === -1)
+  }
+
+  test("MJPEG-in-MP4: real sample-table demux, cross-container decode parity, corrupt/foreign-codec degrade") {
+    def gray(g: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      img
+    }
+    def jpeg(g: Int): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gray(g), "jpg", buf)
+      buf.toByteArray
+    }
+    val frames = Seq(jpeg(32), jpeg(96), jpeg(224))
+    val mp4 = Multimodal.mjpegMp4(frames, 8, 6)
+    // the ISO-BMFF demux recovers the full sample table: fourcc,
+    // declared dims, per-sample byte ranges that round-trip the JPEGs
+    val track = Multimodal.mp4VideoTrack(mp4).get
+    assert(track.fourcc === "jpeg" && track.width === 8 && track.height === 6)
+    assert(track.samples.length === 3)
+    track.samples.zip(frames).foreach { case ((off, len), f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len), f))
+    }
+    // an H.264-style track demuxes identically but yields no frames —
+    // the pixel decode is the documented stub seam, never an exception
+    val avc1 = mp4.clone()
+    val at = avc1.toSeq.indexOfSlice("jpeg".getBytes.toSeq)
+    assert(at > 0)
+    Array[Byte]('a', 'v', 'c', '1').copyToArray(avc1, at)
+    assert(Multimodal.mp4VideoTrack(avc1).get.fourcc === "avc1")
+    assert(Multimodal.mp4JpegFrames(avc1, 8).isEmpty)
+    val media = Seq(
+      (1L, mp4),
+      (2L, Multimodal.mjpegAvi(frames)),
+      (3L, mp4.take(mp4.length - 40)), // moov truncated mid-table
+      (4L, avc1))
+      .toDF("media_id", "payload")
+    val sigs = Multimodal.videoFrameSignatures(media, dims = 4, maxFrames = 8)
+      .select("media_id", "frame_idx", "frame_sig").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getAs[scala.collection.Seq[Float]](2)).toMap
+    // the same grays through MP4 and through AVI land on identical
+    // frame signatures — cross-container near-dup frame-for-frame
+    assert(sigs.keys.count(_._1 == 1L) === 3)
+    for (i <- 0 until 3)
+      assert(sigs((1L, i)) === sigs((2L, i)),
+        s"container changed the frame-$i signature")
+    assert(sigs.keys.count(_._1 == 3L) === 0) // truncated: degrade, no throw
+    assert(sigs.keys.count(_._1 == 4L) === 0) // foreign codec: no frames
+    val dec = Multimodal.decodeVideo(media, dims = 4, maxFrames = 8)
+      .select("media_id", "decoded_frames").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(dec === Map(1L -> 3, 2L -> 3, 3L -> -1, 4L -> -1))
   }
 
   test("videoNearDupClips pairs clips sharing frames; hot signatures capped first") {

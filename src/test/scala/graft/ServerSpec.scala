@@ -57,18 +57,56 @@ class ServerSpec extends SparkTestBase {
     repeats.foreach { r => assert(r._1 === 200); assert(r._2 === first._2) }
     assert(QueryServer.planCacheHits.get() === 3L)
     assert(QueryServer.planCacheMisses.get() === 1L)
-    // a translate-time semantics flag is part of the key — toggling it
-    // must NOT serve the other mode's plan
-    spark.conf.set("spark.graft.functions.spec", "true")
-    try { assert(get(q)._1 === 200) }
-    finally spark.conf.unset("spark.graft.functions.spec")
-    assert(QueryServer.planCacheMisses.get() === 2L)
+    // EVERY registered translate-time flag is part of the key —
+    // toggling any one of them must NOT serve the other mode's plan.
+    // Iterating the registry (not a hand-kept list) means a future
+    // sixth flag is covered the day it is registered.
+    graft.sparql.TranslateFlags.all.zipWithIndex.foreach {
+      case ((flag, default), i) =>
+        val flipped = if (default == "false") "true" else "1234567"
+        spark.conf.set(flag, flipped)
+        try { assert(get(q)._1 === 200, s"flag $flag flipped") }
+        finally spark.conf.unset(flag)
+        assert(QueryServer.planCacheMisses.get() === 2L + i,
+          s"flipping $flag must miss the plan cache")
+    }
+    val missesAfterFlips = 1L + graft.sparql.TranslateFlags.all.size
+    assert(QueryServer.planCacheMisses.get() === missesAfterFlips)
+    // the guard that keeps the registry complete: a translate-time read
+    // of an unregistered flag fails loudly instead of silently
+    // bypassing the cache key
+    assertThrows[IllegalArgumentException] {
+      graft.sparql.TranslateFlags.get(spark, "spark.graft.not.registered")
+    }
     // cache off via size 0: every request translates fresh
     spark.conf.set("spark.graft.server.planCacheSize", "0")
     try {
       assert(get(q)._1 === 200)
       assert(QueryServer.planCacheHits.get() === 3L) // unchanged
     } finally spark.conf.unset("spark.graft.server.planCacheSize")
+  }
+
+  test("warmup flag runs a translation+action before the port binds; failure never blocks serving") {
+    spark.conf.set("spark.graft.server.warmup", "true")
+    try {
+      QueryServer.planCacheReset()
+      val srv = QueryServer.start(spark, dir, 0)
+      try {
+        // the warmup went through the plan cache before start() returned
+        assert(QueryServer.planCacheMisses.get() === 1L)
+        val conn = new java.net.URL(
+          s"http://localhost:${srv.getAddress.getPort}/query?query=" +
+            java.net.URLEncoder.encode("ASK { ?s ?p ?o }", "UTF-8"))
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(120000)
+        assert(conn.getResponseCode === 200)
+      } finally srv.stop(0)
+      // a warmup failure (corrupt store) must not prevent startup
+      val bad = java.nio.file.Files.createTempDirectory("graft-badstore")
+      java.nio.file.Files.createFile(bad.resolve("statements.parquet"))
+      val srv2 = QueryServer.start(spark, bad.toString, 0)
+      try assert(srv2.getAddress.getPort > 0) finally srv2.stop(0)
+    } finally spark.conf.unset("spark.graft.server.warmup")
   }
 
   test("a store rebuild bumps the epoch and invalidates cached plans") {
@@ -370,6 +408,15 @@ class ServerSpec extends SparkTestBase {
     // the timeout must get the clean 503, never headers + a hung body
     val runaway = "/query?query=" + java.net.URLEncoder.encode(
       "SELECT ?a ?b ?c WHERE { ?a ?p1 ?o1 . ?b ?p2 ?o2 . ?c ?p3 ?o3 }", "UTF-8")
+    // hermeticity: earlier tests (parallel runaways, saturation) cancel
+    // job groups whose cartesian tasks keep draining for a while; on a
+    // cold loaded JVM they can occupy every task slot long enough that
+    // THIS test's requests blow the client read timeout for reasons
+    // that are residual load, not server health. Start on a quiet
+    // scheduler so the assertions measure this test only.
+    val quiesceDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+      System.nanoTime() < quiesceDeadline) Thread.sleep(250)
     spark.conf.set("spark.graft.server.streamResults", "true")
     spark.conf.set("spark.graft.server.timeoutMs", "2000")
     try {

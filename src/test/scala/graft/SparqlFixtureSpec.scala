@@ -349,6 +349,66 @@ class SparqlFixtureSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.functions.spec")
   }
 
+  test("spec-mode BNODE: lexical form and identity key carry the SAME minted value") {
+    // regression: built from a shared uuid() Column, str and key got two
+    // DIFFERENT uuids (nondeterministic expressions are re-seeded per
+    // tree occurrence) — the native BNodeTerm node fills both from one
+    spark.conf.set("spark.graft.functions.spec", "true")
+    try {
+      val rows = Sparql.query(spark,
+        """SELECT ?b ?c WHERE { ?s wdt:P31 ?o .
+          |BIND(BNODE() AS ?b) BIND(BNODE("tag") AS ?c) }""".stripMargin, dir)
+        .collect()
+      assert(rows.nonEmpty)
+      val (labels, labelsC) = (rows.map(_.getStruct(0)), rows.map(_.getStruct(1)))
+      labels.foreach { b => assert(b.getString(4) === "bn:" + b.getString(2)) }
+      labelsC.foreach { c =>
+        assert(c.getString(4) === "bn:" + c.getString(2))
+        assert(c.getString(2).startsWith("tag_"))
+      }
+      // freshness: per solution AND per call site
+      assert(labels.map(_.getString(4)).distinct.length === rows.length)
+      assert((labels.map(_.getString(4)) ++ labelsC.map(_.getString(4)))
+        .distinct.length === 2 * rows.length)
+    } finally spark.conf.unset("spark.graft.functions.spec")
+  }
+
+  test("spec-mode STRDT: Null outside the documented subset; minted dateTime key-equals stored second-precision times") {
+    spark.conf.set("spark.graft.functions.spec", "true")
+    try {
+      // the boundary (CONFORMANCE #22): datatypes the term model does
+      // not represent — xsd:date, xsd:duration, arbitrary IRIs — stay
+      // Null, as does an unparseable lexical form of a subset type
+      val r = Sparql.rendered(spark,
+        """SELECT ?a ?b ?c ?d WHERE { VALUES ?x { "2001-01-02" }
+          |BIND(STRDT(?x, xsd:date) AS ?a)
+          |BIND(STRDT("P1Y2M", xsd:duration) AS ?b)
+          |BIND(STRDT("abc", <http://example.org/customType>) AS ?c)
+          |BIND(STRDT("not-a-number", xsd:integer) AS ?d) }""".stripMargin,
+        dir).collect()
+      assert(r.length === 1 && (0 to 3).forall(r(0).isNullAt(_)))
+      // a minted xsd:dateTime carries SECOND precision (14) in its key —
+      // the dump parser's convention for a second-resolution time — so
+      // sameTerm/joins against store data of the same instant succeed
+      val tmp = java.nio.file.Files.createTempDirectory("graft-strdt").toString
+      val line =
+        s"""{"id":"Q9","type":"item","labels":{},"descriptions":{},"aliases":{},
+           |"claims":{"P569":[{"mainsnak":{"snaktype":"value","property":"P569",
+           |"datatype":"time","datavalue":{"type":"time","value":{
+           |"time":"+1990-01-02T03:04:05Z","precision":14,"before":0,"after":0,
+           |"timezone":0,"calendarmodel":"http://www.wikidata.org/entity/Q1985727"}}},
+           |"type":"statement","id":"Q9$$x","rank":"normal"}]}}""".stripMargin.replace("\n", "")
+      val pw = new java.io.PrintWriter(s"$tmp/dump.jsonl")
+      try pw.println(line) finally pw.close()
+      WikidataIngest.build(spark, s"$tmp/dump.jsonl", tmp)
+      val hit = Sparql.rendered(spark,
+        """SELECT ?s WHERE { ?s wdt:P569 ?d .
+          |FILTER(sameTerm(?d, STRDT("1990-01-02T03:04:05Z", xsd:dateTime))) }""".stripMargin,
+        tmp).collect()
+      assert(hit.length === 1 && hit(0).getString(0).endsWith("Q9"))
+    } finally spark.conf.unset("spark.graft.functions.spec")
+  }
+
   test("sub-SELECT projects only its selected variables into the outer scope") {
     val df = Sparql.query(spark,
       "SELECT * WHERE { { SELECT ?s WHERE { ?s wdt:P1082 ?pop } } }", dir)
