@@ -105,8 +105,17 @@ object WikidataIngest {
             dir: String = defaultDir,
             parseQualifiers: Boolean = true,
             languageFilter: Option[Set[String]] = None,
-            lexemes: Boolean = false): Unit = {
-    rendered(ingest(spark, path, parseQualifiers, languageFilter, lexemes))
+            lexemes: Boolean = false): Unit =
+    writeStore(spark, ingest(spark, path, parseQualifiers, languageFilter, lexemes), dir)
+
+  /** Persist an already-constructed statements DataFrame (term-struct
+    * columns `s, p, o, id, graph` + long `ord`) as a flat store —
+    * the create-db write path without the dump parse. Used by [[build]]
+    * and by synthetic-store harnesses ([[graft.QuadScale]]), so the
+    * stores they bench have exactly the layout real ingest produces.
+    */
+  def writeStore(spark: SparkSession, quads: DataFrame, dir: String): Unit = {
+    rendered(quads)
       .sortWithinPartitions(col("p.key"), col("s.key"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/statements.parquet")

@@ -17,10 +17,16 @@ import Ast._
   *   - Sequence    → join chain on a fresh midpoint
   *   - Alternative → union
   *   - ZeroOrOne   → union with the identity over graph nodes
-  *   - ZeroOrMore/OneOrMore → iterative frontier join with dedup and
-  *     `localCheckpoint` per round (bounded by graph diameter; at
-  *     cluster scale each round is one shuffle on the frontier key and
-  *     the visited set stays partitioned by destination)
+  *   - ZeroOrMore/OneOrMore → bound-endpoint BFS or all-pairs closure.
+  *     The bound-endpoint BFS picks its plan from the MEASURED edge
+  *     count: a small edge relation (spark.graft.path.smallRows) runs
+  *     as a one-pass driver BFS — a depth-D chain otherwise pays D
+  *     distributed rounds of fixed multi-job cost (QuadScale
+  *     path_star: 13 s → 0.5 s) — while a large one takes the
+  *     iterative frontier join with dedup and `localCheckpoint` per
+  *     round (at cluster scale each round is one shuffle on the
+  *     frontier key and the visited set stays partitioned by
+  *     destination)
   *   - NegatedPropertySet → `NOT predicate IN (…)` filter
   */
 /** A path closure exceeded its configured row/iteration budget — the
@@ -113,6 +119,15 @@ object Paths {
     */
   private def maxRowsBudget(df: DataFrame): Long =
     TranslateFlags.get(df.sparkSession, TranslateFlags.PathMaxRows).toLong
+
+  /** Row count below which a fixpoint round runs as 1-partition frames
+    * + broadcast joins instead of 32-way shuffles
+    * (`spark.graft.path.smallRows`). Applied per round from MEASURED
+    * counts — the adaptive seam that makes a deep small closure cost
+    * single-task rounds while a large one keeps the scale plan.
+    */
+  private def smallRowsBudget(df: DataFrame): Long =
+    TranslateFlags.get(df.sparkSession, TranslateFlags.PathSmallRows).toLong
 
   /** Evaluate a path over `statements`. `graphVar` switches on
     * [[GraphMode]]: `statements` must then carry the `graph` column
@@ -232,6 +247,18 @@ object Paths {
       .localCheckpoint(true)
     val seed = mode.seed(st, start).localCheckpoint(true)
     val budget = maxRowsBudget(st)
+    // MEASURED-size plan choice: the edge relation is pre-filtered (the
+    // path predicate pushed into the scan) and already materialized, so
+    // its exact size is one cheap count away. Below the smallRows
+    // threshold the BFS runs ON THE DRIVER in one pass — a depth-D
+    // chain otherwise costs D distributed rounds at a fixed multi-job
+    // price each (QuadScale path_star: 31 rounds ≈ 13 s of pure
+    // per-round overhead for a 32-node answer; the reference answers
+    // this with an in-memory traversal for the same reason). Above the
+    // threshold — edge sets that genuinely need the cluster — the
+    // distributed frontier fixpoint below is unchanged.
+    if (edges.count() < smallRowsBudget(st))
+      return reachableFromDriver(edges, seed, start, includeStart, mode, budget)
     var rows = 0L
     var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step
     var frontier = seed
@@ -249,15 +276,21 @@ object Paths {
       // two
       val newReached = step.join(reached.select("__ko"), Seq("__ko"), "left_anti")
         .localCheckpoint(true)
-      val n = newReached.count()
+      // ONE action per round beyond the checkpoint: the increment is
+      // already materialized, so its total AND its frontier subset
+      // come from a single agg — a separate count() + isEmpty() pair
+      // was two more jobs per round
+      val cnt = newReached.agg(
+        count(lit(1)),
+        count(when(mode.isNotStart(col(O), col("__ko"), start), 1))).head()
+      val n = cnt.getLong(0)
       rows += n
       if (rows > budget) throw new PathBudgetExceeded(
         s"path BFS from ${start.key} reached $rows nodes > spark.graft.path.maxRows=$budget")
-      val newFrontier = newReached.filter(mode.isNotStart(col(O), col("__ko"), start))
       if (n > 0)
         reached = reached.unionByName(newReached).localCheckpoint(true)
-      if (newFrontier.isEmpty) done = true
-      else frontier = newFrontier
+      if (cnt.getLong(1) == 0L) done = true
+      else frontier = newReached.filter(mode.isNotStart(col(O), col("__ko"), start))
     }
     if (!done) throw new PathBudgetExceeded(
       s"path BFS from ${start.key} did not converge in $maxIters rounds")
@@ -266,6 +299,68 @@ object Paths {
         reached.unionByName(seed).dropDuplicates("__ko")
       else reached
     result.select(mode.startNode(col(O), start).as(S), col(O))
+  }
+
+  /** Single-pass driver BFS over a MEASURED-small edge set (the
+    * `smallRows` plan of [[reachableFrom]]): adjacency map + queue,
+    * zero Spark jobs per level. Semantics identical to the distributed
+    * fixpoint — same reached-vs-frontier distinction (a cycle back to
+    * the start counts as reachable, but is never re-expanded), same
+    * row budget — except the 64-round cap does not apply: a driver BFS
+    * provably terminates within |nodes| levels, all bounded by the
+    * threshold that routed it here. Collected bytes are bounded by
+    * `spark.graft.path.smallRows` edge rows — the same order as one
+    * executor's working set for the distributed plan.
+    */
+  private def reachableFromDriver(edges: DataFrame, seed: DataFrame,
+                                  start: graft.model.TermValue,
+                                  includeStart: Boolean, mode: NodeMode,
+                                  budget: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = edges.sparkSession
+    val oType = edges.schema(O).dataType
+    // NUL cannot occur inside a term/graph key (GraphMode contract), so
+    // the composite-key suffix test is exact
+    def notStart(ko: String): Boolean = mode match {
+      case PlainMode => ko != start.key
+      case GraphMode => !ko.endsWith("\u0000" + start.key)
+    }
+    val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[(String, Any)]]()
+    edges.select(col("__ks"), col("__ko"), col(O)).collect().foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1))
+        adj.getOrElseUpdate(r.getString(0), scala.collection.mutable.ArrayBuffer.empty)
+          .append((r.getString(1), r.get(2)))
+    }
+    val seedRows = seed.select(col(O), col("__ko")).collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getString(1), r.get(0)))
+    val reached = new scala.collection.mutable.LinkedHashMap[String, Any]()
+    var frontier: Seq[String] = seedRows.map(_._1).distinct
+    while (frontier.nonEmpty) {
+      val fresh = scala.collection.mutable.LinkedHashMap[String, Any]()
+      frontier.foreach { k =>
+        adj.getOrElse(k, Nil).foreach { case (ko, o) =>
+          if (!reached.contains(ko) && !fresh.contains(ko)) fresh(ko) = o
+        }
+      }
+      reached ++= fresh
+      if (reached.size > budget) throw new PathBudgetExceeded(
+        s"path BFS from ${start.key} reached ${reached.size} nodes > " +
+          s"spark.graft.path.maxRows=$budget")
+      frontier = fresh.keysIterator.filter(notStart).toSeq
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    out ++= reached
+    if (includeStart) seedRows.foreach { case (ko, o) =>
+      if (!out.contains(ko)) out(ko) = o
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(O, oType),
+      org.apache.spark.sql.types.StructField("__ko",
+        org.apache.spark.sql.types.StringType)))
+    val rowList = new java.util.ArrayList[Row](out.size)
+    out.foreach { case (ko, o) => rowList.add(Row(o, ko)) }
+    spark.createDataFrame(rowList, schema)
+      .select(mode.startNode(col(O), start).as(S), col(O))
   }
 
   /** Transitive closure: iterative join-dedup fixpoint with
@@ -282,17 +377,29 @@ object Paths {
     var rows = total.count()
     if (rows > budget) throw new PathBudgetExceeded(
       s"path closure edge set has $rows rows > spark.graft.path.maxRows=$budget")
+    val smallThr = smallRowsBudget(edges0)
     var frontier = total
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
       iter += 1
-      val step = frontier.alias("f")
+      // measured-size adaptivity (see reachableFrom): a provably small
+      // round runs as 1-partition frames + broadcast joins — zero
+      // exchanges — because per-round fixed cost × rounds dominates a
+      // small-but-deep closure; past the threshold the shuffle plan
+      // that scales is kept unchanged
+      val isSmall = rows < smallThr
+      val fr = if (isSmall) broadcast(frontier.coalesce(1)) else frontier
+      val step0 = fr.alias("f")
         .join(total.alias("t"), col("f.__ko") === col("t.__ks"))
         .select(col("f." + S).as(S), col("t." + O).as(O),
           col("f.__ks").as("__ks"), col("t.__ko").as("__ko"))
+      val step = (if (isSmall) step0.coalesce(1) else step0)
         .dropDuplicates("__ks", "__ko")
-      val fresh = step.join(total.select("__ks", "__ko"), Seq("__ks", "__ko"), "left_anti")
+      val seen = total.select("__ks", "__ko")
+      val fresh = step.join(
+          if (isSmall) broadcast(seen.coalesce(1)) else seen,
+          Seq("__ks", "__ko"), "left_anti")
         .localCheckpoint(true)
       val n = fresh.count()
       rows += n
@@ -300,7 +407,11 @@ object Paths {
         s"path closure reached $rows pairs > spark.graft.path.maxRows=$budget")
       if (n == 0) done = true
       else {
-        total = total.unionByName(fresh).localCheckpoint(true)
+        total = total.unionByName(fresh)
+        // big mode keeps total one flat checkpointed frame (constant
+        // task count per round); small mode's 1-partition pieces make
+        // the lazy union the cheaper shape
+        if (!isSmall) total = total.localCheckpoint(true)
         frontier = fresh
       }
     }

@@ -36,6 +36,11 @@ object TranslateFlags {
   /** Path-closure row budget (Paths fixpoint). */
   val PathMaxRows = "spark.graft.path.maxRows"
 
+  /** Row count below which a path-fixpoint round runs as 1-partition
+    * broadcast joins instead of full-width shuffles (Paths fixpoint).
+    */
+  val PathSmallRows = "spark.graft.path.smallRows"
+
   /** GROUP_CONCAT bounded-state element cap (Translator aggregates). */
   val GroupConcatMaxElements = "spark.graft.groupConcat.maxElements"
 
@@ -45,6 +50,7 @@ object TranslateFlags {
     LateralSpec -> "false",
     FunctionsSpec -> "false",
     PathMaxRows -> Long.MaxValue.toString,
+    PathSmallRows -> "1000000",
     GroupConcatMaxElements -> "0")
 
   private val defaults: Map[String, String] = all.toMap

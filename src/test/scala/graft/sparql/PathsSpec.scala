@@ -64,6 +64,25 @@ class PathsSpec extends SparkTestBase {
     assert(all.contains(Seq("Q:1", "Q:1")) && all.contains(Seq("Q:5", "Q:3")))
   }
 
+  test("driver BFS (small plan) and distributed fixpoint return identical closures") {
+    // default smallRows routes these tiny edge sets to the driver BFS;
+    // smallRows=0 forces every round through the distributed plan —
+    // the two MUST agree on cycles, dead ends, and the reversed case
+    val shapes = Seq(
+      PathOp(Const(TermValue.entityQ(1)), POneOrMore(p2), Var("x")),
+      PathOp(Const(TermValue.entityQ(1)), PZeroOrMore(p2), Var("x")),
+      PathOp(Const(TermValue.entityQ(7)), PZeroOrMore(p2), Var("x")),
+      PathOp(Var("x"), PZeroOrMore(p2), Const(TermValue.entityQ(5))))
+    val viaDriver = shapes.map(run)
+    spark.conf.set("spark.graft.path.smallRows", "0")
+    try {
+      val viaCluster = shapes.map(run)
+      viaDriver.zip(viaCluster).zip(shapes).foreach { case ((d, c), s) =>
+        assert(d === c, s"plans diverge for $s")
+      }
+    } finally spark.conf.unset("spark.graft.path.smallRows")
+  }
+
   test("spark.graft.path.maxRows fails a runaway closure fast with a clear error") {
     spark.conf.set("spark.graft.path.maxRows", "4")
     try {
