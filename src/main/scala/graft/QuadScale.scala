@@ -181,7 +181,22 @@ object QuadScale {
             val vs = df.select(col("v").getField("num")).collect().map(_.getDouble(0))
             if (!vs.forall(_ == 49.0)) // max of (e mod 50), multiplicity nE/50 >= 5
               fail(s"order_limit values ${vs.mkString(",")}, planted all 49")
-          }))
+          }),
+        // among Q5's nE/32 instances only Q5 itself (a class, c<31) has
+        // an outgoing P2 — exactly one bound OPTIONAL row, the rest
+        // survive unbound
+        ("optional",
+          "SELECT ?x ?y WHERE { ?x wdt:P1 wd:Q5 . OPTIONAL { ?x wdt:P2 ?y } }",
+          nE / Classes,
+          df => {
+            val bound = df.filter(col("y").getField("key").isNotNull).count()
+            if (bound != 1L) fail(s"optional bound $bound rows, planted 1")
+          }),
+        ("minus",
+          "SELECT ?x WHERE { ?x wdt:P1 wd:Q5 . MINUS { ?x wdt:P2 ?y } }",
+          nE / Classes - 1, _ => ()),
+        ("distinct",
+          "SELECT DISTINCT ?c WHERE { ?x wdt:P1 ?c }", Classes.toLong, _ => ()))
 
       val opResults = queries.map { case (name, text, expected, deepCheck) =>
         // two reps, min: the first pays parquet-footer/codegen warmup,
