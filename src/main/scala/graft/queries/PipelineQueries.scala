@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Classifier, Dedup, Incremental, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Classifier, Dedup, Incremental, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Web}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -862,6 +862,30 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"))
     }),
 
+    // URL canonicalization + dedup, FULLY differential: deterministic
+    // messy URLs constructed from doc_id (case/port/www/tracking-param/
+    // param-order/trailing-slash/fragment variants over shared
+    // host+path groups); the oracle re-derives the construction AND the
+    // canonicalization in SQL, so a single normalization rule drifting
+    // between engine and spec hash-fails
+    "p81_url_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val pid = floor(col("doc_id") / 3).cast("long").cast("string")
+      val host = concat(lit("example"),
+        pmod(floor(col("doc_id") / 3).cast("long"), lit(7L)).cast("string"), lit(".com"))
+      val v = pmod(col("doc_id"), lit(4L))
+      val url = when(v === 0, concat(lit("HTTP://WWW."), upper(host),
+          lit(":80/a/b/"), pid, lit("/?utm_source=feed&x=1&a=2#frag")))
+        .when(v === 1, concat(lit("http://"), host, lit("/a/b/"), pid, lit("?a=2&x=1")))
+        .when(v === 2, concat(lit("https://"), host, lit(":443/a/b/"), pid,
+          lit("?x=1&a=2&fbclid=zzz")))
+        .otherwise(concat(lit("http://"), host, lit("/a/b/"), pid, lit("/c")))
+      Web.urlDedup(docs.select(col("doc_id"), url.as("url")), "url", "doc_id")
+        .select(col("canonical_url"),
+          col("keeper_id").cast("long").as("keeper_id"),
+          col("n_dups").cast("long").as("n_dups"))
+    }),
+
     // MJPEG-in-MP4 beside AVI in one mixed table: the ISO-BMFF
     // sample-table demux feeds the same frame path; an avc1 (H.264)
     // track demuxes but yields nulls — the pixel decode for
@@ -1252,6 +1276,51 @@ object PipelineQueries {
         |FROM (VALUES (1, 1, 8, 6), (2, 2, 8, 6), (3, 3, 8, 6),
         |             (4, 1, 8, 6), (5, NULL, NULL, NULL))
         |  t(media_id, decoded_frames, frame_width, frame_height)""".stripMargin,
+
+    // URL dedup differential oracle: the SAME construction and the
+    // SAME canonicalization rules, re-derived in DuckDB SQL
+    "p81_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id // 3 AS VARCHAR) AS pid,
+        |    'example' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.com' AS host,
+        |    doc_id % 4 AS v
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id,
+        |    CASE v
+        |      WHEN 0 THEN 'HTTP://WWW.' || upper(host) || ':80/a/b/' || pid || '/?utm_source=feed&x=1&a=2#frag'
+        |      WHEN 1 THEN 'http://' || host || '/a/b/' || pid || '?a=2&x=1'
+        |      WHEN 2 THEN 'https://' || host || ':443/a/b/' || pid || '?x=1&a=2&fbclid=zzz'
+        |      ELSE 'http://' || host || '/a/b/' || pid || '/c' END AS url
+        |  FROM u),
+        |parts AS (
+        |  -- coalesce: DuckDB regexp_extract yields NULL on no match
+        |  -- where Spark yields '' — the v=3 urls have no query string
+        |  SELECT doc_id,
+        |    coalesce(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+        |    coalesce(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '') AS hostraw,
+        |    coalesce(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', ''), '') AS path,
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |  FROM urls),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':443$', '')
+        |         ELSE regexp_replace(hostraw, '^www\.', '') END ||
+        |    path ||
+        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+        |  FROM (SELECT doc_id, scheme, hostraw, path,
+        |          -- outer coalesce: array_to_string over an EMPTY list
+        |          -- is NULL in DuckDB, '' in Spark's concat_ws
+        |          coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |            x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS qs
+        |        FROM parts))
+        |SELECT canonical_url,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM canon GROUP BY canonical_url""".stripMargin,
 
     // MJPEG-in-MP4 decode: frame counts capped at maxFrames=3, the AVI
     // clip decodes beside them, the avc1-codec MP4 yields nulls

@@ -1292,6 +1292,32 @@ class PipelineSpec extends SparkTestBase {
     assert(dec === Map(1L -> 3, 2L -> 3, 3L -> -1, 4L -> -1))
   }
 
+  test("URL canonicalization folds case/port/www/tracking/order/slash/fragment; dedup keeps min id") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com/a/b?a=1&b=2"),
+      (3L, "https://example.com:443/a/b?a=1&b=2"), // scheme differs → distinct
+      (4L, "not a url"), // unparseable → passes through unchanged
+      (5L, "http://EXAMPLE.com:8080/x/"), // non-default port survives
+      (6L, "http://example.com/a/b?b=2&a=1&fbclid=zzz")) // joins group 1
+      .toDF("id", "url")
+    val canon = urls.select(col("id"), pipeline.Web.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) === "http://example.com/a/b?a=1&b=2")
+    assert(canon(2L) === canon(1L) && canon(6L) === canon(1L))
+    assert(canon(3L) === "https://example.com/a/b?a=1&b=2")
+    assert(canon(4L) === "not a url")
+    assert(canon(5L) === "http://example.com:8080/x")
+    val dedup = pipeline.Web.urlDedup(urls, "url", "id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dedup.size === 4)
+    assert(dedup(canon(1L)) === ((1L, 3L))) // min id kept, 3 members
+    // drop-style keeps exactly the keeper rows, original columns intact
+    val kept = pipeline.Web.dropUrlDups(urls, "url", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
   test("videoNearDupClips pairs clips sharing frames; hot signatures capped first") {
     def jpeg(gray: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
