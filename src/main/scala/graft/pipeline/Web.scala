@@ -17,9 +17,12 @@ object Web {
 
   /** Query parameters that never affect content — analytics/click ids.
     * One alternation, anchored at the param name, shared verbatim by
-    * the DuckDB oracle.
+    * the DuckDB oracle. Deliberately NOT included: bare `ref` — many
+    * real sites overload it as a functional selector (a VCS ref, a
+    * listing anchor), so dropping it would merge genuinely distinct
+    * pages.
     */
-  val TrackingParamRe = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+  val TrackingParamRe = "^(utm_[a-z]+|fbclid|gclid|msclkid)="
 
   /** Canonical form of a URL column, built entirely from codegen-able
     * string expressions (no UDF):
@@ -45,7 +48,9 @@ object Web {
       .otherwise(hostNoWww)
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
-    val queryStr = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchored to the FIRST '?' and only if it precedes any '#': a '?'
+    // inside the fragment is fragment text, not a query string
+    val queryStr = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = filter(split(queryStr, "&"),
       p => length(p) > 0 && !p.rlike(TrackingParamRe))
     val q = concat_ws("&", sort_array(params))

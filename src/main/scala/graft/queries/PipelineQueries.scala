@@ -909,7 +909,11 @@ object PipelineQueries {
         buf.toByteArray
       }
       val avc1 = Multimodal.mjpegMp4(Seq(jpeg(32), jpeg(224)), 8, 6).clone()
-      val at = avc1.toSeq.indexOfSlice("jpeg".getBytes.toSeq)
+      // patch the stsd fourcc INSIDE moov: searching the whole file
+      // could by chance hit the bytes "jpeg" in mdat's entropy-coded
+      // frame data and leave the real fourcc untouched
+      val moovAt = avc1.toSeq.indexOfSlice("moov".getBytes.toSeq)
+      val at = avc1.toSeq.indexOfSlice("jpeg".getBytes.toSeq, moovAt)
       Array[Byte]('a', 'v', 'c', '1').copyToArray(avc1, at)
       val clips = Seq(
         (1L, Multimodal.mjpegMp4(Seq(jpeg(32)), 8, 6)),
@@ -1301,7 +1305,7 @@ object PipelineQueries {
         |    coalesce(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
         |    coalesce(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '') AS hostraw,
         |    coalesce(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', ''), '') AS path,
-        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |    coalesce(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '') AS q
         |  FROM urls),
         |canon AS (
         |  SELECT doc_id,
@@ -1315,7 +1319,7 @@ object PipelineQueries {
         |          -- outer coalesce: array_to_string over an EMPTY list
         |          -- is NULL in DuckDB, '' in Spark's concat_ws
         |          coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
-        |            x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS qs
+        |            x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|msclkid)='))), '&'), '') AS qs
         |        FROM parts))
         |SELECT canonical_url,
         |  CAST(min(doc_id) AS BIGINT) AS keeper_id,

@@ -256,8 +256,12 @@ object Paths {
     // per-round overhead for a 32-node answer; the reference answers
     // this with an in-memory traversal for the same reason). Above the
     // threshold — edge sets that genuinely need the cluster — the
-    // distributed frontier fixpoint below is unchanged.
-    if (edges.count() < smallRowsBudget(st))
+    // distributed frontier fixpoint below is unchanged. PlainMode only:
+    // in GraphMode the SEED is one row per distinct named graph (a
+    // dump-provenance store has millions), so the edge count alone does
+    // not bound what the driver would collect — GraphMode always takes
+    // the distributed plan.
+    if ((mode eq PlainMode) && edges.count() < smallRowsBudget(st))
       return reachableFromDriver(edges, seed, start, includeStart, mode, budget)
     var rows = 0L
     var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step

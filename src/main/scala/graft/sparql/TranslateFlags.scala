@@ -50,7 +50,7 @@ object TranslateFlags {
     LateralSpec -> "false",
     FunctionsSpec -> "false",
     PathMaxRows -> Long.MaxValue.toString,
-    PathSmallRows -> "1000000",
+    PathSmallRows -> "100000",
     GroupConcatMaxElements -> "0")
 
   private val defaults: Map[String, String] = all.toMap

@@ -1263,8 +1263,10 @@ class PipelineSpec extends SparkTestBase {
     // an H.264-style track demuxes identically but yields no frames —
     // the pixel decode is the documented stub seam, never an exception
     val avc1 = mp4.clone()
-    val at = avc1.toSeq.indexOfSlice("jpeg".getBytes.toSeq)
-    assert(at > 0)
+    // anchor past mdat: compressed frame bytes could contain "jpeg"
+    val moovAt = avc1.toSeq.indexOfSlice("moov".getBytes.toSeq)
+    val at = avc1.toSeq.indexOfSlice("jpeg".getBytes.toSeq, moovAt)
+    assert(moovAt > 0 && at > moovAt)
     Array[Byte]('a', 'v', 'c', '1').copyToArray(avc1, at)
     assert(Multimodal.mp4VideoTrack(avc1).get.fourcc === "avc1")
     assert(Multimodal.mp4JpegFrames(avc1, 8).isEmpty)
@@ -1299,7 +1301,9 @@ class PipelineSpec extends SparkTestBase {
       (3L, "https://example.com:443/a/b?a=1&b=2"), // scheme differs → distinct
       (4L, "not a url"), // unparseable → passes through unchanged
       (5L, "http://EXAMPLE.com:8080/x/"), // non-default port survives
-      (6L, "http://example.com/a/b?b=2&a=1&fbclid=zzz")) // joins group 1
+      (6L, "http://example.com/a/b?b=2&a=1&fbclid=zzz"), // joins group 1
+      (7L, "http://example.com/p#sec?x=1"), // '?' inside fragment ≠ query
+      (8L, "http://example.com/p?ref=main")) // bare ref is FUNCTIONAL, kept
       .toDF("id", "url")
     val canon = urls.select(col("id"), pipeline.Web.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -1308,14 +1312,16 @@ class PipelineSpec extends SparkTestBase {
     assert(canon(3L) === "https://example.com/a/b?a=1&b=2")
     assert(canon(4L) === "not a url")
     assert(canon(5L) === "http://example.com:8080/x")
+    assert(canon(7L) === "http://example.com/p") // fragment text dropped whole
+    assert(canon(8L) === "http://example.com/p?ref=main") // distinct from 7
     val dedup = pipeline.Web.urlDedup(urls, "url", "id").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(dedup.size === 4)
+    assert(dedup.size === 6)
     assert(dedup(canon(1L)) === ((1L, 3L))) // min id kept, 3 members
     // drop-style keeps exactly the keeper rows, original columns intact
     val kept = pipeline.Web.dropUrlDups(urls, "url", "id")
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(kept === Set(1L, 3L, 4L, 5L))
+    assert(kept === Set(1L, 3L, 4L, 5L, 7L, 8L))
   }
 
   test("videoNearDupClips pairs clips sharing frames; hot signatures capped first") {
