@@ -25,6 +25,10 @@ val jdk17AddOpens = Seq(
   "java.base/java.util.concurrent.atomic",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
+  // QueryServer's stuck-writer mitigation (forceCloseConnection) needs
+  // the jdk.httpserver internals; without this it degrades to the
+  // marker-only abort and logs a one-time warning
+  "jdk.httpserver/sun.net.httpserver",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -26,12 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition index, so task retries regenerate identical labels while
   * every (call site, row) pair gets a distinct one.
   */
-case class BNodeTerm(child: Expression)
+case class BNodeTerm(child: Expression,
+                     instanceSeed: Long = BNodeTerm.seeds.incrementAndGet())
     extends UnaryExpression with Nondeterministic with CodegenFallback {
-
-  // minted at construction on the driver, shipped with the serialized
-  // plan — stable across task retries, distinct across call sites
-  private val instanceSeed: Long = BNodeTerm.seeds.incrementAndGet()
+  // the seed is a CONSTRUCTOR field (Spark's own Uuid pattern), not a
+  // body val: a body val would be re-minted by every Catalyst
+  // copy()/transformExpressions pass (breaking the documented
+  // stable-across-retries label stream), and two distinct BNODE call
+  // sites with equal children would be equals/semanticEquals-equal
+  // while behaving differently — a field makes copy preserve it and
+  // equality distinguish call sites.
 
   @transient private var rng: java.util.SplittableRandom = _
 

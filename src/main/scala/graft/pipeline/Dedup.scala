@@ -328,7 +328,7 @@ object Dedup {
     * tree and correctly takes the per-element path.
     */
   def mapHash(arr: Column, hashFn: Column => Column): Column = {
-    val marker = lit(" graft-maphash-probe ")
+    val marker = lit("\u0000graft-maphash-probe\u0000")
     val native =
       try hashFn(marker).toString == md5Hash60(marker).toString
       catch { case scala.util.control.NonFatal(_) => false }

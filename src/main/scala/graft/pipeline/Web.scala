@@ -41,7 +41,12 @@ object Web {
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostRaw = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authority = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo (`user:pass@`) is case-SENSITIVE per RFC 3986 §3.2.1 and
+    // is no part of the host: preserved verbatim, excluded from the
+    // lowercasing / www- / default-port normalization below
+    val userinfo = regexp_extract(authority, "^([^@]*@)", 1)
+    val hostRaw = lower(regexp_replace(authority, "^[^@]*@", ""))
     val hostNoWww = regexp_replace(hostRaw, "^www\\.", "")
     val host = when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
@@ -55,7 +60,7 @@ object Web {
       p => length(p) > 0 && !p.rlike(TrackingParamRe))
     val q = concat_ws("&", sort_array(params))
     when(scheme === "" || host === "", url)
-      .otherwise(concat(scheme, lit("://"), host, path,
+      .otherwise(concat(scheme, lit("://"), userinfo, host, path,
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 

@@ -873,13 +873,19 @@ object PipelineQueries {
       val pid = floor(col("doc_id") / 3).cast("long").cast("string")
       val host = concat(lit("example"),
         pmod(floor(col("doc_id") / 3).cast("long"), lit(7L)).cast("string"), lit(".com"))
-      val v = pmod(col("doc_id"), lit(4L))
+      val v = pmod(col("doc_id"), lit(5L))
       val url = when(v === 0, concat(lit("HTTP://WWW."), upper(host),
           lit(":80/a/b/"), pid, lit("/?utm_source=feed&x=1&a=2#frag")))
         .when(v === 1, concat(lit("http://"), host, lit("/a/b/"), pid, lit("?a=2&x=1")))
         .when(v === 2, concat(lit("https://"), host, lit(":443/a/b/"), pid,
           lit("?x=1&a=2&fbclid=zzz")))
-        .otherwise(concat(lit("http://"), host, lit("/a/b/"), pid, lit("/c")))
+        .when(v === 3, concat(lit("http://"), host, lit("/a/b/"), pid, lit("/c")))
+        // userinfo: preserved VERBATIM (case-sensitive per RFC 3986)
+        // while www/port/case normalization still applies to the host
+        // behind it — and its presence keeps the url distinct from the
+        // v=2 group's canonical form
+        .otherwise(concat(lit("https://User:Pw@WWW."), upper(host),
+          lit(":443/a/b/"), pid, lit("?x=1&a=2")))
       Web.urlDedup(docs.select(col("doc_id"), url.as("url")), "url", "doc_id")
         .select(col("canonical_url"),
           col("keeper_id").cast("long").as("keeper_id"),
@@ -1288,7 +1294,7 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CAST(doc_id // 3 AS VARCHAR) AS pid,
         |    'example' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.com' AS host,
-        |    doc_id % 4 AS v
+        |    doc_id % 5 AS v
         |  FROM documents),
         |urls AS (
         |  SELECT doc_id,
@@ -1296,26 +1302,30 @@ object PipelineQueries {
         |      WHEN 0 THEN 'HTTP://WWW.' || upper(host) || ':80/a/b/' || pid || '/?utm_source=feed&x=1&a=2#frag'
         |      WHEN 1 THEN 'http://' || host || '/a/b/' || pid || '?a=2&x=1'
         |      WHEN 2 THEN 'https://' || host || ':443/a/b/' || pid || '?x=1&a=2&fbclid=zzz'
-        |      ELSE 'http://' || host || '/a/b/' || pid || '/c' END AS url
+        |      WHEN 3 THEN 'http://' || host || '/a/b/' || pid || '/c'
+        |      ELSE 'https://User:Pw@WWW.' || upper(host) || ':443/a/b/' || pid || '?x=1&a=2' END AS url
         |  FROM u),
         |parts AS (
         |  -- coalesce: DuckDB regexp_extract yields NULL on no match
-        |  -- where Spark yields '' — the v=3 urls have no query string
+        |  -- where Spark yields '' — the v=3 urls have no query string.
+        |  -- userinfo is split off the authority BEFORE lowercasing:
+        |  -- case-sensitive per RFC 3986, preserved verbatim
         |  SELECT doc_id,
         |    coalesce(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
-        |    coalesce(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '') AS hostraw,
+        |    coalesce(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^@]*@)', 1), '') AS userinfo,
+        |    coalesce(lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')), '') AS hostraw,
         |    coalesce(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', ''), '') AS path,
         |    coalesce(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '') AS q
         |  FROM urls),
         |canon AS (
         |  SELECT doc_id,
-        |    scheme || '://' ||
+        |    scheme || '://' || userinfo ||
         |    CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':80$', '')
         |         WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':443$', '')
         |         ELSE regexp_replace(hostraw, '^www\.', '') END ||
         |    path ||
         |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
-        |  FROM (SELECT doc_id, scheme, hostraw, path,
+        |  FROM (SELECT doc_id, scheme, userinfo, hostraw, path,
         |          -- outer coalesce: array_to_string over an EMPTY list
         |          -- is NULL in DuckDB, '' in Spark's concat_ws
         |          coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),

@@ -525,7 +525,18 @@ object SparqlQueries {
       s"""SELECT DISTINCT a.graph_lex AS g
          |FROM $ST a JOIN $ST b
          |   ON a.graph['key']=b.graph['key'] AND a.s['key']=b.s['key']
-         |WHERE a.p['key']='P:31' AND b.p['key']='P:1082'""".stripMargin)
+         |WHERE a.p['key']='P:31' AND b.p['key']='P:1082'""".stripMargin),
+
+    // DESCRIBE with a VARIABLE target (SPARQL 1.1 §16.4; beyond the
+    // reference — its DESCRIBE is entirely todo!, interpreter.rs:107-131):
+    // the pattern's ?cap bindings plus the constant wd:Q8 form one
+    // described-subject set; a subject named both ways appears once
+    ("sp75_describe_var",
+      "DESCRIBE ?cap wd:Q8 WHERE { wd:Q31 wdt:P36 ?cap }",
+      s"""SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST
+         |WHERE s['key'] IN (SELECT o['key'] FROM $ST
+         |                   WHERE s['key']='Q:31' AND p['key']='P:36')
+         |   OR s['key']='Q:8'""".stripMargin)
   )
 
   // ---- opt-in lexeme ingest (beyond the reference: its serde schema

@@ -196,7 +196,20 @@ object QueryServer {
       val conn = impl.getClass.getMethod("getConnection").invoke(impl)
       conn.getClass.getMethod("close").invoke(conn)
       true
-    } catch { case _: Throwable => false }
+    } catch {
+      case t: Throwable =>
+        // a sealed jdk.httpserver module (missing --add-opens) lands
+        // here EVERY time — without a diagnostic the stuck-writer
+        // mitigation silently does not exist on such JVMs. Warn once.
+        if (forceCloseWarned.compareAndSet(false, true))
+          System.err.println(
+            "graft: forceCloseConnection unavailable (" + t.getClass.getSimpleName +
+              "); run with --add-opens jdk.httpserver/sun.net.httpserver=ALL-UNNAMED " +
+              "or stalled writers to dead clients will pin worker threads until TCP timeouts")
+        false
+    }
+
+  private val forceCloseWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Abort a started chunked response so the client cannot mistake it
     * for a complete transfer. Best effort, in preference order: close

@@ -133,8 +133,14 @@ object Ast {
   final case class SelectQuery(root: Op) extends Query
   final case class AskQuery(root: Op) extends Query
   final case class ConstructQuery(template: Seq[Triple], root: Op) extends Query
-  final case class DescribeQuery(targets: Seq[TermValue]) extends Query {
-    def root: Op = Bgp(Nil)
+  /** DESCRIBE: constant-IRI targets plus (SPARQL 1.1 §16.4) variable
+    * targets — each solution of `pattern` contributes its bindings of
+    * `vars` to the described-resource set. Variables require a WHERE
+    * clause (enforced at parse).
+    */
+  final case class DescribeQuery(targets: Seq[TermValue], vars: Seq[Var] = Nil,
+                                 pattern: Option[Op] = None) extends Query {
+    def root: Op = pattern.getOrElse(Bgp(Nil))
   }
 
   /** Prefix for internal pseudo-variables (blank-node columns, unnamed

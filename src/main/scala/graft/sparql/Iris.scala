@@ -109,15 +109,30 @@ object Iris {
 
   /** xsd:dateTime literal → time term (engine extension; the reference
     * has no dateTime literal path, times only enter via ingest).
+    *
+    * Key convention matches spec-mode STRDT exactly
+    * (`Expressions.scala` Func.StrDt): SECOND precision (14) — the
+    * precision the dump parser stores for a second-resolution time —
+    * with the timezone offset (minutes, `Z`/absent → 0) carried in the
+    * key's tz field and the iso fields taken as written. A query
+    * literal and a STRDT-minted term of the same lexical form
+    * therefore sameTerm/join/DISTINCT-collapse, and both key-equal a
+    * store-parsed second-precision time of the same instant+offset.
     */
   def parseDateTime(lex: String): TermValue = {
-    val re = """^([+-]?\d+)-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})Z?$""".r
+    val re = """^([+-]?\d+)-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(Z|[+-]\d{2}:\d{2})?$""".r
     lex match {
-      case re(ys, mo, d, h, mi, s) =>
+      case re(ys, mo, d, h, mi, s, tzTok) =>
         val y = ys.toLong
         val iso = f"$y%04d-${mo.toInt}%02d-${d.toInt}%02dT${h.toInt}%02d:${mi.toInt}%02d:${s.toInt}%02dZ"
         val sortKey = y * 1e10 + mo.toInt * 1e8 + d.toInt * 1e6 + h.toInt * 1e4 + mi.toInt * 1e2 + s.toInt
-        TermValue("time", Some(sortKey), Some(iso), None, s"t:$iso|11|0|0|0|G")
+        val tzMin = tzTok match {
+          case null | "Z" => 0
+          case t =>
+            val sign = if (t.startsWith("-")) -1 else 1
+            sign * (t.substring(1, 3).toInt * 60 + t.substring(4, 6).toInt)
+        }
+        TermValue("time", Some(sortKey), Some(iso), None, s"t:$iso|14|0|0|$tzMin|G")
       case _ => TermValue.nullValue
     }
   }

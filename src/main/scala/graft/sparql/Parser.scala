@@ -229,13 +229,35 @@ object Parser {
         ConstructQuery(tpl, body)
       } else if (eatWord("DESCRIBE")) {
         val targets = ArrayBuffer.empty[TermValue]
+        val vars = ArrayBuffer.empty[Var]
         var more = true
         while (more) peek match {
           case Some(TIri(_)) | Some(TPName(_, _)) => targets += parseIriTerm()
+          case Some(TVar(v)) => next(); vars += Var(v)
           case _ => more = false
         }
-        if (targets.isEmpty) throw ParseException("DESCRIBE requires at least one IRI")
-        DescribeQuery(targets.toSeq)
+        if (targets.isEmpty && vars.isEmpty)
+          throw ParseException("DESCRIBE requires at least one IRI or variable")
+        val ds = parseDatasetClauses()
+        var pattern: Option[Op] =
+          if (eatWord("WHERE")) Some(withDataset(parseGroupGraphPattern(), ds))
+          else None
+        // solution modifiers bound the SOLUTION sequence feeding the
+        // described-resource set, not the description's triples
+        var limit: Option[Long] = None
+        var off = 0L
+        while (peek.isDefined) {
+          if (eatWord("LIMIT"))
+            limit = Some(next() match { case TNum(l, true) => l.toLong; case t => throw ParseException(s"$t") })
+          else if (eatWord("OFFSET"))
+            off = next() match { case TNum(l, true) => l.toLong; case t => throw ParseException(s"$t") }
+          else throw ParseException(s"unexpected token $peek")
+        }
+        if (pattern.isDefined && (limit.isDefined || off > 0))
+          pattern = pattern.map(Slice(_, off, limit))
+        if (vars.nonEmpty && pattern.isEmpty) throw ParseException(
+          "DESCRIBE with variables requires a WHERE clause to bind them")
+        DescribeQuery(targets.toSeq, vars.toSeq, pattern)
       } else {
         expectWord("SELECT")
         parseSelectRest()

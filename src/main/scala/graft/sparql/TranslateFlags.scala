@@ -33,11 +33,27 @@ object TranslateFlags {
   /** Spec-mode BNODE/STRDT/TIMEZONE (Expressions). */
   val FunctionsSpec = "spark.graft.functions.spec"
 
-  /** Path-closure row budget (Paths fixpoint). */
+  /** Path-closure row budget (Paths fixpoint). The DEFAULT is finite
+    * ([[PathMaxRowsDefault]], 10M rows): an unbounded `?x wdt:P31* ?y`
+    * over a 100 TB store must fail fast with `PathBudgetExceeded` out
+    * of the box, not attempt the full all-pairs closure — the
+    * cluster-safe behavior is opt-out (raise the flag for a workload
+    * that genuinely needs a larger closure), never opt-in. 10M keeps
+    * every legitimate bounded-endpoint BFS and every fixture/benchmark
+    * closure orders of magnitude inside the budget while bounding a
+    * runaway at roughly one executor's in-memory working set.
+    */
   val PathMaxRows = "spark.graft.path.maxRows"
+  val PathMaxRowsDefault = 10000000L
 
-  /** Row count below which a path-fixpoint round runs as 1-partition
-    * broadcast joins instead of full-width shuffles (Paths fixpoint).
+  /** Row count below which a path closure over a MEASURED-small edge
+    * set runs as a single-pass driver BFS instead of per-round
+    * distributed jobs (Paths). Driver-heap note: the routed plan
+    * collect()s the full edge rows — term structs included, roughly
+    * a few hundred bytes each — so the default 100k bounds one
+    * closure's driver footprint at tens of MB; N concurrent server
+    * queries on this path cost N × that. Size it against driver heap
+    * when raising it or raising server concurrency.
     */
   val PathSmallRows = "spark.graft.path.smallRows"
 
@@ -49,7 +65,7 @@ object TranslateFlags {
     OptionalSpecFilter -> "false",
     LateralSpec -> "false",
     FunctionsSpec -> "false",
-    PathMaxRows -> Long.MaxValue.toString,
+    PathMaxRows -> PathMaxRowsDefault.toString,
     PathSmallRows -> "100000",
     GroupConcatMaxElements -> "0")
 

@@ -64,12 +64,36 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         df.select(termCol(t.s).as("s"), termCol(t.p).as("p"), termCol(t.o).as("o"))
           .filter(bound(col("s")) && bound(col("p")) && bound(col("o")))
       }.reduce(_.unionByName(_)).distinct()
-    case DescribeQuery(targets) =>
+    case DescribeQuery(targets, vars, pattern) =>
       // implementation-defined per spec; ours is the subject scan the
-      // SURVEY maps it to (§2.9)
-      statements
-        .filter(col("s.key").isin(targets.map(_.key): _*))
-        .select(col("s"), col("p"), col("o"))
+      // SURVEY maps it to (§2.9). Constant-only DESCRIBE keeps the
+      // isin filter — a literal predicate the scan can push down /
+      // partition-prune on. Variable targets (DESCRIBE ?x WHERE {…})
+      // evaluate the pattern once, collect the DISTINCT bound keys of
+      // the described vars (constants folded into the same key set),
+      // and semi-join the subject scan on them: the key set is
+      // typically tiny, so AQE turns the semi-join into a broadcast at
+      // runtime, and a semi-join cannot duplicate description triples
+      // even when a subject is named both ways.
+      val presentVars = pattern.toSeq.flatMap { op =>
+        val sols = exec(LabelService.rewrite(op))
+        vars.filter(v => sols.columns.contains(v.name))
+          .map(v => sols.select(col(v.name).getField("key")
+            .as(InternalPrefix + "dk")).filter(col(InternalPrefix + "dk").isNotNull))
+      }
+      if (presentVars.isEmpty)
+        statements
+          .filter(col("s.key").isin(targets.map(_.key): _*))
+          .select(col("s"), col("p"), col("o"))
+      else {
+        import spark.implicits._
+        val constKeys = targets.map(_.key).distinct
+          .toDF(InternalPrefix + "dk")
+        val keys = (presentVars :+ constKeys).reduce(_.unionByName(_)).distinct()
+        statements.alias("st")
+          .join(keys, col("st.s").getField("key") === col(InternalPrefix + "dk"), "left_semi")
+          .select(col("s"), col("p"), col("o"))
+      }
   }
 
   // ----------------------------------------------------------- operators

@@ -1303,7 +1303,12 @@ class PipelineSpec extends SparkTestBase {
       (5L, "http://EXAMPLE.com:8080/x/"), // non-default port survives
       (6L, "http://example.com/a/b?b=2&a=1&fbclid=zzz"), // joins group 1
       (7L, "http://example.com/p#sec?x=1"), // '?' inside fragment ≠ query
-      (8L, "http://example.com/p?ref=main")) // bare ref is FUNCTIONAL, kept
+      (8L, "http://example.com/p?ref=main"), // bare ref is FUNCTIONAL, kept
+      // userinfo: case-SENSITIVE, preserved verbatim (RFC 3986 §3.2.1);
+      // host normalization still applies behind it
+      (9L, "https://User:Pw@WWW.Example.COM:443/a/b?b=2&a=1"),
+      (10L, "https://User:Pw@example.com/a/b?a=1&b=2"), // joins 9
+      (11L, "https://user:pw@example.com/a/b?a=1&b=2")) // case differs → distinct
       .toDF("id", "url")
     val canon = urls.select(col("id"), pipeline.Web.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -1314,14 +1319,20 @@ class PipelineSpec extends SparkTestBase {
     assert(canon(5L) === "http://example.com:8080/x")
     assert(canon(7L) === "http://example.com/p") // fragment text dropped whole
     assert(canon(8L) === "http://example.com/p?ref=main") // distinct from 7
+    assert(canon(9L) === "https://User:Pw@example.com/a/b?a=1&b=2")
+    assert(canon(10L) === canon(9L))
+    assert(canon(11L) === "https://user:pw@example.com/a/b?a=1&b=2")
+    assert(canon(11L) !== canon(9L)) // userinfo case distinguishes
+    assert(canon(9L) !== canon(3L)) // userinfo presence distinguishes
     val dedup = pipeline.Web.urlDedup(urls, "url", "id").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(dedup.size === 6)
+    assert(dedup.size === 8)
     assert(dedup(canon(1L)) === ((1L, 3L))) // min id kept, 3 members
+    assert(dedup(canon(9L)) === ((9L, 2L)))
     // drop-style keeps exactly the keeper rows, original columns intact
     val kept = pipeline.Web.dropUrlDups(urls, "url", "id")
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(kept === Set(1L, 3L, 4L, 5L, 7L, 8L))
+    assert(kept === Set(1L, 3L, 4L, 5L, 7L, 8L, 9L, 11L))
   }
 
   test("videoNearDupClips pairs clips sharing frames; hot signatures capped first") {

@@ -44,6 +44,35 @@ class ServerSpec extends SparkTestBase {
     super.afterAll()
   }
 
+  test("server jobs run under FAIR scheduling in a per-request pool") {
+    // the serving claim ConcurrencyBench measures: the session is FAIR
+    // (GraftSession default) and every HTTP request's Spark jobs carry
+    // a graft-req-* pool, so short queries share the executor with a
+    // long one instead of FIFO-queueing behind its stages
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO") === "FAIR")
+    val pools = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = js.properties.getProperty("spark.scheduler.pool")
+        if (p != null) pools.add(p)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val sparql = "SELECT ?p WHERE { wdt:Q31 ?p ?b . } LIMIT 2"
+      assert(get("/query?query=" + java.net.URLEncoder.encode(sparql, "UTF-8"))._1 === 200)
+      // listener delivery is async; jobs for the request above may post
+      // after the HTTP response returns — poll briefly
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!pools.asScala.exists(_.startsWith("graft-req-")) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val seen = pools.asScala.toSeq
+      assert(seen.nonEmpty && seen.exists(_.startsWith("graft-req-")),
+        s"no graft-req-* pool on any job: $seen")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("repeated queries hit the translated-plan cache; toggled flags and rebuilds miss") {
     QueryServer.planCacheReset()
     val sparql = "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 4"

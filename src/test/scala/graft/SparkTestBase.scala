@@ -19,6 +19,10 @@ object SparkTestBase {
       .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the production scheduling mode (GraftSession): ServerSpec pins
+      // that server jobs land in per-request FAIR pools, which needs
+      // the suite session scheduled the way the shipped one is
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -409,6 +409,32 @@ class SparqlFixtureSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.functions.spec")
   }
 
+  test("a query dateTime literal key-equals the STRDT-minted term of the same lexical form") {
+    // Iris.parseDateTime (the "..."^^xsd:dateTime literal path) and
+    // spec-mode STRDT must mint the SAME identity key — precision 14,
+    // offset-aware tz — or sameTerm/joins/DISTINCT between the two
+    // silently fail for identical lexical forms
+    spark.conf.set("spark.graft.functions.spec", "true")
+    try {
+      def survives(q: String): Boolean =
+        Sparql.rendered(spark, q, dir).collect().length == 1
+      assert(survives(
+        """SELECT ?x WHERE { VALUES ?x { 1 }
+          |FILTER(sameTerm("1990-01-02T03:04:05Z"^^xsd:dateTime,
+          |                STRDT("1990-01-02T03:04:05Z", xsd:dateTime))) }""".stripMargin))
+      // a non-Z offset: both paths must carry the SAME tz minutes
+      assert(survives(
+        """SELECT ?x WHERE { VALUES ?x { 1 }
+          |FILTER(sameTerm("1990-01-02T03:04:05+02:00"^^xsd:dateTime,
+          |                STRDT("1990-01-02T03:04:05+02:00", xsd:dateTime))) }""".stripMargin))
+      // differing offsets stay distinct terms
+      assert(!survives(
+        """SELECT ?x WHERE { VALUES ?x { 1 }
+          |FILTER(sameTerm("1990-01-02T03:04:05+02:00"^^xsd:dateTime,
+          |                STRDT("1990-01-02T03:04:05Z", xsd:dateTime))) }""".stripMargin))
+    } finally spark.conf.unset("spark.graft.functions.spec")
+  }
+
   test("sub-SELECT projects only its selected variables into the outer scope") {
     val df = Sparql.query(spark,
       "SELECT * WHERE { { SELECT ?s WHERE { ?s wdt:P1082 ?pop } } }", dir)

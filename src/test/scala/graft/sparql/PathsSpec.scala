@@ -103,6 +103,18 @@ class PathsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.path.maxRows")
   }
 
+  test("the DEFAULT budget is finite (cluster-safe out of the box)") {
+    // a 100 TB `?x p* ?y` must fail fast WITHOUT any flag set: the
+    // default budget is the documented finite value, not unlimited —
+    // the budget-fires behavior on exceeding it is pinned by the
+    // explicit-flag tests above on the same code path (maxRowsBudget
+    // reads flag-or-default through TranslateFlags.get)
+    spark.conf.unset("spark.graft.path.maxRows")
+    val d = TranslateFlags.get(spark, TranslateFlags.PathMaxRows).toLong
+    assert(d === TranslateFlags.PathMaxRowsDefault)
+    assert(d < Long.MaxValue && d > 0)
+  }
+
   test("a budget above the result size changes nothing") {
     spark.conf.set("spark.graft.path.maxRows", "1000")
     try {
