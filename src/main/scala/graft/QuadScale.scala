@@ -19,7 +19,9 @@ import graft.sparql.Sparql
   * shapes, and prints one JSON line of per-operation seconds so
   * consecutive sizes give measured scaling ratios.
   *
-  * Store shape (planted, so results are assertable at any size; nE
+  * Two data shapes, selected per tier:
+  *
+  * UNIFORM (planted, so results are assertable at any size; nE
   * entities, nE % 32 == 0):
   *   - entities Q0..Q(nE-1); Q0..Q31 double as "classes"
   *   - every entity: one English label `"entity <e>"`, one P1
@@ -37,13 +39,33 @@ import graft.sparql.Sparql
   *     counts stay planted: GRAPH Qc holds exactly 4 quads for c<31),
   *     objects alternating entity / integer
   *
+  * SKEW (nE % 800 == 0) models real Wikidata's hot keys — `wdt:P31 →
+  * wd:Q5` alone holds ~10M instances, and celebrity entities hold
+  * millions of statements — so the uniform tier's per-key flatness is
+  * exactly what a production store does NOT have. Deltas vs uniform,
+  * every count still exactly planted by modular arithmetic:
+  *   - HUB CLASS: entities with e % 4 == 0 redirect their P1 claim to
+  *     class Q5, so Q5 holds 9·nE/32 instances (~28% of one
+  *     predicate — the P31→Q5 shape), 8 classes (multiples of 4) hold
+  *     zero, the other 23 hold nE/32 each
+  *   - HUB SUBJECT: bulk-claim rows with row-index % 100 == 0 take
+  *     subject Q32 (exactly 6·nE/100 = 1% of all bulk claims on ONE
+  *     entity); the uniform remainder draws from [33, nE) so the hub
+  *     count stays exact
+  *   - SKEWED JOIN KEY: nE extra claims under dedicated predicate
+  *     P70; object is Q33 for row % 5 == 0 (20% of the predicate on
+  *     one key), else uniform over [34, nE) — feeding a big-big
+  *     shuffle join (`?a wdt:P70 ?x . ?x wdt:P1 ?c`) whose join key
+  *     has one white-hot value, the AQE skew-join shape
+  *
   * Determinism: every id/choice derives from xxhash64 of the row
   * index — no RNG state, no partitioning dependence. The harness
   * FAILS (nonzero exit) on any wrong answer; timings you cannot trust
   * are worse than no timings.
   *
-  * Usage: `runMain graft.QuadScale [quadTargets] [baseDir]`
-  * (defaults `1000000,8000000` and a temp dir).
+  * Usage: `runMain graft.QuadScale [quadTargets] [baseDir] [modes]`
+  * (defaults `1000000,8000000`, a temp dir, and `uniform`; modes is a
+  * comma list of `uniform`/`skew`).
   */
 object QuadScale {
 
@@ -75,17 +97,27 @@ object QuadScale {
   /** The synthetic statements table (schema identical to the dump
     * parser's output: term structs `s, p, o, id, graph` + long `ord`).
     */
-  def syntheticStatements(spark: SparkSession, nE: Long): DataFrame = {
+  def syntheticStatements(spark: SparkSession, nE: Long,
+      skew: Boolean = false): DataFrame = {
     require(nE % Classes == 0 && nE >= 320,
       s"nE=$nE must be a positive multiple of $Classes (planted per-class counts)")
+    if (skew) require(nE % 800 == 0,
+      s"nE=$nE must be a multiple of 800 in skew mode (planted 1%/20% hub counts)")
     val e = col("id")
     def qid(suffix: String) = concat(lit("Q"), e.cast(StringType), lit(suffix))
     val labels = spark.range(nE).select(
       qEnt(e).as("s"), labelPred.as("p"),
       strT(concat(lit("entity "), e.cast(StringType))).as("o"),
       anonEdge(qid("-a1")).as("id"), qEnt(e).as("graph"))
+    // skew: 1 in 4 entities is an "instance of human" analog — their
+    // P1 claim redirects to hub class Q5 (9·nE/32 total; classes that
+    // are multiples of 4 lose all members, the rest keep nE/32)
+    val p1class =
+      if (skew) when(pmod(e, lit(4L)) === 0L, lit(5L))
+        .otherwise(pmod(e, lit(Classes.toLong)))
+      else pmod(e, lit(Classes.toLong))
     val p1 = spark.range(nE).select(
-      qEnt(e).as("s"), pDir(1).as("p"), qEnt(pmod(e, lit(Classes.toLong))).as("o"),
+      qEnt(e).as("s"), pDir(1).as("p"), qEnt(p1class).as("o"),
       namedEdge(qid("-P1")).as("id"), qEnt(e).as("graph"))
     // qualifier: subject IS the P1 claim edge (edges-on-edges), graph
     // stays the parent document's — the dump parser's convention
@@ -98,7 +130,14 @@ object QuadScale {
       namedEdge(qid("-P2")).as("id"), qEnt(e).as("graph"))
     def u(salt: String) =
       pmod(xxhash64(e, lit(salt)), lit(1000000L)).cast(DoubleType) / 1e6
-    val subj = lit(Classes.toLong) + pmod(xxhash64(e, lit("bs")), lit(nE - Classes))
+    // skew: exactly 1% of bulk claims sit on hub subject Q32; the
+    // uniform remainder starts at Q33 so the hub count stays planted
+    val subjUniform =
+      if (skew) lit(Classes + 1L) + pmod(xxhash64(e, lit("bs")), lit(nE - Classes - 1))
+      else lit(Classes.toLong) + pmod(xxhash64(e, lit("bs")), lit(nE - Classes))
+    val subj =
+      if (skew) when(pmod(e, lit(100L)) === 0L, lit(Classes.toLong)).otherwise(subjUniform)
+      else subjUniform
     val predNum = (lit(20) + floor(u("bp") * u("bp") * u("bp") * lit(44.0))).cast("int")
     val bulk = spark.range(6L * nE).select(
       qEnt(subj).as("s"), pDirCol(predNum).as("p"),
@@ -106,120 +145,195 @@ object QuadScale {
         .otherwise(intT(pmod(xxhash64(e, lit("bi")), lit(1000L)))).as("o"),
       namedEdge(concat(lit("B"), e.cast(StringType))).as("id"),
       qEnt(subj).as("graph"))
-    labels.unionByName(p1).unionByName(quals).unionByName(chain).unionByName(bulk)
-      .withColumn("ord", monotonically_increasing_id())
+    val base = labels.unionByName(p1).unionByName(quals).unionByName(chain)
+      .unionByName(bulk)
+    val all = if (!skew) base else {
+      // dedicated skewed-object predicate: 20% of P70's objects are
+      // Q33 (one white-hot join key), the rest uniform over [34, nE);
+      // subjects uniform over [33, nE) — never the Q32 hub, so the
+      // hub-subject count stays exactly 6·nE/100 + 2
+      val skewSubj = lit(Classes + 1L) + pmod(xxhash64(e, lit("ss")), lit(nE - Classes - 1))
+      val skewObj = when(pmod(e, lit(5L)) === 0L, lit(Classes + 1L))
+        .otherwise(lit(Classes + 2L) + pmod(xxhash64(e, lit("so")), lit(nE - Classes - 2)))
+      val p70 = spark.range(nE).select(
+        qEnt(skewSubj).as("s"), pDir(70).as("p"), qEnt(skewObj).as("o"),
+        namedEdge(concat(lit("S"), e.cast(StringType))).as("id"),
+        qEnt(skewSubj).as("graph"))
+      base.unionByName(p70)
+    }
+    all.withColumn("ord", monotonically_increasing_id())
   }
 
   /** Total quads [[syntheticStatements]] emits for `nE` entities. */
-  def totalQuads(nE: Long): Long = 9L * nE + (Classes - 1)
+  def totalQuads(nE: Long, skew: Boolean = false): Long =
+    (if (skew) 10L else 9L) * nE + (Classes - 1)
+
+  /** The headline query shapes with EXACT planted row counts for the
+    * given data shape; skew mode swaps the hot-key variants in and
+    * appends the hub-specific shapes.
+    */
+  def plantedQueries(nE: Long, skew: Boolean,
+      fail: String => Unit): Seq[(String, String, Long, DataFrame => Unit)] = {
+    val total = totalQuads(nE, skew)
+    val perClass = nE / Classes
+    // skew: instances(Q5) = {e % 4 == 0} ∪ {e % 32 == 5} (disjoint:
+    // e % 32 == 5 → e % 4 == 1), so 9·nE/32
+    val q5Count = if (skew) 9 * perClass else perClass
+    // classes with an outgoing P2 edge are 0..30; under skew the 8
+    // multiples of 4 in that range hold zero members, Q5 holds 9/32,
+    // the other 22 hold nE/32: (9 + 22)·nE/32 — numerically the same
+    // 31·nE/32 as uniform, but the join key distribution is white-hot
+    val bgpRows = perClass * (Classes - 1)
+    // classes (= entities 0..30 with P2-out) now inside class Q5:
+    // {0,4,...,28} redirected plus Q5 itself = 9
+    val q5Bound = if (skew) 9L else 1L
+    val distinctClasses = if (skew) Classes.toLong - 8 else Classes.toLong
+
+    val shared: Seq[(String, String, Long, DataFrame => Unit)] = Seq(
+      ("full_scan", "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", total, _ => ()),
+      ("pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE, _ => ()),
+      ("po_bound", "SELECT ?x WHERE { ?x wdt:P1 wd:Q5 }", q5Count, _ => ()),
+      ("bgp_join", "SELECT ?x ?d WHERE { ?x wdt:P1 ?c . ?c wdt:P2 ?d }",
+        bgpRows, _ => ()),
+      ("qualifier_join",
+        "SELECT ?x ?v WHERE { ?x p:P1 ?stmt . ?stmt wdt:P10 ?v }", nE, _ => ()),
+      ("label_service",
+        """SELECT ?x ?xLabel WHERE { ?x wdt:P1 wd:Q3 .
+          |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
+        perClass,
+        df => {
+          val bound = df.filter(col("xLabel").getField("str").isNotNull).count()
+          if (bound != perClass)
+            fail(s"label_service bound $bound labels, planted $perClass")
+        }),
+      ("path_star", "SELECT ?c WHERE { wd:Q0 wdt:P2* ?c }", Classes.toLong, _ => ()),
+      ("graph_const", "SELECT ?s ?p ?o WHERE { GRAPH wd:Q7 { ?s ?p ?o } }", 4L, _ => ()),
+      ("agg_group",
+        "SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x wdt:P1 ?c } GROUP BY ?c",
+        distinctClasses,
+        df => {
+          val counts = df.select(col("n").getField("num")).collect()
+            .map(_.getDouble(0).toLong).groupBy(identity).view.mapValues(_.length).toMap
+          val planted =
+            if (skew) Map(9 * perClass -> 1, perClass -> 23)
+            else Map(perClass -> Classes)
+          if (counts != planted)
+            fail(s"agg_group count multiset $counts, planted $planted")
+        }),
+      ("order_limit",
+        """SELECT ?x ?v WHERE { ?x p:P1 ?st . ?st wdt:P10 ?v }
+          |ORDER BY DESC(?v) LIMIT 5""".stripMargin,
+        5L,
+        df => {
+          val vs = df.select(col("v").getField("num")).collect().map(_.getDouble(0))
+          if (!vs.forall(_ == 49.0)) // max of (e mod 50), multiplicity nE/50 >= 5
+            fail(s"order_limit values ${vs.mkString(",")}, planted all 49")
+        }),
+      // among Q5's instances only entities 0..30 have an outgoing P2
+      ("optional",
+        "SELECT ?x ?y WHERE { ?x wdt:P1 wd:Q5 . OPTIONAL { ?x wdt:P2 ?y } }",
+        q5Count,
+        df => {
+          val bound = df.filter(col("y").getField("key").isNotNull).count()
+          if (bound != q5Bound) fail(s"optional bound $bound rows, planted $q5Bound")
+        }),
+      ("minus",
+        "SELECT ?x WHERE { ?x wdt:P1 wd:Q5 . MINUS { ?x wdt:P2 ?y } }",
+        q5Count - q5Bound, _ => ()),
+      ("distinct",
+        "SELECT DISTINCT ?c WHERE { ?x wdt:P1 ?c }", distinctClasses, _ => ()))
+
+    val skewOnly: Seq[(String, String, Long, DataFrame => Unit)] = Seq(
+      // contrast shape: a COLD key of the same predicate — pruning
+      // must keep this flat regardless of Q5's heat
+      ("po_bound_cold", "SELECT ?x WHERE { ?x wdt:P1 wd:Q3 }",
+        nE / Classes, _ => ()),
+      // one entity holding 1% of all bulk statements (+ its own label
+      // and P1): the celebrity-entity subject lookup
+      ("hub_subject", "SELECT ?p ?o WHERE { wd:Q32 ?p ?o }",
+        6 * nE / 100 + 2, _ => ()),
+      // object-bound scan on the white-hot key (20% of P70)
+      ("skew_obj_scan", "SELECT ?x WHERE { ?x wdt:P70 wd:Q33 }",
+        nE / 5, _ => ()),
+      // big-big join (nE ⋈ nE) whose key carries a 20% hot value —
+      // the AQE skew-join shape; every P70 object has exactly one P1,
+      // so output is exactly nE
+      ("skew_shuffle_join",
+        "SELECT ?a ?c WHERE { ?a wdt:P70 ?x . ?x wdt:P1 ?c }",
+        nE, _ => ()),
+      // label service over the hub class: 9·nE/32 lookups, all bound
+      ("hub_label_service",
+        """SELECT ?x ?xLabel WHERE { ?x wdt:P1 wd:Q5 .
+          |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
+        9 * perClass,
+        df => {
+          val bound = df.filter(col("xLabel").getField("str").isNotNull).count()
+          if (bound != 9 * perClass)
+            fail(s"hub_label_service bound $bound labels, planted ${9 * perClass}")
+        }))
+
+    if (skew) shared ++ skewOnly else shared
+  }
 
   def main(args: Array[String]): Unit = {
     val targets = args.lift(0).getOrElse("1000000,8000000")
       .split(",").map(_.trim.toLong).toSeq
     val baseDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-quadscale").toString)
+    val modes = args.lift(2).getOrElse("uniform").split(",").map(_.trim).toSeq
+    modes.foreach(m => require(m == "uniform" || m == "skew", s"unknown mode $m"))
     val spark = GraftSession.get()
     var failed = false
 
     def fail(msg: String): Unit = { System.err.println(s"[quadscale] FAIL: $msg"); failed = true }
 
-    val perSize = targets.map { target =>
-      val nE = math.max(320L, math.round(target / 9.0 / Classes) * Classes)
-      val total = totalQuads(nE)
-      val flat = s"$baseDir/flat_$nE"
-      val idx = s"$baseDir/idx_$nE"
+    val perSize = for (mode <- modes; target <- targets) yield {
+      val skew = mode == "skew"
+      val quadsPerE = if (skew) 10.0 else 9.0
+      val align = if (skew) 800L else Classes.toLong
+      val nE = math.max(800L, math.round(target / quadsPerE / align) * align)
+      val total = totalQuads(nE, skew)
+      val flat = s"$baseDir/flat_${mode}_$nE"
+      val idx = s"$baseDir/idx_${mode}_$nE"
 
       def time[A](name: String)(f: => A): (Double, A) = {
         val t0 = System.nanoTime()
         val out = f
         val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[quadscale $total] $name: $secs%.2f s")
+        System.err.println(f"[quadscale $mode $total] $name: $secs%.2f s")
         (secs, out)
       }
 
       val (tDb, _) = time("create_db") {
-        WikidataIngest.writeStore(spark, syntheticStatements(spark, nE), flat)
+        WikidataIngest.writeStore(spark, syntheticStatements(spark, nE, skew), flat)
       }
       val (tIdx, _) = time("create_index") {
         WikidataIngest.createIndex(spark, flat, idx)
       }
 
-      // (name, query, expected rows, optional deep check on the result)
-      val queries: Seq[(String, String, Long, DataFrame => Unit)] = Seq(
-        ("full_scan", "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", total, _ => ()),
-        ("pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE, _ => ()),
-        ("po_bound", "SELECT ?x WHERE { ?x wdt:P1 wd:Q5 }", nE / Classes, _ => ()),
-        ("bgp_join", "SELECT ?x ?d WHERE { ?x wdt:P1 ?c . ?c wdt:P2 ?d }",
-          nE / Classes * (Classes - 1), _ => ()),
-        ("qualifier_join",
-          "SELECT ?x ?v WHERE { ?x p:P1 ?stmt . ?stmt wdt:P10 ?v }", nE, _ => ()),
-        ("label_service",
-          """SELECT ?x ?xLabel WHERE { ?x wdt:P1 wd:Q3 .
-            |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
-          nE / Classes,
-          df => {
-            val bound = df.filter(col("xLabel").getField("str").isNotNull).count()
-            if (bound != nE / Classes)
-              fail(s"label_service bound $bound labels, planted ${nE / Classes}")
-          }),
-        ("path_star", "SELECT ?c WHERE { wd:Q0 wdt:P2* ?c }", Classes.toLong, _ => ()),
-        ("graph_const", "SELECT ?s ?p ?o WHERE { GRAPH wd:Q7 { ?s ?p ?o } }", 4L, _ => ()),
-        ("agg_group",
-          "SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x wdt:P1 ?c } GROUP BY ?c",
-          Classes.toLong,
-          df => {
-            val counts = df.select(col("n").getField("num")).collect()
-              .map(_.getDouble(0).toLong).toSet
-            if (counts != Set(nE / Classes))
-              fail(s"agg_group counts $counts, planted ${nE / Classes}")
-          }),
-        ("order_limit",
-          """SELECT ?x ?v WHERE { ?x p:P1 ?st . ?st wdt:P10 ?v }
-            |ORDER BY DESC(?v) LIMIT 5""".stripMargin,
-          5L,
-          df => {
-            val vs = df.select(col("v").getField("num")).collect().map(_.getDouble(0))
-            if (!vs.forall(_ == 49.0)) // max of (e mod 50), multiplicity nE/50 >= 5
-              fail(s"order_limit values ${vs.mkString(",")}, planted all 49")
-          }),
-        // among Q5's nE/32 instances only Q5 itself (a class, c<31) has
-        // an outgoing P2 — exactly one bound OPTIONAL row, the rest
-        // survive unbound
-        ("optional",
-          "SELECT ?x ?y WHERE { ?x wdt:P1 wd:Q5 . OPTIONAL { ?x wdt:P2 ?y } }",
-          nE / Classes,
-          df => {
-            val bound = df.filter(col("y").getField("key").isNotNull).count()
-            if (bound != 1L) fail(s"optional bound $bound rows, planted 1")
-          }),
-        ("minus",
-          "SELECT ?x WHERE { ?x wdt:P1 wd:Q5 . MINUS { ?x wdt:P2 ?y } }",
-          nE / Classes - 1, _ => ()),
-        ("distinct",
-          "SELECT DISTINCT ?c WHERE { ?x wdt:P1 ?c }", Classes.toLong, _ => ()))
-
-      val opResults = queries.map { case (name, text, expected, deepCheck) =>
-        // two reps, min: the first pays parquet-footer/codegen warmup,
-        // the second is the steady-state cost a server pays per query
-        val reps = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          val df = Sparql.query(spark, text, idx)
-          val rows = df.count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          (secs, rows, df)
-        }
-        val (secs, rows, df) = reps.minBy(_._1)
-        if (rows != expected) fail(s"$name returned $rows rows, planted $expected")
-        deepCheck(df)
-        System.err.println(f"[quadscale $total] $name: $secs%.3f s, $rows rows")
-        (name, secs, rows)
+      val opResults = plantedQueries(nE, skew, fail).map {
+        case (name, text, expected, deepCheck) =>
+          // two reps, min: the first pays parquet-footer/codegen warmup,
+          // the second is the steady-state cost a server pays per query
+          val reps = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val df = Sparql.query(spark, text, idx)
+            val rows = df.count()
+            val secs = (System.nanoTime() - t0) / 1e9
+            (secs, rows, df)
+          }
+          val (secs, rows, df) = reps.minBy(_._1)
+          if (rows != expected) fail(s"$mode/$name returned $rows rows, planted $expected")
+          deepCheck(df)
+          System.err.println(f"[quadscale $mode $total] $name: $secs%.3f s, $rows rows")
+          (name, secs, rows)
       }
 
       val ops = (Seq(("create_db", tDb, total), ("create_index", tIdx, total)) ++ opResults)
         .map { case (n, s, r) =>
           s""""$n":{"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))},"rows":$r}"""
         }.mkString(",")
-      s"""{"quads":$total,"entities":$nE,"ops":{$ops}}"""
+      s"""{"quads":$total,"entities":$nE,"mode":"$mode","ops":{$ops}}"""
     }
     println(s"""{"metric":"quadscale","sizes":[${perSize.mkString(",")}]}""")
     if (failed) sys.exit(1)

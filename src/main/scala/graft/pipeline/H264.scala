@@ -1,0 +1,1284 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+
+/** Pure-JVM H.264/AVC BASELINE-INTRA codec (ITU-T Rec. H.264 / ISO/IEC
+  * 14496-10): a decoder for IDR/I slices in CAVLC entropy mode —
+  * I_4x4 (all 9 prediction modes), I_16x16 (all 4), I_PCM, chroma
+  * DC/H/V/Plane, 4:2:0, frame cropping — plus a fixture ENCODER
+  * (I_16x16 / I_4x4 / I_PCM, CAVLC) and an `avc1` MP4 writer, so the
+  * video pipeline's H.264 arm is exercised end-to-end without any
+  * native codec. This fills the `avc1` decode seam the MP4 demux left
+  * open (the keyframe slice of a real corpus — frame-sampled near-dup
+  * pipelines decode IDR frames and skip P/B by design).
+  *
+  * CEILING (documented, honest): inter-coded slices (P/B), CABAC
+  * entropy mode, high-profile tools (8x8 transform, scaling lists,
+  * MBAFF), and the in-loop deblocking filter are NOT implemented —
+  * payloads needing them yield no frames (degradation, never garbage;
+  * deblocking-enabled intra streams decode but are not filtered, so
+  * they are flagged undecodable rather than approximated). VALIDATION
+  * BOUNDARY: with no external H.264 implementation available in this
+  * environment (zero egress, no ffmpeg/JCodec), the entropy tables
+  * are transcribed from the published standard and validated
+  * STRUCTURALLY (prefix-freeness and Kraft-completeness per VLC
+  * table, permutation check on the CBP mapping — see H264Spec) and by
+  * exhaustive encoder/decoder roundtrips over the full (TrailingOnes,
+  * TotalCoeff) × nC space; they are NOT cross-checked against an
+  * external reference decoder. The arithmetic layers (Exp-Golomb,
+  * transforms, dequant, prediction) are pinned by hand-computed spec
+  * vectors. Treat wild-stream decode as experimental until a
+  * reference cross-check is possible; this repo's own conforming
+  * encoder round-trips bit-exactly.
+  *
+  * Scale shape: decode is a PER-ROW kernel behind Multimodal's narrow
+  * `mapPartitions` dispatch (no shuffle, no driver work) — the same
+  * plan as the MJPEG/GIF arms.
+  */
+object H264 {
+
+  // ------------------------------------------------------------ bit IO
+
+  /** MSB-first bit reader over an RBSP byte array. Out-of-bounds reads
+    * throw (callers catch and degrade — corrupt-blob-is-data).
+    */
+  private[pipeline] final class BitReader(d: Array[Byte]) {
+    private var bit = 0
+    def bitPos: Int = bit
+    def read1(): Int = {
+      val b = (d(bit >>> 3) >> (7 - (bit & 7))) & 1
+      bit += 1
+      b
+    }
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | read1(); i += 1 }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (read1() == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IllegalStateException("ue(v) overflow")
+      }
+      if (zeros == 0) 0 else ((1 << zeros) - 1) + read(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) >> 1 else -(k >> 1)
+    }
+    def byteAlign(): Unit = while ((bit & 7) != 0) bit += 1
+    /** §7.2 more_rbsp_data(): true iff bits remain before the
+      * rbsp_stop_one_bit (the last set bit of the stream).
+      */
+    def moreRbspData(): Boolean = {
+      var last = d.length - 1
+      while (last >= 0 && d(last) == 0) last -= 1
+      if (last < 0) return false
+      var stop = last * 8 + 7
+      while (((d(stop >>> 3) >> (7 - (stop & 7))) & 1) == 0) stop -= 1
+      bit < stop
+    }
+  }
+
+  /** MSB-first bit writer; `rbspTrailing` appends the stop bit + pad. */
+  private[pipeline] final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def putStr(bits: String): Unit = bits.foreach(c => put(if (c == '1') 1 else 0, 1))
+    def ue(v: Int): Unit = {
+      require(v >= 0)
+      val n = 32 - Integer.numberOfLeadingZeros(v + 1) // bits in v+1
+      put(0, n - 1)
+      put(v + 1, n)
+    }
+    def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def byteAlign(): Unit = if (nBits != 0) put(0, 8 - nBits)
+    def rbspTrailing(): Unit = { put(1, 1); byteAlign() }
+    def bitLength: Int = buf.size * 8 + nBits
+    def toBytes: Array[Byte] = {
+      require(nBits == 0, "unaligned bitstream — call rbspTrailing/byteAlign first")
+      buf.toByteArray
+    }
+  }
+
+  /** NAL payload → RBSP: strip emulation-prevention bytes
+    * (00 00 03 → 00 00).
+    */
+  private[pipeline] def stripEmulation(nal: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(until - from)
+    var i = from
+    var zeros = 0
+    while (i < until) {
+      val b = nal(i)
+      if (zeros >= 2 && b == 3) zeros = 0 // drop the emulation byte
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** RBSP → NAL payload: insert emulation-prevention bytes. */
+  private[pipeline] def addEmulation(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 16)
+    var zeros = 0
+    for (b <- rbsp) {
+      if (zeros >= 2 && (b & 0xFC) == 0) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ headers
+
+  private[pipeline] final case class Sps(
+      profile: Int, level: Int, log2MaxFrameNum: Int, pocType: Int,
+      log2MaxPocLsb: Int, widthMbs: Int, heightMbs: Int,
+      cropL: Int, cropR: Int, cropT: Int, cropB: Int) {
+    def width: Int = widthMbs * 16 - 2 * (cropL + cropR)
+    def height: Int = heightMbs * 16 - 2 * (cropT + cropB)
+  }
+
+  private[pipeline] final case class Pps(
+      cabac: Boolean, bottomFieldPoc: Boolean, picInitQp: Int,
+      chromaQpOff: Int, deblockCtrl: Boolean, constrainedIntra: Boolean,
+      redundantPicCnt: Boolean)
+
+  /** Parse seq_parameter_set_rbsp (§7.3.2.1). None = uses tools beyond
+    * the supported baseline-intra subset.
+    */
+  private[pipeline] def parseSps(rbsp: Array[Byte]): Option[Sps] =
+    try {
+      val r = new BitReader(rbsp)
+      val profile = r.read(8)
+      r.read(8) // constraint flags + reserved
+      val level = r.read(8)
+      r.ue() // sps_id
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135).contains(profile)) {
+        val chromaFormat = r.ue()
+        if (chromaFormat != 1) return None // 4:2:0 only
+        r.ue(); r.ue() // bit depths
+        r.read1() // qpprime_y_zero_transform_bypass
+        if (r.read1() == 1) return None // scaling lists unsupported
+      }
+      val log2MaxFrameNum = r.ue() + 4
+      val pocType = r.ue()
+      val log2MaxPocLsb = if (pocType == 0) r.ue() + 4 else if (pocType == 2) 0 else return None
+      r.ue() // max_num_ref_frames
+      r.read1() // gaps_in_frame_num
+      val widthMbs = r.ue() + 1
+      val heightMapUnits = r.ue() + 1
+      val frameMbsOnly = r.read1()
+      if (frameMbsOnly != 1) return None // fields/MBAFF unsupported
+      r.read1() // direct_8x8_inference
+      val (cl, cr, ct, cb) =
+        if (r.read1() == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
+      // vui ignored
+      Some(Sps(profile, level, log2MaxFrameNum, pocType, log2MaxPocLsb,
+        widthMbs, heightMapUnits, cl, cr, ct, cb))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parse pic_parameter_set_rbsp (§7.3.2.2). None = FMO/unsupported. */
+  private[pipeline] def parsePps(rbsp: Array[Byte]): Option[Pps] =
+    try {
+      val r = new BitReader(rbsp)
+      r.ue() // pps_id
+      r.ue() // sps_id
+      val cabac = r.read1() == 1
+      val bottomPoc = r.read1() == 1
+      if (r.ue() != 0) return None // slice groups (FMO) unsupported
+      r.ue(); r.ue() // num_ref_idx defaults
+      r.read1() // weighted_pred
+      r.read(2) // weighted_bipred
+      val qp = r.se() + 26
+      r.se() // qs
+      val chromaQpOff = r.se()
+      val deblockCtrl = r.read1() == 1
+      val constrainedIntra = r.read1() == 1
+      val redundant = r.read1() == 1
+      Some(Pps(cabac, bottomPoc, qp, chromaQpOff, deblockCtrl, constrainedIntra, redundant))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------------------ CAVLC tables
+
+  /** Table 9-5 coeff_token columns as "(T1s,TC) → bit string".
+    * TRANSCRIBED FROM THE SPEC; structural validity (prefix-freeness)
+    * is asserted by H264Spec, roundtrip coverage is exhaustive over
+    * all 62 entries per column. Layout: index = TC*4 + T1 (T1 ≤ min(TC,3)).
+    */
+  private def tok(entries: (Int, Int, String)*): Array[String] = {
+    val a = new Array[String](17 * 4)
+    entries.foreach { case (t1, tc, bits) => a(tc * 4 + t1) = bits }
+    a
+  }
+
+  private[pipeline] val CoeffTokenNc0: Array[String] = tok(
+    (0, 0, "1"),
+    (0, 1, "000101"), (1, 1, "01"),
+    (0, 2, "00000111"), (1, 2, "000100"), (2, 2, "001"),
+    (0, 3, "000000111"), (1, 3, "00000110"), (2, 3, "0000101"), (3, 3, "00011"),
+    (0, 4, "0000000111"), (1, 4, "000000110"), (2, 4, "00000101"), (3, 4, "000011"),
+    (0, 5, "00000000111"), (1, 5, "0000000110"), (2, 5, "000000101"), (3, 5, "0000100"),
+    (0, 6, "0000000001111"), (1, 6, "00000000110"), (2, 6, "0000000101"), (3, 6, "00000100"),
+    (0, 7, "0000000001011"), (1, 7, "0000000001110"), (2, 7, "00000000101"), (3, 7, "000000100"),
+    (0, 8, "0000000001000"), (1, 8, "0000000001010"), (2, 8, "0000000001101"), (3, 8, "0000000100"),
+    (0, 9, "00000000001111"), (1, 9, "00000000001110"), (2, 9, "0000000001001"), (3, 9, "00000000100"),
+    (0, 10, "00000000001011"), (1, 10, "00000000001010"), (2, 10, "00000000001101"), (3, 10, "0000000001100"),
+    (0, 11, "000000000001111"), (1, 11, "000000000001110"), (2, 11, "00000000001001"), (3, 11, "00000000001100"),
+    (0, 12, "000000000001011"), (1, 12, "000000000001010"), (2, 12, "000000000001101"), (3, 12, "00000000001000"),
+    (0, 13, "0000000000001111"), (1, 13, "000000000000001"), (2, 13, "000000000001001"), (3, 13, "000000000001100"),
+    (0, 14, "0000000000001011"), (1, 14, "0000000000001110"), (2, 14, "0000000000001101"), (3, 14, "000000000001000"),
+    (0, 15, "0000000000000111"), (1, 15, "0000000000001010"), (2, 15, "0000000000001001"), (3, 15, "0000000000001100"),
+    (0, 16, "0000000000000100"), (1, 16, "0000000000000110"), (2, 16, "0000000000000101"), (3, 16, "0000000000001000"))
+
+  private[pipeline] val CoeffTokenNc2: Array[String] = tok(
+    (0, 0, "11"),
+    (0, 1, "001011"), (1, 1, "10"),
+    (0, 2, "000111"), (1, 2, "00111"), (2, 2, "011"),
+    (0, 3, "0000111"), (1, 3, "001010"), (2, 3, "001001"), (3, 3, "0101"),
+    (0, 4, "00000111"), (1, 4, "000110"), (2, 4, "000101"), (3, 4, "0100"),
+    (0, 5, "00000100"), (1, 5, "0000110"), (2, 5, "0000101"), (3, 5, "00110"),
+    (0, 6, "000000111"), (1, 6, "00000110"), (2, 6, "00000101"), (3, 6, "001000"),
+    (0, 7, "00000001111"), (1, 7, "000000110"), (2, 7, "000000101"), (3, 7, "000100"),
+    (0, 8, "00000001011"), (1, 8, "00000001110"), (2, 8, "00000001101"), (3, 8, "0000100"),
+    (0, 9, "000000001111"), (1, 9, "00000001010"), (2, 9, "00000001001"), (3, 9, "000000100"),
+    (0, 10, "000000001011"), (1, 10, "000000001110"), (2, 10, "000000001101"), (3, 10, "00000001100"),
+    (0, 11, "000000001000"), (1, 11, "000000001010"), (2, 11, "000000001001"), (3, 11, "00000001000"),
+    (0, 12, "0000000001111"), (1, 12, "0000000001110"), (2, 12, "0000000001101"), (3, 12, "000000001100"),
+    (0, 13, "0000000001011"), (1, 13, "0000000001010"), (2, 13, "0000000001001"), (3, 13, "0000000001100"),
+    (0, 14, "0000000000111"), (1, 14, "00000000001011"), (2, 14, "0000000000110"), (3, 14, "0000000001000"),
+    (0, 15, "00000000001001"), (1, 15, "00000000001000"), (2, 15, "00000000001010"), (3, 15, "0000000000001"),
+    (0, 16, "00000000000111"), (1, 16, "00000000000110"), (2, 16, "00000000000101"), (3, 16, "00000000000100"))
+
+  private[pipeline] val CoeffTokenNc4: Array[String] = tok(
+    (0, 0, "1111"),
+    (0, 1, "001111"), (1, 1, "1110"),
+    (0, 2, "001011"), (1, 2, "01111"), (2, 2, "1101"),
+    (0, 3, "001000"), (1, 3, "01100"), (2, 3, "01110"), (3, 3, "1100"),
+    (0, 4, "0001111"), (1, 4, "01010"), (2, 4, "01011"), (3, 4, "1011"),
+    (0, 5, "0001011"), (1, 5, "01000"), (2, 5, "01001"), (3, 5, "1010"),
+    (0, 6, "0001001"), (1, 6, "001110"), (2, 6, "001101"), (3, 6, "1001"),
+    (0, 7, "0001000"), (1, 7, "001010"), (2, 7, "001001"), (3, 7, "1000"),
+    (0, 8, "00001111"), (1, 8, "0001110"), (2, 8, "0001101"), (3, 8, "01101"),
+    (0, 9, "00001011"), (1, 9, "00001110"), (2, 9, "0001010"), (3, 9, "001100"),
+    (0, 10, "000001111"), (1, 10, "00001010"), (2, 10, "00001101"), (3, 10, "0001100"),
+    (0, 11, "000001011"), (1, 11, "000001110"), (2, 11, "00001001"), (3, 11, "00001100"),
+    (0, 12, "000001000"), (1, 12, "000001010"), (2, 12, "000001101"), (3, 12, "00001000"),
+    (0, 13, "0000001101"), (1, 13, "000000111"), (2, 13, "000001001"), (3, 13, "000001100"),
+    (0, 14, "0000001001"), (1, 14, "0000001100"), (2, 14, "0000001011"), (3, 14, "0000001010"),
+    (0, 15, "0000000101"), (1, 15, "0000001000"), (2, 15, "0000000111"), (3, 15, "0000000110"),
+    (0, 16, "0000000001"), (1, 16, "0000000100"), (2, 16, "0000000011"), (3, 16, "0000000010"))
+
+  /** nC == -1: chroma DC (4:2:0), maxNumCoeff 4. Kraft-complete. */
+  private[pipeline] val CoeffTokenChromaDc: Array[String] = tok(
+    (0, 0, "01"),
+    (0, 1, "000111"), (1, 1, "1"),
+    (0, 2, "000100"), (1, 2, "000110"), (2, 2, "001"),
+    (0, 3, "000011"), (1, 3, "0000011"), (2, 3, "0000010"), (3, 3, "000101"),
+    (0, 4, "000010"), (1, 4, "00000011"), (2, 4, "00000010"), (3, 4, "0000000"))
+
+  /** Table 9-7 total_zeros, 4x4 blocks; row = TotalCoeff (1..15),
+    * column = total_zeros. Every row is Kraft-complete (asserted in
+    * H264Spec).
+    */
+  private[pipeline] val TotalZeros4x4: Array[Array[String]] = Array(
+    null, // TC 0 unused
+    Array("1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+      "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+      "000000010", "000000001"),
+    Array("111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+      "00011", "00010", "000011", "000010", "000001", "000000"),
+    Array("0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+      "00011", "00010", "000001", "00001", "000000"),
+    Array("00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+      "0010", "00010", "00001", "00000"),
+    Array("0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+      "00001", "0001", "00000"),
+    Array("000001", "00001", "111", "110", "101", "100", "011", "010", "0001",
+      "001", "000000"),
+    Array("000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+      "000000"),
+    Array("000001", "0001", "00001", "011", "11", "10", "010", "001", "000000"),
+    Array("000001", "000000", "0001", "11", "10", "001", "01", "00001"),
+    Array("00001", "00000", "001", "11", "10", "01", "0001"),
+    Array("0000", "0001", "001", "010", "1", "011"),
+    Array("0000", "0001", "01", "1", "001"),
+    Array("000", "001", "1", "01"),
+    Array("00", "01", "1"),
+    Array("0", "1"))
+
+  /** Table 9-9(a): chroma DC total_zeros (4:2:0), row = TotalCoeff. */
+  private[pipeline] val TotalZerosChromaDc: Array[Array[String]] = Array(
+    null,
+    Array("1", "01", "001", "000"),
+    Array("1", "01", "00"),
+    Array("1", "0"))
+
+  /** Table 9-10 run_before; row = min(zerosLeft, 7), column = run. */
+  private[pipeline] val RunBefore: Array[Array[String]] = Array(
+    null,
+    Array("1", "0"),
+    Array("1", "01", "00"),
+    Array("11", "10", "01", "00"),
+    Array("11", "10", "01", "001", "000"),
+    Array("11", "10", "011", "010", "001", "000"),
+    Array("11", "000", "001", "011", "010", "101", "100"),
+    Array("111", "110", "101", "100", "011", "010", "001", "0001", "00001",
+      "000001", "0000001", "00000001", "000000001", "0000000001", "00000000001"))
+
+  /** Table 9-4 (intra): coded_block_pattern me(v) mapping, codeNum →
+    * cbp. A permutation of 0..47 (asserted in H264Spec).
+    */
+  private[pipeline] val CbpIntra: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  private[pipeline] val CbpIntraInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    for (i <- CbpIntra.indices) inv(CbpIntra(i)) = i
+    inv
+  }
+
+  /** Decode tree node for a VLC table: arrays indexed by bit. */
+  private final class VlcTree(codes: Seq[(String, Int)]) {
+    // value at leaf = encoded value; -1 = internal node
+    private val zero = new java.util.HashMap[String, Integer]()
+    codes.foreach { case (bits, v) => zero.put(bits, v) }
+    def decode(r: BitReader): Int = {
+      val sb = new java.lang.StringBuilder(16)
+      var steps = 0
+      while (steps < 20) {
+        sb.append(if (r.read1() == 1) '1' else '0')
+        val hit = zero.get(sb.toString)
+        if (hit != null) return hit.intValue()
+        steps += 1
+      }
+      throw new IllegalStateException("VLC code not in table")
+    }
+  }
+
+  private def tokenTree(tab: Array[String]): VlcTree =
+    new VlcTree(for (tc <- 0 to 16; t1 <- 0 to 3; if tab(tc * 4 + t1) != null)
+      yield (tab(tc * 4 + t1), tc * 4 + t1))
+  private lazy val TreeNc0 = tokenTree(CoeffTokenNc0)
+  private lazy val TreeNc2 = tokenTree(CoeffTokenNc2)
+  private lazy val TreeNc4 = tokenTree(CoeffTokenNc4)
+  private lazy val TreeChromaDc = tokenTree(CoeffTokenChromaDc)
+  private lazy val TreeTotalZeros4x4: Array[VlcTree] =
+    TotalZeros4x4.map(row => if (row == null) null
+      else new VlcTree(row.zipWithIndex.map { case (b, i) => (b, i) }.toSeq))
+  private lazy val TreeTotalZerosChromaDc: Array[VlcTree] =
+    TotalZerosChromaDc.map(row => if (row == null) null
+      else new VlcTree(row.zipWithIndex.map { case (b, i) => (b, i) }.toSeq))
+  private lazy val TreeRunBefore: Array[VlcTree] =
+    RunBefore.map(row => if (row == null) null
+      else new VlcTree(row.zipWithIndex.map { case (b, i) => (b, i) }.toSeq))
+
+  // ------------------------------------------------------------ CAVLC codec
+
+  /** §9.2 residual_block_cavlc: decode `maxNumCoeff` coefficients (in
+    * scan order) with context nC. Returns (coeffs, totalCoeff).
+    */
+  private[pipeline] def decodeResidualBlock(r: BitReader, maxNumCoeff: Int,
+                                            nC: Int): (Array[Int], Int) = {
+    val coeffs = new Array[Int](maxNumCoeff)
+    val token =
+      if (nC == -1) TreeChromaDc.decode(r)
+      else if (nC < 2) TreeNc0.decode(r)
+      else if (nC < 4) TreeNc2.decode(r)
+      else if (nC < 8) TreeNc4.decode(r)
+      else { // fixed 6-bit: (TC-1)<<2 | T1; 000011 = (0,0)
+        val v = r.read(6)
+        if (v == 3) 0 else ((v >> 2) + 1) * 4 + (v & 3)
+      }
+    val totalCoeff = token >> 2
+    val trailingOnes = token & 3
+    if (totalCoeff == 0) return (coeffs, 0)
+    val levels = new Array[Int](totalCoeff)
+    var i = 0
+    while (i < trailingOnes) {
+      levels(i) = if (r.read1() == 1) -1 else 1
+      i += 1
+    }
+    var suffixLength = if (totalCoeff > 10 && trailingOnes < 3) 1 else 0
+    while (i < totalCoeff) {
+      var prefix = 0
+      while (r.read1() == 0) {
+        prefix += 1
+        if (prefix > 31) throw new IllegalStateException("level_prefix overflow")
+      }
+      var levelCode = math.min(15, prefix) << suffixLength
+      if (suffixLength > 0 || prefix >= 14) {
+        val suffixSize =
+          if (prefix == 14 && suffixLength == 0) 4
+          else if (prefix >= 15) prefix - 3
+          else suffixLength
+        levelCode += r.read(suffixSize)
+      }
+      if (prefix >= 15 && suffixLength == 0) levelCode += 15
+      if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+      if (i == trailingOnes && trailingOnes < 3) levelCode += 2
+      levels(i) = if ((levelCode & 1) == 0) (levelCode + 2) >> 1 else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    val totalZeros =
+      if (totalCoeff == maxNumCoeff) 0
+      else if (nC == -1) TreeTotalZerosChromaDc(totalCoeff).decode(r)
+      else TreeTotalZeros4x4(totalCoeff).decode(r)
+    // place coefficients: levels(0) is the LAST nonzero in scan order
+    var zerosLeft = totalZeros
+    var pos = totalCoeff + totalZeros - 1
+    i = 0
+    while (i < totalCoeff) {
+      coeffs(pos) = levels(i)
+      val run =
+        if (i == totalCoeff - 1) zerosLeft
+        else if (zerosLeft > 0) TreeRunBefore(math.min(zerosLeft, 7)).decode(r)
+        else 0
+      zerosLeft -= run
+      pos -= 1 + run
+      i += 1
+    }
+    (coeffs, totalCoeff)
+  }
+
+  /** CAVLC encode of one residual block (scan-order coeffs). Exact
+    * inverse of [[decodeResidualBlock]] — shared table data, so a
+    * roundtrip failure isolates an algorithmic bug, not a data typo.
+    */
+  private[pipeline] def encodeResidualBlock(w: BitWriter, coeffs: Array[Int],
+                                            nC: Int): Int = {
+    val maxNumCoeff = coeffs.length
+    var last = -1
+    var total = 0
+    for (i <- coeffs.indices if coeffs(i) != 0) { last = i; total += 1 }
+    val nz = coeffs.indices.filter(coeffs(_) != 0).reverse // reverse scan order
+    var trailingOnes = 0
+    while (trailingOnes < nz.length && trailingOnes < 3 &&
+      math.abs(coeffs(nz(trailingOnes))) == 1) trailingOnes += 1
+    val tokenBits =
+      if (nC == -1) CoeffTokenChromaDc(total * 4 + trailingOnes)
+      else if (nC < 2) CoeffTokenNc0(total * 4 + trailingOnes)
+      else if (nC < 4) CoeffTokenNc2(total * 4 + trailingOnes)
+      else if (nC < 8) CoeffTokenNc4(total * 4 + trailingOnes)
+      else null
+    if (tokenBits != null) w.putStr(tokenBits)
+    else w.put(if (total == 0) 3 else ((total - 1) << 2) | trailingOnes, 6)
+    if (total == 0) return 0
+    for (k <- 0 until trailingOnes) w.put(if (coeffs(nz(k)) < 0) 1 else 0, 1)
+    var suffixLength = if (total > 10 && trailingOnes < 3) 1 else 0
+    for (k <- trailingOnes until total) {
+      val level = coeffs(nz(k))
+      var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (k == trailingOnes && trailingOnes < 3) levelCode -= 2
+      // choose the shortest (prefix, suffix) the decoder maps back
+      if (suffixLength == 0) {
+        if (levelCode < 14) w.putStr("0" * levelCode + "1")
+        else if (levelCode < 30) { w.putStr("0" * 14 + "1"); w.put(levelCode - 14, 4) }
+        else {
+          var p = 15
+          var base = 30
+          while (levelCode - base >= (1 << (p - 3))) { base += (1 << (p - 3)); p += 1 }
+          w.putStr("0" * p + "1"); w.put(levelCode - base, p - 3)
+        }
+      } else {
+        if (levelCode < (15 << suffixLength)) {
+          val prefix = levelCode >> suffixLength
+          w.putStr("0" * prefix + "1")
+          w.put(levelCode & ((1 << suffixLength) - 1), suffixLength)
+        } else {
+          var p = 15
+          var base = 15 << suffixLength
+          while (levelCode - base >= (1 << (p - 3))) { base += (1 << (p - 3)); p += 1 }
+          w.putStr("0" * p + "1"); w.put(levelCode - base, p - 3)
+        }
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+    }
+    val totalZeros = last + 1 - total
+    if (total != maxNumCoeff) {
+      val bits = if (nC == -1) TotalZerosChromaDc(total)(totalZeros)
+        else TotalZeros4x4(total)(totalZeros)
+      w.putStr(bits)
+    }
+    var zerosLeft = totalZeros
+    for (k <- 0 until total - 1) {
+      // run of zeros between nz(k) and nz(k+1)
+      val run = nz(k) - nz(k + 1) - 1
+      if (zerosLeft > 0) w.putStr(RunBefore(math.min(zerosLeft, 7))(run))
+      zerosLeft -= run
+    }
+    total
+  }
+
+  // ------------------------------------------------------------ transforms
+
+  /** Zigzag scan of a 4x4 block (raster index per scan position). */
+  private[pipeline] val Zigzag4x4: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** normAdjust4x4 V columns (v0: pos {00,02,20,22}, v1: {11,13,31,33},
+    * v2: rest) per qp%6 — §8.5.9; LevelScale = 16 * V (flat lists).
+    */
+  private val DequantV: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+  /** forward quant MF columns per qp%6 (encoder side). */
+  private[pipeline] val QuantMf: Array[Array[Int]] = Array(
+    Array(13107, 5243, 8066), Array(11916, 4660, 7490), Array(10082, 4194, 6554),
+    Array(9362, 3647, 5825), Array(8192, 3355, 5243), Array(7282, 2893, 4559))
+
+  private[pipeline] def posClass(rasterIdx: Int): Int = {
+    val x = rasterIdx & 3
+    val y = rasterIdx >> 2
+    if ((x & 1) == 0 && (y & 1) == 0) 0
+    else if ((x & 1) == 1 && (y & 1) == 1) 1
+    else 2
+  }
+
+  /** §8.5.12.2 AC/luma-4x4 dequant (raster-order block in place). */
+  private[pipeline] def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean): Array[Int] = {
+    val v = DequantV(qp % 6)
+    val d = new Array[Int](16)
+    var i = if (skipDc) 1 else 0
+    if (skipDc) d(0) = c(0) // caller placed the transformed DC already
+    while (i < 16) {
+      val ls = 16 * v(posClass(i))
+      d(i) =
+        if (qp >= 24) (c(i) * ls) << (qp / 6 - 4)
+        else (c(i) * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+      i += 1
+    }
+    d
+  }
+
+  /** §8.5.12.2 core inverse transform + >>6 rounding; input d (raster),
+    * output residual (raster).
+    */
+  private[pipeline] def inverseTransform4x4(d: Array[Int]): Array[Int] = {
+    val e = new Array[Int](16)
+    // horizontal
+    var i = 0
+    while (i < 4) {
+      val d0 = d(i * 4); val d1 = d(i * 4 + 1); val d2 = d(i * 4 + 2); val d3 = d(i * 4 + 3)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      e(i * 4) = e0 + e3; e(i * 4 + 1) = e1 + e2
+      e(i * 4 + 2) = e1 - e2; e(i * 4 + 3) = e0 - e3
+      i += 1
+    }
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 4) {
+      val g0 = e(j); val g1 = e(4 + j); val g2 = e(8 + j); val g3 = e(12 + j)
+      val h0 = g0 + g2; val h1 = g0 - g2
+      val h2 = (g1 >> 1) - g3; val h3 = g1 + (g3 >> 1)
+      out(j) = (h0 + h3 + 32) >> 6; out(4 + j) = (h1 + h2 + 32) >> 6
+      out(8 + j) = (h1 - h2 + 32) >> 6; out(12 + j) = (h0 - h3 + 32) >> 6
+      j += 1
+    }
+    out
+  }
+
+  /** Forward core transform (encoder): Y = C X C^T. */
+  private[pipeline] def forwardTransform4x4(x: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // rows
+      val a = x(i * 4); val b = x(i * 4 + 1); val c = x(i * 4 + 2); val d = x(i * 4 + 3)
+      val s0 = a + d; val s1 = b + c; val s2 = b - c; val s3 = a - d
+      t(i * 4) = s0 + s1; t(i * 4 + 1) = 2 * s3 + s2
+      t(i * 4 + 2) = s0 - s1; t(i * 4 + 3) = s3 - 2 * s2
+      i += 1
+    }
+    val y = new Array[Int](16)
+    var j = 0
+    while (j < 4) { // columns
+      val a = t(j); val b = t(4 + j); val c = t(8 + j); val d = t(12 + j)
+      val s0 = a + d; val s1 = b + c; val s2 = b - c; val s3 = a - d
+      y(j) = s0 + s1; y(4 + j) = 2 * s3 + s2
+      y(8 + j) = s0 - s1; y(12 + j) = s3 - 2 * s2
+      j += 1
+    }
+    y
+  }
+
+  /** 4x4 Hadamard (self-inverse up to scale) used for Intra16x16 luma
+    * DC (§8.5.10 forward/inverse share the butterfly).
+    */
+  private[pipeline] def hadamard4x4(x: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a = x(i * 4); val b = x(i * 4 + 1); val c = x(i * 4 + 2); val d = x(i * 4 + 3)
+      val s0 = a + d; val s1 = b + c; val s2 = b - c; val s3 = a - d
+      t(i * 4) = s0 + s1; t(i * 4 + 1) = s3 + s2
+      t(i * 4 + 2) = s0 - s1; t(i * 4 + 3) = s3 - s2
+      i += 1
+    }
+    val y = new Array[Int](16)
+    var j = 0
+    while (j < 4) {
+      val a = t(j); val b = t(4 + j); val c = t(8 + j); val d = t(12 + j)
+      val s0 = a + d; val s1 = b + c; val s2 = b - c; val s3 = a - d
+      y(j) = s0 + s1; y(4 + j) = s3 + s2
+      y(8 + j) = s0 - s1; y(12 + j) = s3 - s2
+      j += 1
+    }
+    y
+  }
+
+  /** §8.5.10 luma DC dequant: inverse Hadamard then scale. */
+  private[pipeline] def dequantLumaDc(c: Array[Int], qp: Int): Array[Int] = {
+    val f = hadamard4x4(c)
+    val ls = 16 * DequantV(qp % 6)(0)
+    f.map { v =>
+      if (qp >= 36) (v * ls) << (qp / 6 - 6)
+      else ((v * ls) + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    }
+  }
+
+  /** §8.5.11 chroma DC (2x2): inverse Hadamard then scale. */
+  private[pipeline] def dequantChromaDc(c: Array[Int], qpc: Int): Array[Int] = {
+    val f = Array(
+      c(0) + c(1) + c(2) + c(3), c(0) - c(1) + c(2) - c(3),
+      c(0) + c(1) - c(2) - c(3), c(0) - c(1) - c(2) + c(3))
+    val ls = 16 * DequantV(qpc % 6)(0)
+    f.map(v => ((v * ls) << (qpc / 6)) >> 5)
+  }
+
+  /** QPc from QPy + offset (Table 8-15). */
+  private[pipeline] def chromaQp(qpY: Int, off: Int): Int = {
+    val qpi = math.max(0, math.min(51, qpY + off))
+    if (qpi < 30) qpi
+    else Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+      38, 38, 38, 39, 39, 39, 39)(qpi - 30)
+  }
+
+  // ------------------------------------------------------------ frames
+
+  /** One decoded frame: full-range 8-bit planes (luma w×h, chroma
+    * quarter-size).
+    */
+  final case class Frame(width: Int, height: Int,
+                         y: Array[Int], cb: Array[Int], cr: Array[Int]) {
+    def toImage: BufferedImage = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val cw = (width + 1) / 2
+      var yy = 0
+      while (yy < height) {
+        var x = 0
+        while (x < width) {
+          val l = y(yy * width + x)
+          val u = cb((yy / 2) * cw + x / 2) - 128
+          val v = cr((yy / 2) * cw + x / 2) - 128
+          def clip(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+          // full-range BT.601 (matches this repo's JPEG-side convention;
+          // real streams signaling limited range render slightly
+          // stretched — a histogram-level statistic, documented above)
+          val r = clip(l + 1.402 * v)
+          val g = clip(l - 0.344136 * u - 0.714136 * v)
+          val b = clip(l + 1.772 * u)
+          img.setRGB(x, yy, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        yy += 1
+      }
+      img
+    }
+  }
+
+  private[pipeline] def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ------------------------------------------------------------ decoder
+
+  /** Decoder working state for one picture. */
+  private[pipeline] final class PicState(val sps: Sps) {
+    val wMbs: Int = sps.widthMbs
+    val hMbs: Int = sps.heightMbs
+    val w: Int = wMbs * 16
+    val h: Int = hMbs * 16
+    val y = new Array[Int](w * h)
+    val cb = new Array[Int](w / 2 * h / 2)
+    val cr = new Array[Int](w / 2 * h / 2)
+    // per-4x4-block CAVLC coefficient counts; -1 = not yet decoded
+    val lumaNz: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
+    val cbNz: Array[Int] = Array.fill(wMbs * 2 * hMbs * 2)(-1)
+    val crNz: Array[Int] = Array.fill(wMbs * 2 * hMbs * 2)(-1)
+    // per-4x4-block intra mode (-1 = unavailable/not I4x4) for mode pred
+    val i4Modes: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
+    val mbDecoded: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+
+    def cropped: Frame = {
+      val fw = sps.width
+      val fh = sps.height
+      val ox = 2 * sps.cropL
+      val oy = 2 * sps.cropT
+      val fy = new Array[Int](fw * fh)
+      for (r <- 0 until fh; c <- 0 until fw) fy(r * fw + c) = y((r + oy) * w + (c + ox))
+      val cw = (fw + 1) / 2
+      val ch = (fh + 1) / 2
+      val fcb = new Array[Int](cw * ch)
+      val fcr = new Array[Int](cw * ch)
+      for (r <- 0 until ch; c <- 0 until cw) {
+        fcb(r * cw + c) = cb((r + oy / 2) * (w / 2) + (c + ox / 2))
+        fcr(r * cw + c) = cr((r + oy / 2) * (w / 2) + (c + ox / 2))
+      }
+      Frame(fw, fh, fy, fcb, fcr)
+    }
+  }
+
+  /** Luma 4x4 block coding order within an MB → (x,y) in 4px units. */
+  private[pipeline] val Blk4x4Pos: Array[(Int, Int)] = Array(
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+
+  /** nC for a luma 4x4 block at absolute block coords (bx, by): mean of
+    * available left/top neighbors' coefficient counts (§9.2.1).
+    */
+  private[pipeline] def lumaNc(st: PicState, bx: Int, by: Int): Int = {
+    val wB = st.wMbs * 4
+    def nz(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= wB) -1 else st.lumaNz(y * wB + x)
+    val nA = nz(bx - 1, by)
+    val nB = nz(bx, by - 1)
+    if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+    else if (nA >= 0) nA
+    else if (nB >= 0) nB
+    else 0
+  }
+
+  private[pipeline] def chromaNc(st: PicState, plane: Array[Int], bx: Int, by: Int): Int = {
+    val wB = st.wMbs * 2
+    def nz(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= wB) -1 else plane(y * wB + x)
+    val nA = nz(bx - 1, by)
+    val nB = nz(bx, by - 1)
+    if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+    else if (nA >= 0) nA
+    else if (nB >= 0) nB
+    else 0
+  }
+
+  /** Intra 4x4 luma prediction (§8.3.1.2, all 9 modes) into pred(16).
+    * Neighbor samples read from the reconstructed plane; availability
+    * from decode order.
+    */
+  private[pipeline] def predict4x4(st: PicState, mode: Int, px: Int, py: Int,
+                         mbIdx: Int, blkOrder: Int): Array[Int] = {
+    val w = st.w
+    val leftAvail = px > 0 && (px % 16 != 0 || st.mbDecoded(mbIdx - 1))
+    val topAvail = py > 0 && (py % 16 != 0 || st.mbDecoded(mbIdx - st.wMbs))
+    val topLeftAvail = leftAvail && topAvail &&
+      (px % 16 != 0 || py % 16 != 0 || st.mbDecoded(mbIdx - st.wMbs - 1))
+    // top-right availability by decode order of the containing block
+    val trBx = px / 4 + 1
+    val trBy = py / 4 - 1
+    val wB = st.wMbs * 4
+    val topRightAvail = topAvail && trBy >= 0 && trBx < wB && {
+      val mbOfTr = (trBy / 4) * st.wMbs + (trBx / 4)
+      if (mbOfTr < mbIdx) true
+      else if (mbOfTr > mbIdx) false
+      else { // same MB: compare coding order
+        val lx = trBx % 4
+        val ly = trBy % 4
+        Blk4x4Pos.indexOf((lx, ly)) < blkOrder
+      }
+    }
+    val p = new Array[Int](8) // top row p[0..7,-1]
+    for (i <- 0 until 4) p(i) = if (topAvail) st.y((py - 1) * w + px + i) else 0
+    for (i <- 4 until 8)
+      p(i) = if (topRightAvail) st.y((py - 1) * w + px + i)
+        else if (topAvail) p(3) else 0
+    val l = new Array[Int](4)
+    for (i <- 0 until 4) l(i) = if (leftAvail) st.y((py + i) * w + px - 1) else 0
+    val tl = if (topLeftAvail) st.y((py - 1) * w + px - 1) else 0
+    val out = new Array[Int](16)
+    def set(x: Int, y: Int, v: Int): Unit = out(y * 4 + x) = v
+    mode match {
+      case 0 => // vertical
+        require(topAvail, "V pred needs top")
+        for (y <- 0 until 4; x <- 0 until 4) set(x, y, p(x))
+      case 1 => // horizontal
+        require(leftAvail, "H pred needs left")
+        for (y <- 0 until 4; x <- 0 until 4) set(x, y, l(y))
+      case 2 => // DC
+        val v =
+          if (leftAvail && topAvail) (p(0) + p(1) + p(2) + p(3) + l(0) + l(1) + l(2) + l(3) + 4) >> 3
+          else if (topAvail) (p(0) + p(1) + p(2) + p(3) + 2) >> 2
+          else if (leftAvail) (l(0) + l(1) + l(2) + l(3) + 2) >> 2
+          else 128
+        java.util.Arrays.fill(out, v)
+      case 3 => // diagonal down-left
+        require(topAvail, "DDL pred needs top")
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x == 3 && y == 3) (p(6) + 3 * p(7) + 2) >> 2
+            else (p(x + y) + 2 * p(x + y + 1) + p(x + y + 2) + 2) >> 2)
+      case 4 => // diagonal down-right
+        require(leftAvail && topAvail, "DDR pred needs left+top")
+        def pA(i: Int): Int = if (i < 0) tl else p(i)
+        def lA(i: Int): Int = if (i < 0) tl else l(i)
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x > y) (pA(x - y - 2) + 2 * pA(x - y - 1) + pA(x - y) + 2) >> 2
+            else if (x < y) (lA(y - x - 2) + 2 * lA(y - x - 1) + lA(y - x) + 2) >> 2
+            else (p(0) + 2 * tl + l(0) + 2) >> 2)
+      case 5 => // vertical-right
+        require(leftAvail && topAvail, "VR pred needs left+top")
+        def pAt(i: Int): Int = if (i < 0) tl else p(i)
+        def lAt5(i: Int): Int = if (i < 0) tl else l(i)
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = 2 * x - y
+          set(x, y,
+            if (z >= 0 && z % 2 == 0) (pAt(x - (y >> 1) - 1) + pAt(x - (y >> 1)) + 1) >> 1
+            else if (z >= 0) (pAt(x - (y >> 1) - 2) + 2 * pAt(x - (y >> 1) - 1) + pAt(x - (y >> 1)) + 2) >> 2
+            else if (z == -1) (l(0) + 2 * tl + p(0) + 2) >> 2
+            else (lAt5(y - 1) + 2 * lAt5(y - 2) + lAt5(y - 3) + 2) >> 2)
+        }
+      case 6 => // horizontal-down
+        require(leftAvail && topAvail, "HD pred needs left+top")
+        def lAt(i: Int): Int = if (i < 0) tl else l(i)
+        def pAt6(i: Int): Int = if (i < 0) tl else p(i)
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = 2 * y - x
+          set(x, y,
+            if (z >= 0 && z % 2 == 0) (lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 1) >> 1
+            else if (z >= 0) (lAt(y - (x >> 1) - 2) + 2 * lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 2) >> 2
+            else if (z == -1) (l(0) + 2 * tl + p(0) + 2) >> 2
+            else (pAt6(x - 1) + 2 * pAt6(x - 2) + pAt6(x - 3) + 2) >> 2)
+        }
+      case 7 => // vertical-left
+        require(topAvail, "VL pred needs top")
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (y % 2 == 0) (p(x + (y >> 1)) + p(x + (y >> 1) + 1) + 1) >> 1
+            else (p(x + (y >> 1)) + 2 * p(x + (y >> 1) + 1) + p(x + (y >> 1) + 2) + 2) >> 2)
+      case 8 => // horizontal-up
+        require(leftAvail, "HU pred needs left")
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = x + 2 * y
+          set(x, y,
+            if (z % 2 == 0 && z <= 4) (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+            else if (z == 1 || z == 3) (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) + l(y + (x >> 1) + 2) + 2) >> 2
+            else if (z == 5) (l(2) + 3 * l(3) + 2) >> 2
+            else l(3))
+        }
+      case m => throw new IllegalStateException(s"bad intra4x4 mode $m")
+    }
+    out
+  }
+
+  /** Intra 16x16 luma prediction (§8.3.3) into pred(256). */
+  private[pipeline] def predict16x16(st: PicState, mode: Int, px: Int, py: Int,
+                           mbIdx: Int): Array[Int] = {
+    val w = st.w
+    val leftAvail = px > 0 && st.mbDecoded(mbIdx - 1)
+    val topAvail = py > 0 && st.mbDecoded(mbIdx - st.wMbs)
+    val out = new Array[Int](256)
+    def top(i: Int): Int = st.y((py - 1) * w + px + i)
+    def left(i: Int): Int = st.y((py + i) * w + px - 1)
+    mode match {
+      case 0 =>
+        require(topAvail, "16x16 V needs top")
+        for (y <- 0 until 16; x <- 0 until 16) out(y * 16 + x) = top(x)
+      case 1 =>
+        require(leftAvail, "16x16 H needs left")
+        for (y <- 0 until 16; x <- 0 until 16) out(y * 16 + x) = left(y)
+      case 2 =>
+        val v =
+          if (leftAvail && topAvail)
+            ((0 until 16).map(top).sum + (0 until 16).map(left).sum + 16) >> 5
+          else if (topAvail) ((0 until 16).map(top).sum + 8) >> 4
+          else if (leftAvail) ((0 until 16).map(left).sum + 8) >> 4
+          else 128
+        java.util.Arrays.fill(out, v)
+      case 3 =>
+        require(leftAvail && topAvail, "16x16 Plane needs left+top")
+        val tl = st.y((py - 1) * w + px - 1)
+        var hS = 0
+        var vS = 0
+        for (i <- 0 until 8) {
+          hS += (i + 1) * (top(8 + i) - (if (6 - i >= 0) top(6 - i) else tl))
+          vS += (i + 1) * (left(8 + i) - (if (6 - i >= 0) left(6 - i) else tl))
+        }
+        val a = 16 * (left(15) + top(15))
+        val b = (5 * hS + 32) >> 6
+        val c = (5 * vS + 32) >> 6
+        for (y <- 0 until 16; x <- 0 until 16)
+          out(y * 16 + x) = clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+      case m => throw new IllegalStateException(s"bad intra16x16 mode $m")
+    }
+    out
+  }
+
+  /** Intra chroma prediction (§8.3.4, 8x8 plane) into pred(64).
+    * Chroma mode numbering: 0 DC, 1 H, 2 V, 3 Plane.
+    */
+  private[pipeline] def predictChroma(st: PicState, plane: Array[Int], mode: Int,
+                            px: Int, py: Int, mbIdx: Int): Array[Int] = {
+    val w = st.w / 2
+    val leftAvail = px > 0 && st.mbDecoded(mbIdx - 1)
+    val topAvail = py > 0 && st.mbDecoded(mbIdx - st.wMbs)
+    val out = new Array[Int](64)
+    def top(i: Int): Int = plane((py - 1) * w + px + i)
+    def left(i: Int): Int = plane((py + i) * w + px - 1)
+    mode match {
+      case 0 => // DC per 4x4 quadrant
+        def fill(xO: Int, yO: Int, v: Int): Unit =
+          for (y <- 0 until 4; x <- 0 until 4) out((yO + y) * 8 + xO + x) = v
+        def sumT(from: Int): Int = (from until from + 4).map(top).sum
+        def sumL(from: Int): Int = (from until from + 4).map(left).sum
+        fill(0, 0,
+          if (leftAvail && topAvail) (sumT(0) + sumL(0) + 4) >> 3
+          else if (topAvail) (sumT(0) + 2) >> 2
+          else if (leftAvail) (sumL(0) + 2) >> 2 else 128)
+        fill(4, 0,
+          if (topAvail) (sumT(4) + 2) >> 2
+          else if (leftAvail) (sumL(0) + 2) >> 2 else 128)
+        fill(0, 4,
+          if (leftAvail) (sumL(4) + 2) >> 2
+          else if (topAvail) (sumT(0) + 2) >> 2 else 128)
+        fill(4, 4,
+          if (leftAvail && topAvail) (sumT(4) + sumL(4) + 4) >> 3
+          else if (topAvail) (sumT(4) + 2) >> 2
+          else if (leftAvail) (sumL(4) + 2) >> 2 else 128)
+      case 1 =>
+        require(leftAvail, "chroma H needs left")
+        for (y <- 0 until 8; x <- 0 until 8) out(y * 8 + x) = left(y)
+      case 2 =>
+        require(topAvail, "chroma V needs top")
+        for (y <- 0 until 8; x <- 0 until 8) out(y * 8 + x) = top(x)
+      case 3 =>
+        require(leftAvail && topAvail, "chroma Plane needs left+top")
+        val tl = plane((py - 1) * w + px - 1)
+        var hS = 0
+        var vS = 0
+        for (i <- 0 until 4) {
+          hS += (i + 1) * (top(4 + i) - (if (2 - i >= 0) top(2 - i) else tl))
+          vS += (i + 1) * (left(4 + i) - (if (2 - i >= 0) left(2 - i) else tl))
+        }
+        val a = 16 * (left(7) + top(7))
+        val b = (17 * hS + 16) >> 5
+        val c = (17 * vS + 16) >> 5
+        for (y <- 0 until 8; x <- 0 until 8)
+          out(y * 8 + x) = clip255((a + b * (x - 3) + c * (y - 3) + 16) >> 5)
+      case m => throw new IllegalStateException(s"bad chroma mode $m")
+    }
+    out
+  }
+
+  /** Decode one I slice's macroblocks into the picture state. Returns
+    * false on any unsupported construct.
+    */
+  private def decodeSliceData(r: BitReader, st: PicState, pps: Pps,
+                              firstMb: Int, sliceQp: Int): Boolean = {
+    var qp = sliceQp
+    var mb = firstMb
+    val nMbs = st.wMbs * st.hMbs
+    while (mb < nMbs && (mb == firstMb || r.moreRbspData())) {
+      val mbX = mb % st.wMbs
+      val mbY = mb / st.wMbs
+      val px = mbX * 16
+      val py = mbY * 16
+      val mbType = r.ue()
+      if (mbType > 25) return false // non-I mb in an I slice
+      if (mbType == 25) {
+        // I_PCM
+        r.byteAlign()
+        for (y <- 0 until 16; x <- 0 until 16) st.y((py + y) * st.w + px + x) = r.read(8)
+        val cw = st.w / 2
+        for (y <- 0 until 8; x <- 0 until 8) st.cb((py / 2 + y) * cw + px / 2 + x) = r.read(8)
+        for (y <- 0 until 8; x <- 0 until 8) st.cr((py / 2 + y) * cw + px / 2 + x) = r.read(8)
+        for (b <- 0 until 16) {
+          val (lx, ly) = Blk4x4Pos(b)
+          st.lumaNz((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 16
+        }
+        for (b <- 0 until 4) {
+          val cIdx = (mbY * 2 + b / 2) * st.wMbs * 2 + mbX * 2 + b % 2
+          st.cbNz(cIdx) = 16
+          st.crNz(cIdx) = 16
+        }
+        st.mbDecoded(mb) = true
+        mb += 1
+      } else if (mbType == 0) {
+        // I_4x4 (I_NxN)
+        val modes = new Array[Int](16)
+        for (b <- 0 until 16) {
+          val (lx, ly) = Blk4x4Pos(b)
+          val bx = mbX * 4 + lx
+          val by = mbY * 4 + ly
+          val wB = st.wMbs * 4
+          def neighborMode(x: Int, y: Int): Int =
+            if (x < 0 || y < 0 || x >= wB) -1 else st.i4Modes(y * wB + x)
+          val mA = neighborMode(bx - 1, by)
+          val mB = neighborMode(bx, by - 1)
+          val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+          val mode =
+            if (r.read1() == 1) pred
+            else { val rem = r.read(3); if (rem < pred) rem else rem + 1 }
+          modes(b) = mode
+          st.i4Modes(by * wB + bx) = mode
+        }
+        val chromaMode = r.ue()
+        if (chromaMode > 3) return false
+        val cbp = { val cn = r.ue(); if (cn > 47) return false; CbpIntra(cn) }
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4
+        if (cbp != 0) qp = ((qp + r.se() + 52) % 52 + 52) % 52
+        // per-block: predict (from recon), decode residual, reconstruct
+        for (b <- 0 until 16) {
+          val (lx, ly) = Blk4x4Pos(b)
+          val bx = mbX * 4 + lx
+          val by = mbY * 4 + ly
+          val pred = predict4x4(st, modes(b), px + lx * 4, py + ly * 4, mb, b)
+          val (scan, nz) =
+            if ((cbpLuma & (1 << (b / 4))) != 0)
+              decodeResidualBlock(r, 16, lumaNc(st, bx, by))
+            else (new Array[Int](16), 0)
+          st.lumaNz(by * st.wMbs * 4 + bx) = nz
+          val raster = new Array[Int](16)
+          for (i <- 0 until 16) raster(Zigzag4x4(i)) = scan(i)
+          val res =
+            if (nz == 0) new Array[Int](16)
+            else inverseTransform4x4(dequant4x4(raster, qp, skipDc = false))
+          for (y <- 0 until 4; x <- 0 until 4)
+            st.y((py + ly * 4 + y) * st.w + px + lx * 4 + x) =
+              clip255(pred(y * 4 + x) + res(y * 4 + x))
+        }
+        decodeChroma(r, st, pps, mb, mbX, mbY, chromaMode, cbpChroma, qp)
+        st.mbDecoded(mb) = true
+        mb += 1
+      } else {
+        // I_16x16: mbType 1..24 encodes predMode, cbpChroma, cbpLuma
+        val t = mbType - 1
+        val predMode = t % 4
+        val cbpChroma = (t / 4) % 3
+        val cbpLuma = if (t >= 12) 15 else 0
+        val chromaMode = r.ue()
+        if (chromaMode > 3) return false
+        qp = ((qp + r.se() + 52) % 52 + 52) % 52
+        val pred = predict16x16(st, predMode, px, py, mb)
+        // DC block: nC from blk0 neighbors
+        val (dcScan, _) = decodeResidualBlock(r, 16, lumaNc(st, mbX * 4, mbY * 4))
+        val dcRaster = new Array[Int](16)
+        for (i <- 0 until 16) dcRaster(Zigzag4x4(i)) = dcScan(i)
+        val dc = dequantLumaDc(dcRaster, qp)
+        for (b <- 0 until 16) {
+          val (lx, ly) = Blk4x4Pos(b)
+          val bx = mbX * 4 + lx
+          val by = mbY * 4 + ly
+          val (acScan, nz) =
+            if (cbpLuma != 0) {
+              // AC block: 15 coeffs, scan positions 1..15
+              val full = new Array[Int](16)
+              val (ac, n) = decodeResidualBlock(r, 15, lumaNc(st, bx, by))
+              Array.copy(ac, 0, full, 1, 15)
+              (full, n)
+            } else (new Array[Int](16), 0)
+          st.lumaNz(by * st.wMbs * 4 + bx) = nz
+          val raster = new Array[Int](16)
+          for (i <- 1 until 16) raster(Zigzag4x4(i)) = acScan(i)
+          val d = dequant4x4(raster, qp, skipDc = true)
+          d(0) = dc(ly * 4 + lx) // DC from the Hadamard-transformed block
+          val res = inverseTransform4x4(d)
+          for (y <- 0 until 4; x <- 0 until 4)
+            st.y((py + ly * 4 + y) * st.w + px + lx * 4 + x) =
+              clip255(pred((ly * 4 + y) * 16 + lx * 4 + x) + res(y * 4 + x))
+        }
+        decodeChroma(r, st, pps, mb, mbX, mbY, chromaMode, cbpChroma, qp)
+        st.mbDecoded(mb) = true
+        mb += 1
+      }
+    }
+    mb >= nMbs || !r.moreRbspData()
+  }
+
+  /** Chroma residual + reconstruction for one MB (both components). */
+  private def decodeChroma(r: BitReader, st: PicState, pps: Pps, mb: Int,
+                           mbX: Int, mbY: Int, chromaMode: Int,
+                           cbpChroma: Int, qp: Int): Unit = {
+    val qpc = chromaQp(qp, pps.chromaQpOff)
+    val cw = st.w / 2
+    val px = mbX * 8
+    val py = mbY * 8
+    // DC blocks for both components first (§7.3.5.3.3 residual order)
+    val dcs = Array.ofDim[Int](2, 4)
+    if (cbpChroma != 0)
+      for (c <- 0 until 2) {
+        val (scan, _) = decodeResidualBlock(r, 4, -1)
+        dcs(c) = scan
+      }
+    for (c <- 0 until 2) {
+      val plane = if (c == 0) st.cb else st.cr
+      val nzPlane = if (c == 0) st.cbNz else st.crNz
+      val pred = predictChroma(st, plane, chromaMode, px, py, mb)
+      val dc = if (cbpChroma != 0) dequantChromaDc(dcs(c), qpc) else Array(0, 0, 0, 0)
+      for (b <- 0 until 4) {
+        val lx = b % 2
+        val ly = b / 2
+        val (acScan, nz) =
+          if (cbpChroma == 2) {
+            val full = new Array[Int](16)
+            val (ac, n) = decodeResidualBlock(r, 15,
+              chromaNc(st, nzPlane, mbX * 2 + lx, mbY * 2 + ly))
+            Array.copy(ac, 0, full, 1, 15)
+            (full, n)
+          } else (new Array[Int](16), 0)
+        nzPlane((mbY * 2 + ly) * st.wMbs * 2 + mbX * 2 + lx) = nz
+        val raster = new Array[Int](16)
+        for (i <- 1 until 16) raster(Zigzag4x4(i)) = acScan(i)
+        val d = dequant4x4(raster, qpc, skipDc = true)
+        d(0) = dc(b)
+        val res =
+          if (cbpChroma == 0) new Array[Int](16)
+          else inverseTransform4x4(d)
+        for (y <- 0 until 4; x <- 0 until 4)
+          plane((py + ly * 4 + y) * cw + px + lx * 4 + x) =
+            clip255(pred((ly * 4 + y) * 8 + lx * 4 + x) + res(y * 4 + x))
+      }
+    }
+  }
+
+  /** Decode the IDR/I frame carried by a sequence of NAL units
+    * (payloads WITHOUT start codes / length prefixes). SPS/PPS NALs
+    * update the parameter sets; the first I/IDR slice group decodes.
+    * None = unsupported construct or corrupt data.
+    */
+  def decodeNals(nals: Seq[Array[Byte]],
+                 sps0: Option[Sps] = None, pps0: Option[Pps] = None): Option[Frame] =
+    try {
+      var sps = sps0
+      var pps = pps0
+      var st: PicState = null
+      var decodedAny = false
+      for (nal <- nals if nal.nonEmpty) {
+        val nalType = nal(0) & 0x1F
+        val nalRefIdc = (nal(0) >> 5) & 3
+        lazy val rbsp = stripEmulation(nal, 1, nal.length)
+        nalType match {
+          case 7 => sps = parseSps(rbsp).orElse(return None)
+          case 8 => pps = parsePps(rbsp).orElse(return None)
+          case 5 | 1 =>
+            (sps, pps) match {
+              case (Some(s), Some(p)) =>
+                if (p.cabac) return None // CAVLC only — honest ceiling
+                val r = new BitReader(rbsp)
+                val firstMb = r.ue()
+                val sliceType = r.ue()
+                if (sliceType != 2 && sliceType != 7) return None // I slices only
+                r.ue() // pps_id
+                r.read(s.log2MaxFrameNum) // frame_num
+                if (nalType == 5) r.ue() // idr_pic_id
+                if (s.pocType == 0) {
+                  r.read(s.log2MaxPocLsb)
+                  if (p.bottomFieldPoc) r.se()
+                }
+                if (p.redundantPicCnt) r.ue()
+                if (nalType == 5) { r.read1(); r.read1() } // dec_ref_pic_marking (IDR)
+                else if (nalRefIdc != 0 && r.read1() == 1)
+                  return None // adaptive marking unsupported
+                val qp = p.picInitQp + r.se()
+                if (p.deblockCtrl) {
+                  val disable = r.ue()
+                  if (disable != 1) return None // in-loop filter not implemented
+                  // no alpha/beta offsets when disabled
+                } else return None // stream requires deblocking → degrade
+                if (st == null) st = new PicState(s)
+                if (!decodeSliceData(r, st, p, firstMb, qp)) return None
+                decodedAny = true
+              case _ => return None // slice before parameter sets
+            }
+          case _ => () // SEI/AUD/etc. ignored
+        }
+      }
+      if (decodedAny && st.mbDecoded.forall(identity)) Some(st.cropped) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Split an Annex-B byte stream (00 00 01 start codes) into NAL
+    * payloads.
+    */
+  def splitAnnexB(data: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i + 2 < data.length) {
+      if (data(i) == 0 && data(i + 1) == 0 && data(i + 2) == 1) {
+        if (start >= 0) {
+          var end = i
+          if (end > start && data(end - 1) == 0) end -= 1 // 4-byte start code
+          out += java.util.Arrays.copyOfRange(data, start, end)
+        }
+        start = i + 3
+        i += 3
+      } else i += 1
+    }
+    if (start >= 0 && start <= data.length)
+      out += java.util.Arrays.copyOfRange(data, start, data.length)
+    out.toSeq
+  }
+
+  /** Split one AVCC (length-prefixed) sample into NAL payloads. */
+  def splitAvccSample(data: Array[Byte], lengthSize: Int): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    while (i + lengthSize <= data.length) {
+      var len = 0L
+      for (k <- 0 until lengthSize) len = (len << 8) | (data(i + k) & 0xFF)
+      i += lengthSize
+      if (len < 0 || i + len > data.length) return out.toSeq
+      out += java.util.Arrays.copyOfRange(data, i, i + len.toInt)
+      i += len.toInt
+    }
+    out.toSeq
+  }
+
+  /** avcC (AVCDecoderConfigurationRecord) → (lengthSize, SPS list,
+    * PPS list). None on malformed config.
+    */
+  def parseAvcC(cfg: Array[Byte]): Option[(Int, Seq[Array[Byte]], Seq[Array[Byte]])] =
+    try {
+      if (cfg.length < 7 || cfg(0) != 1) return None
+      val lengthSize = (cfg(4) & 3) + 1
+      var i = 5
+      val nSps = cfg(i) & 0x1F
+      i += 1
+      val sps = (0 until nSps).map { _ =>
+        val len = ((cfg(i) & 0xFF) << 8) | (cfg(i + 1) & 0xFF)
+        i += 2
+        val s = java.util.Arrays.copyOfRange(cfg, i, i + len)
+        i += len
+        s
+      }
+      val nPps = cfg(i) & 0xFF
+      i += 1
+      val pps = (0 until nPps).map { _ =>
+        val len = ((cfg(i) & 0xFF) << 8) | (cfg(i + 1) & 0xFF)
+        i += 2
+        val s = java.util.Arrays.copyOfRange(cfg, i, i + len)
+        i += len
+        s
+      }
+      Some((lengthSize, sps, pps))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

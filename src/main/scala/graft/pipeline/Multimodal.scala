@@ -650,7 +650,8 @@ object Multimodal {
     * sample table decoded from `stsd`/`stsz`/`stsc`/`stco`(`co64`).
     */
   private[graft] final case class Mp4Track(
-      fourcc: String, width: Int, height: Int, samples: Seq[(Long, Int)])
+      fourcc: String, width: Int, height: Int, samples: Seq[(Long, Int)],
+      avcc: Option[Array[Byte]] = None)
 
   /** REAL ISO-BMFF demux (ISO/IEC 14496-12): walk
     * `moov → trak → mdia`, pick the track whose `hdlr` handler is
@@ -709,6 +710,15 @@ object Multimodal {
     val fourcc = new String(p, entry + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
     val width = be16(p, entry + 32)
     val height = be16(p, entry + 34)
+    // codec-specific config sits in child boxes after the 86-byte
+    // visual sample entry — avcC carries H.264's SPS/PPS
+    val entrySize = be32(p, entry).toInt
+    val avcc =
+      if (entrySize >= 86 && entry + entrySize <= stsd._3)
+        mp4Boxes(p, entry + 86, entry + entrySize).collectFirst {
+          case ("avcC", from, until) => java.util.Arrays.copyOfRange(p, from, until)
+        }
+      else None
     // stsz: version/flags(4) sample_size(4) sample_count(4) [sizes…]
     if (stsz._2 + 12 > stsz._3) return None
     val fixedSize = be32(p, stsz._2 + 4)
@@ -754,7 +764,7 @@ object Multimodal {
       chunk += 1
     }
     if (samples.isEmpty) None
-    else Some(Mp4Track(fourcc, width, height, samples.toSeq))
+    else Some(Mp4Track(fourcc, width, height, samples.toSeq, avcc))
   }
 
   /** Frame payloads of an MP4 whose video track is motion-JPEG
@@ -771,6 +781,34 @@ object Multimodal {
       case Some(t) if Set("jpeg", "mjpa", "mjpb").contains(t.fourcc) =>
         t.samples.take(maxFrames).map { case (off, len) =>
           java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + len)
+        }
+      case _ => Seq.empty
+    }
+
+  /** REAL pixel decode for `avc1` (H.264) MP4 tracks via the in-repo
+    * baseline-intra decoder ([[H264]]): SPS/PPS from the track's avcC
+    * record, each sample's length-prefixed NALs decoded as an intra
+    * frame. Samples the decoder cannot handle (P/B slices, CABAC —
+    * the documented ceiling on [[H264]]) are SKIPPED, which is the
+    * production keyframe-sampling shape: near-dup signatures come from
+    * the IDR frames a frame-sampler would pick anyway. Returns empty
+    * on anything malformed.
+    */
+  private[graft] def mp4AvcFrames(payload: Array[Byte],
+                                  maxFrames: Int): Seq[java.awt.image.BufferedImage] =
+    mp4VideoTrack(payload) match {
+      case Some(t) if t.fourcc == "avc1" && t.avcc.isDefined =>
+        H264.parseAvcC(t.avcc.get) match {
+          case Some((lengthSize, spsList, ppsList)) =>
+            val paramNals = spsList ++ ppsList
+            t.samples.iterator.map { case (off, len) =>
+              if (off < 0 || off + len > payload.length) None
+              else {
+                val sample = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + len)
+                H264.decodeNals(paramNals ++ H264.splitAvccSample(sample, lengthSize))
+              }
+            }.collect { case Some(f) => f.toImage }.take(maxFrames).toSeq
+          case None => Seq.empty
         }
       case _ => Seq.empty
     }
@@ -828,6 +866,64 @@ object Multimodal {
     ftyp ++ mdat ++ moov
   }
 
+  /** avc1 (H.264) MP4 writer — [[mjpegMp4]]'s sibling for the codec the
+    * in-repo [[H264]] decoder handles: one `vide` track whose sample
+    * entry carries the `avcC` configuration record (SPS/PPS, 4-byte
+    * NAL lengths); `samples` are AVCC-format access units (e.g. from
+    * [[H264Encoder.avccSample]]). 10 fps at timescale 1000.
+    */
+  def avc1Mp4(samples: Seq[Array[Byte]], width: Int, height: Int,
+              avcc: Array[Byte]): Array[Byte] = {
+    require(samples.nonEmpty, "avc1Mp4 needs at least one sample")
+    def u16(n: Int): Array[Byte] = Array(((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+    def u32(n: Long): Array[Byte] = Array(
+      ((n >> 24) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte,
+      ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val payload = body.flatten.toArray
+      u32(8L + payload.length) ++ fourcc(typ) ++ payload
+    }
+    val n = samples.length
+    val ftyp = box("ftyp", fourcc("isom"), u32(0x200), fourcc("isom"),
+      fourcc("avc1"), fourcc("mp41"))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val firstSample = ftyp.length + 8L
+    val matrix = u32(0x10000) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x10000) ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000)
+    val durMs = 100L * n
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(1000), u32(durMs),
+      u32(0x10000), u16(0x0100), u16(0), u32(0), u32(0), matrix,
+      Array.fill(24)(0.toByte), u32(2))
+    val tkhd = box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0), u32(durMs),
+      u32(0), u32(0), u16(0), u16(0), u16(0), u16(0), matrix,
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(1000), u32(durMs),
+      u16(0x55C4), u16(0))
+    val hdlr = box("hdlr", u32(0), u32(0), fourcc("vide"), u32(0), u32(0), u32(0),
+      "VideoHandler".getBytes ++ Array(0.toByte))
+    val avcCBox = box("avcC", avcc)
+    val sampleEntry = u32(86L + avcCBox.length) ++ fourcc("avc1") ++
+      Array.fill(6)(0.toByte) ++
+      u16(1) ++ Array.fill(16)(0.toByte) ++ u16(width) ++ u16(height) ++
+      u32(0x480000) ++ u32(0x480000) ++ u32(0) ++ u16(1) ++
+      Array.fill(32)(0.toByte) ++ u16(24) ++ u16(0xFFFF) ++ avcCBox
+    val stsd = box("stsd", u32(0), u32(1), sampleEntry)
+    val stts = box("stts", u32(0), u32(1), u32(n.toLong), u32(100))
+    val stsc = box("stsc", u32(0), u32(1), u32(1), u32(n.toLong), u32(1))
+    val stsz = box("stsz", u32(0), u32(0), u32(n.toLong),
+      samples.toArray.flatMap(f => u32(f.length.toLong)))
+    val stco = box("stco", u32(0), u32(1), u32(firstSample))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val dinf = box("dinf", box("dref", u32(0), u32(1), box("url ", u32(1))))
+    val vmhd = box("vmhd", u32(1), u16(0), u16(0), u16(0), u16(0))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Container dispatch shared by [[decodeVideo]] and
     * [[videoFrameSignatures]]: sniff the payload and decode up to
     * `maxFrames` frames — MJPEG-in-AVI via the RIFF walk + JPEG codec,
@@ -846,8 +942,11 @@ object Multimodal {
     if (payload == null || payload.length < 12) Seq.empty
     else if (looksLikeAvi(payload)) jpegs(aviJpegFrames(payload, maxFrames))
     else if (looksLikeGif(payload)) gifFrames(payload, maxFrames)
-    else if (looksLikeMp4(payload)) jpegs(mp4JpegFrames(payload, maxFrames))
-    else Seq.empty
+    else if (looksLikeMp4(payload)) {
+      val jpegFrames = jpegs(mp4JpegFrames(payload, maxFrames))
+      if (jpegFrames.nonEmpty) jpegFrames
+      else mp4AvcFrames(payload, maxFrames) // avc1 → in-repo H.264 intra decode
+    } else Seq.empty
   }
 
   /** REAL video decode for the JDK-native containers ([[clipFrames]]:

@@ -935,6 +935,56 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"))
     }),
 
+    // H.264 (avc1) MP4 decode through the in-repo baseline-intra
+    // decoder: constructed flat-gray fixtures at planted luma levels,
+    // all three MB modes, a cropped SPS, a corrupt payload, and an
+    // MJPEG MP4 beside them in one mixed table. Facts: frame counts,
+    // decoded dimensions (incl. crop), and the per-bucket luma
+    // histogram percentages — flat frames land 100% in their planted
+    // bucket, multi-frame clips split exactly by frame count, so a
+    // pixel-level decode error (wrong prediction, wrong dequant, wrong
+    // table) moves a bucket and hash-fails
+    "p82_h264_video_decode" -> ((s, _) => {
+      import graft.pipeline.{H264Encoder => Enc}
+      def clip(grays: Seq[Int], qp: Int, mode: Int,
+               cropR: Int = 0, cropB: Int = 0): Array[Byte] = {
+        var cfg: Array[Byte] = null
+        val samples = grays.map { g =>
+          val (y, cbp, crp) = Enc.flatPlanes(2, 1, g)
+          val (sps, pps, slice, _) = Enc.encodeFrame(y, cbp, crp, 2, 1, qp,
+            cropR, cropB, (_, _) => mode)
+          if (cfg == null) cfg = Enc.avcC(sps, pps)
+          Enc.avccSample(slice)
+        }
+        Multimodal.avc1Mp4(samples, 32 - 2 * cropR, 16 - 2 * cropB, cfg)
+      }
+      def jpeg(g: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", buf)
+        buf.toByteArray
+      }
+      val c1 = clip(Seq(96), 10, Enc.Mode16x16)
+      val clips = Seq(
+        (1L, c1),
+        (2L, clip(Seq(32, 224), 10, Enc.Mode16x16)),
+        (3L, clip(Seq(32, 96, 160, 224), 10, Enc.Mode16x16)), // maxFrames caps at 3
+        (4L, clip(Seq(96), 12, Enc.Mode4x4)), // all 9 intra-4x4 modes
+        (5L, clip(Seq(160), 0, Enc.ModePcm)), // bit-exact PCM path
+        (6L, clip(Seq(96), 10, Enc.Mode16x16, cropR = 4, cropB = 2)), // 24x12
+        (7L, c1.take(c1.length / 2)), // truncated: moov gone → nulls
+        (8L, Multimodal.mjpegMp4(Seq(jpeg(96)), 8, 6))) // MJPEG beside avc1
+      import s.implicits._
+      def pct(i: Int) =
+        round(element_at(col("video_features"), i) * 100).cast("int").as(s"b${i - 1}")
+      Multimodal.decodeVideo(clips.toDF("media_id", "payload"),
+          dims = 4, maxFrames = 3)
+        .select(col("media_id"), col("decoded_frames"),
+          col("frame_width"), col("frame_height"), pct(1), pct(2), pct(3), pct(4))
+    }),
+
     // BM25 keyword retrieval, fully oracle-checked: queries are the
     // first 8 tokens of docs 0-2 (self-retrieval — each query's source
     // doc should surface), scores round to 6 dp BEFORE ranking so the
@@ -1346,6 +1396,28 @@ object PipelineQueries {
         |FROM (VALUES (1, 1, 8, 6), (2, 2, 8, 6), (3, 3, 8, 6),
         |             (4, 1, 8, 6), (5, NULL, NULL, NULL))
         |  t(media_id, decoded_frames, frame_width, frame_height)""".stripMargin,
+
+    // H.264 decode: planted frame counts, (cropped) dimensions, and
+    // per-bucket luma percentages — flat gray 96→bucket 1, 32→0,
+    // 160→2, 224→3; clip 2 splits 50/50, clip 3 (capped at 3 frames)
+    // 33/33/33; the truncated clip nulls out
+    "p82_h264_video_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(decoded_frames AS INTEGER) AS decoded_frames,
+        |  CAST(frame_width AS INTEGER) AS frame_width,
+        |  CAST(frame_height AS INTEGER) AS frame_height,
+        |  CAST(b0 AS INTEGER) AS b0, CAST(b1 AS INTEGER) AS b1,
+        |  CAST(b2 AS INTEGER) AS b2, CAST(b3 AS INTEGER) AS b3
+        |FROM (VALUES
+        |  (1, 1, 32, 16, 0, 100, 0, 0),
+        |  (2, 2, 32, 16, 50, 0, 0, 50),
+        |  (3, 3, 32, 16, 33, 33, 33, 0),
+        |  (4, 1, 32, 16, 0, 100, 0, 0),
+        |  (5, 1, 32, 16, 0, 0, 100, 0),
+        |  (6, 1, 24, 12, 0, 100, 0, 0),
+        |  (7, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (8, 1, 8, 6, 0, 100, 0, 0))
+        |  t(media_id, decoded_frames, frame_width, frame_height, b0, b1, b2, b3)""".stripMargin,
 
     // constructed-fact pairs: clips sharing ≥2 luma buckets by design
     "p71_video_neardup" ->

@@ -188,13 +188,30 @@ object QueryServer {
     * interrupt-responsive, so `task.cancel(true)` alone leaves the
     * worker pinned until TCP timeouts.
     */
-  private def forceCloseConnection(ex: HttpExchange): Boolean =
+  private[graft] def forceCloseConnection(ex: HttpExchange): Boolean =
     try {
       val implField = ex.getClass.getDeclaredField("impl")
       implField.setAccessible(true)
       val impl = implField.get(ex)
-      val conn = impl.getClass.getMethod("getConnection").invoke(impl)
-      conn.getClass.getMethod("close").invoke(conn)
+      // getConnection/close live on PACKAGE-PRIVATE sun.net.httpserver
+      // classes — getMethod only sees public members of accessible
+      // classes, so it throws NoSuchMethodException even when
+      // --add-opens is set; getDeclaredMethod + setAccessible is the
+      // working path (walking up from the runtime class, since the
+      // method may sit on a superclass like ExchangeImpl)
+      def declared(o: AnyRef, name: String): java.lang.reflect.Method = {
+        var c: Class[_] = o.getClass
+        while (c != null) {
+          try {
+            val m = c.getDeclaredMethod(name)
+            m.setAccessible(true)
+            return m
+          } catch { case _: NoSuchMethodException => c = c.getSuperclass }
+        }
+        throw new NoSuchMethodException(s"$name on ${o.getClass.getName}")
+      }
+      val conn = declared(impl, "getConnection").invoke(impl)
+      declared(conn, "close").invoke(conn)
       true
     } catch {
       case t: Throwable =>

@@ -449,9 +449,26 @@ class ServerSpec extends SparkTestBase {
     spark.conf.set("spark.graft.server.streamResults", "true")
     spark.conf.set("spark.graft.server.timeoutMs", "2000")
     try {
-      val t0 = System.nanoTime()
-      val (code, body, _) = get(runaway)
-      val elapsedS = (System.nanoTime() - t0) / 1e9
+      // one retry on a client-side read timeout: a full-suite run can
+      // wedge the whole JVM for >2 min (GC/RPC stall from the earlier
+      // saturation tests' draining cartesians — seen as a 120 s
+      // NettyRpcEnv timeout in the same run), which starves even the
+      // watchdog's 503 write. The property under test (clean 503,
+      // never headers + a hung body) is asserted on the retried
+      // request all the same; only the environmental stall is absorbed.
+      def timedGet(): (Double, (Int, String, Map[String, String])) = {
+        val t0 = System.nanoTime()
+        val r = get(runaway)
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (elapsedS, (code, body, _)) =
+        try timedGet()
+        catch {
+          case _: java.net.SocketTimeoutException =>
+            while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty)
+              Thread.sleep(250)
+            timedGet()
+        }
       assert(code === 503, s"streamed runaway must time out cleanly: $code $body")
       assert(body.contains("spark.graft.server.timeoutMs"))
       assert(elapsedS < 60, f"503 took $elapsedS%.1f s")
@@ -461,12 +478,56 @@ class ServerSpec extends SparkTestBase {
       spark.conf.unset("spark.graft.server.timeoutMs")
       val ok = "/query?query=" + java.net.URLEncoder.encode(
         "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 3", "UTF-8")
-      val (okCode, okBody, _) = get(ok)
+      // the cancelled cartesian's killed tasks can pin every local core
+      // for minutes (kill flags are only polled at loop checkpoints),
+      // so the health probe can blow the client read timeout for
+      // residual-load reasons; quiesce and retry once before failing
+      val (okCode, okBody, _) =
+        try get(ok)
+        catch {
+          case _: java.net.SocketTimeoutException =>
+            while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty)
+              Thread.sleep(250)
+            get(ok)
+        }
       assert(okCode === 200 && okBody.endsWith("]}}"))
     } finally {
       spark.conf.unset("spark.graft.server.streamResults")
       spark.conf.unset("spark.graft.server.timeoutMs")
     }
+  }
+
+  test("forceCloseConnection drops the raw TCP connection on this JVM") {
+    // the stuck-writer mitigation (watchdog killing a chunked write to
+    // a dead client) only exists if the reflective close WORKS — a
+    // sealed-module or renamed-internal JVM silently degrades it, so
+    // pin that this build's JVM + --add-opens actually reach the
+    // connection. The handler starts a chunked response and force-
+    // closes mid-body; a working close surfaces client-side as a
+    // truncated/failed read, never a clean terminal chunk.
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ctx = server.createContext("/force-close-probe",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, 0L) // chunked
+        val os = ex.getResponseBody
+        os.write("partial".getBytes("UTF-8"))
+        os.flush()
+        val ok = QueryServer.forceCloseConnection(ex)
+        closed.set(ok)
+        // failure path: finish the exchange normally so the client
+        // fails the assertion immediately instead of hanging to its
+        // read timeout
+        if (!ok) { try os.close() catch { case _: Throwable => }; ex.close() }
+      })
+    try {
+      val failed =
+        try {
+          val (_, body, _) = get("/force-close-probe")
+          body != "partial" // a retained terminal chunk would complete the body
+        } catch { case _: java.io.IOException => true }
+      assert(closed.get(), "forceCloseConnection must succeed under the build's --add-opens")
+      assert(failed, "a force-closed chunked response must not read as complete")
+    } finally server.removeContext(ctx)
   }
 
   test("maxRows edge values: Int.MaxValue serves; junk fails with a clear message") {
