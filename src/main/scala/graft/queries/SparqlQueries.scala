@@ -536,7 +536,21 @@ object SparqlQueries {
       s"""SELECT s_lex AS s, p_lex AS p, o_lex AS o FROM $ST
          |WHERE s['key'] IN (SELECT o['key'] FROM $ST
          |                   WHERE s['key']='Q:31' AND p['key']='P:36')
-         |   OR s['key']='Q:8'""".stripMargin)
+         |   OR s['key']='Q:8'""".stripMargin),
+
+    // label service under an AGGREGATE: the implicit ?sLabel lives in
+    // the aggregate's operand, not the post-aggregate projection — the
+    // rewrite must read the Group's referenced variables (the r13
+    // concurrency bench caught COUNT(?xLabel) silently counting 0;
+    // COUNT(?sLabel) counts BOUND labels only, so the en-label count
+    // differs from COUNT(?s) and pins the binding actually happening)
+    ("sp76_label_service_agg",
+      """SELECT (COUNT(?sLabel) AS ?n) WHERE { ?s wdt:P31 ?o .
+        |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
+      s"""SELECT count(en.text) AS n
+         |FROM (SELECT * FROM $ST WHERE p['key']='P:31') a
+         |LEFT JOIN (SELECT entity_key, text FROM $LB WHERE kind='label' AND lang='en') en
+         |  ON a.s['key']=en.entity_key""".stripMargin)
   )
 
   // ---- opt-in lexeme ingest (beyond the reference: its serde schema

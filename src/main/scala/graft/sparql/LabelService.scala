@@ -53,7 +53,16 @@ object LabelService {
     case DistinctOp(i) => DistinctOp(rewriteIn(i, vars))
     case ReducedOp(i) => ReducedOp(rewriteIn(i, vars))
     case Slice(i, s, l) => Slice(rewriteIn(i, vars), s, l)
-    case Group(i, ks, as) => Group(rewriteIn(i, vars), ks, as)
+    // an aggregate's "projection" for label-service purposes is what
+    // the Group READS: its keys plus the variables inside its
+    // aggregate expressions. Passing the post-aggregate output vars
+    // down (the old behavior) made `SELECT (COUNT(?xLabel) AS ?n)`
+    // rewrite to a ProjectExtend over ?n — dropping ?x/?xLabel and
+    // silently counting zero (caught by ConcurrencyBench's planted
+    // response checks).
+    case Group(i, ks, as) =>
+      val referenced = as.flatMap { case (_, a) => aggOperand(a).toSeq.flatMap(exprVars) }
+      Group(rewriteIn(i, (ks ++ referenced.map(Var)).distinct), ks, as)
     case GraphOp(g, i) => GraphOp(g, rewriteIn(i, vars))
     case DatasetOp(f, n, i) => DatasetOp(f, n, rewriteIn(i, vars))
     case other => other
@@ -61,6 +70,46 @@ object LabelService {
 
   private def isLabelService(name: graft.model.TermValue): Boolean =
     name.key == "s:http://wikiba.se/ontology#label"
+
+  private def aggOperand(a: Agg): Option[Expr] = a match {
+    case ACount(e, _) => e
+    case ASum(e, _) => Some(e)
+    case AAvg(e, _) => Some(e)
+    case AMin(e, _) => Some(e)
+    case AMax(e, _) => Some(e)
+    case AGroupConcat(e, _, _) => Some(e)
+    case ASample(e, _) => Some(e)
+  }
+
+  /** Variable names referenced by a scalar expression (EXISTS bodies
+    * excluded — those evaluate in their own scope).
+    */
+  private def exprVars(e: Expr): Seq[String] = e match {
+    case EVar(n) => Seq(n)
+    case EConst(_) => Nil
+    case EOr(l, r) => exprVars(l) ++ exprVars(r)
+    case EAnd(l, r) => exprVars(l) ++ exprVars(r)
+    case EEqual(l, r) => exprVars(l) ++ exprVars(r)
+    case ENotEqual(l, r) => exprVars(l) ++ exprVars(r)
+    case ESameTerm(l, r) => exprVars(l) ++ exprVars(r)
+    case EGreater(l, r) => exprVars(l) ++ exprVars(r)
+    case EGreaterEq(l, r) => exprVars(l) ++ exprVars(r)
+    case ELess(l, r) => exprVars(l) ++ exprVars(r)
+    case ELessEq(l, r) => exprVars(l) ++ exprVars(r)
+    case EIn(x, list, _) => exprVars(x) ++ list.flatMap(exprVars)
+    case EAdd(l, r) => exprVars(l) ++ exprVars(r)
+    case ESubtract(l, r) => exprVars(l) ++ exprVars(r)
+    case EMultiply(l, r) => exprVars(l) ++ exprVars(r)
+    case EDivide(l, r) => exprVars(l) ++ exprVars(r)
+    case EUnaryPlus(x) => exprVars(x)
+    case EUnaryMinus(x) => exprVars(x)
+    case ENot(x) => exprVars(x)
+    case EExists(_, _) => Nil
+    case EBound(v) => Seq(v.name)
+    case EIf(c, t, f) => exprVars(c) ++ exprVars(t) ++ exprVars(f)
+    case ECoalesce(args) => args.flatMap(exprVars)
+    case ECall(_, args) => args.flatMap(exprVars)
+  }
 
   /** Build the ProjectExtend expressions
     * (`label_service_to_function_calls`, `src/interpreter.rs:919-1057`).
