@@ -12,12 +12,15 @@ import java.awt.image.BufferedImage
   * open (the keyframe slice of a real corpus — frame-sampled near-dup
   * pipelines decode IDR frames and skip P/B by design).
   *
+  * Includes the in-loop deblocking filter (§8.7) for intra pictures —
+  * bS 4/3 edges, strong+normal luma filters, chroma, per-MB qp,
+  * slice alpha/beta offsets — so real-world streams (which virtually
+  * all enable the filter) decode to conforming pixels.
+  *
   * CEILING (documented, honest): inter-coded slices (P/B), CABAC
-  * entropy mode, high-profile tools (8x8 transform, scaling lists,
-  * MBAFF), and the in-loop deblocking filter are NOT implemented —
-  * payloads needing them yield no frames (degradation, never garbage;
-  * deblocking-enabled intra streams decode but are not filtered, so
-  * they are flagged undecodable rather than approximated). VALIDATION
+  * entropy mode, and high-profile tools (8x8 transform, scaling
+  * lists, MBAFF) are NOT implemented — payloads needing them yield no
+  * frames (degradation, never garbage). VALIDATION
   * BOUNDARY: with no external H.264 implementation available in this
   * environment (zero egress, no ffmpeg/JCodec), the entropy tables
   * are transcribed from the published standard and validated
@@ -667,6 +670,165 @@ object H264 {
     f.map(v => ((v * ls) << (qpc / 6)) >> 5)
   }
 
+  // ------------------------------------------------------------ deblocking
+
+  /** Table 8-16 alpha/beta thresholds (index = clipped qp + offset).
+    * Transcribed from the published standard; monotonicity and arity
+    * are asserted by H264Spec (same validation boundary as the CAVLC
+    * tables — no external decoder exists here to cross-check).
+    */
+  private[pipeline] val AlphaTable: Array[Int] =
+    Array.fill(16)(0) ++ Array(4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20,
+      22, 25, 28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127,
+      144, 162, 182, 203, 226, 255, 255)
+  private[pipeline] val BetaTable: Array[Int] =
+    Array.fill(16)(0) ++ Array(2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8,
+      8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17,
+      17, 18, 18)
+
+  /** Table 8-17 t'C0 for bS=3 — the only row an intra-only decoder
+    * needs (intra edges are bS 4 at MB boundaries — no tc0 — and bS 3
+    * inside).
+    */
+  private[pipeline] val Tc0Bs3: Array[Int] =
+    Array.fill(16)(0) ++ Array(0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+      3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25)
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** One 8-sample line across an edge (§8.7.2.3/8.7.2.4). `get`/`set`
+    * address samples relative to the edge: -1..-4 are p0..p3, 0..3 are
+    * q0..q3. All decisions read pre-filter values of THIS line; edges
+    * are sequenced so later edges see earlier edges' output, per spec.
+    */
+  private def filterLine(get: Int => Int, set: (Int, Int) => Unit, bS: Int,
+                         alpha: Int, beta: Int, tc0: Int, chroma: Boolean): Unit = {
+    val p0 = get(-1); val q0 = get(0); val p1 = get(-2); val q1 = get(1)
+    if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+      math.abs(q1 - q0) >= beta) return
+    if (bS < 4) {
+      if (chroma) {
+        val tc = tc0 + 1
+        val delta = clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
+        set(-1, clip255(p0 + delta)); set(0, clip255(q0 - delta))
+      } else {
+        val p2 = get(-3); val q2 = get(2)
+        val ap = math.abs(p2 - p0) < beta
+        val aq = math.abs(q2 - q0) < beta
+        val tc = tc0 + (if (ap) 1 else 0) + (if (aq) 1 else 0)
+        val delta = clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
+        set(-1, clip255(p0 + delta)); set(0, clip255(q0 - delta))
+        if (ap) set(-2, p1 + clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1))
+        if (aq) set(1, q1 + clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1))
+      }
+    } else { // bS == 4
+      if (chroma) {
+        set(-1, (2 * p1 + p0 + q1 + 2) >> 2)
+        set(0, (2 * q1 + q0 + p1 + 2) >> 2)
+      } else {
+        val p2 = get(-3); val p3 = get(-4); val q2 = get(2); val q3 = get(3)
+        val small = math.abs(p0 - q0) < (alpha >> 2) + 2
+        if (math.abs(p2 - p0) < beta && small) {
+          set(-1, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+          set(-2, (p2 + p1 + p0 + q0 + 2) >> 2)
+          set(-3, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+        } else set(-1, (2 * p1 + p0 + q1 + 2) >> 2)
+        if (math.abs(q2 - q0) < beta && small) {
+          set(0, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+          set(1, (q2 + q1 + q0 + p0 + 2) >> 2)
+          set(2, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+        } else set(0, (2 * q1 + q0 + p1 + 2) >> 2)
+      }
+    }
+  }
+
+  /** In-loop deblocking post-pass (§8.7) for an INTRA picture: every
+    * MB in raster order filters its vertical edges left-to-right, then
+    * its horizontal edges top-to-bottom, in place — later edges see
+    * earlier edges' output, exactly the spec's sequencing. Intra-only
+    * bS: 4 on macroblock edges, 3 on internal transform edges. Runs
+    * AFTER all MBs decode (intra prediction reads UNFILTERED samples,
+    * so a post-pass is the conforming order for I pictures). I_PCM
+    * MBs carry qp 0 (§8.7.2), so their INTERNAL edges keep
+    * alpha=beta=0; their MB edges average with the neighbor's qp and
+    * may still be filtered, per spec.
+    */
+  private[pipeline] def deblockPicture(st: PicState, pps: Pps,
+                                       offA: Int, offB: Int): Unit = {
+    val w = st.w
+    val cw = w / 2
+    def idxA(qpav: Int) = clip3(0, 51, qpav + offA)
+    def idxB(qpav: Int) = clip3(0, 51, qpav + offB)
+    for (mb <- 0 until st.wMbs * st.hMbs) {
+      val mbX = mb % st.wMbs
+      val mbY = mb / st.wMbs
+      val qp = st.qpOfMb(mb)
+      val px = mbX * 16
+      val py = mbY * 16
+      // ---- luma vertical edges (columns px + 4e), then horizontal
+      for (vertical <- Seq(true, false); e <- 0 to 3) {
+        val mbEdge = e == 0
+        if (!(mbEdge && (if (vertical) mbX == 0 else mbY == 0))) {
+          val bS = if (mbEdge) 4 else 3
+          val qpav =
+            if (mbEdge) {
+              val other = st.qpOfMb(if (vertical) mb - 1 else mb - st.wMbs)
+              (qp + other + 1) >> 1
+            } else qp
+          val a = AlphaTable(idxA(qpav))
+          val b = BetaTable(idxB(qpav))
+          val t0 = Tc0Bs3(idxA(qpav))
+          if (a > 0) {
+            for (line <- 0 until 16) {
+              if (vertical) {
+                val base = (py + line) * w + px + 4 * e
+                filterLine(i => st.y(base + i), (i, v) => st.y(base + i) = v,
+                  bS, a, b, t0, chroma = false)
+              } else {
+                val base = (py + 4 * e) * w + px + line
+                filterLine(i => st.y(base + i * w), (i, v) => st.y(base + i * w) = v,
+                  bS, a, b, t0, chroma = false)
+              }
+            }
+          }
+        }
+      }
+      // ---- chroma edges (8x8 per MB per component; edges at 0 and 4)
+      val cpx = mbX * 8
+      val cpy = mbY * 8
+      for (plane <- Seq(st.cb, st.cr); vertical <- Seq(true, false); e <- 0 to 1) {
+        val mbEdge = e == 0
+        if (!(mbEdge && (if (vertical) mbX == 0 else mbY == 0))) {
+          val bS = if (mbEdge) 4 else 3
+          val qpcThis = chromaQp(qp, pps.chromaQpOff)
+          val qpav =
+            if (mbEdge) {
+              val other = chromaQp(st.qpOfMb(if (vertical) mb - 1 else mb - st.wMbs),
+                pps.chromaQpOff)
+              (qpcThis + other + 1) >> 1
+            } else qpcThis
+          val a = AlphaTable(idxA(qpav))
+          val b = BetaTable(idxB(qpav))
+          val t0 = Tc0Bs3(idxA(qpav))
+          if (a > 0) {
+            for (line <- 0 until 8) {
+              if (vertical) {
+                val base = (cpy + line) * cw + cpx + 4 * e
+                filterLine(i => plane(base + i), (i, v) => plane(base + i) = v,
+                  bS, a, b, t0, chroma = true)
+              } else {
+                val base = (cpy + 4 * e) * cw + cpx + line
+                filterLine(i => plane(base + i * cw), (i, v) => plane(base + i * cw) = v,
+                  bS, a, b, t0, chroma = true)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** QPc from QPy + offset (Table 8-15). */
   private[pipeline] def chromaQp(qpY: Int, off: Int): Int = {
     val qpi = math.max(0, math.min(51, qpY + off))
@@ -728,6 +890,9 @@ object H264 {
     // per-4x4-block intra mode (-1 = unavailable/not I4x4) for mode pred
     val i4Modes: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
     val mbDecoded: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+    // per-MB QP for the deblocking pass (I_PCM carries 0 → its edges
+    // keep alpha = beta = 0 and PCM pixels stay exact)
+    val qpOfMb: Array[Int] = new Array[Int](wMbs * hMbs)
 
     def cropped: Frame = {
       val fw = sps.width
@@ -1019,6 +1184,7 @@ object H264 {
           st.cbNz(cIdx) = 16
           st.crNz(cIdx) = 16
         }
+        st.qpOfMb(mb) = 0
         st.mbDecoded(mb) = true
         mb += 1
       } else if (mbType == 0) {
@@ -1067,6 +1233,7 @@ object H264 {
               clip255(pred(y * 4 + x) + res(y * 4 + x))
         }
         decodeChroma(r, st, pps, mb, mbX, mbY, chromaMode, cbpChroma, qp)
+        st.qpOfMb(mb) = qp
         st.mbDecoded(mb) = true
         mb += 1
       } else {
@@ -1107,6 +1274,7 @@ object H264 {
               clip255(pred((ly * 4 + y) * 16 + lx * 4 + x) + res(y * 4 + x))
         }
         decodeChroma(r, st, pps, mb, mbX, mbY, chromaMode, cbpChroma, qp)
+        st.qpOfMb(mb) = qp
         st.mbDecoded(mb) = true
         mb += 1
       }
@@ -1172,6 +1340,10 @@ object H264 {
       var pps = pps0
       var st: PicState = null
       var decodedAny = false
+      var deblock = false
+      var deblockOffA = 0
+      var deblockOffB = 0
+      var deblockPps: Pps = null
       for (nal <- nals if nal.nonEmpty) {
         val nalType = nal(0) & 0x1F
         val nalRefIdc = (nal(0) >> 5) & 3
@@ -1199,11 +1371,26 @@ object H264 {
                 else if (nalRefIdc != 0 && r.read1() == 1)
                   return None // adaptive marking unsupported
                 val qp = p.picInitQp + r.se()
+                // deblocking: idc 1 = off; idc 0/2 = on (2 = "skip
+                // slice boundaries", identical to 0 for the
+                // whole-picture slices decoded here). When the PPS
+                // omits the control flags, the filter is ON with zero
+                // offsets (§7.4.3).
                 if (p.deblockCtrl) {
                   val disable = r.ue()
-                  if (disable != 1) return None // in-loop filter not implemented
-                  // no alpha/beta offsets when disabled
-                } else return None // stream requires deblocking → degrade
+                  if (disable > 2) return None
+                  if (disable != 1) {
+                    deblock = true
+                    deblockOffA = 2 * r.se()
+                    deblockOffB = 2 * r.se()
+                    deblockPps = p
+                  }
+                } else {
+                  deblock = true
+                  deblockOffA = 0
+                  deblockOffB = 0
+                  deblockPps = p
+                }
                 if (st == null) st = new PicState(s)
                 if (!decodeSliceData(r, st, p, firstMb, qp)) return None
                 decodedAny = true
@@ -1212,7 +1399,10 @@ object H264 {
           case _ => () // SEI/AUD/etc. ignored
         }
       }
-      if (decodedAny && st.mbDecoded.forall(identity)) Some(st.cropped) else None
+      if (decodedAny && st.mbDecoded.forall(identity)) {
+        if (deblock) deblockPicture(st, deblockPps, deblockOffA, deblockOffB)
+        Some(st.cropped)
+      } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Split an Annex-B byte stream (00 00 01 start codes) into NAL

@@ -37,7 +37,8 @@ object H264Encoder {
   def encodeFrame(y: Array[Int], cb: Array[Int], cr: Array[Int],
                   widthMbs: Int, heightMbs: Int, qp: Int,
                   cropR: Int = 0, cropB: Int = 0,
-                  mbMode: (Int, Int) => Int = (_, _) => Mode16x16)
+                  mbMode: (Int, Int) => Int = (_, _) => Mode16x16,
+                  deblock: Boolean = false)
       : (Array[Byte], Array[Byte], Array[Byte], Frame) = {
     require(qp >= 0 && qp <= 51)
     val sps = Sps(66, 20, 4, 2, 0, widthMbs, heightMbs, 0, cropR, 0, cropB)
@@ -54,7 +55,8 @@ object H264Encoder {
     w.ue(0) // idr_pic_id
     w.put(0, 2) // no_output_of_prior_pics, long_term_reference
     w.se(0) // slice_qp_delta
-    w.ue(1) // disable_deblocking_filter_idc = 1
+    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
+    else w.ue(1) // disable_deblocking_filter_idc = 1
 
     val qbits = 15 + qp / 6
     val f2 = (1 << qbits) / 3 // intra rounding
@@ -68,16 +70,26 @@ object H264Encoder {
       val mbX = mb % widthMbs
       val mbY = mb / widthMbs
       mbMode(mbX, mbY) match {
-        case ModePcm => encodePcm(w, st, y, cb, cr, mb, mbX, mbY)
-        case Mode4x4 => encodeI4x4(w, st, y, cb, cr, mb, mbX, mbY, qp,
-          qbits, f2, mf, qpc, qbitsC, fC, mfC)
-        case _ => encodeI16x16(w, st, y, cb, cr, mb, mbX, mbY, qp,
-          qbits, f2, mf, qpc, qbitsC, fC, mfC)
+        case ModePcm =>
+          encodePcm(w, st, y, cb, cr, mb, mbX, mbY)
+          st.qpOfMb(mb) = 0
+        case Mode4x4 =>
+          encodeI4x4(w, st, y, cb, cr, mb, mbX, mbY, qp,
+            qbits, f2, mf, qpc, qbitsC, fC, mfC)
+          st.qpOfMb(mb) = qp
+        case _ =>
+          encodeI16x16(w, st, y, cb, cr, mb, mbX, mbY, qp,
+            qbits, f2, mf, qpc, qbitsC, fC, mfC)
+          st.qpOfMb(mb) = qp
       }
       st.mbDecoded(mb) = true
     }
     w.rbspTrailing()
     val sliceNal = Array(0x65.toByte) ++ addEmulation(w.toBytes)
+    // prediction used UNFILTERED samples above (the conforming order
+    // for intra pictures); the returned recon is what a decoder
+    // outputs — filtered when the slice enables the loop filter
+    if (deblock) deblockPicture(st, pps, 0, 0)
     (spsNal(sps), ppsNal(pps), sliceNal, st.cropped)
   }
 

@@ -947,12 +947,12 @@ object PipelineQueries {
     "p82_h264_video_decode" -> ((s, _) => {
       import graft.pipeline.{H264Encoder => Enc}
       def clip(grays: Seq[Int], qp: Int, mode: Int,
-               cropR: Int = 0, cropB: Int = 0): Array[Byte] = {
+               cropR: Int = 0, cropB: Int = 0, deblock: Boolean = false): Array[Byte] = {
         var cfg: Array[Byte] = null
         val samples = grays.map { g =>
           val (y, cbp, crp) = Enc.flatPlanes(2, 1, g)
           val (sps, pps, slice, _) = Enc.encodeFrame(y, cbp, crp, 2, 1, qp,
-            cropR, cropB, (_, _) => mode)
+            cropR, cropB, (_, _) => mode, deblock)
           if (cfg == null) cfg = Enc.avcC(sps, pps)
           Enc.avccSample(slice)
         }
@@ -975,7 +975,11 @@ object PipelineQueries {
         (5L, clip(Seq(160), 0, Enc.ModePcm)), // bit-exact PCM path
         (6L, clip(Seq(96), 10, Enc.Mode16x16, cropR = 4, cropB = 2)), // 24x12
         (7L, c1.take(c1.length / 2)), // truncated: moov gone → nulls
-        (8L, Multimodal.mjpegMp4(Seq(jpeg(96)), 8, 6))) // MJPEG beside avc1
+        (8L, Multimodal.mjpegMp4(Seq(jpeg(96)), 8, 6)), // MJPEG beside avc1
+        // deblocking-enabled stream (what real encoders emit): decodes
+        // through the in-loop filter; flat content is a filter fixed
+        // point so the planted bucket stays exact
+        (9L, clip(Seq(96), 32, Enc.Mode16x16, deblock = true)))
       import s.implicits._
       def pct(i: Int) =
         round(element_at(col("video_features"), i) * 100).cast("int").as(s"b${i - 1}")
@@ -1416,7 +1420,8 @@ object PipelineQueries {
         |  (5, 1, 32, 16, 0, 0, 100, 0),
         |  (6, 1, 24, 12, 0, 100, 0, 0),
         |  (7, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (8, 1, 8, 6, 0, 100, 0, 0))
+        |  (8, 1, 8, 6, 0, 100, 0, 0),
+        |  (9, 1, 32, 16, 0, 100, 0, 0))
         |  t(media_id, decoded_frames, frame_width, frame_height, b0, b1, b2, b3)""".stripMargin,
 
     // constructed-fact pairs: clips sharing ≥2 luma buckets by design

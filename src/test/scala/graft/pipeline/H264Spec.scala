@@ -292,6 +292,95 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeNals(Seq(Array.tabulate[Byte](40)(i => (i * 37).toByte))).isEmpty)
   }
 
+  test("deblocking tables: arity, zero head, monotone nondecreasing") {
+    for ((name, tab) <- Seq(("alpha", AlphaTable), ("beta", BetaTable), ("tc0/bS3", Tc0Bs3))) {
+      assert(tab.length === 52, name)
+      assert(tab.take(16).forall(_ === 0), s"$name head")
+      for (i <- 1 until 52) assert(tab(i) >= tab(i - 1), s"$name monotone at $i")
+    }
+    assert(AlphaTable(16) === 4 && AlphaTable(51) === 255)
+    assert(BetaTable(16) === 2 && BetaTable(51) === 18)
+  }
+
+  test("deblocking: decoded frame equals encoder recon; the filter demonstrably fires") {
+    // two flat half-frames with a hard seam at the MB boundary — the
+    // textbook blocking artifact the loop filter exists to smooth
+    // a 20-luma step: inside the alpha threshold from qp≈29 up, so the
+    // filter provably fires at the tested qps (a 60-luma step would be
+    // KEPT as a real content edge — that is the filter's design)
+    val w = 32
+    val h = 16
+    val y = Array.tabulate(w * h)(i => if (i % w < 16) 120 else 100)
+    val cbp = Array.fill(w / 2 * h / 2)(110)
+    val crp = Array.fill(w / 2 * h / 2)(140)
+    for (qp <- Seq(32, 40)) {
+      val (sps, pps, slice, reconD) =
+        H264Encoder.encodeFrame(y, cbp, crp, 2, 1, qp, deblock = true)
+      val dec = H264.decodeNals(Seq(sps, pps, slice))
+      assert(dec.isDefined, s"deblocked stream failed to decode at qp=$qp")
+      assertFrameEquals(dec.get, reconD)
+      val (_, _, _, reconU) =
+        H264Encoder.encodeFrame(y, cbp, crp, 2, 1, qp, deblock = false)
+      // at the seam (columns 15/16) the filter must have moved pixels;
+      // far from any transform edge the frames agree
+      val seam = (0 until h).map(r => r * w + 15)
+      assert(seam.exists(i => reconD.y(i) != reconU.y(i)),
+        s"qp=$qp: loop filter never fired at the MB seam")
+    }
+    // gradient roundtrips across all modes with the filter on
+    val (gy, gcb, gcr) = gradientPlanes(3, 2, 77)
+    val (s2, p2, sl2, rec2) = H264Encoder.encodeFrame(gy, gcb, gcr, 3, 2, 28,
+      mbMode = (mx, my) => (mx + my) % 3, deblock = true)
+    val dec2 = H264.decodeNals(Seq(s2, p2, sl2))
+    assert(dec2.isDefined)
+    assertFrameEquals(dec2.get, rec2)
+  }
+
+  test("deblocking: strong-filter hand vector (bS=4 MB edge, spec §8.7.2.4)") {
+    // one 8-sample line across a step edge: p = 100, q = 60, qp 40
+    // (alpha 80, beta 13). |p0-q0| = 40 >= (alpha>>2)+2 = 22, so the
+    // WEAK arm of the bS=4 branch applies on both sides:
+    //   p0' = (2*100 + 100 + 60 + 2) >> 2 = 90
+    //   q0' = (2*60 + 60 + 100 + 2) >> 2 = 70
+    // exercised through a real bitstream: two flat 16x16 PCM MBs with
+    // qp… PCM carries qp 0, so use I_16x16 at qp 40 instead and check
+    // the seam values the strong filter must produce from the
+    // (losslessly reconstructed? no — qp 40 is lossy) — instead pin
+    // the pure function through a 1-line picture equivalent: a direct
+    // two-MB flat frame where reconstruction before filtering is
+    // uniform per half, read the actual pre-filter values and verify
+    // the filter arithmetic on them.
+    val w = 32
+    val h = 16
+    val y = Array.tabulate(w * h)(i => if (i % w < 16) 100 else 60)
+    val cbp = Array.fill(w / 2 * h / 2)(128)
+    val crp = Array.fill(w / 2 * h / 2)(128)
+    val (_, _, _, unfiltered) =
+      H264Encoder.encodeFrame(y, cbp, crp, 2, 1, 40, deblock = false)
+    val (_, _, _, filtered) =
+      H264Encoder.encodeFrame(y, cbp, crp, 2, 1, 40, deblock = true)
+    val row = 8
+    val p = (0 until 4).map(k => unfiltered.y(row * w + 12 + k)) // p3..p0 at cols 12..15
+    val q = (0 until 4).map(k => unfiltered.y(row * w + 16 + k)) // q0..q3
+    val (p0, p1) = (p(3), p(2))
+    val (q0, q1) = (q(0), q(1))
+    val alpha = AlphaTable(40)
+    val beta = BetaTable(40)
+    if (math.abs(p0 - q0) < alpha && math.abs(p1 - p0) < beta && math.abs(q1 - q0) < beta) {
+      val small = math.abs(p0 - q0) < (alpha >> 2) + 2
+      val expP0 =
+        if (small && math.abs(p(1) - p0) < beta)
+          (p(1) + 2 * p(2) + 2 * p(3) + 2 * q0 + q1 + 4) >> 3
+        else (2 * p1 + p0 + q1 + 2) >> 2
+      val expQ0 =
+        if (small && math.abs(q(2) - q0) < beta)
+          (q(2) + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+        else (2 * q1 + q0 + p1 + 2) >> 2
+      assert(filtered.y(row * w + 15) === expP0, "p0 strong/weak arm")
+      assert(filtered.y(row * w + 16) === expQ0, "q0 strong/weak arm")
+    } else fail(s"edge unexpectedly out of filter range: p0=$p0 q0=$q0")
+  }
+
   test("avc1 MP4 container roundtrip feeds the frame path; corrupt config degrades") {
     val (y, cb, cr) = H264Encoder.flatPlanes(2, 1, 96)
     val (sps, pps, slice, recon) = H264Encoder.encodeFrame(y, cb, cr, 2, 1, 10)
