@@ -175,14 +175,16 @@ object WikidataIngest {
     * every row group; within a partition the `(p.key, s.key)` sort
     * still gives row-group pruning for the subject.
     *
-    * Two further copies — `statements_sub` partitioned by `s_bucket`
-    * sorted `(s.key, p.key)`, and `statements_obj` partitioned by
-    * `o_bucket` sorted `(o.key, p.key)` — are the `relation_sub` /
-    * `relation_obj` analogs. The translator routes bound-subject scans
-    * to the first and bound-object (reverse) scans to the second, so
-    * each of the reference's access paths keeps its partition pruning;
-    * storage triples, exactly the trade the reference makes with its
-    * four sorted permutations.
+    * Three further copies — `statements_sub` partitioned by `s_bucket`
+    * sorted `(s.key, p.key)`, `statements_obj` partitioned by
+    * `o_bucket` sorted `(o.key, p.key)`, and `statements_gr`
+    * partitioned by `g_bucket` sorted `(graph.key, p.key)` — are the
+    * `relation_sub` / `relation_obj` / gspo analogs. The translator
+    * routes bound-subject scans to the first, bound-object (reverse)
+    * scans to the second, and constant-GRAPH scans to the third, so
+    * each access path keeps its partition pruning; storage quadruples,
+    * exactly the trade the reference makes with its four sorted
+    * permutations.
     */
   def buildPartitioned(spark: SparkSession, path: String = fixturePath,
                        dir: String, buckets: Int = NumPredBuckets,
@@ -254,6 +256,19 @@ object WikidataIngest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("s_bucket")
       .parquet(s"$dir/statements_sub.parquet")
+    // fourth permutation: graph-partitioned (the reference's fourth
+    // sorted permutation; our gspo analog). A named graph is one
+    // document's quads, so a constant-GRAPH scan reads one bucket
+    // instead of the whole store — without this copy GRAPH wd:Qc is a
+    // store-wide scan with only a pushed key filter (linear in store
+    // size; a full scan at 100 TB).
+    if (rendered.columns.contains("graph"))
+      rendered
+        .withColumn("g_bucket", bucketOf("graph"))
+        .sortWithinPartitions(col("g_bucket"), col("graph.key"), col("p.key"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("g_bucket")
+        .parquet(s"$dir/statements_gr.parquet")
     // the label service always filters kind + lang, so partitioning on
     // both prunes a full-Wikidata label table to the exact (kind, lang)
     // slices a query's language priority list names
@@ -322,6 +337,13 @@ object WikidataIngest {
   /** The subject-partitioned copy (see [[statementsObj]]). */
   def statementsSub(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
     optionalCopy(spark, s"$dir/statements_sub.parquet")
+
+  /** The graph-partitioned copy (see [[statementsObj]]; stores built
+    * by earlier create-index versions simply lack it and constant-GRAPH
+    * scans fall back to the main copy's key filter).
+    */
+  def statementsGr(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
+    optionalCopy(spark, s"$dir/statements_gr.parquet")
 
   private def optionalCopy(spark: SparkSession, path: String): Option[DataFrame] =
     if (!new java.io.File(path).exists()) None

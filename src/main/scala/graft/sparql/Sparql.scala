@@ -25,7 +25,8 @@ object Sparql {
     val labels = WikidataIngest.labels(spark, dir)
     new Translator(spark, statements, labels,
       WikidataIngest.statementsObj(spark, dir), WikidataIngest.statementsSub(spark, dir),
-      WikidataIngest.storeBuckets(dir).getOrElse(WikidataIngest.NumPredBuckets))
+      WikidataIngest.storeBuckets(dir).getOrElse(WikidataIngest.NumPredBuckets),
+      WikidataIngest.statementsGr(spark, dir))
       .translate(Parser.parse(text))
   }
 

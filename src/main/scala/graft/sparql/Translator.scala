@@ -26,7 +26,8 @@ import Ast._
 final class Translator(spark: SparkSession, statements: DataFrame, labels: DataFrame,
                        statementsObj: Option[DataFrame] = None,
                        statementsSub: Option[DataFrame] = None,
-                       buckets: Int = graft.ingest.WikidataIngest.NumPredBuckets) {
+                       buckets: Int = graft.ingest.WikidataIngest.NumPredBuckets,
+                       statementsGr: Option[DataFrame] = None) {
 
   import TermOps._
 
@@ -206,8 +207,11 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
           }
         } else statements.limit(0).select(graft.model.Term.nullTerm.as(v.name))
       case Const(gv) =>
-        if (hasGraphCol && namedGraphVisible(gv.key) &&
-            !statements.filter(col("graph.key") === gv.key).isEmpty) unitDf
+        // existence probe routes to the graph copy when present — a
+        // one-bucket read instead of a store-wide key filter
+        val probe = graphKeyScan(gv)
+          .getOrElse(statements.filter(col("graph.key") === gv.key))
+        if (hasGraphCol && namedGraphVisible(gv.key) && !probe.isEmpty) unitDf
         else unitDf.limit(0)
     }
     case GraphBgp(triples, g) =>
@@ -457,6 +461,22 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
   private def subKeyScan(v: graft.model.TermValue): DataFrame =
     permScan(statementsSub, "s_bucket", "s", v)
 
+  /** Constant-GRAPH scan: the graph-partitioned copy (the fourth
+    * permutation — the reference's `gspo`-style access path). A named
+    * graph is ONE document's quads, so pruning to its g_bucket beats
+    * any predicate partitioning; without the copy a `GRAPH wd:Qc`
+    * pattern scans the whole store with only a pushed key filter —
+    * linear in store size, i.e. a full scan at 100 TB. Some = the
+    * pruned copy; None = no copy in this store (caller falls back).
+    */
+  private def graphKeyScan(v: graft.model.TermValue): Option[DataFrame] =
+    statementsGr.map { c =>
+      val bucket = v.num.map(n =>
+        graft.ingest.WikidataIngest.predBucket(n.toLong, buckets).toInt)
+        .getOrElse(buckets)
+      c.filter(col("g_bucket") === bucket && col("graph.key") === v.key)
+    }
+
   /** Bound-predicate scan with partition pruning, for path compilation
     * (the path compiler's steps are ordinary predicate scans and must
     * keep the p_bucket pruning on partitioned stores).
@@ -497,7 +517,21 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * rename map silently collides).
     */
   def scan(t: Triple, graph: Option[TermPat] = None): DataFrame = {
-    val st = wdsSt
+    // constant-GRAPH patterns route the MAIN-store arms to the
+    // graph-partitioned copy (one document's bucket instead of the
+    // whole store); bound-subject/object arms keep their own copies,
+    // which are at least as selective, and `finish` applies the graph
+    // key filter either way. The copy lacks p_bucket, so predicate
+    // filters on it are plain key equalities — inside one graph's
+    // bucket there is nothing left to prune.
+    val grRouted: Option[DataFrame] = graph match {
+      case Some(Const(gv)) if hasGraphCol && namedGraphVisible(gv.key) =>
+        graphKeyScan(gv)
+      case _ => None
+    }
+    val st = grRouted.getOrElse(wdsSt)
+    def pFilter(key: String, pPat: TermPat): Column =
+      if (grRouted.isDefined) col("p.key") === key else predKeyFilter(key, pPat)
     val stmtPred = t.p match { case Const(v) => v.kind == Term.Kind.Pstmt; case _ => false }
     val stmtObj = t.o match { case Const(v) => v.kind == Term.Kind.NamedEdge; case _ => false }
 
@@ -574,17 +608,17 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
 
       // (V,B,V)
       case (s: Var, _, o: Var) =>
-        val filtered = st.filter(predKeyFilter(pLocalKey.get, t.p))
+        val filtered = st.filter(pFilter(pLocalKey.get, t.p))
         if (stmtPred) finish(filtered, Seq(s -> col("s"), o -> col("id")))
         else finish(filtered, Seq(s -> col("s"), o -> col("o")))
 
       // (V,B,B)
       case (s: Var, _, _) =>
         if (stmtObj && stmtPred)
-          finish(st.filter(col("id.key") === oKey.get && predKeyFilter(pLocalKey.get, t.p)),
+          finish(st.filter(col("id.key") === oKey.get && pFilter(pLocalKey.get, t.p)),
             Seq(s -> col("s")))
         else if (!stmtObj && !stmtPred)
-          finish(st.filter(predKeyFilter(pLocalKey.get, t.p) && col("o.key") === oKey.get),
+          finish(st.filter(pFilter(pLocalKey.get, t.p) && col("o.key") === oKey.get),
             Seq(s -> col("s")))
         else empty // misaligned statement addressing (calc_engine.rs:3169-3178)
 
@@ -620,7 +654,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
       // (B,B,B): zero-variable existence pattern
       case (_, _, _) =>
         if (stmtObj && stmtPred)
-          finish(st.filter(col("id.key") === oKey.get && predKeyFilter(pLocalKey.get, t.p) &&
+          finish(st.filter(col("id.key") === oKey.get && pFilter(pLocalKey.get, t.p) &&
             col("s.key") === sKey.get), Seq())
         else if (!stmtObj && !stmtPred) {
           val Const(sv) = t.s: @unchecked

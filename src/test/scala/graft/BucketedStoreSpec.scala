@@ -61,6 +61,31 @@ class BucketedStoreSpec extends SparkTestBase {
     assert(df.count() === 1L) // same result as the flat store (sp03)
   }
 
+  test("constant-GRAPH scan routes to the graph copy and prunes its bucket") {
+    val sparql = "SELECT ?s ?p ?o WHERE { GRAPH wd:Q31 { ?s ?p ?o } }"
+    val df = Sparql.query(spark, sparql, partDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val expected = WikidataIngest.predBucket(31L)
+    assert(plan.contains("statements_gr"), s"not routed to graph copy:\n$plan")
+    assert(plan.matches(s"(?s).*g_bucket#\\d+ = $expected.*"),
+      s"missing g_bucket partition filter:\n$plan")
+    // identical rows to the flat store's key-filter path
+    val flat = Sparql.query(spark, sparql, flatDir)
+    assert(df.count() === flat.count())
+    assert(df.count() > 0)
+    // a GRAPH + bound-predicate pattern keeps the routing
+    val dfP = Sparql.query(spark,
+      "SELECT ?s ?o WHERE { GRAPH wd:Q31 { ?s wdt:P31 ?o } }", partDir)
+    val planP = dfP.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(planP.contains("statements_gr"), s"pred arm not routed:\n$planP")
+    val flatP = Sparql.query(spark,
+      "SELECT ?s ?o WHERE { GRAPH wd:Q31 { ?s wdt:P31 ?o } }", flatDir)
+    assert(dfP.collect().map(_.toString).sorted.toSeq ===
+      flatP.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("label service on the partitioned store prunes (kind, lang) partitions") {
     val q =
       """SELECT ?s ?sLabel WHERE { ?s wdt:P31 wd:Q3624078 .
