@@ -48,8 +48,10 @@ object ConcurrencyBench {
     val total = QuadScale.totalQuads(nE)
     val flat = s"$baseDir/flat_uniform_$nE"
     val idx = s"$baseDir/idx_uniform_$nE"
-    if (!new java.io.File(s"$idx/_SUCCESS_GRAFT_INDEX").exists() &&
-        !new java.io.File(idx).exists()) {
+    // keyed on the success marker alone: a partially written index
+    // (crashed prior build) has the directory but no marker and must
+    // be rebuilt, not silently reused
+    if (!new java.io.File(s"$idx/_SUCCESS_GRAFT_INDEX").exists()) {
       System.err.println(s"[concbench] building $total-quad store under $baseDir")
       WikidataIngest.writeStore(spark, QuadScale.syntheticStatements(spark, nE), flat)
       WikidataIngest.createIndex(spark, flat, idx)

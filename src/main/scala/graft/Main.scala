@@ -20,6 +20,8 @@ object Main {
       |  create-db <dump> <dbDir> [--partitioned] [--buckets=N]
       |            [--no-qualifiers] [--lang=en,de,...] [--lexemes]
       |  create-index <flatDbDir> <outDir> [--buckets=N] [--zorder=colA,colB]
+      |  append-index <dump> <dbDir> [--no-qualifiers] [--lang=en,de,...] [--lexemes]
+      |  compact-index <dbDir> [--max-files=N]
       |  server [port] [dbDir]
       |  cli ["<sparql>"] [dbDir]""".stripMargin
 
@@ -65,6 +67,24 @@ object Main {
         intFlag(args.tail, "buckets", ingest.WikidataIngest.NumPredBuckets),
         zorder)
       println(s"indexed ${positional(0)} into ${positional(1)}")
+      0
+    case Some("append-index") =>
+      val rest = args.tail
+      val positional = rest.filterNot(_.startsWith("--"))
+      if (positional.length < 2) { System.err.println(usage); return 2 }
+      val langs = rest.collectFirst { case a if a.startsWith("--lang=") =>
+        a.stripPrefix("--lang=").split(",").toSet }
+      val n = ingest.IndexMaintenance.appendDumpToIndex(GraftSession.get(),
+        positional(0), positional(1), !rest.contains("--no-qualifiers"),
+        langs, rest.contains("--lexemes"))
+      println(s"appended $n quads from ${positional(0)} into ${positional(1)}")
+      0
+    case Some("compact-index") =>
+      val positional = args.tail.filterNot(_.startsWith("--"))
+      if (positional.isEmpty) { System.err.println(usage); return 2 }
+      val n = ingest.IndexMaintenance.compactIndex(GraftSession.get(),
+        positional(0), intFlag(args.tail, "max-files", 8))
+      println(s"compacted $n partitions in ${positional(0)}")
       0
     case Some("server") => server.QueryServer.main(args.tail); 0
     case Some("cli") => cli.Query.main(args.tail); 0

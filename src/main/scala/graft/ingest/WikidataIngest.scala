@@ -128,7 +128,7 @@ object WikidataIngest {
   /** Pre-rendered lexical columns used by the result sink (computed
     * once at build time instead of per query).
     */
-  private def rendered(statements: DataFrame): DataFrame = {
+  private[ingest] def rendered(statements: DataFrame): DataFrame = {
     import graft.model.Render
     statements
       .withColumn("s_lex", Render.lex(col("s")))
@@ -210,14 +210,22 @@ object WikidataIngest {
       .drop("p_bucket", "s_bucket", "o_bucket"), outDir, buckets, zorder)
   }
 
+  /** Bucket column for `term` under a `buckets`-way layout. Shared by
+    * the index writer and the incremental appender
+    * ([[IndexMaintenance]]) — the scheme MUST stay identical or
+    * appended rows land in the wrong partition and silently vanish
+    * from pruned scans.
+    */
+  private[ingest] def bucketColumn(term: String, buckets: Int): org.apache.spark.sql.Column =
+    when(col(s"$term.num").isNotNull,
+      pmod(col(s"$term.num").cast("long"), lit(buckets.toLong)))
+      .otherwise(lit(buckets.toLong)).cast("int")
+
   private def writePartitioned(spark: SparkSession, quads: DataFrame,
                                dir: String, buckets: Int,
                                zorder: Option[(String, String)] = None): Unit = {
     val rendered = quads
-    def bucketOf(term: String) =
-      when(col(s"$term.num").isNotNull,
-        pmod(col(s"$term.num").cast("long"), lit(buckets.toLong)))
-        .otherwise(lit(buckets.toLong)).cast("int")
+    def bucketOf(term: String) = bucketColumn(term, buckets)
     // Main-copy layout: predicate-major (p.key, s.key) clustering by
     // default; `--zorder=a,b` switches to the Morton interleave of the
     // two named (dotted-path) numeric columns so row-group min/max
@@ -295,7 +303,7 @@ object WikidataIngest {
     * (QueryServer's translated-plan LRU) stop serving plans over the
     * old file listing.
     */
-  private def invalidate(dir: String): Unit = {
+  private[ingest] def invalidate(dir: String): Unit = {
     readCache.keys.filter(_._2.startsWith(dir)).foreach(readCache.remove)
     epochs.updateWith(dir) { v => Some(v.getOrElse(0L) + 1L) }
   }

@@ -756,11 +756,26 @@ object H264 {
     */
   private[pipeline] def deblockPicture(st: PicState, pps: Pps,
                                        offA: Int, offB: Int): Unit = {
+    java.util.Arrays.fill(st.deblockAOfMb, offA)
+    java.util.Arrays.fill(st.deblockBOfMb, offB)
+    java.util.Arrays.fill(st.cqpOffOfMb, pps.chromaQpOff)
+    java.util.Arrays.fill(st.deblockOnOfMb, true)
+    deblockPicture(st)
+  }
+
+  /** Per-MB variant: each MB filters its edges with its OWN slice's
+    * enable flag and offsets (set by [[decodeNals]] per slice), so
+    * multi-slice pictures with heterogeneous filter settings follow
+    * §8.7 instead of last-slice-wins.
+    */
+  private[pipeline] def deblockPicture(st: PicState): Unit = {
     val w = st.w
     val cw = w / 2
-    def idxA(qpav: Int) = clip3(0, 51, qpav + offA)
-    def idxB(qpav: Int) = clip3(0, 51, qpav + offB)
-    for (mb <- 0 until st.wMbs * st.hMbs) {
+    for (mb <- 0 until st.wMbs * st.hMbs if st.deblockOnOfMb(mb)) {
+      val offA = st.deblockAOfMb(mb)
+      val offB = st.deblockBOfMb(mb)
+      def idxA(qpav: Int) = clip3(0, 51, qpav + offA)
+      def idxB(qpav: Int) = clip3(0, 51, qpav + offB)
       val mbX = mb % st.wMbs
       val mbY = mb / st.wMbs
       val qp = st.qpOfMb(mb)
@@ -801,11 +816,12 @@ object H264 {
         val mbEdge = e == 0
         if (!(mbEdge && (if (vertical) mbX == 0 else mbY == 0))) {
           val bS = if (mbEdge) 4 else 3
-          val qpcThis = chromaQp(qp, pps.chromaQpOff)
+          val qpcThis = chromaQp(qp, st.cqpOffOfMb(mb))
           val qpav =
             if (mbEdge) {
-              val other = chromaQp(st.qpOfMb(if (vertical) mb - 1 else mb - st.wMbs),
-                pps.chromaQpOff)
+              val nb = if (vertical) mb - 1 else mb - st.wMbs
+              // each side's QPc uses its own slice's chroma offset
+              val other = chromaQp(st.qpOfMb(nb), st.cqpOffOfMb(nb))
               (qpcThis + other + 1) >> 1
             } else qpcThis
           val a = AlphaTable(idxA(qpav))
@@ -890,9 +906,25 @@ object H264 {
     // per-4x4-block intra mode (-1 = unavailable/not I4x4) for mode pred
     val i4Modes: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
     val mbDecoded: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+    // slice id of each decoded MB (0 default suits the single-slice
+    // encoder). A neighbor MB in a DIFFERENT slice is unavailable for
+    // intra prediction, mode prediction and CAVLC nC context (§6.4.8)
+    val sliceOfMb: Array[Int] = new Array[Int](wMbs * hMbs)
+    var currentSlice: Int = 0
+    def mbUsable(mb: Int): Boolean =
+      mbDecoded(mb) && sliceOfMb(mb) == currentSlice
     // per-MB QP for the deblocking pass (I_PCM carries 0 → its edges
     // keep alpha = beta = 0 and PCM pixels stay exact)
     val qpOfMb: Array[Int] = new Array[Int](wMbs * hMbs)
+    // per-MB deblocking settings from the MB's OWN slice header —
+    // §8.7 is per-slice state: a later slice's
+    // disable_deblocking_filter_idc=1 must not filter that slice's
+    // MBs yet must not unset an earlier slice's enable, and each
+    // slice's alpha/beta/chroma-qp offsets apply to its own MBs only
+    val deblockOnOfMb: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+    val deblockAOfMb: Array[Int] = new Array[Int](wMbs * hMbs)
+    val deblockBOfMb: Array[Int] = new Array[Int](wMbs * hMbs)
+    val cqpOffOfMb: Array[Int] = new Array[Int](wMbs * hMbs)
 
     def cropped: Frame = {
       val fw = sps.width
@@ -923,8 +955,16 @@ object H264 {
     */
   private[pipeline] def lumaNc(st: PicState, bx: Int, by: Int): Int = {
     val wB = st.wMbs * 4
+    val curMb = (by / 4) * st.wMbs + (bx / 4)
     def nz(x: Int, y: Int): Int =
-      if (x < 0 || y < 0 || x >= wB) -1 else st.lumaNz(y * wB + x)
+      if (x < 0 || y < 0 || x >= wB) -1
+      else {
+        // a neighbor block in another MB must be in the SAME slice
+        // (§6.4.8); within the current MB the lumaNz sentinel already
+        // encodes coding order
+        val nMb = (y / 4) * st.wMbs + (x / 4)
+        if (nMb != curMb && !st.mbUsable(nMb)) -1 else st.lumaNz(y * wB + x)
+      }
     val nA = nz(bx - 1, by)
     val nB = nz(bx, by - 1)
     if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
@@ -935,8 +975,13 @@ object H264 {
 
   private[pipeline] def chromaNc(st: PicState, plane: Array[Int], bx: Int, by: Int): Int = {
     val wB = st.wMbs * 2
+    val curMb = (by / 2) * st.wMbs + (bx / 2)
     def nz(x: Int, y: Int): Int =
-      if (x < 0 || y < 0 || x >= wB) -1 else plane(y * wB + x)
+      if (x < 0 || y < 0 || x >= wB) -1
+      else {
+        val nMb = (y / 2) * st.wMbs + (x / 2)
+        if (nMb != curMb && !st.mbUsable(nMb)) -1 else plane(y * wB + x)
+      }
     val nA = nz(bx - 1, by)
     val nB = nz(bx, by - 1)
     if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
@@ -952,17 +997,17 @@ object H264 {
   private[pipeline] def predict4x4(st: PicState, mode: Int, px: Int, py: Int,
                          mbIdx: Int, blkOrder: Int): Array[Int] = {
     val w = st.w
-    val leftAvail = px > 0 && (px % 16 != 0 || st.mbDecoded(mbIdx - 1))
-    val topAvail = py > 0 && (py % 16 != 0 || st.mbDecoded(mbIdx - st.wMbs))
+    val leftAvail = px > 0 && (px % 16 != 0 || st.mbUsable(mbIdx - 1))
+    val topAvail = py > 0 && (py % 16 != 0 || st.mbUsable(mbIdx - st.wMbs))
     val topLeftAvail = leftAvail && topAvail &&
-      (px % 16 != 0 || py % 16 != 0 || st.mbDecoded(mbIdx - st.wMbs - 1))
+      (px % 16 != 0 || py % 16 != 0 || st.mbUsable(mbIdx - st.wMbs - 1))
     // top-right availability by decode order of the containing block
     val trBx = px / 4 + 1
     val trBy = py / 4 - 1
     val wB = st.wMbs * 4
     val topRightAvail = topAvail && trBy >= 0 && trBx < wB && {
       val mbOfTr = (trBy / 4) * st.wMbs + (trBx / 4)
-      if (mbOfTr < mbIdx) true
+      if (mbOfTr < mbIdx) st.mbUsable(mbOfTr)
       else if (mbOfTr > mbIdx) false
       else { // same MB: compare coding order
         val lx = trBx % 4
@@ -1058,8 +1103,8 @@ object H264 {
   private[pipeline] def predict16x16(st: PicState, mode: Int, px: Int, py: Int,
                            mbIdx: Int): Array[Int] = {
     val w = st.w
-    val leftAvail = px > 0 && st.mbDecoded(mbIdx - 1)
-    val topAvail = py > 0 && st.mbDecoded(mbIdx - st.wMbs)
+    val leftAvail = px > 0 && st.mbUsable(mbIdx - 1)
+    val topAvail = py > 0 && st.mbUsable(mbIdx - st.wMbs)
     val out = new Array[Int](256)
     def top(i: Int): Int = st.y((py - 1) * w + px + i)
     def left(i: Int): Int = st.y((py + i) * w + px - 1)
@@ -1103,8 +1148,8 @@ object H264 {
   private[pipeline] def predictChroma(st: PicState, plane: Array[Int], mode: Int,
                             px: Int, py: Int, mbIdx: Int): Array[Int] = {
     val w = st.w / 2
-    val leftAvail = px > 0 && st.mbDecoded(mbIdx - 1)
-    val topAvail = py > 0 && st.mbDecoded(mbIdx - st.wMbs)
+    val leftAvail = px > 0 && st.mbUsable(mbIdx - 1)
+    val topAvail = py > 0 && st.mbUsable(mbIdx - st.wMbs)
     val out = new Array[Int](64)
     def top(i: Int): Int = plane((py - 1) * w + px + i)
     def left(i: Int): Int = plane((py + i) * w + px - 1)
@@ -1178,6 +1223,9 @@ object H264 {
         for (b <- 0 until 16) {
           val (lx, ly) = Blk4x4Pos(b)
           st.lumaNz((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 16
+          // spec 8.3.1.1: an available neighbor MB not coded Intra_4x4
+          // contributes intraMxMPredModeN = 2 (DC) into Min(A, B)
+          st.i4Modes((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 2
         }
         for (b <- 0 until 4) {
           val cIdx = (mbY * 2 + b / 2) * st.wMbs * 2 + mbX * 2 + b % 2
@@ -1186,6 +1234,7 @@ object H264 {
         }
         st.qpOfMb(mb) = 0
         st.mbDecoded(mb) = true
+        st.sliceOfMb(mb) = st.currentSlice
         mb += 1
       } else if (mbType == 0) {
         // I_4x4 (I_NxN)
@@ -1196,7 +1245,12 @@ object H264 {
           val by = mbY * 4 + ly
           val wB = st.wMbs * 4
           def neighborMode(x: Int, y: Int): Int =
-            if (x < 0 || y < 0 || x >= wB) -1 else st.i4Modes(y * wB + x)
+            if (x < 0 || y < 0 || x >= wB) -1
+            else {
+              // cross-slice neighbor MBs are unavailable (§6.4.8)
+              val nMb = (y / 4) * st.wMbs + (x / 4)
+              if (nMb != mb && !st.mbUsable(nMb)) -1 else st.i4Modes(y * wB + x)
+            }
           val mA = neighborMode(bx - 1, by)
           val mB = neighborMode(bx, by - 1)
           val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
@@ -1235,6 +1289,7 @@ object H264 {
         decodeChroma(r, st, pps, mb, mbX, mbY, chromaMode, cbpChroma, qp)
         st.qpOfMb(mb) = qp
         st.mbDecoded(mb) = true
+        st.sliceOfMb(mb) = st.currentSlice
         mb += 1
       } else {
         // I_16x16: mbType 1..24 encodes predMode, cbpChroma, cbpLuma
@@ -1245,6 +1300,12 @@ object H264 {
         val chromaMode = r.ue()
         if (chromaMode > 3) return false
         qp = ((qp + r.se() + 52) % 52 + 52) % 52
+        // spec 8.3.1.1: I_16x16 blocks contribute mode 2 (DC) to later
+        // I_4x4 neighbors' Min(A, B) predictor, not "unavailable"
+        for (b <- 0 until 16) {
+          val (lx, ly) = Blk4x4Pos(b)
+          st.i4Modes((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 2
+        }
         val pred = predict16x16(st, predMode, px, py, mb)
         // DC block: nC from blk0 neighbors
         val (dcScan, _) = decodeResidualBlock(r, 16, lumaNc(st, mbX * 4, mbY * 4))
@@ -1276,6 +1337,7 @@ object H264 {
         decodeChroma(r, st, pps, mb, mbX, mbY, chromaMode, cbpChroma, qp)
         st.qpOfMb(mb) = qp
         st.mbDecoded(mb) = true
+        st.sliceOfMb(mb) = st.currentSlice
         mb += 1
       }
     }
@@ -1335,15 +1397,20 @@ object H264 {
     */
   def decodeNals(nals: Seq[Array[Byte]],
                  sps0: Option[Sps] = None, pps0: Option[Pps] = None): Option[Frame] =
+    decodeNalsState(nals, sps0, pps0).map(_.cropped)
+
+  /** Like [[decodeNals]] but returns the full decoder state (post
+    * loop filter) — lets the test suite assert internal per-MB facts
+    * (mode-prediction substitutions, per-slice deblock settings)
+    * directly instead of only via pixels.
+    */
+  private[pipeline] def decodeNalsState(nals: Seq[Array[Byte]],
+                 sps0: Option[Sps] = None, pps0: Option[Pps] = None): Option[PicState] =
     try {
       var sps = sps0
       var pps = pps0
       var st: PicState = null
       var decodedAny = false
-      var deblock = false
-      var deblockOffA = 0
-      var deblockOffB = 0
-      var deblockPps: Pps = null
       for (nal <- nals if nal.nonEmpty) {
         val nalType = nal(0) & 0x1F
         val nalRefIdc = (nal(0) >> 5) & 3
@@ -1371,28 +1438,37 @@ object H264 {
                 else if (nalRefIdc != 0 && r.read1() == 1)
                   return None // adaptive marking unsupported
                 val qp = p.picInitQp + r.se()
-                // deblocking: idc 1 = off; idc 0/2 = on (2 = "skip
-                // slice boundaries", identical to 0 for the
-                // whole-picture slices decoded here). When the PPS
-                // omits the control flags, the filter is ON with zero
-                // offsets (§7.4.3).
-                if (p.deblockCtrl) {
-                  val disable = r.ue()
-                  if (disable > 2) return None
-                  if (disable != 1) {
-                    deblock = true
-                    deblockOffA = 2 * r.se()
-                    deblockOffB = 2 * r.se()
-                    deblockPps = p
-                  }
-                } else {
-                  deblock = true
-                  deblockOffA = 0
-                  deblockOffB = 0
-                  deblockPps = p
-                }
+                // deblocking: idc 1 = off for THIS slice's MBs; idc
+                // 0/2 = on (2 = "skip slice boundaries", treated as 0
+                // here — documented approximation). When the PPS omits
+                // the control flags, the filter is ON with zero
+                // offsets (§7.4.3). Settings are per-slice state
+                // (§8.7): recorded on exactly the MBs this slice
+                // decodes, never on the whole picture.
+                val (slOn, slOffA, slOffB) =
+                  if (p.deblockCtrl) {
+                    val disable = r.ue()
+                    if (disable > 2) return None
+                    if (disable != 1) {
+                      val a = 2 * r.se()
+                      val b = 2 * r.se()
+                      (true, a, b)
+                    } else (false, 0, 0)
+                  } else (true, 0, 0)
                 if (st == null) st = new PicState(s)
+                else st.currentSlice += 1 // new slice: prior MBs unusable as neighbors (§6.4.8)
+                val before = st.mbDecoded.clone()
                 if (!decodeSliceData(r, st, p, firstMb, qp)) return None
+                var m = 0
+                while (m < before.length) {
+                  if (!before(m) && st.mbDecoded(m)) {
+                    st.deblockOnOfMb(m) = slOn
+                    st.deblockAOfMb(m) = slOffA
+                    st.deblockBOfMb(m) = slOffB
+                    st.cqpOffOfMb(m) = p.chromaQpOff
+                  }
+                  m += 1
+                }
                 decodedAny = true
               case _ => return None // slice before parameter sets
             }
@@ -1400,8 +1476,8 @@ object H264 {
         }
       }
       if (decodedAny && st.mbDecoded.forall(identity)) {
-        if (deblock) deblockPicture(st, deblockPps, deblockOffA, deblockOffB)
-        Some(st.cropped)
+        if (st.deblockOnOfMb.exists(identity)) deblockPicture(st)
+        Some(st)
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -40,23 +40,38 @@ object H264Encoder {
                   mbMode: (Int, Int) => Int = (_, _) => Mode16x16,
                   deblock: Boolean = false)
       : (Array[Byte], Array[Byte], Array[Byte], Frame) = {
+    val (spsN, ppsN, slices, recon) = encodeFrameSlices(y, cb, cr,
+      widthMbs, heightMbs, qp, cropR, cropB, mbMode, Seq(0), Seq(deblock))
+    (spsN, ppsN, slices.head, recon)
+  }
+
+  /** Multi-slice variant: `sliceFirstMbs` lists each slice's
+    * first_mb_in_slice (ascending, head 0); `sliceDeblock` gives each
+    * slice's loop-filter flag. Cross-slice neighbor MBs are treated
+    * UNAVAILABLE for intra prediction, mode prediction and CAVLC nC
+    * context on both encode and decode sides (§6.4.8), and the loop
+    * filter applies each slice's own settings to its own MBs (§8.7) —
+    * the returned recon is what a conforming decoder outputs for the
+    * heterogeneous-slice picture.
+    */
+  def encodeFrameSlices(y: Array[Int], cb: Array[Int], cr: Array[Int],
+                        widthMbs: Int, heightMbs: Int, qp: Int,
+                        cropR: Int, cropB: Int,
+                        mbMode: (Int, Int) => Int,
+                        sliceFirstMbs: Seq[Int], sliceDeblock: Seq[Boolean])
+      : (Array[Byte], Array[Byte], Seq[Array[Byte]], Frame) = {
     require(qp >= 0 && qp <= 51)
+    val nMbs = widthMbs * heightMbs
+    require(sliceFirstMbs.nonEmpty && sliceFirstMbs.head == 0 &&
+      sliceFirstMbs == sliceFirstMbs.sorted &&
+      sliceFirstMbs.distinct == sliceFirstMbs && sliceFirstMbs.last < nMbs,
+      "sliceFirstMbs must be ascending distinct MB indices starting at 0")
+    require(sliceDeblock.size == sliceFirstMbs.size)
     val sps = Sps(66, 20, 4, 2, 0, widthMbs, heightMbs, 0, cropR, 0, cropB)
     val pps = Pps(cabac = false, bottomFieldPoc = false, picInitQp = qp,
       chromaQpOff = 0, deblockCtrl = true, constrainedIntra = false,
       redundantPicCnt = false)
     val st = new PicState(sps)
-    val w = new BitWriter()
-    // slice header (IDR, slice_type 7, qp from PPS, deblocking disabled)
-    w.ue(0) // first_mb_in_slice
-    w.ue(7) // slice_type I (all slices in picture)
-    w.ue(0) // pps_id
-    w.put(0, sps.log2MaxFrameNum) // frame_num
-    w.ue(0) // idr_pic_id
-    w.put(0, 2) // no_output_of_prior_pics, long_term_reference
-    w.se(0) // slice_qp_delta
-    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
-    else w.ue(1) // disable_deblocking_filter_idc = 1
 
     val qbits = 15 + qp / 6
     val f2 = (1 << qbits) / 3 // intra rounding
@@ -66,31 +81,49 @@ object H264Encoder {
     val fC = (1 << qbitsC) / 3
     val mfC = QuantMf(qpc % 6)
 
-    for (mb <- 0 until widthMbs * heightMbs) {
-      val mbX = mb % widthMbs
-      val mbY = mb / widthMbs
-      mbMode(mbX, mbY) match {
-        case ModePcm =>
-          encodePcm(w, st, y, cb, cr, mb, mbX, mbY)
-          st.qpOfMb(mb) = 0
-        case Mode4x4 =>
-          encodeI4x4(w, st, y, cb, cr, mb, mbX, mbY, qp,
-            qbits, f2, mf, qpc, qbitsC, fC, mfC)
-          st.qpOfMb(mb) = qp
-        case _ =>
-          encodeI16x16(w, st, y, cb, cr, mb, mbX, mbY, qp,
-            qbits, f2, mf, qpc, qbitsC, fC, mfC)
-          st.qpOfMb(mb) = qp
+    val bounds = sliceFirstMbs :+ nMbs
+    val sliceNals = for (si <- sliceFirstMbs.indices) yield {
+      st.currentSlice = si // earlier slices' MBs become unusable neighbors
+      val w = new BitWriter()
+      // slice header (IDR, slice_type 7, qp from PPS)
+      w.ue(bounds(si)) // first_mb_in_slice
+      w.ue(7) // slice_type I (all slices in picture)
+      w.ue(0) // pps_id
+      w.put(0, sps.log2MaxFrameNum) // frame_num
+      w.ue(0) // idr_pic_id
+      w.put(0, 2) // no_output_of_prior_pics, long_term_reference
+      w.se(0) // slice_qp_delta
+      if (sliceDeblock(si)) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
+      else w.ue(1) // disable_deblocking_filter_idc = 1
+
+      for (mb <- bounds(si) until bounds(si + 1)) {
+        val mbX = mb % widthMbs
+        val mbY = mb / widthMbs
+        mbMode(mbX, mbY) match {
+          case ModePcm =>
+            encodePcm(w, st, y, cb, cr, mb, mbX, mbY)
+            st.qpOfMb(mb) = 0
+          case Mode4x4 =>
+            encodeI4x4(w, st, y, cb, cr, mb, mbX, mbY, qp,
+              qbits, f2, mf, qpc, qbitsC, fC, mfC)
+            st.qpOfMb(mb) = qp
+          case _ =>
+            encodeI16x16(w, st, y, cb, cr, mb, mbX, mbY, qp,
+              qbits, f2, mf, qpc, qbitsC, fC, mfC)
+            st.qpOfMb(mb) = qp
+        }
+        st.mbDecoded(mb) = true
+        st.sliceOfMb(mb) = si
+        st.deblockOnOfMb(mb) = sliceDeblock(si)
       }
-      st.mbDecoded(mb) = true
+      w.rbspTrailing()
+      Array(0x65.toByte) ++ addEmulation(w.toBytes)
     }
-    w.rbspTrailing()
-    val sliceNal = Array(0x65.toByte) ++ addEmulation(w.toBytes)
     // prediction used UNFILTERED samples above (the conforming order
     // for intra pictures); the returned recon is what a decoder
-    // outputs — filtered when the slice enables the loop filter
-    if (deblock) deblockPicture(st, pps, 0, 0)
-    (spsNal(sps), ppsNal(pps), sliceNal, st.cropped)
+    // outputs — filtered per slice where the loop filter is enabled
+    if (st.deblockOnOfMb.exists(identity)) deblockPicture(st)
+    (spsNal(sps), ppsNal(pps), sliceNals, st.cropped)
   }
 
   /** Chroma encode shared by both predicted modes: returns cbpChroma
@@ -203,6 +236,12 @@ object H264Encoder {
                            mfC: Array[Int]): Unit = {
     val px = mbX * 16
     val py = mbY * 16
+    // spec 8.3.1.1: an I_16x16 MB contributes mode 2 (DC) to later
+    // I_4x4 neighbors' most-probable-mode predictor (mirrors decoder)
+    for (b <- 0 until 16) {
+      val (lx, ly) = Blk4x4Pos(b)
+      st.i4Modes((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 2
+    }
     val pred = predict16x16(st, 2, px, py, mb) // DC prediction
     val qAc = Array.ofDim[Int](16, 16) // per block, raster, [0] unused
     val dcW = new Array[Int](16) // raster by (ly*4+lx)
@@ -284,20 +323,35 @@ object H264Encoder {
       val bx = mbX * 4 + lx
       val by = mbY * 4 + ly
       def neighborMode(x: Int, yy: Int): Int =
-        if (x < 0 || yy < 0 || x >= wB) -1 else st.i4Modes(yy * wB + x)
+        if (x < 0 || yy < 0 || x >= wB) -1
+        else {
+          // cross-slice neighbor MBs are unavailable (§6.4.8)
+          val nMb = (yy / 4) * st.wMbs + (x / 4)
+          if (nMb != mb && !st.mbUsable(nMb)) -1 else st.i4Modes(yy * wB + x)
+        }
       val mA = neighborMode(bx - 1, by)
       val mB = neighborMode(bx, by - 1)
       val predMode = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
       // cycle through all 9 prediction modes deterministically so a
       // multi-MB fixture exercises every decode arm; fall back to DC
-      // where the mode's neighbors sit outside the picture
+      // where the mode's neighbors sit outside the picture OR in a
+      // different slice (cross-slice samples are unavailable, §6.4.8 —
+      // a conforming bitstream must not predict from them)
       val desired = (b + mbX * 3 + mbY * 5) % 9
-      val topOk = py + ly * 4 > 0
-      val leftOk = px + lx * 4 > 0
+      val topMbOk = mbY > 0 && st.mbUsable(mb - st.wMbs)
+      val leftMbOk = mbX > 0 && st.mbUsable(mb - 1)
+      val tlMbOk = mbX > 0 && mbY > 0 && st.mbUsable(mb - st.wMbs - 1)
+      val topOk = if (ly == 0) topMbOk else true
+      val leftOk = if (lx == 0) leftMbOk else true
+      val topLeftOk =
+        if (lx > 0 && ly > 0) true
+        else if (lx == 0 && ly > 0) leftMbOk
+        else if (lx > 0) topMbOk
+        else tlMbOk
       val mode = desired match {
         case 0 | 3 | 7 => if (topOk) desired else 2
         case 1 | 8 => if (leftOk) desired else 2
-        case 4 | 5 | 6 => if (topOk && leftOk) desired else 2
+        case 4 | 5 | 6 => if (topOk && leftOk && topLeftOk) desired else 2
         case _ => 2
       }
       modes(b) = mode
@@ -380,6 +434,8 @@ object H264Encoder {
     for (b <- 0 until 16) {
       val (lx, ly) = Blk4x4Pos(b)
       st.lumaNz((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 16
+      // spec 8.3.1.1: I_PCM contributes mode 2 (DC), not "unavailable"
+      st.i4Modes((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 2
     }
     for (b <- 0 until 4) {
       val cIdx = (mbY * 2 + b / 2) * st.wMbs * 2 + mbX * 2 + b % 2

@@ -989,6 +989,68 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"), pct(1), pct(2), pct(3), pct(4))
     }),
 
+    // incremental four-permutation store maintenance, oracle-checked
+    // end to end: documents become quads (doc entity --P1--> language
+    // literal), the 90% base builds the partitioned index, the 10%
+    // delta is APPENDED (IndexMaintenance.appendToIndex — O(delta)
+    // writes into each permutation's correct partitions, no rebuild),
+    // the store is compacted, and the final per-language counts are
+    // read back through the SPARQL engine over the maintained store.
+    // The counts equal DuckDB's GROUP BY over the raw table ONLY if
+    // the appended rows landed in the right partitions of the pruned
+    // access path the query routes through.
+    "p83_store_append" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      import graft.ingest.{IndexMaintenance, WikidataIngest}
+      import graft.model.Term
+      val nulStr = lit(null).cast("string")
+      val nulNum = lit(null).cast("double")
+      def qEnt(e: Column) = Term.struct_(lit(Term.Kind.Q), e.cast("double"),
+        nulStr, nulStr, concat(lit("Q:"), e.cast("long").cast("string")))
+      def strT(v: Column) = Term.struct_(lit(Term.Kind.Str), nulNum, v,
+        nulStr, concat(lit("s:"), v))
+      val e = col("doc_id") + lit(1L)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      val claims = docs.select(
+        qEnt(e).as("s"),
+        Term.struct_(lit(Term.Kind.P), lit(1.0), nulStr, nulStr,
+          lit("P:1")).as("p"),
+        strT(col("lang")).as("o"),
+        Term.struct_(lit(Term.Kind.NamedEdge), nulNum,
+          concat(lit("D"), col("doc_id").cast("string")), nulStr,
+          concat(lit("NE:D"), col("doc_id").cast("string"))).as("id"),
+        qEnt(e).as("graph"),
+        (col("doc_id") * 2L).as("ord"),
+        col("doc_id").as("__doc"))
+      // one English label per doc entity, so the labels table (which
+      // the append path must also maintain) is populated on both sides
+      val labels = docs.select(
+        qEnt(e).as("s"),
+        Term.struct_(lit(Term.Kind.Label), nulNum, lit("en"), nulStr,
+          lit("lab:en")).as("p"),
+        strT(concat(lit("doc "), col("doc_id").cast("string"))).as("o"),
+        Term.struct_(lit(Term.Kind.Edge), nulNum,
+          concat(lit("A"), col("doc_id").cast("string")), nulStr,
+          concat(lit("E:A"), col("doc_id").cast("string"))).as("id"),
+        qEnt(e).as("graph"),
+        (col("doc_id") * 2L + 1L).as("ord"),
+        col("doc_id").as("__doc"))
+      val quads = claims.unionByName(labels)
+      val base = quads.filter(pmod(col("__doc"), lit(10L)) =!= 0L).drop("__doc")
+      val delta = quads.filter(pmod(col("__doc"), lit(10L)) === 0L).drop("__doc")
+      val root = java.nio.file.Files.createTempDirectory("graft-p83")
+        .toFile.getAbsolutePath
+      WikidataIngest.writeStore(s, base, s"$root/flat")
+      WikidataIngest.createIndex(s, s"$root/flat", s"$root/idx")
+      IndexMaintenance.appendToIndex(s, s"$root/idx", delta)
+      IndexMaintenance.compactIndex(s, s"$root/idx", maxFilesPerPartition = 1)
+      val gen = IndexMaintenance.readMeta(s, s"$root/idx").generation
+      require(gen == 2L, s"append+compact must land at generation 2, got $gen")
+      graft.sparql.Sparql.rendered(s,
+        "SELECT ?lang (COUNT(?s) AS ?n) WHERE { ?s wdt:P1 ?lang } GROUP BY ?lang",
+        s"$root/idx")
+    }),
+
     // BM25 keyword retrieval, fully oracle-checked: queries are the
     // first 8 tokens of docs 0-2 (self-retrieval — each query's source
     // doc should surface), scores round to 6 dp BEFORE ranking so the
@@ -1423,6 +1485,13 @@ object PipelineQueries {
         |  (8, 1, 8, 6, 0, 100, 0, 0),
         |  (9, 1, 32, 16, 0, 100, 0, 0))
         |  t(media_id, decoded_frames, frame_width, frame_height, b0, b1, b2, b3)""".stripMargin,
+
+    // per-language counts over the incrementally-maintained store must
+    // equal the raw table's GROUP BY (append missed a partition ⇒
+    // the pruned scan undercounts ⇒ hash mismatch)
+    "p83_store_append" ->
+      """SELECT lang, CAST(count(*) AS VARCHAR) AS n
+        |FROM documents WHERE doc_id < 2000 GROUP BY lang""".stripMargin,
 
     // constructed-fact pairs: clips sharing ≥2 luma buckets by design
     "p71_video_neardup" ->

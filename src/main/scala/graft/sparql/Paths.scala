@@ -111,11 +111,13 @@ object Paths {
   }
 
   /** Row budget for unbounded-path materialization (`?x p* ?y`
-    * closures and the zero-length identity set). Default unlimited;
-    * set `spark.graft.path.maxRows` at cluster scale so a runaway
-    * closure fails fast with [[PathBudgetExceeded]] instead of eating
-    * the cluster. Iteration exhaustion (diameter > maxIters) also
-    * throws — a silently truncated closure would be a wrong answer.
+    * closures and the zero-length identity set). Default finite (10M
+    * rows, [[TranslateFlags.PathMaxRows]]) so a runaway closure fails
+    * fast with [[PathBudgetExceeded]] instead of eating the cluster;
+    * raise `spark.graft.path.maxRows` (or set Long.MaxValue) when a
+    * genuinely huge closure is intended. Iteration exhaustion
+    * (diameter > maxIters) also throws — a silently truncated closure
+    * would be a wrong answer.
     */
   private def maxRowsBudget(df: DataFrame): Long =
     TranslateFlags.get(df.sparkSession, TranslateFlags.PathMaxRows).toLong
@@ -219,13 +221,19 @@ object Paths {
     * endpoint the translator's endpoint filter prunes it to one node.
     */
   private def identityPairs(st: DataFrame, mode: NodeMode): DataFrame = {
-    val ids = mode.nodes(st).distinct()
+    val ids0 = mode.nodes(st).distinct()
     val budget = maxRowsBudget(st)
-    if (budget < Long.MaxValue) {
-      val n = ids.count()
+    val ids = if (budget < Long.MaxValue) {
+      // Materialize the distinct node set ONCE (localCheckpoint) so the
+      // budget count and the downstream union/distinct both read the
+      // same blocks — the finite default must not cost an extra full
+      // distinct pass on every `p?`/`p*` query.
+      val mat = ids0.localCheckpoint()
+      val n = mat.count()
       if (n > budget) throw new PathBudgetExceeded(
         s"zero-length path identity set has $n nodes > spark.graft.path.maxRows=$budget")
-    }
+      mat
+    } else ids0
     ids.select(col(S), col(S).as(O))
   }
 

@@ -208,8 +208,11 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         } else statements.limit(0).select(graft.model.Term.nullTerm.as(v.name))
       case Const(gv) =>
         // existence probe routes to the graph copy when present — a
-        // one-bucket read instead of a store-wide key filter
-        val probe = graphKeyScan(gv)
+        // one-bucket read instead of a store-wide key filter. Built
+        // only under the hasGraphCol guard: a store without the graph
+        // column has no named graphs, and the fallback filter would
+        // not even analyze against it.
+        def probe = graphKeyScan(gv)
           .getOrElse(statements.filter(col("graph.key") === gv.key))
         if (hasGraphCol && namedGraphVisible(gv.key) && !probe.isEmpty) unitDf
         else unitDf.limit(0)

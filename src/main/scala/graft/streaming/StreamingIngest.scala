@@ -47,6 +47,34 @@ object StreamingIngest {
       .start()
   }
 
+  /** Start an incremental ingest that maintains the FOUR-PERMUTATION
+    * store: each micro-batch of dump lines is parsed and appended into
+    * every permutation's correct partitions plus the labels table
+    * ([[graft.ingest.IndexMaintenance.appendToIndex]]) — so the
+    * partition-pruned access paths the engine's 100 TB story rests on
+    * stay current without a full `create-index` rebuild per document
+    * batch. Exactly-once across restarts: the micro-batch id is
+    * recorded in the store's `meta.json` and a replayed batch (a crash
+    * between the append and the checkpoint commit) is skipped, the
+    * same idempotence contract the parquet sink gets from its manifest.
+    */
+  def startIngestToIndex(spark: SparkSession, inDir: String, storeDir: String,
+                         checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    quadStream(spark.readStream.textFile(inDir))
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ingest.IndexMaintenance.appendToIndex(
+          batch.sparkSession, storeDir,
+          batch.toDF().withColumn("ord", monotonically_increasing_id()),
+          batchId = Some(batchId))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Hourly event counts with a watermark: equivalent of the batch
     * `q16_events_hourly` as an incremental query. Late events beyond
     * `lateness` are dropped and window state is evicted — bounded state

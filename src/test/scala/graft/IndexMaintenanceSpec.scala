@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{IndexMaintenance, WikidataIngest}
+import graft.sparql.Sparql
+
+/** Incremental maintenance of the four-permutation store: the gate is
+  * BIT-EQUALITY against a full rebuild — after appending a delta,
+  * every query over every access path (main / subject / object / graph
+  * permutation, labels) must return exactly what a from-scratch
+  * `create-index` over base+delta returns.
+  */
+class IndexMaintenanceSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  // fixture quads split by document: the LAST dump line's graph is the
+  // delta (its ords are already past the base's, so the append-path
+  // ord offset reproduces full-ingest insertion order exactly)
+  private lazy val all: DataFrame =
+    WikidataIngest.ingest(spark, WikidataIngest.fixturePath).localCheckpoint()
+  private lazy val deltaGraphKey: String =
+    all.orderBy(col("ord").desc).select(col("graph.key")).head().getString(0)
+  private lazy val base = all.filter(col("graph.key") =!= deltaGraphKey)
+  private lazy val delta = all.filter(col("graph.key") === deltaGraphKey)
+
+  // full rebuild over everything: the reference store to equal
+  private lazy val fullIdx: String = {
+    val flat = tmp("graft-im-flatfull")
+    val idx = tmp("graft-im-idxfull")
+    WikidataIngest.writeStore(spark, all, flat)
+    WikidataIngest.createIndex(spark, flat, idx)
+    idx
+  }
+
+  private def buildBaseIdx(): String = {
+    val flat = tmp("graft-im-flatbase")
+    val idx = tmp("graft-im-idxbase")
+    WikidataIngest.writeStore(spark, base, flat)
+    WikidataIngest.createIndex(spark, flat, idx)
+    idx
+  }
+
+  // every access path: full scan, bound predicate (main copy), bound
+  // subject (sub copy), bound object (obj copy), constant GRAPH (gr
+  // copy), label service (labels table), path fixpoint
+  private lazy val gateQueries: Seq[String] = {
+    val dq = deltaGraphKey.stripPrefix("Q:")
+    Seq(
+      "SELECT ?s ?p ?o WHERE { ?s ?p ?o }",
+      "SELECT ?s ?o WHERE { ?s wdt:P31 ?o }",
+      s"SELECT ?p ?b WHERE { wd:Q$dq ?p ?b }",
+      s"SELECT ?p2 ?b WHERE { ?b ?p2 wd:Q$dq }",
+      s"SELECT ?s ?p ?o WHERE { GRAPH wd:Q$dq { ?s ?p ?o } }",
+      s"""SELECT ?xLabel WHERE { VALUES ?x { wd:Q$dq } SERVICE wikibase:label {
+         | bd:serviceParam wikibase:language "en". } }""".stripMargin,
+      s"SELECT ?x WHERE { wd:Q$dq wdt:P47* ?x }")
+  }
+
+  private def results(q: String, dir: String): Seq[String] =
+    Sparql.rendered(spark, q, dir).collect().map(_.toString).sorted.toSeq
+
+  private def assertStoreEquals(idx: String, label: String): Unit =
+    for (q <- gateQueries)
+      assert(results(q, idx) === results(q, fullIdx), s"$label mismatch for: $q")
+
+  test("append equals full rebuild on every access path (bit-equal gate)") {
+    val idx = buildBaseIdx()
+    // sanity: the delta entity is absent before the append
+    assert(results(gateQueries(2), idx).isEmpty)
+    val n = IndexMaintenance.appendToIndex(spark, idx, delta)
+    assert(n === delta.count())
+    assertStoreEquals(idx, "append")
+    // meta advanced, marker cleared
+    val meta = IndexMaintenance.readMeta(spark, idx)
+    assert(meta.generation === 1L)
+    assert(!new java.io.File(idx, IndexMaintenance.PendingMarker).exists())
+  }
+
+  test("repeated appends + compaction: results unchanged, files bounded") {
+    val idx = buildBaseIdx()
+    // three appends in ord order (chunk boundaries by ord tertiles keep
+    // full-ingest insertion order reproducible)
+    val ords = delta.select("ord").orderBy("ord").collect().map(_.getLong(0))
+    val (t1, t2) = (ords(ords.length / 3), ords(2 * ords.length / 3))
+    IndexMaintenance.appendToIndex(spark, idx, delta.filter(col("ord") <= t1))
+    IndexMaintenance.appendToIndex(spark, idx,
+      delta.filter(col("ord") > t1 && col("ord") <= t2))
+    IndexMaintenance.appendToIndex(spark, idx, delta.filter(col("ord") > t2))
+    assertStoreEquals(idx, "3-chunk append")
+
+    def filesUnder(d: String): Int = {
+      def walk(f: java.io.File): Int = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        cs.count(c => c.isFile && c.getName.endsWith(".parquet")) +
+          cs.filter(_.isDirectory).map(walk).sum
+      }
+      walk(new java.io.File(d))
+    }
+    val before = filesUnder(idx)
+    val compacted = IndexMaintenance.compactIndex(spark, idx, maxFilesPerPartition = 2)
+    assert(compacted > 0, "appends must have created compactable partitions")
+    val after = filesUnder(idx)
+    assert(after < before, s"compaction must shrink file count ($before -> $after)")
+    assertStoreEquals(idx, "post-compaction")
+    assert(IndexMaintenance.readMeta(spark, idx).generation === 4L)
+  }
+
+  test("a surviving pending marker makes maintenance refuse (crashed append)") {
+    val idx = buildBaseIdx()
+    val marker = new java.io.File(idx, IndexMaintenance.PendingMarker)
+    marker.createNewFile()
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.appendToIndex(spark, idx, delta)
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.compactIndex(spark, idx)
+    }
+    // repairCheck still quantifies the suspect store
+    val counts = IndexMaintenance.repairCheck(spark, idx)
+    assert(counts.keySet.contains("statements.parquet"))
+    assert(counts("statements.parquet") === counts("statements_sub.parquet"))
+    marker.delete()
+    // cleared: maintenance proceeds
+    assert(IndexMaintenance.appendToIndex(spark, idx, delta) > 0L)
+  }
+
+  test("replayed streaming micro-batch is skipped (idempotent recovery)") {
+    val idx = buildBaseIdx()
+    val n1 = IndexMaintenance.appendToIndex(spark, idx, delta, batchId = Some(7L))
+    assert(n1 === delta.count())
+    val n2 = IndexMaintenance.appendToIndex(spark, idx, delta, batchId = Some(7L))
+    assert(n2 === 0L, "a replayed batch id must be a no-op")
+    assertStoreEquals(idx, "batch replay")
+    // a NEW batch id proceeds
+    assert(IndexMaintenance.readMeta(spark, idx).lastBatch === 7L)
+  }
+}

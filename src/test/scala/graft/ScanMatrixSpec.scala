@@ -139,4 +139,17 @@ class ScanMatrixSpec extends SparkTestBase {
     val t2 = new Translator(spark, selfLoop, selfLoop.limit(0))
     assert(t2.scan(Triple(Var("x"), Var("p"), Var("x"))).count() === 1L)
   }
+
+  test("GRAPH against a store WITHOUT the graph column: empty, never an analysis error") {
+    // this fixture has no `graph` column — constant-graph existence
+    // probes and graph enumeration must return empty/false without
+    // ever building a filter on the missing column
+    val ask = t.translate(graft.sparql.Parser.parse("ASK { GRAPH wd:Q1 {} }"))
+    assert(ask.head().getBoolean(0) === false)
+    val en = t.translate(graft.sparql.Parser.parse("SELECT ?g WHERE { GRAPH ?g {} }"))
+    assert(en.count() === 0L)
+    val pat = t.translate(graft.sparql.Parser.parse(
+      "SELECT ?o WHERE { GRAPH wd:Q1 { wd:Q1 wdt:P2 ?o } }"))
+    assert(pat.count() === 0L)
+  }
 }

@@ -415,4 +415,85 @@ class H264Spec extends AnyFunSuite {
       H264.splitAvccSample(sample, lengthSize))
     assertFrameEquals(frame.get, recon)
   }
+
+  test("intra mode prediction: I_16x16/I_PCM neighbors contribute DC mode 2, not unavailable (spec 8.3.1.1)") {
+    // a neighbor 4x4 block inside an AVAILABLE macroblock coded
+    // I_16x16 or I_PCM must enter Min(A, B) as intraMxMPredModeN = 2;
+    // only out-of-picture / cross-slice blocks force the DC fallback.
+    // Assert the substitution on the DECODED state directly.
+    val (y, cb, cr) = gradientPlanes(2, 2, 4242)
+    val modeOf = (mx: Int, my: Int) =>
+      if (mx == 0 && my == 0) H264Encoder.Mode16x16
+      else if (mx == 1 && my == 0) H264Encoder.ModePcm
+      else H264Encoder.Mode4x4
+    val (sps, pps, slice, recon) = H264Encoder.encodeFrame(y, cb, cr, 2, 2, 24,
+      mbMode = modeOf)
+    val st = H264.decodeNalsState(Seq(sps, pps, slice)).get
+    assertFrameEquals(st.cropped, recon)
+    val wB = st.wMbs * 4
+    // every 4x4 block of the I_16x16 MB (0,0) and the I_PCM MB (1,0)
+    // carries mode 2 in the predictor grid
+    for (by <- 0 until 4; bx <- 0 until 8)
+      assert(st.i4Modes(by * wB + bx) === 2,
+        s"block ($bx,$by) of a non-I4x4 MB must contribute DC (2)")
+    // the I_4x4 MBs in row 1 recorded their REAL decoded modes, and at
+    // least one differs from DC — so Min(A, B) mixed real modes with
+    // the substituted 2s above (the discriminating shape of the fix)
+    val row1Modes = for (by <- 4 until 8; bx <- 0 until 8) yield st.i4Modes(by * wB + bx)
+    assert(row1Modes.forall(_ >= 0) && row1Modes.exists(_ != 2))
+  }
+
+  test("multi-slice: cross-slice neighbors unavailable for prediction and nC (spec 6.4.8)") {
+    // two slices split mid-row: MBs 0..3 in slice 0, MBs 4..5 in
+    // slice 1 — MB 4's left (MB 3) and top (MB 1) neighbors live in
+    // the OTHER slice and must be unavailable on both sides
+    val (y, cb, cr) = gradientPlanes(3, 2, 777)
+    for (mode <- Seq(H264Encoder.Mode4x4, H264Encoder.Mode16x16)) {
+      val (sps, pps, slices, recon) = H264Encoder.encodeFrameSlices(
+        y, cb, cr, 3, 2, 26, 0, 0, (_, _) => mode,
+        sliceFirstMbs = Seq(0, 4), sliceDeblock = Seq(false, false))
+      assert(slices.size === 2)
+      val st = H264.decodeNalsState(Seq(sps, pps) ++ slices).get
+      assertFrameEquals(st.cropped, recon)
+      assert(st.sliceOfMb.toSeq === Seq(0, 0, 0, 0, 1, 1))
+    }
+    // mixed modes across the slice seam, loop filter on everywhere
+    val (sps, pps, slices, recon) = H264Encoder.encodeFrameSlices(
+      y, cb, cr, 3, 2, 28, 0, 0, (mx, my) => (mx + my) % 3,
+      sliceFirstMbs = Seq(0, 2, 4), sliceDeblock = Seq(true, true, true))
+    assertFrameEquals(H264.decodeNals(Seq(sps, pps) ++ slices).get, recon)
+  }
+
+  test("multi-slice deblocking: each slice's filter flag applies to its own MBs (spec 8.7)") {
+    // two flat half-frames with a 20-luma seam at the MB boundary —
+    // the MB edge is filtered by the RIGHT MB (MB 1), so only ITS
+    // slice's flag decides whether the seam smooths
+    val w = 32
+    val h = 16
+    val y = Array.tabulate(w * h)(i => if (i % w < 16) 120 else 100)
+    val cbp = Array.fill(w / 2 * h / 2)(110)
+    val crp = Array.fill(w / 2 * h / 2)(140)
+    val qp = 36
+    def enc(d0: Boolean, d1: Boolean) = H264Encoder.encodeFrameSlices(
+      y, cbp, crp, 2, 1, qp, 0, 0, (_, _) => H264Encoder.Mode16x16,
+      sliceFirstMbs = Seq(0, 1), sliceDeblock = Seq(d0, d1))
+    val (_, _, _, reconOff) = enc(false, false)
+    val seam = (0 until h).map(r => r * w + 15) ++ (0 until h).map(r => r * w + 16)
+    // slice 1 ON: the seam (MB 1's left edge) filters
+    val (s1, p1, sl1, recOn) = enc(false, true)
+    assert(seam.exists(i => recOn.y(i) != reconOff.y(i)),
+      "slice 1's enabled filter must smooth the seam it owns")
+    val stOn = H264.decodeNalsState(Seq(s1, p1) ++ sl1).get
+    assertFrameEquals(stOn.cropped, recOn)
+    assert(stOn.deblockOnOfMb.toSeq === Seq(false, true))
+    // slice 1 OFF while slice 0 is ON: the seam belongs to MB 1, whose
+    // slice disabled the filter — the seam must stay sharp (the
+    // last-slice-wins latch would have filtered the whole picture)
+    val (s2, p2, sl2, recMixed) = enc(true, false)
+    assert(seam.forall(i => recMixed.y(i) == reconOff.y(i)),
+      "a slice with the filter disabled must keep its MBs' edges untouched")
+    val stMixed = H264.decodeNalsState(Seq(s2, p2) ++ sl2).get
+    assertFrameEquals(stMixed.cropped, recMixed)
+    assert(stMixed.deblockOnOfMb.toSeq === Seq(true, false))
+  }
 }
