@@ -168,6 +168,25 @@ object QuadScale {
   def totalQuads(nE: Long, skew: Boolean = false): Long =
     (if (skew) 10L else 9L) * nE + (Classes - 1)
 
+  /** Delta for the append tier: `nD` NEW entities `Q(nE)..Q(nE+nD-1)`,
+    * each with one English label and one P1 claim (2 quads per entity)
+    * — the "new documents arrived" shape the incremental store
+    * maintenance exists for.
+    */
+  def syntheticDelta(spark: SparkSession, nE: Long, nD: Long): DataFrame = {
+    val e = col("id") + lit(nE)
+    def qid(suffix: String) = concat(lit("Q"), e.cast(StringType), lit(suffix))
+    val labels = spark.range(nD).select(
+      qEnt(e).as("s"), labelPred.as("p"),
+      strT(concat(lit("entity "), e.cast(StringType))).as("o"),
+      anonEdge(qid("-a1")).as("id"), qEnt(e).as("graph"))
+    val p1 = spark.range(nD).select(
+      qEnt(e).as("s"), pDir(1).as("p"),
+      qEnt(pmod(e, lit(Classes.toLong))).as("o"),
+      namedEdge(qid("-P1")).as("id"), qEnt(e).as("graph"))
+    labels.unionByName(p1).withColumn("ord", monotonically_increasing_id())
+  }
+
   /** The headline query shapes with EXACT planted row counts for the
     * given data shape; skew mode swaps the hot-key variants in and
     * appends the hub-specific shapes.
@@ -241,7 +260,23 @@ object QuadScale {
         "SELECT ?x WHERE { ?x wdt:P1 wd:Q5 . MINUS { ?x wdt:P2 ?y } }",
         q5Count - q5Bound, _ => ()),
       ("distinct",
-        "SELECT DISTINCT ?c WHERE { ?x wdt:P1 ?c }", distinctClasses, _ => ()))
+        "SELECT DISTINCT ?c WHERE { ?x wdt:P1 ?c }", distinctClasses, _ => ()),
+      // statistics-driven BGP ordering A/B: three equal-boundness
+      // patterns, two HOT (P1, nE rows each) and one RARE (P2, 31
+      // rows) WRITTEN last. The pure boundness order folds the two hot
+      // patterns first — an nE ⋈ nE shuffle join whose output the
+      // rare pattern then discards down to 31 rows; measured stats
+      // lead with the 31-row scan, which broadcasts into both hot
+      // scans and no big-big shuffle ever happens. Planted both
+      // modes: ?x must be a class with P2-out (0..30), each joins
+      // once. The _greedy twin runs the SAME query with stats
+      // ordering off — the measured pair is the win
+      ("stats_chain",
+        "SELECT ?x ?c2 WHERE { ?x wdt:P1 ?c . ?c wdt:P1 ?c2 . ?x wdt:P2 ?d }",
+        Classes - 1L, _ => ()),
+      ("stats_chain_greedy",
+        "SELECT ?x ?c2 WHERE { ?x wdt:P1 ?c . ?c wdt:P1 ?c2 . ?x wdt:P2 ?d }",
+        Classes - 1L, _ => ()))
 
     val skewOnly: Seq[(String, String, Long, DataFrame => Unit)] = Seq(
       // contrast shape: a COLD key of the same predicate — pruning
@@ -311,8 +346,14 @@ object QuadScale {
         WikidataIngest.createIndex(spark, flat, idx)
       }
 
-      val opResults = plantedQueries(nE, skew, fail).map {
-        case (name, text, expected, deepCheck) =>
+      def runPlanted(name: String, text: String, expected: Long,
+                     deepCheck: DataFrame => Unit): (String, Double, Long) = {
+        // `_greedy` twins run with stats ordering OFF — the A/B
+        // baseline for the statistics-driven BGP order
+        val greedy = name.endsWith("_greedy")
+        if (greedy) spark.conf.set(
+          graft.sparql.TranslateFlags.BgpStatsOrder, "false")
+        try {
           // two reps, min: the first pays parquet-footer/codegen warmup,
           // the second is the steady-state cost a server pays per query
           val reps = (1 to 2).map { _ =>
@@ -327,9 +368,53 @@ object QuadScale {
           deepCheck(df)
           System.err.println(f"[quadscale $mode $total] $name: $secs%.3f s, $rows rows")
           (name, secs, rows)
+        } finally if (greedy) spark.conf.unset(graft.sparql.TranslateFlags.BgpStatsOrder)
       }
 
-      val ops = (Seq(("create_db", tDb, total), ("create_index", tIdx, total)) ++ opResults)
+      val opResults = plantedQueries(nE, skew, fail).map {
+        case (name, text, expected, deepCheck) => runPlanted(name, text, expected, deepCheck)
+      }
+
+      // ---- append tier: incremental maintenance cost + correctness —
+      // a 1% delta must cost a fraction of create_index, and the new
+      // quads must be visible through every PRUNED access path
+      // nE is a multiple of Classes, so is nD — every class gains
+      // exactly nD/Classes delta members and the planted counts below
+      // stay modular arithmetic, not floor gymnastics
+      val nD = math.max(4 * Classes.toLong, nE / 100 / (4 * Classes) * (4 * Classes))
+      // four append BATCHES (the steady-state arrival shape), so the
+      // following compaction demonstrates targeted rewrite of the
+      // partitions the appends fragmented — not a full-store defrag
+      val (tApp, appended) = time("append_index") {
+        (0 until 4).map { i =>
+          graft.ingest.IndexMaintenance.appendToIndex(spark, idx,
+            syntheticDelta(spark, nE + i * (nD / 4), nD / 4))
+        }.sum
+      }
+      if (appended != 2 * nD) fail(s"$mode append wrote $appended quads, planted ${2 * nD}")
+      // class 0 (= nE % Classes): zero base members under skew (0 is a
+      // redirected multiple of 4), nE/Classes otherwise; + delta share
+      val class0 = (if (skew) 0L else nE / Classes) + nD / Classes
+      val postAppend = Seq(
+        ("post_append_pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + nD),
+        ("post_append_graph",
+          s"SELECT ?s ?p ?o WHERE { GRAPH wd:Q$nE { ?s ?p ?o } }", 2L),
+        ("post_append_subject", s"SELECT ?p ?o WHERE { wd:Q$nE ?p ?o }", 2L),
+        ("post_append_object", "SELECT ?x WHERE { ?x wdt:P1 wd:Q0 }", class0)
+      ).map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
+      val (tCmp, nCmp) = time("compact_index") {
+        // threshold under the 4-batch debt, above the base layout's
+        // ~1-2 files per bucket: only append-fragmented partitions move
+        graft.ingest.IndexMaintenance.compactIndex(spark, idx, maxFilesPerPartition = 3)
+      }
+      val postCompact = Seq(
+        ("post_compact_pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + nD))
+        .map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
+      val maintenance = Seq(("append_index", tApp, appended),
+        ("compact_index", tCmp, nCmp.toLong)) ++ postAppend ++ postCompact
+
+      val ops = (Seq(("create_db", tDb, total), ("create_index", tIdx, total)) ++
+        opResults ++ maintenance)
         .map { case (n, s, r) =>
           s""""$n":{"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))},"rows":$r}"""
         }.mkString(",")

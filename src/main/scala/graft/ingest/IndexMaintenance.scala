@@ -142,16 +142,23 @@ object IndexMaintenance {
         val hasGraph = d.columns.contains("graph")
         for ((file, bucketCol, term, sortKeys) <- Copies
              if new File(s"$dir/$file").exists() && (term != "graph" || hasGraph)) {
+          // repartition BY BUCKET before the write: each touched
+          // bucket then receives exactly one file per append, not one
+          // per (input task × bucket) — the small-file explosion that
+          // would otherwise make compaction urgent after every batch
           d.withColumn(bucketCol, WikidataIngest.bucketColumn(term, meta.buckets))
+            .repartition(col(bucketCol))
             .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
             .write.mode(SaveMode.Append)
             .partitionBy(bucketCol)
             .parquet(s"$dir/$file")
         }
         WikidataIngest.labelsView(d)
+          .repartition(col("kind"), col("lang"))
           .write.mode(SaveMode.Append)
           .partitionBy("kind", "lang")
           .parquet(s"$dir/labels.parquet")
+        mergePredCounts(spark, dir, d)
         writeMeta(dir, meta.copy(generation = meta.generation + 1L,
           maxOrd = newMaxOrd,
           lastBatch = batchId.getOrElse(meta.lastBatch)))
@@ -162,6 +169,25 @@ object IndexMaintenance {
     // place — exactly the inconsistent state it exists to flag
     pending.delete()
     n
+  }
+
+  /** Merge the delta's per-predicate counts into the store's
+    * `pred_counts.json` (the translator's BGP-ordering statistics) —
+    * O(|delta|), never a store rescan.
+    */
+  private def mergePredCounts(spark: SparkSession, dir: String,
+                              delta: DataFrame): Unit = {
+    if (!new File(s"$dir/pred_counts.json").exists()) return
+    val existing = WikidataIngest.predCounts(dir).getOrElse(Map.empty)
+    val deltaCounts = delta.groupBy(col("p.key").as("k")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = (existing.keySet ++ deltaCounts.keySet).map(k =>
+      k -> (existing.getOrElse(k, 0L) + deltaCounts.getOrElse(k, 0L))).toMap
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = merged.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
+    val w = new java.io.PrintWriter(s"$dir/pred_counts.json")
+    try w.write(s"""{"counts": $body}""") finally w.close()
   }
 
   /** Parse a dump file and append it — `create-db`'s incremental

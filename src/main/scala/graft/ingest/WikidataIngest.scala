@@ -236,31 +236,40 @@ object WikidataIngest {
     // the partition columns (non-stably) unless the data already
     // arrives so ordered, which would scramble the clustering the sort
     // just built.
+    // Each permutation is RANGE-partitioned on (bucket, sort keys)
+    // before the within-partition sort: the written copy is then
+    // GLOBALLY sorted per bucket (the reference's sorted-permutation
+    // property, `storage_engine/mod.rs:127-154`) with file count per
+    // bucket proportional to bucket size (~1-2 at 64 buckets) instead
+    // of one file per (input task × bucket). Fewer, non-overlapping
+    // sorted files mean tighter row-group pruning and a meaningful
+    // file-count threshold for IndexMaintenance.compactIndex.
+    val rangeParts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, buckets)
+    def sorted(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+      df.repartitionByRange(rangeParts, keys: _*).sortWithinPartitions(keys: _*)
     val mainSorted = zorder match {
       case Some((a, b)) =>
         val bits = 16
         def dim(path: String) =
           pmod(coalesce(col(path).cast("long"), lit(0L)), lit(1L << bits))
-        rendered.withColumn("p_bucket", bucketOf("p"))
-          .sortWithinPartitions(col("p_bucket"),
-            graft.operators.Layout.zValue(dim(a), dim(b), bits))
+        sorted(rendered.withColumn("p_bucket", bucketOf("p")),
+          col("p_bucket"), graft.operators.Layout.zValue(dim(a), dim(b), bits))
       case None =>
-        rendered.withColumn("p_bucket", bucketOf("p"))
-          .sortWithinPartitions(col("p_bucket"), col("p.key"), col("s.key"))
+        sorted(rendered.withColumn("p_bucket", bucketOf("p")),
+          col("p_bucket"), col("p.key"), col("s.key"))
     }
     mainSorted
       .write.mode(SaveMode.Overwrite)
       .partitionBy("p_bucket")
       .parquet(s"$dir/statements.parquet")
-    rendered
-      .withColumn("o_bucket", bucketOf("o"))
-      .sortWithinPartitions(col("o_bucket"), col("o.key"), col("p.key"))
+    sorted(rendered.withColumn("o_bucket", bucketOf("o")),
+      col("o_bucket"), col("o.key"), col("p.key"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("o_bucket")
       .parquet(s"$dir/statements_obj.parquet")
-    rendered
-      .withColumn("s_bucket", bucketOf("s"))
-      .sortWithinPartitions(col("s_bucket"), col("s.key"), col("p.key"))
+    sorted(rendered.withColumn("s_bucket", bucketOf("s")),
+      col("s_bucket"), col("s.key"), col("p.key"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("s_bucket")
       .parquet(s"$dir/statements_sub.parquet")
@@ -271,9 +280,8 @@ object WikidataIngest {
     // store-wide scan with only a pushed key filter (linear in store
     // size; a full scan at 100 TB).
     if (rendered.columns.contains("graph"))
-      rendered
-        .withColumn("g_bucket", bucketOf("graph"))
-        .sortWithinPartitions(col("g_bucket"), col("graph.key"), col("p.key"))
+      sorted(rendered.withColumn("g_bucket", bucketOf("graph")),
+        col("g_bucket"), col("graph.key"), col("p.key"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("g_bucket")
         .parquet(s"$dir/statements_gr.parquet")
@@ -284,11 +292,62 @@ object WikidataIngest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("kind", "lang")
       .parquet(s"$dir/labels.parquet")
+    // per-predicate quad counts for the translator's statistics-driven
+    // BGP ordering (the reference orders by measured scan sizes,
+    // calc_engine.rs:116-151). Computed from the just-written main copy
+    // (one column-pruned pass over p.key); the collect is bounded by
+    // the property vocabulary (~10⁴ for full Wikidata), and the file
+    // caps at the hottest 100k predicates — ties beyond that order as
+    // before
+    writePredCounts(spark, dir)
     // persist the layout so readers bucket exactly as the writer did
     val w = new java.io.PrintWriter(s"$dir/meta.json")
     try w.write(s"""{"buckets": $buckets}""") finally w.close()
     invalidate(dir)
   }
+
+  /** Compute per-predicate quad counts from the main copy and persist
+    * them beside the store (`pred_counts.json`). Also invoked by
+    * [[IndexMaintenance]] after appends so the translator's ordering
+    * statistics track the maintained store.
+    */
+  private[ingest] def writePredCounts(spark: SparkSession, dir: String): Unit = {
+    val rows = spark.read.parquet(s"$dir/statements.parquet")
+      .groupBy(col("p.key").as("k")).count()
+      .orderBy(col("count").desc)
+      .limit(100000)
+      .collect()
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = rows.map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""")
+      .mkString("{", ", ", "}")
+    val w = new java.io.PrintWriter(s"$dir/pred_counts.json")
+    try w.write(s"""{"counts": $body}""") finally w.close()
+  }
+
+  // pred-count tables are tiny and read per-query at translate time —
+  // cache per (dir, epoch) so a rebuild/append refreshes them
+  private val predCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Map[String, Long]]]
+
+  /** Per-predicate quad counts persisted by [[writePredCounts]]; None
+    * for flat/older stores (ordering falls back to pure boundness).
+    */
+  def predCounts(dir: String): Option[Map[String, Long]] =
+    predCountCache.getOrElseUpdate((dir, storeEpoch(dir)), {
+      val f = new java.io.File(s"$dir/pred_counts.json")
+      if (!f.exists()) None
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        // minimal parse of the flat {"key": n, ...} object this module
+        // writes (keys escape only \ and ")
+        val entry = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
+        Some(entry.findAllMatchIn(txt).collect {
+          case m if m.group(1) != "counts" =>
+            m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+        }.toMap)
+      }
+    })
 
   // DataFrames are immutable, so the resolved scan relation can be
   // shared across queries in a session — repeated `spark.read.parquet`

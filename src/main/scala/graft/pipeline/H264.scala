@@ -17,10 +17,12 @@ import java.awt.image.BufferedImage
   * slice alpha/beta offsets — so real-world streams (which virtually
   * all enable the filter) decode to conforming pixels.
   *
-  * CEILING (documented, honest): inter-coded slices (P/B), CABAC
-  * entropy mode, and high-profile tools (8x8 transform, scaling
-  * lists, MBAFF) are NOT implemented — payloads needing them yield no
-  * frames (degradation, never garbage). VALIDATION
+  * CABAC entropy mode for I slices is supported through
+  * [[H264Cabac]] (the Main/High-profile keyframe arm — most real-world
+  * MP4s), with its own validation-boundary note. CEILING (documented,
+  * honest): inter-coded slices (P/B) and high-profile tools (8x8
+  * transform, scaling lists, MBAFF) are NOT implemented — payloads
+  * needing them yield no frames (degradation, never garbage). VALIDATION
   * BOUNDARY: with no external H.264 implementation available in this
   * environment (zero egress, no ffmpeg/JCodec), the entropy tables
   * are transcribed from the published standard and validated
@@ -1421,7 +1423,6 @@ object H264 {
           case 5 | 1 =>
             (sps, pps) match {
               case (Some(s), Some(p)) =>
-                if (p.cabac) return None // CAVLC only — honest ceiling
                 val r = new BitReader(rbsp)
                 val firstMb = r.ue()
                 val sliceType = r.ue()
@@ -1458,7 +1459,13 @@ object H264 {
                 if (st == null) st = new PicState(s)
                 else st.currentSlice += 1 // new slice: prior MBs unusable as neighbors (§6.4.8)
                 val before = st.mbDecoded.clone()
-                if (!decodeSliceData(r, st, p, firstMb, qp)) return None
+                val sliceOk =
+                  if (p.cabac) {
+                    // cabac_alignment_one_bit then the arithmetic layer
+                    r.byteAlign()
+                    H264Cabac.decodeSliceData(rbsp, r.bitPos / 8, st, p, firstMb, qp)
+                  } else decodeSliceData(r, st, p, firstMb, qp)
+                if (!sliceOk) return None
                 var m = 0
                 while (m < before.length) {
                   if (!before(m) && st.mbDecoded(m)) {

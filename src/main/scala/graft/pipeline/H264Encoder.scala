@@ -24,7 +24,7 @@ object H264Encoder {
   val ModePcm = 1
   val Mode4x4 = 2
 
-  private def quant(v: Int, mf: Int, f: Int, qbits: Int): Int = {
+  private[pipeline] def quant(v: Int, mf: Int, f: Int, qbits: Int): Int = {
     val lvl = (math.abs(v) * mf + f) >> qbits
     if (v < 0) -lvl else lvl
   }
@@ -58,7 +58,8 @@ object H264Encoder {
                         widthMbs: Int, heightMbs: Int, qp: Int,
                         cropR: Int, cropB: Int,
                         mbMode: (Int, Int) => Int,
-                        sliceFirstMbs: Seq[Int], sliceDeblock: Seq[Boolean])
+                        sliceFirstMbs: Seq[Int], sliceDeblock: Seq[Boolean],
+                        cabac: Boolean = false)
       : (Array[Byte], Array[Byte], Seq[Array[Byte]], Frame) = {
     require(qp >= 0 && qp <= 51)
     val nMbs = widthMbs * heightMbs
@@ -67,8 +68,10 @@ object H264Encoder {
       sliceFirstMbs.distinct == sliceFirstMbs && sliceFirstMbs.last < nMbs,
       "sliceFirstMbs must be ascending distinct MB indices starting at 0")
     require(sliceDeblock.size == sliceFirstMbs.size)
-    val sps = Sps(66, 20, 4, 2, 0, widthMbs, heightMbs, 0, cropR, 0, cropB)
-    val pps = Pps(cabac = false, bottomFieldPoc = false, picInitQp = qp,
+    // CABAC streams signal Main profile (77) — baseline forbids CABAC
+    val sps = Sps(if (cabac) 77 else 66, 20, 4, 2, 0, widthMbs, heightMbs,
+      0, cropR, 0, cropB)
+    val pps = Pps(cabac = cabac, bottomFieldPoc = false, picInitQp = qp,
       chromaQpOff = 0, deblockCtrl = true, constrainedIntra = false,
       redundantPicCnt = false)
     val st = new PicState(sps)
@@ -96,27 +99,38 @@ object H264Encoder {
       if (sliceDeblock(si)) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
       else w.ue(1) // disable_deblocking_filter_idc = 1
 
-      for (mb <- bounds(si) until bounds(si + 1)) {
-        val mbX = mb % widthMbs
-        val mbY = mb / widthMbs
-        mbMode(mbX, mbY) match {
-          case ModePcm =>
-            encodePcm(w, st, y, cb, cr, mb, mbX, mbY)
-            st.qpOfMb(mb) = 0
-          case Mode4x4 =>
-            encodeI4x4(w, st, y, cb, cr, mb, mbX, mbY, qp,
-              qbits, f2, mf, qpc, qbitsC, fC, mfC)
-            st.qpOfMb(mb) = qp
-          case _ =>
-            encodeI16x16(w, st, y, cb, cr, mb, mbX, mbY, qp,
-              qbits, f2, mf, qpc, qbitsC, fC, mfC)
-            st.qpOfMb(mb) = qp
+      if (cabac) {
+        // cabac_alignment_one_bit (7.3.4), then the arithmetic layer;
+        // its final flush emits the stop bit, zeros pad the last byte
+        while (w.bitLength % 8 != 0) w.put(1, 1)
+        H264Cabac.encodeSliceMbs(w, st, y, cb, cr,
+          bounds(si), bounds(si + 1), qp, mbMode)
+        for (mb <- bounds(si) until bounds(si + 1))
+          st.deblockOnOfMb(mb) = sliceDeblock(si)
+        w.byteAlign()
+      } else {
+        for (mb <- bounds(si) until bounds(si + 1)) {
+          val mbX = mb % widthMbs
+          val mbY = mb / widthMbs
+          mbMode(mbX, mbY) match {
+            case ModePcm =>
+              encodePcm(w, st, y, cb, cr, mb, mbX, mbY)
+              st.qpOfMb(mb) = 0
+            case Mode4x4 =>
+              encodeI4x4(w, st, y, cb, cr, mb, mbX, mbY, qp,
+                qbits, f2, mf, qpc, qbitsC, fC, mfC)
+              st.qpOfMb(mb) = qp
+            case _ =>
+              encodeI16x16(w, st, y, cb, cr, mb, mbX, mbY, qp,
+                qbits, f2, mf, qpc, qbitsC, fC, mfC)
+              st.qpOfMb(mb) = qp
+          }
+          st.mbDecoded(mb) = true
+          st.sliceOfMb(mb) = si
+          st.deblockOnOfMb(mb) = sliceDeblock(si)
         }
-        st.mbDecoded(mb) = true
-        st.sliceOfMb(mb) = si
-        st.deblockOnOfMb(mb) = sliceDeblock(si)
+        w.rbspTrailing()
       }
-      w.rbspTrailing()
       Array(0x65.toByte) ++ addEmulation(w.toBytes)
     }
     // prediction used UNFILTERED samples above (the conforming order
@@ -131,11 +145,11 @@ object H264Encoder {
     * returned closures' data). Reconstruction mirrors the decoder for
     * the chosen cbp.
     */
-  private final case class ChromaCoded(cbpChroma: Int,
+  private[pipeline] final case class ChromaCoded(cbpChroma: Int,
                                        dcScan: Array[Array[Int]],
                                        acScan: Array[Array[Array[Int]]])
 
-  private def codeChroma(st: PicState, cb: Array[Int], cr: Array[Int],
+  private[pipeline] def codeChroma(st: PicState, cb: Array[Int], cr: Array[Int],
                          mb: Int, mbX: Int, mbY: Int, qpc: Int,
                          qbitsC: Int, fC: Int, mfC: Array[Int]): ChromaCoded = {
     val cw = st.w / 2
@@ -447,7 +461,7 @@ object H264Encoder {
   /** SPS NAL payload (header byte + emulation-protected RBSP). */
   private[pipeline] def spsNal(s: Sps): Array[Byte] = {
     val w = new BitWriter()
-    w.put(66, 8) // baseline
+    w.put(s.profile, 8) // baseline (66) / Main for CABAC (77)
     w.put(0, 8) // constraint flags
     w.put(s.level, 8)
     w.ue(0) // sps_id
@@ -472,7 +486,7 @@ object H264Encoder {
     val w = new BitWriter()
     w.ue(0) // pps_id
     w.ue(0) // sps_id
-    w.put(0, 1) // CAVLC
+    w.put(if (p.cabac) 1 else 0, 1) // entropy_coding_mode_flag
     w.put(0, 1) // bottom_field_poc
     w.ue(0) // slice groups
     w.ue(0); w.ue(0) // ref idx defaults

@@ -786,10 +786,11 @@ object Multimodal {
     }
 
   /** REAL pixel decode for `avc1` (H.264) MP4 tracks via the in-repo
-    * baseline-intra decoder ([[H264]]): SPS/PPS from the track's avcC
-    * record, each sample's length-prefixed NALs decoded as an intra
-    * frame. Samples the decoder cannot handle (P/B slices, CABAC —
-    * the documented ceiling on [[H264]]) are SKIPPED, which is the
+    * intra decoder ([[H264]], CAVLC + CABAC via [[H264Cabac]]):
+    * SPS/PPS from the track's avcC record, each sample's
+    * length-prefixed NALs decoded as an intra frame. Samples the
+    * decoder cannot handle (P/B slices, 8x8-transform streams — the
+    * documented ceiling on [[H264]]) are SKIPPED, which is the
     * production keyframe-sampling shape: near-dup signatures come from
     * the IDR frames a frame-sampler would pick anyway. Returns empty
     * on anything malformed.

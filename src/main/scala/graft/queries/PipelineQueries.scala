@@ -989,6 +989,41 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"), pct(1), pct(2), pct(3), pct(4))
     }),
 
+    // CABAC (Main-profile) H.264 intra decode — the p82 shape with
+    // arithmetic-coded keyframes: planted frame counts, dims and
+    // per-bucket luma percentages; a corrupt payload nulls out. The
+    // constructed-fact caveat of p82 applies (CONFORMANCE).
+    "p84_h264_cabac_decode" -> ((s, _) => {
+      import graft.pipeline.{H264Encoder => Enc}
+      def clip(grays: Seq[Int], qp: Int, mode: Int,
+               deblock: Boolean = false): Array[Byte] = {
+        var cfg: Array[Byte] = null
+        val samples = grays.map { g =>
+          val (y, cbp, crp) = Enc.flatPlanes(2, 1, g)
+          val (sps, pps, slices, _) = Enc.encodeFrameSlices(y, cbp, crp, 2, 1,
+            qp, 0, 0, (_, _) => mode, Seq(0), Seq(deblock), cabac = true)
+          if (cfg == null) cfg = Enc.avcC(sps, pps)
+          Enc.avccSample(slices.head)
+        }
+        Multimodal.avc1Mp4(samples, 32, 16, cfg)
+      }
+      val c1 = clip(Seq(96), 10, Enc.Mode16x16)
+      val clips = Seq(
+        (1L, c1),
+        (2L, clip(Seq(32, 224), 10, Enc.Mode16x16)),
+        (3L, clip(Seq(96), 12, Enc.Mode4x4)), // all intra-4x4 CABAC arms
+        (4L, clip(Seq(160), 0, Enc.ModePcm)), // PCM engine restart
+        (5L, clip(Seq(96), 32, Enc.Mode16x16, deblock = true)),
+        (6L, c1.take(c1.length / 2))) // truncated → nulls
+      import s.implicits._
+      def pct(i: Int) =
+        round(element_at(col("video_features"), i) * 100).cast("int").as(s"b${i - 1}")
+      Multimodal.decodeVideo(clips.toDF("media_id", "payload"),
+          dims = 4, maxFrames = 3)
+        .select(col("media_id"), col("decoded_frames"),
+          col("frame_width"), col("frame_height"), pct(1), pct(2), pct(3), pct(4))
+    }),
+
     // incremental four-permutation store maintenance, oracle-checked
     // end to end: documents become quads (doc entity --P1--> language
     // literal), the 90% base builds the partitioned index, the 10%
@@ -1484,6 +1519,24 @@ object PipelineQueries {
         |  (7, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
         |  (8, 1, 8, 6, 0, 100, 0, 0),
         |  (9, 1, 32, 16, 0, 100, 0, 0))
+        |  t(media_id, decoded_frames, frame_width, frame_height, b0, b1, b2, b3)""".stripMargin,
+
+    // CABAC keyframes: flat gray 96→bucket 1, 32/224 split 50/50,
+    // PCM 160→bucket 2; truncated clip nulls out
+    "p84_h264_cabac_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(decoded_frames AS INTEGER) AS decoded_frames,
+        |  CAST(frame_width AS INTEGER) AS frame_width,
+        |  CAST(frame_height AS INTEGER) AS frame_height,
+        |  CAST(b0 AS INTEGER) AS b0, CAST(b1 AS INTEGER) AS b1,
+        |  CAST(b2 AS INTEGER) AS b2, CAST(b3 AS INTEGER) AS b3
+        |FROM (VALUES
+        |  (1, 1, 32, 16, 0, 100, 0, 0),
+        |  (2, 2, 32, 16, 50, 0, 0, 50),
+        |  (3, 1, 32, 16, 0, 100, 0, 0),
+        |  (4, 1, 32, 16, 0, 0, 100, 0),
+        |  (5, 1, 32, 16, 0, 100, 0, 0),
+        |  (6, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
         |  t(media_id, decoded_frames, frame_width, frame_height, b0, b1, b2, b3)""".stripMargin,
 
     // per-language counts over the incrementally-maintained store must

@@ -26,7 +26,8 @@ object Sparql {
     new Translator(spark, statements, labels,
       WikidataIngest.statementsObj(spark, dir), WikidataIngest.statementsSub(spark, dir),
       WikidataIngest.storeBuckets(dir).getOrElse(WikidataIngest.NumPredBuckets),
-      WikidataIngest.statementsGr(spark, dir))
+      WikidataIngest.statementsGr(spark, dir),
+      WikidataIngest.predCounts(dir))
       .translate(Parser.parse(text))
   }
 

@@ -60,6 +60,14 @@ object TranslateFlags {
   /** GROUP_CONCAT bounded-state element cap (Translator aggregates). */
   val GroupConcatMaxElements = "spark.graft.groupConcat.maxElements"
 
+  /** Statistics-driven BGP ordering (Translator orderPatterns): break
+    * boundness ties by MEASURED per-predicate cardinality from the
+    * store's `pred_counts.json` (written by create-index). Off = pure
+    * boundness heuristic (the pre-stats behavior, kept for A/B
+    * measurement in QuadScale).
+    */
+  val BgpStatsOrder = "spark.graft.bgp.statsOrder"
+
   /** Every translate-time flag with its default, in fingerprint order. */
   val all: Seq[(String, String)] = Seq(
     OptionalSpecFilter -> "false",
@@ -67,7 +75,8 @@ object TranslateFlags {
     FunctionsSpec -> "false",
     PathMaxRows -> PathMaxRowsDefault.toString,
     PathSmallRows -> "100000",
-    GroupConcatMaxElements -> "0")
+    GroupConcatMaxElements -> "0",
+    BgpStatsOrder -> "true")
 
   private val defaults: Map[String, String] = all.toMap
 

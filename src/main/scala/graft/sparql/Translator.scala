@@ -27,7 +27,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
                        statementsObj: Option[DataFrame] = None,
                        statementsSub: Option[DataFrame] = None,
                        buckets: Int = graft.ingest.WikidataIngest.NumPredBuckets,
-                       statementsGr: Option[DataFrame] = None) {
+                       statementsGr: Option[DataFrame] = None,
+                       predCounts: Option[Map[String, Long]] = None) {
 
   import TermOps._
 
@@ -395,19 +396,45 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * from naive left-to-right folding. Inner natural joins commute, so
     * results are unchanged.
     */
+  /** Greedy BGP ordering: most-bound pattern first, then connected
+    * patterns by boundness — and boundness TIES break by MEASURED
+    * per-predicate cardinality (`pred_counts.json`, written by
+    * create-index and maintained by appends), the reference's
+    * size-ordered join discipline (`calc_engine.rs:116-151`). A
+    * 31-row predicate now leads a join chain against a 10⁸-row one of
+    * equal boundness, so the left-deep reduce builds its small
+    * intermediates first. Stores without statistics (or
+    * `spark.graft.bgp.statsOrder=false`) keep the pure boundness
+    * order.
+    */
   private[sparql] def orderPatterns(ts: Seq[Triple]): Seq[Triple] = {
     if (ts.size <= 1) return ts
+    val useStats = predCounts.isDefined &&
+      TranslateFlags.get(spark, TranslateFlags.BgpStatsOrder) == "true"
     def boundCount(t: Triple) = Seq(t.s, t.p, t.o).count(_.isInstanceOf[Const])
+    // estimated scan cardinality: a bound predicate's measured count
+    // (absent from the stats table ⇒ 0 rows); an unbound predicate
+    // scans everything. Bound s/o halve the estimate's WEIGHT only via
+    // boundCount — the tie-break compares same-boundness shapes.
+    def estCard(t: Triple): Long =
+      if (!useStats) 0L
+      else t.p match {
+        case Const(pv) => predCounts.get.getOrElse(pv.key, 0L)
+        case _ => Long.MaxValue
+      }
     def vars(t: Triple) = Seq(t.s, t.p, t.o).collect { case Var(n) => n }.toSet
+    // maxBy over (boundness, -cardinality): boundness dominates,
+    // smaller measured scans win ties
+    def rank(t: Triple): (Int, Long) = (boundCount(t), -estCard(t))
     val remaining = scala.collection.mutable.ArrayBuffer(ts: _*)
     val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
-    val first = remaining.maxBy(boundCount)
+    val first = remaining.maxBy(rank)
     out += first
     remaining -= first
     var seen = vars(first)
     while (remaining.nonEmpty) {
       val connected = remaining.filter(t => vars(t).intersect(seen).nonEmpty)
-      val next = (if (connected.nonEmpty) connected else remaining.toSeq).maxBy(boundCount)
+      val next = (if (connected.nonEmpty) connected else remaining.toSeq).maxBy(rank)
       out += next
       remaining -= next
       seen ++= vars(next)

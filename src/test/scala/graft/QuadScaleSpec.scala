@@ -66,5 +66,16 @@ class QuadScaleSpec extends SparkTestBase {
         deepCheck(df)
     }
     assert(failures.isEmpty, failures.mkString("; "))
+    // the harness's append tier, pinned at test size: a delta of new
+    // entities lands in every pruned access path with planted counts
+    val nD = QuadScale.Classes.toLong
+    val appended = graft.ingest.IndexMaintenance.appendToIndex(
+      spark, s"$base/idx", QuadScale.syntheticDelta(spark, nE, nD))
+    assert(appended === 2 * nD)
+    assert(Sparql.query(spark, "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }",
+      s"$base/idx").count() === nE + nD)
+    assert(Sparql.query(spark,
+      s"SELECT ?s ?p ?o WHERE { GRAPH wd:Q$nE { ?s ?p ?o } }",
+      s"$base/idx").count() === 2L)
   }
 }

@@ -278,7 +278,9 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeNals(Seq(sps, pps, slice.take(slice.length / 2))).isEmpty,
       "truncated slice must not decode")
     assert(H264.decodeNals(Seq(sps, slice)).isEmpty, "missing PPS must not decode")
-    // flip entropy_coding_mode to CABAC in a synthetic PPS
+    // flip entropy_coding_mode to CABAC in a synthetic PPS: the CAVLC
+    // slice bits are then CORRUPT arithmetic data for the (real, see
+    // H264CabacSpec) CABAC arm — still None, never garbage
     val cabacPps = {
       val w = new BitWriter()
       w.ue(0); w.ue(0); w.put(1, 1); w.put(0, 1); w.ue(0); w.ue(0); w.ue(0)
@@ -287,7 +289,7 @@ class H264Spec extends AnyFunSuite {
       Array(0x68.toByte) ++ H264.addEmulation(w.toBytes)
     }
     assert(H264.decodeNals(Seq(sps, cabacPps, slice)).isEmpty,
-      "CABAC stream must degrade, not misparse")
+      "CAVLC bits mislabeled as CABAC must degrade, not misparse")
     // garbage bytes
     assert(H264.decodeNals(Seq(Array.tabulate[Byte](40)(i => (i * 37).toByte))).isEmpty)
   }

@@ -47,4 +47,30 @@ class BgpOrderingSpec extends graft.SparkTestBase {
     assert(rows(0).getStruct(byName("c")).getAs[String]("key") === "Q:6")
     assert(rows(0).getStruct(byName("x")).getAs[String]("key") === "Q:1")
   }
+
+  test("boundness ties break by measured predicate cardinality (stats ordering)") {
+    // P2 is 1000x hotter than P5 in the stats table: with equal
+    // boundness the rare predicate must lead the join chain, so the
+    // left-deep fold builds its small intermediate first
+    val stats = Map("P:2" -> 100000L, "P:5" -> 100L)
+    val trStats = new Translator(spark, statements, statements.limit(0),
+      predCounts = Some(stats))
+    val hot = Triple(Var("b"), Const(TermValue.propDirect(2)), Var("c"))
+    val rare = Triple(Var("a"), Const(TermValue.propDirect(5)), Var("b"))
+    // written hot-first: stats flip the order
+    assert(trStats.orderPatterns(Seq(hot, rare)) === Seq(rare, hot))
+    // without stats the written order survives (pure boundness tie)
+    assert(tr.orderPatterns(Seq(hot, rare)) === Seq(hot, rare))
+    // the flag disables stats ordering even when stats exist
+    spark.conf.set(graft.sparql.TranslateFlags.BgpStatsOrder, "false")
+    try assert(trStats.orderPatterns(Seq(hot, rare)) === Seq(hot, rare))
+    finally spark.conf.unset(graft.sparql.TranslateFlags.BgpStatsOrder)
+    // boundness still dominates: a 2-bound pattern on the hot predicate
+    // beats a 1-bound pattern on the rare one
+    val hotBound = Triple(Const(TermValue.entityQ(1)), Const(TermValue.propDirect(2)), Var("b"))
+    assert(trStats.orderPatterns(Seq(rare, hotBound)).head === hotBound)
+    // a predicate ABSENT from the stats scans zero rows — it leads
+    val ghost = Triple(Var("a"), Const(TermValue.propDirect(9)), Var("b"))
+    assert(trStats.orderPatterns(Seq(hot, ghost)) === Seq(ghost, hot))
+  }
 }
