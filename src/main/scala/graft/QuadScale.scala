@@ -65,7 +65,13 @@ import graft.sparql.Sparql
   *
   * Usage: `runMain graft.QuadScale [quadTargets] [baseDir] [modes]`
   * (defaults `1000000,8000000`, a temp dir, and `uniform`; modes is a
-  * comma list of `uniform`/`skew`).
+  * comma list of `uniform`/`skew`/`pressure`). Re-running against the
+  * same `baseDir` reuses any store whose success marker exists and
+  * records a WARM sitting (query ladder only, planted counts adjusted
+  * for the fresh sitting's append tier); `pressure` runs the
+  * memory-heavy sort/agg/join shapes on a skew-shaped store — pair a
+  * default-heap sitting with a `SPARK_DRIVER_MEM`-capped one to
+  * demonstrate spill-not-OOM.
   */
 object QuadScale {
 
@@ -190,27 +196,39 @@ object QuadScale {
   /** The headline query shapes with EXACT planted row counts for the
     * given data shape; skew mode swaps the hot-key variants in and
     * appends the hub-specific shapes.
+    *
+    * `appended` adjusts every planted count for a WARM sitting on a
+    * store whose fresh sitting already ran the append tier: that tier
+    * adds `appended` new entities Q(nE)..Q(nE+appended-1), each with
+    * one label and one P1 claim to class `e mod 32` (never redirected,
+    * even in skew mode), so each class gains exactly `appended/32`
+    * members and no qualifier/P2/P70/bulk count moves.
     */
-  def plantedQueries(nE: Long, skew: Boolean,
-      fail: String => Unit): Seq[(String, String, Long, DataFrame => Unit)] = {
-    val total = totalQuads(nE, skew)
+  def plantedQueries(nE: Long, skew: Boolean, fail: String => Unit,
+      appended: Long = 0L): Seq[(String, String, Long, DataFrame => Unit)] = {
+    require(appended % Classes == 0, s"appended=$appended must be a multiple of $Classes")
+    val total = totalQuads(nE, skew) + 2 * appended
     val perClass = nE / Classes
+    val dc = appended / Classes // delta members gained by EVERY class
     // skew: instances(Q5) = {e % 4 == 0} ∪ {e % 32 == 5} (disjoint:
     // e % 32 == 5 → e % 4 == 1), so 9·nE/32
-    val q5Count = if (skew) 9 * perClass else perClass
+    val q5Count = (if (skew) 9 * perClass else perClass) + dc
     // classes with an outgoing P2 edge are 0..30; under skew the 8
     // multiples of 4 in that range hold zero members, Q5 holds 9/32,
     // the other 22 hold nE/32: (9 + 22)·nE/32 — numerically the same
     // 31·nE/32 as uniform, but the join key distribution is white-hot
-    val bgpRows = perClass * (Classes - 1)
+    val bgpRows = (perClass + dc) * (Classes - 1)
     // classes (= entities 0..30 with P2-out) now inside class Q5:
-    // {0,4,...,28} redirected plus Q5 itself = 9
+    // {0,4,...,28} redirected plus Q5 itself = 9 (delta entities have
+    // no P2-out, so the OPTIONAL-bound count never moves)
     val q5Bound = if (skew) 9L else 1L
-    val distinctClasses = if (skew) Classes.toLong - 8 else Classes.toLong
+    // the delta fills the 8 classes skew left empty
+    val distinctClasses =
+      if (skew && appended == 0) Classes.toLong - 8 else Classes.toLong
 
     val shared: Seq[(String, String, Long, DataFrame => Unit)] = Seq(
       ("full_scan", "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", total, _ => ()),
-      ("pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE, _ => ()),
+      ("pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + appended, _ => ()),
       ("po_bound", "SELECT ?x WHERE { ?x wdt:P1 wd:Q5 }", q5Count, _ => ()),
       ("bgp_join", "SELECT ?x ?d WHERE { ?x wdt:P1 ?c . ?c wdt:P2 ?d }",
         bgpRows, _ => ()),
@@ -219,11 +237,11 @@ object QuadScale {
       ("label_service",
         """SELECT ?x ?xLabel WHERE { ?x wdt:P1 wd:Q3 .
           |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
-        perClass,
+        perClass + dc,
         df => {
           val bound = df.filter(col("xLabel").getField("str").isNotNull).count()
-          if (bound != perClass)
-            fail(s"label_service bound $bound labels, planted $perClass")
+          if (bound != perClass + dc)
+            fail(s"label_service bound $bound labels, planted ${perClass + dc}")
         }),
       ("path_star", "SELECT ?c WHERE { wd:Q0 wdt:P2* ?c }", Classes.toLong, _ => ()),
       ("graph_const", "SELECT ?s ?p ?o WHERE { GRAPH wd:Q7 { ?s ?p ?o } }", 4L, _ => ()),
@@ -234,8 +252,9 @@ object QuadScale {
           val counts = df.select(col("n").getField("num")).collect()
             .map(_.getDouble(0).toLong).groupBy(identity).view.mapValues(_.length).toMap
           val planted =
-            if (skew) Map(9 * perClass -> 1, perClass -> 23)
-            else Map(perClass -> Classes)
+            if (skew && dc == 0) Map(9 * perClass -> 1, perClass -> 23)
+            else if (skew) Map(9 * perClass + dc -> 1, dc -> 8, perClass + dc -> 23)
+            else Map(perClass + dc -> Classes)
           if (counts != planted)
             fail(s"agg_group count multiset $counts, planted $planted")
         }),
@@ -282,7 +301,7 @@ object QuadScale {
       // contrast shape: a COLD key of the same predicate — pruning
       // must keep this flat regardless of Q5's heat
       ("po_bound_cold", "SELECT ?x WHERE { ?x wdt:P1 wd:Q3 }",
-        nE / Classes, _ => ()),
+        nE / Classes + dc, _ => ()),
       // one entity holding 1% of all bulk statements (+ its own label
       // and P1): the celebrity-entity subject lookup
       ("hub_subject", "SELECT ?p ?o WHERE { wd:Q32 ?p ?o }",
@@ -300,11 +319,11 @@ object QuadScale {
       ("hub_label_service",
         """SELECT ?x ?xLabel WHERE { ?x wdt:P1 wd:Q5 .
           |SERVICE wikibase:label { bd:serviceParam wikibase:language "en". } }""".stripMargin,
-        9 * perClass,
+        9 * perClass + dc,
         df => {
           val bound = df.filter(col("xLabel").getField("str").isNotNull).count()
-          if (bound != 9 * perClass)
-            fail(s"hub_label_service bound $bound labels, planted ${9 * perClass}")
+          if (bound != 9 * perClass + dc)
+            fail(s"hub_label_service bound $bound labels, planted ${9 * perClass + dc}")
         }))
 
     if (skew) shared ++ skewOnly else shared
@@ -316,20 +335,28 @@ object QuadScale {
     val baseDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-quadscale").toString)
     val modes = args.lift(2).getOrElse("uniform").split(",").map(_.trim).toSeq
-    modes.foreach(m => require(m == "uniform" || m == "skew", s"unknown mode $m"))
+    modes.foreach(m => require(m == "uniform" || m == "skew" || m == "pressure",
+      s"unknown mode $m"))
     val spark = GraftSession.get()
     var failed = false
 
     def fail(msg: String): Unit = { System.err.println(s"[quadscale] FAIL: $msg"); failed = true }
 
     val perSize = for (mode <- modes; target <- targets) yield {
-      val skew = mode == "skew"
+      val skew = mode != "uniform" // pressure reuses the skew generator
       val quadsPerE = if (skew) 10.0 else 9.0
       val align = if (skew) 800L else Classes.toLong
       val nE = math.max(800L, math.round(target / quadsPerE / align) * align)
       val total = totalQuads(nE, skew)
       val flat = s"$baseDir/flat_${mode}_$nE"
       val idx = s"$baseDir/idx_${mode}_$nE"
+      // store reuse, keyed on the success marker ALONE (a crashed
+      // build leaves directories but no marker → rebuilt, not
+      // half-read). A WARM sitting re-measures the query ladder on the
+      // already-built — and, for uniform/skew, already-appended —
+      // store without the build/maintenance tiers: the reproduced
+      // companion for any fresh-sitting number that paid cold IO.
+      val warm = new java.io.File(s"$idx/_SUCCESS_GRAFT_INDEX").exists()
 
       def time[A](name: String)(f: => A): (Double, A) = {
         val t0 = System.nanoTime()
@@ -339,11 +366,17 @@ object QuadScale {
         (secs, out)
       }
 
-      val (tDb, _) = time("create_db") {
-        WikidataIngest.writeStore(spark, syntheticStatements(spark, nE, skew), flat)
-      }
-      val (tIdx, _) = time("create_index") {
-        WikidataIngest.createIndex(spark, flat, idx)
+      val buildOps = if (warm) {
+        System.err.println(s"[quadscale $mode $total] warm sitting: reusing $idx")
+        Seq.empty[(String, Double, Long)]
+      } else {
+        val (tDb, _) = time("create_db") {
+          WikidataIngest.writeStore(spark, syntheticStatements(spark, nE, skew), flat)
+        }
+        val (tIdx, _) = time("create_index") {
+          WikidataIngest.createIndex(spark, flat, idx)
+        }
+        Seq(("create_db", tDb, total), ("create_index", tIdx, total))
       }
 
       def runPlanted(name: String, text: String, expected: Long,
@@ -371,54 +404,106 @@ object QuadScale {
         } finally if (greedy) spark.conf.unset(graft.sparql.TranslateFlags.BgpStatsOrder)
       }
 
-      val opResults = plantedQueries(nE, skew, fail).map {
-        case (name, text, expected, deepCheck) => runPlanted(name, text, expected, deepCheck)
-      }
-
-      // ---- append tier: incremental maintenance cost + correctness —
-      // a 1% delta must cost a fraction of create_index, and the new
-      // quads must be visible through every PRUNED access path
+      // delta size for the append tier; ALSO the warm sitting's
+      // planted-count offset (a warm sitting assumes exactly one prior
+      // fresh sitting ran the append tier on this store).
       // nE is a multiple of Classes, so is nD — every class gains
-      // exactly nD/Classes delta members and the planted counts below
-      // stay modular arithmetic, not floor gymnastics
+      // exactly nD/Classes delta members and the planted counts stay
+      // modular arithmetic, not floor gymnastics
       val nD = math.max(4 * Classes.toLong, nE / 100 / (4 * Classes) * (4 * Classes))
-      // four append BATCHES (the steady-state arrival shape), so the
-      // following compaction demonstrates targeted rewrite of the
-      // partitions the appends fragmented — not a full-store defrag
-      val (tApp, appended) = time("append_index") {
-        (0 until 4).map { i =>
-          graft.ingest.IndexMaintenance.appendToIndex(spark, idx,
-            syntheticDelta(spark, nE + i * (nD / 4), nD / 4))
-        }.sum
-      }
-      if (appended != 2 * nD) fail(s"$mode append wrote $appended quads, planted ${2 * nD}")
-      // class 0 (= nE % Classes): zero base members under skew (0 is a
-      // redirected multiple of 4), nE/Classes otherwise; + delta share
-      val class0 = (if (skew) 0L else nE / Classes) + nD / Classes
-      val postAppend = Seq(
-        ("post_append_pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + nD),
-        ("post_append_graph",
-          s"SELECT ?s ?p ?o WHERE { GRAPH wd:Q$nE { ?s ?p ?o } }", 2L),
-        ("post_append_subject", s"SELECT ?p ?o WHERE { wd:Q$nE ?p ?o }", 2L),
-        ("post_append_object", "SELECT ?x WHERE { ?x wdt:P1 wd:Q0 }", class0)
-      ).map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
-      val (tCmp, nCmp) = time("compact_index") {
-        // threshold under the 4-batch debt, above the base layout's
-        // ~1-2 files per bucket: only append-fragmented partitions move
-        graft.ingest.IndexMaintenance.compactIndex(spark, idx, maxFilesPerPartition = 3)
-      }
-      val postCompact = Seq(
-        ("post_compact_pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + nD))
-        .map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
-      val maintenance = Seq(("append_index", tApp, appended),
-        ("compact_index", tCmp, nCmp.toLong)) ++ postAppend ++ postCompact
 
-      val ops = (Seq(("create_db", tDb, total), ("create_index", tIdx, total)) ++
-        opResults ++ maintenance)
+      /** Memory-pressure shapes: working sets that exceed execution
+        * memory under a constrained heap — a full sort of every quad,
+        * a 2·nE-group aggregation, and the hot-key big-big shuffle
+        * join. Timed through a noop sink so the root sort actually
+        * executes (under a bare count the optimizer correctly
+        * eliminates it); planted counts still checked. Record one
+        * sitting at the default heap and one with SPARK_DRIVER_MEM
+        * capped: the constrained column must show SPILL-not-OOM (same
+        * answers, bounded slowdown) — the one resource axis the
+        * size/skew/concurrency tiers don't cover. No append tier, so
+        * warm sittings keep fresh-store planted counts.
+        */
+      def runPressure(): Seq[(String, Double, Long)] = Seq(
+        ("pressure_sort_full",
+          "SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY ?o ?s", total),
+        ("pressure_agg_subjects",
+          // distinct subjects: nE entities + the nE qualifier-bearing
+          // P1 claim edges (bulk/chain/P70 subjects are entity subsets)
+          "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s", 2 * nE),
+        ("pressure_shuffle_join",
+          "SELECT ?a ?c WHERE { ?a wdt:P70 ?x . ?x wdt:P1 ?c }", nE)
+      ).map { case (name, text, expected) =>
+        val df = Sparql.query(spark, text, idx)
+        val rows = df.count()
+        if (rows != expected) fail(s"$mode/$name returned $rows rows, planted $expected")
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.err.println(f"[quadscale $mode $total] $name: $secs%.3f s, $rows rows")
+        (name, secs, rows)
+      }
+
+      val (opResults, maintenance) =
+        if (mode == "pressure") (runPressure(), Seq.empty[(String, Double, Long)])
+        else if (warm)
+          (plantedQueries(nE, skew, fail, appended = nD).map {
+            case (name, text, expected, deepCheck) =>
+              runPlanted(name, text, expected, deepCheck)
+          }, Seq.empty[(String, Double, Long)])
+        else {
+          val qs = plantedQueries(nE, skew, fail).map {
+            case (name, text, expected, deepCheck) =>
+              runPlanted(name, text, expected, deepCheck)
+          }
+          // ---- append tier: incremental maintenance cost +
+          // correctness — a 1% delta must cost a fraction of
+          // create_index, and the new quads must be visible through
+          // every PRUNED access path. Four append BATCHES (the
+          // steady-state arrival shape), so the following compaction
+          // demonstrates targeted rewrite of the partitions the
+          // appends fragmented — not a full-store defrag
+          val (tApp, appended) = time("append_index") {
+            (0 until 4).map { i =>
+              graft.ingest.IndexMaintenance.appendToIndex(spark, idx,
+                syntheticDelta(spark, nE + i * (nD / 4), nD / 4))
+            }.sum
+          }
+          if (appended != 2 * nD)
+            fail(s"$mode append wrote $appended quads, planted ${2 * nD}")
+          // class 0 (= nE % Classes): zero base members under skew (0
+          // is a redirected multiple of 4), nE/Classes otherwise; +
+          // delta share
+          val class0 = (if (skew) 0L else nE / Classes) + nD / Classes
+          val postAppend = Seq(
+            ("post_append_pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + nD),
+            ("post_append_graph",
+              s"SELECT ?s ?p ?o WHERE { GRAPH wd:Q$nE { ?s ?p ?o } }", 2L),
+            ("post_append_subject", s"SELECT ?p ?o WHERE { wd:Q$nE ?p ?o }", 2L),
+            ("post_append_object", "SELECT ?x WHERE { ?x wdt:P1 wd:Q0 }", class0)
+          ).map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
+          val (tCmp, nCmp) = time("compact_index") {
+            // threshold under the 4-batch debt, above the base
+            // layout's ~1-2 files per bucket: only append-fragmented
+            // partitions move
+            graft.ingest.IndexMaintenance.compactIndex(spark, idx, maxFilesPerPartition = 3)
+          }
+          val postCompact = Seq(
+            ("post_compact_pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + nD))
+            .map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
+          (qs, Seq(("append_index", tApp, appended),
+            ("compact_index", tCmp, nCmp.toLong)) ++ postAppend ++ postCompact)
+        }
+
+      val ops = (buildOps ++ opResults ++ maintenance)
         .map { case (n, s, r) =>
           s""""$n":{"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))},"rows":$r}"""
         }.mkString(",")
-      s"""{"quads":$total,"entities":$nE,"mode":"$mode","ops":{$ops}}"""
+      val sitting = if (warm) "warm" else "fresh"
+      val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+      s"""{"quads":$total,"entities":$nE,"mode":"$mode","sitting":"$sitting","heapMb":$heapMb,"ops":{$ops}}"""
     }
     println(s"""{"metric":"quadscale","sizes":[${perSize.mkString(",")}]}""")
     if (failed) sys.exit(1)

@@ -303,6 +303,12 @@ object WikidataIngest {
     // persist the layout so readers bucket exactly as the writer did
     val w = new java.io.PrintWriter(s"$dir/meta.json")
     try w.write(s"""{"buckets": $buckets}""") finally w.close()
+    // success marker, written LAST: harnesses that reuse an on-disk
+    // store (ConcurrencyBench, QuadScale warm sittings) key on this
+    // file alone — a crashed build leaves directories but no marker,
+    // so it is rebuilt instead of silently half-read
+    val m = new java.io.PrintWriter(s"$dir/_SUCCESS_GRAFT_INDEX")
+    try m.write("ok") finally m.close()
     invalidate(dir)
   }
 

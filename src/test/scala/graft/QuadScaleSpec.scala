@@ -77,5 +77,18 @@ class QuadScaleSpec extends SparkTestBase {
     assert(Sparql.query(spark,
       s"SELECT ?s ?p ?o WHERE { GRAPH wd:Q$nE { ?s ?p ?o } }",
       s"$base/idx").count() === 2L)
+    // the WARM-sitting planted formulas: every headline shape's count,
+    // adjusted for the append above, must hold on the maintained store
+    // — this is what `runMain graft.QuadScale` asserts when it reuses
+    // a store a fresh sitting already appended to
+    failures = Nil
+    QuadScale.plantedQueries(nE, skew = true, m => failures ::= m,
+      appended = nD).foreach {
+      case (name, text, expected, deepCheck) =>
+        val df = Sparql.query(spark, text, s"$base/idx")
+        assert(df.count() === expected, s"warm query $name row count")
+        deepCheck(df)
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
   }
 }
