@@ -159,6 +159,7 @@ object IndexMaintenance {
           .partitionBy("kind", "lang")
           .parquet(s"$dir/labels.parquet")
         mergePredCounts(spark, dir, d)
+        mergePredFanout(spark, dir, d)
         writeMeta(dir, meta.copy(generation = meta.generation + 1L,
           maxOrd = newMaxOrd,
           lastBatch = batchId.getOrElse(meta.lastBatch)))
@@ -188,6 +189,41 @@ object IndexMaintenance {
       .map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
     val w = new java.io.PrintWriter(s"$dir/pred_counts.json")
     try w.write(s"""{"counts": $body}""") finally w.close()
+  }
+
+  /** Maintain the per-predicate degree bounds (`pred_fanout.json`)
+    * across an append at O(|delta|): a key's post-append degree is at
+    * most its old degree plus its delta rows, so `old max + delta max`
+    * stays a valid UPPER bound without rescanning the store (slightly
+    * loose — the translator's broadcast hints only need soundness; a
+    * full create-index re-tightens). A predicate absent from the old
+    * fanout table is included with its delta-only max ONLY when it is
+    * also new to the count table (truly new to the store); otherwise
+    * its bound stays unknown rather than risk an under-estimate.
+    */
+  private def mergePredFanout(spark: SparkSession, dir: String,
+                              delta: DataFrame): Unit = {
+    if (!new File(s"$dir/pred_fanout.json").exists()) return
+    val existing = WikidataIngest.predFanout(dir).getOrElse(Map.empty)
+    val known = WikidataIngest.predCounts(dir).getOrElse(Map.empty)
+    def deltaMax(side: String): Map[String, Long] = delta
+      .groupBy(col("p.key").as("k"), col(s"$side.key").as("g")).count()
+      .groupBy(col("k")).agg(max(col("count")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (dS, dO) = (deltaMax("s"), deltaMax("o"))
+    def addSat(a: Long, b: Long): Long =
+      if (a == Long.MaxValue || a > Long.MaxValue - b) Long.MaxValue else a + b
+    val merged = (existing.keySet ++ (dS.keySet ++ dO.keySet)
+      .filterNot(known.contains)).map { k =>
+      val (oldS, oldO) = existing.getOrElse(k, (0L, 0L))
+      k -> (addSat(oldS, dS.getOrElse(k, 0L)), addSat(oldO, dO.getOrElse(k, 0L)))
+    }.toMap
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = merged.toSeq.flatMap { case (k, (ms, mo)) =>
+      Seq(s""""${esc(k)}|s": $ms""", s""""${esc(k)}|o": $mo""")
+    }.mkString("{", ", ", "}")
+    val w = new java.io.PrintWriter(s"$dir/pred_fanout.json")
+    try w.write(s"""{"fanout": $body}""") finally w.close()
   }
 
   /** Parse a dump file and append it — `create-db`'s incremental

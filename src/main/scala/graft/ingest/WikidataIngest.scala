@@ -316,9 +316,21 @@ object WikidataIngest {
     * them beside the store (`pred_counts.json`). Also invoked by
     * [[IndexMaintenance]] after appends so the translator's ordering
     * statistics track the maintained store.
+    *
+    * Alongside the totals, persist per-predicate DEGREE bounds
+    * (`pred_fanout.json`): the maximum quad count any single subject
+    * (`…|s`) or object (`…|o`) holds under that predicate. The
+    * translator multiplies these through a BGP join chain to get a
+    * WORST-CASE output cardinality (the degree-constrained size
+    * bound), which is what lets it safely broadcast-hint intermediate
+    * joins — an average fan-out could under-estimate a hot key
+    * (wdt:P31→Q5 holds ~10M on real Wikidata) and broadcast something
+    * huge; the max cannot. Two extra store-wide aggregations at build
+    * time, both map-side-combined on (p,s)/(p,o).
     */
   private[ingest] def writePredCounts(spark: SparkSession, dir: String): Unit = {
-    val rows = spark.read.parquet(s"$dir/statements.parquet")
+    val stmts = spark.read.parquet(s"$dir/statements.parquet")
+    val rows = stmts
       .groupBy(col("p.key").as("k")).count()
       .orderBy(col("count").desc)
       .limit(100000)
@@ -328,6 +340,16 @@ object WikidataIngest {
       .mkString("{", ", ", "}")
     val w = new java.io.PrintWriter(s"$dir/pred_counts.json")
     try w.write(s"""{"counts": $body}""") finally w.close()
+    def maxDegree(side: String): Array[(String, Long)] = stmts
+      .groupBy(col("p.key").as("k"), col(s"$side.key").as("g")).count()
+      .groupBy(col("k")).agg(max(col("count")).as("m"))
+      .orderBy(col("m").desc).limit(100000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val fan = (maxDegree("s").map { case (k, m) => s""""${esc(k)}|s": $m""" } ++
+      maxDegree("o").map { case (k, m) => s""""${esc(k)}|o": $m""" })
+      .mkString("{", ", ", "}")
+    val wf = new java.io.PrintWriter(s"$dir/pred_fanout.json")
+    try wf.write(s"""{"fanout": $fan}""") finally wf.close()
   }
 
   // pred-count tables are tiny and read per-query at translate time —
@@ -352,6 +374,34 @@ object WikidataIngest {
           case m if m.group(1) != "counts" =>
             m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
         }.toMap)
+      }
+    })
+
+  private val predFanoutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Map[String, (Long, Long)]]]
+
+  /** Per-predicate degree bounds persisted by [[writePredCounts]]:
+    * predicate key → (max quads on one subject, max quads on one
+    * object). None for flat/older stores — the translator then skips
+    * intermediate-join hints (scan-count hints still apply).
+    */
+  def predFanout(dir: String): Option[Map[String, (Long, Long)]] =
+    predFanoutCache.getOrElseUpdate((dir, storeEpoch(dir)), {
+      val f = new java.io.File(s"$dir/pred_fanout.json")
+      if (!f.exists()) None
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        val entry = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
+        val flat = entry.findAllMatchIn(txt).collect {
+          case m if m.group(1) != "fanout" =>
+            m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+        }.toMap
+        Some(flat.keysIterator.map(_.stripSuffix("|s").stripSuffix("|o"))
+          .toSet[String].map { k =>
+            k -> (flat.getOrElse(s"$k|s", Long.MaxValue),
+              flat.getOrElse(s"$k|o", Long.MaxValue))
+          }.toMap)
       }
     })
 

@@ -27,7 +27,8 @@ object Sparql {
       WikidataIngest.statementsObj(spark, dir), WikidataIngest.statementsSub(spark, dir),
       WikidataIngest.storeBuckets(dir).getOrElse(WikidataIngest.NumPredBuckets),
       WikidataIngest.statementsGr(spark, dir),
-      WikidataIngest.predCounts(dir))
+      WikidataIngest.predCounts(dir),
+      WikidataIngest.predFanout(dir))
       .translate(Parser.parse(text))
   }
 

@@ -68,6 +68,22 @@ object TranslateFlags {
     */
   val BgpStatsOrder = "spark.graft.bgp.statsOrder"
 
+  /** Statistics-driven broadcast hints (Translator Bgp): inside a
+    * multi-pattern BGP, a bound-predicate scan whose MEASURED count is
+    * at or below this many rows gets an explicit `broadcast()` hint at
+    * translate time. AQE also converts such joins, but only AFTER the
+    * initial plan's exchanges run — measured on the QuadScale
+    * stats_chain shape, the hint-less stats order still shuffled both
+    * hot scans before AQE re-planned them as broadcasts. The hint puts
+    * the broadcast in the INITIAL plan, so the hot side never shuffles
+    * at all — at 100 TB that is the difference between scanning a
+    * predicate bucket once and materializing it through the shuffle
+    * service. 100k quad rows ≈ 20 MB built — safely inside driver/
+    * executor memory; the hint bounds the BUILD side only, never the
+    * join's output. Gated by [[BgpStatsOrder]]; 0 disables hints.
+    */
+  val BgpBroadcastRows = "spark.graft.bgp.broadcastRows"
+
   /** Every translate-time flag with its default, in fingerprint order. */
   val all: Seq[(String, String)] = Seq(
     OptionalSpecFilter -> "false",
@@ -76,7 +92,8 @@ object TranslateFlags {
     PathMaxRows -> PathMaxRowsDefault.toString,
     PathSmallRows -> "100000",
     GroupConcatMaxElements -> "0",
-    BgpStatsOrder -> "true")
+    BgpStatsOrder -> "true",
+    BgpBroadcastRows -> "100000")
 
   private val defaults: Map[String, String] = all.toMap
 

@@ -28,7 +28,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
                        statementsSub: Option[DataFrame] = None,
                        buckets: Int = graft.ingest.WikidataIngest.NumPredBuckets,
                        statementsGr: Option[DataFrame] = None,
-                       predCounts: Option[Map[String, Long]] = None) {
+                       predCounts: Option[Map[String, Long]] = None,
+                       predFanout: Option[Map[String, (Long, Long)]] = None) {
 
   import TermOps._
 
@@ -103,7 +104,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
   private[sparql] def exec(op: Op): DataFrame = op match {
     case Bgp(Nil) => unitDf
     case Bgp(triples) =>
-      orderPatterns(triples).map(scan(_)).reduce(naturalJoin(_, _, "inner"))
+      joinBgp(orderPatterns(triples), t => scan(t))
     case p: PathOp => Paths.exec(this, defaultGraphOnly(statements), p)
     case Join(l, r) => naturalJoin(exec(l), exec(r), "inner")
     case Lateral(l, r) =>
@@ -219,7 +220,7 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
         else unitDf.limit(0)
     }
     case GraphBgp(triples, g) =>
-      orderPatterns(triples).map(scan(_, Some(g))).reduce(naturalJoin(_, _, "inner"))
+      joinBgp(orderPatterns(triples), t => scan(t, Some(g)))
     case GraphPath(p, g) => g match {
       case Const(gv) =>
         val edges =
@@ -407,10 +408,94 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     * `spark.graft.bgp.statsOrder=false`) keep the pure boundness
     * order.
     */
+  /** True when the store ships measured predicate statistics and the
+    * stats flag is on — the shared gate for [[orderPatterns]]'s
+    * tie-break and [[joinBgp]]'s broadcast hints.
+    */
+  private def statsEnabled: Boolean = predCounts.isDefined &&
+    TranslateFlags.get(spark, TranslateFlags.BgpStatsOrder) == "true"
+
+  /** Left-deep join of ordered BGP patterns with statistics-driven
+    * broadcast hints. Any side whose WORST-CASE cardinality bound is
+    * at or below `spark.graft.bgp.broadcastRows` gets an explicit
+    * `broadcast()` hint at translate time: AQE converts such joins
+    * too, but only AFTER the initial plan's exchanges have run —
+    * measured on the QuadScale stats_chain shape, the hint-less stats
+    * order still shuffled both 10⁷-row hot scans before AQE re-planned
+    * the joins as broadcasts. With the hint in the INITIAL plan the
+    * hot probe side never shuffles at all.
+    *
+    * Bounds, all from build-time statistics (`pred_counts.json`
+    * totals + `pred_fanout.json` per-predicate MAX subject/object
+    * degrees):
+    *   - a scan's bound is its predicate's total, tightened to the
+    *     max subject (object) degree when the subject (object) is
+    *     constant — degree-aware, so `?x wdt:P31 wd:Q5` with a 10M-hot
+    *     object is NOT hinted even though other P31 objects are cold;
+    *   - a join's OUTPUT bound is the accumulated bound times the max
+    *     per-shared-variable degree of the incoming pattern (the
+    *     degree-constrained worst-case join size) — max, not average,
+    *     so a hot key cannot slip a huge build side past the hint.
+    * A predicate absent from the stats is either truly absent or rarer
+    * than the 100k-th-hottest entry — tiny either way, so its total
+    * reads as 0. Patterns with variable predicates, and stores without
+    * statistics, bound to Long.MaxValue (never hinted). Hints bound
+    * BUILD sides only; an un-hinted side always stays distributed.
+    */
+  private def joinBgp(ordered: Seq[Triple], scanOf: Triple => DataFrame): DataFrame = {
+    val hintRows =
+      TranslateFlags.get(spark, TranslateFlags.BgpBroadcastRows).toLong
+    val useHints = ordered.size > 1 && hintRows > 0 && statsEnabled
+    // absent-from-stats ⇒ 0 (rarer than the 100k-th-hottest entry);
+    // no stats at all ⇒ unknown (MaxValue, never hinted)
+    def count(pv: graft.model.TermValue): Long =
+      predCounts.map(_.getOrElse(pv.key, 0L)).getOrElse(Long.MaxValue)
+    def fanout(pv: graft.model.TermValue): (Long, Long) =
+      predFanout.flatMap(_.get(pv.key)).getOrElse((Long.MaxValue, Long.MaxValue))
+    def mulSat(a: Long, b: Long): Long =
+      if (a == 0L || b == 0L) 0L
+      else if (a > Long.MaxValue / b) Long.MaxValue
+      else a * b
+    def scanBound(t: Triple): Long = t.p match {
+      case Const(pv) =>
+        val (ms, mo) = fanout(pv)
+        val sB = t.s match { case _: Const => ms; case _ => Long.MaxValue }
+        val oB = t.o match { case _: Const => mo; case _ => Long.MaxValue }
+        math.min(count(pv), math.min(sB, oB))
+      case _ => Long.MaxValue
+    }
+    // per accumulated row, how many rows of `t` can match through the
+    // already-bound variables (min over the shared positions; capped
+    // by the predicate's total for var-free overlap / cartesians)
+    def perRowBound(t: Triple, seen: Set[String]): Long = t.p match {
+      case Const(pv) =>
+        val (ms, mo) = fanout(pv)
+        val shared = Seq(
+          t.s match { case Var(n) if seen(n) => Some(ms); case _ => None },
+          t.o match { case Var(n) if seen(n) => Some(mo); case _ => None }).flatten
+        if (shared.isEmpty) count(pv) else math.min(shared.min, count(pv))
+      case _ => Long.MaxValue
+    }
+    def vars(t: Triple) = Seq(t.s, t.p, t.o).collect { case Var(n) => n }.toSet
+    def hint(df: DataFrame, bound: Long): DataFrame =
+      if (useHints && bound <= hintRows)
+        org.apache.spark.sql.functions.broadcast(df) else df
+    val first = ordered.head
+    var acc = hint(scanOf(first), scanBound(first))
+    var bound = scanBound(first)
+    var seen = vars(first)
+    for (t <- ordered.tail) {
+      val next = hint(scanOf(t), scanBound(t))
+      bound = mulSat(bound, perRowBound(t, seen))
+      seen ++= vars(t)
+      acc = hint(naturalJoin(acc, next, "inner"), bound)
+    }
+    acc
+  }
+
   private[sparql] def orderPatterns(ts: Seq[Triple]): Seq[Triple] = {
     if (ts.size <= 1) return ts
-    val useStats = predCounts.isDefined &&
-      TranslateFlags.get(spark, TranslateFlags.BgpStatsOrder) == "true"
+    val useStats = statsEnabled
     def boundCount(t: Triple) = Seq(t.s, t.p, t.o).count(_.isInstanceOf[Const])
     // estimated scan cardinality: a bound predicate's measured count
     // (absent from the stats table ⇒ 0 rows); an unbound predicate

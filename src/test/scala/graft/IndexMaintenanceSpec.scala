@@ -111,6 +111,29 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(IndexMaintenance.readMeta(spark, idx).generation === 4L)
   }
 
+  test("appended fanout bounds stay valid UPPER bounds (broadcast-hint safety)") {
+    val idx = buildBaseIdx()
+    IndexMaintenance.appendToIndex(spark, idx, delta)
+    // true post-append degrees, recomputed from the maintained store
+    def trueMax(side: String): Map[String, Long] =
+      spark.read.parquet(s"$idx/statements.parquet")
+        .groupBy(col("p.key").as("k"), col(s"$side.key").as("g")).count()
+        .groupBy(col("k")).agg(max(col("count")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (tS, tO) = (trueMax("s"), trueMax("o"))
+    val merged = WikidataIngest.predFanout(idx).get
+    // sound: every maintained bound dominates the true degree (the
+    // translator may only broadcast what the bound admits, so an
+    // under-estimate here is a memory hazard at scale)
+    for ((k, (ms, mo)) <- merged) {
+      assert(ms >= tS.getOrElse(k, 0L), s"maxS bound for $k")
+      assert(mo >= tO.getOrElse(k, 0L), s"maxO bound for $k")
+    }
+    // complete: every predicate in the store has a bound entry (the
+    // fixture vocabulary is far under the 100k cap)
+    assert(tS.keySet.subsetOf(merged.keySet))
+  }
+
   test("a surviving pending marker makes maintenance refuse (crashed append)") {
     val idx = buildBaseIdx()
     val marker = new java.io.File(idx, IndexMaintenance.PendingMarker)

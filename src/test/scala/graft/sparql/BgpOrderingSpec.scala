@@ -73,4 +73,44 @@ class BgpOrderingSpec extends graft.SparkTestBase {
     val ghost = Triple(Var("a"), Const(TermValue.propDirect(9)), Var("b"))
     assert(trStats.orderPatterns(Seq(hot, ghost)) === Seq(ghost, hot))
   }
+
+  test("degree-bounded chains broadcast-hint every join; hot keys do not") {
+    // P5 is tiny (100 rows); P2 is hot (100k) but its max per-subject
+    // degree is 3, so leading with P5 bounds the chain at 100, then
+    // 100*3=300 — both inside the hint threshold: the INITIAL plan
+    // must broadcast both joins, leaving ZERO shuffle exchanges (AQE
+    // would convert too, but only after shuffling the hot scans)
+    val stats = Map("P:2" -> 100000L, "P:5" -> 100L)
+    val fan = Map("P:2" -> ((3L, 500L)), "P:5" -> ((2L, 2L)))
+    val trStats = new Translator(spark, statements, statements.limit(0),
+      predCounts = Some(stats), predFanout = Some(fan))
+    val rare = Triple(Var("a"), Const(TermValue.propDirect(5)), Var("b"))
+    val hot1 = Triple(Var("b"), Const(TermValue.propDirect(2)), Var("c"))
+    val hot2 = Triple(Var("c"), Const(TermValue.propDirect(2)), Var("d"))
+    // static auto-broadcast off: tiny test relations would broadcast
+    // on size estimates alone, masking whether OUR hints fired
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = trStats.exec(Bgp(Seq(hot1, hot2, rare)))
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      // a hot-OBJECT point lookup must NOT hint: P2's max object
+      // degree (500) exceeds a threshold of 50, so the degree-aware
+      // scan bound refuses the hint and the join stays distributed
+      spark.conf.set(TranslateFlags.BgpBroadcastRows, "50")
+      try {
+        val objBound = Triple(Var("x"), Const(TermValue.propDirect(2)),
+          Const(TermValue.entityQ(3)))
+        val p2 = trStats.exec(Bgp(Seq(objBound, hot2))).queryExecution.sparkPlan.toString
+        assert(!p2.contains("BroadcastHashJoin"), p2)
+      } finally spark.conf.unset(TranslateFlags.BgpBroadcastRows)
+      // correctness: the hinted chain still finds the planted solution
+      val rows = trStats.exec(Bgp(Seq(
+        Triple(Var("a"), Const(TermValue.propDirect(2)), Var("b")),
+        Triple(Var("b"), Const(TermValue.propDirect(5)), Var("c"))))).collect()
+      assert(rows.length === 1)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
