@@ -150,6 +150,8 @@ object IndexMaintenance {
             .repartition(col(bucketCol))
             .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
             .write.mode(SaveMode.Append)
+            .option("parquet.block.size",
+              WikidataIngest.PermutationBlockBytes.toString)
             .partitionBy(bucketCol)
             .parquet(s"$dir/$file")
         }
@@ -291,6 +293,8 @@ object IndexMaintenance {
             df.repartition(todo.size, partCols.map(col): _*)
               .sortWithinPartitions((partCols ++ sortKeys).map(col): _*)
               .write.mode(SaveMode.Overwrite)
+              .option("parquet.block.size",
+                WikidataIngest.PermutationBlockBytes.toString)
               .partitionBy(partCols: _*)
               .parquet(base.getAbsolutePath)
           } finally spark.conf.set(

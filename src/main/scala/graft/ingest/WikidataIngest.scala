@@ -145,6 +145,20 @@ object WikidataIngest {
     */
   val NumPredBuckets = 64
 
+  /** Parquet row-group size for the permutation copies (16 MB, vs the
+    * 128 MB default). A globally-sorted bucket is 1-2 large files and
+    * the row group is the smallest unit a read task can own, so the
+    * default caps a hot bucket's scan parallelism at file/128MB tasks —
+    * measured 5-8x slowdowns on big shuffled joins once the
+    * range-partitioned layout landed. 16 MB restores ~32-way reads on
+    * a 0.5 GB bucket and tightens min/max pruning on the sorted keys;
+    * GraftSession pairs it with a 32 MB `files.maxPartitionBytes`.
+    * Used by [[buildPartitioned]]/[[createIndex]] and by
+    * [[IndexMaintenance]]'s append/compaction writes, so maintained
+    * partitions keep the same read parallelism as built ones.
+    */
+  val PermutationBlockBytes: Long = 16L * 1024 * 1024
+
   /** Bucket of a term's numeric id under a `buckets`-way layout
     * (non-entity terms — label/description/alias language edges —
     * share the overflow bucket `buckets`).
@@ -248,6 +262,14 @@ object WikidataIngest {
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, buckets)
     def sorted(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
       df.repartitionByRange(rangeParts, keys: _*).sortWithinPartitions(keys: _*)
+    // a globally-sorted bucket is 1-2 LARGE files; the parquet row
+    // group is the read-split quantum, so at the default 128 MB block
+    // size a hot bucket caps scan parallelism at file/128MB tasks —
+    // measured 5-8x slowdowns on big shuffled joins (qualifier_join)
+    // after the range-partitioned layout landed. Small row groups
+    // restore the parallelism (maxPartitionBytes in GraftSession sizes
+    // the splits) and, on sorted data, TIGHTEN min/max pruning.
+    val blockOpt = ("parquet.block.size", PermutationBlockBytes.toString)
     val mainSorted = zorder match {
       case Some((a, b)) =>
         val bits = 16
@@ -261,16 +283,19 @@ object WikidataIngest {
     }
     mainSorted
       .write.mode(SaveMode.Overwrite)
+      .option(blockOpt._1, blockOpt._2)
       .partitionBy("p_bucket")
       .parquet(s"$dir/statements.parquet")
     sorted(rendered.withColumn("o_bucket", bucketOf("o")),
       col("o_bucket"), col("o.key"), col("p.key"))
       .write.mode(SaveMode.Overwrite)
+      .option(blockOpt._1, blockOpt._2)
       .partitionBy("o_bucket")
       .parquet(s"$dir/statements_obj.parquet")
     sorted(rendered.withColumn("s_bucket", bucketOf("s")),
       col("s_bucket"), col("s.key"), col("p.key"))
       .write.mode(SaveMode.Overwrite)
+      .option(blockOpt._1, blockOpt._2)
       .partitionBy("s_bucket")
       .parquet(s"$dir/statements_sub.parquet")
     // fourth permutation: graph-partitioned (the reference's fourth
@@ -283,6 +308,7 @@ object WikidataIngest {
       sorted(rendered.withColumn("g_bucket", bucketOf("graph")),
         col("g_bucket"), col("graph.key"), col("p.key"))
         .write.mode(SaveMode.Overwrite)
+        .option(blockOpt._1, blockOpt._2)
         .partitionBy("g_bucket")
         .parquet(s"$dir/statements_gr.parquet")
     // the label service always filters kind + lang, so partitioning on
