@@ -26,12 +26,6 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // pair of WikidataIngest.PermutationBlockBytes: globally-sorted
-      // permutation buckets are 1-2 large files, and a read task owns
-      // at least one row group — 32 MB splits over 16 MB row groups
-      // keep a hot bucket's scan ~32-way parallel instead of
-      // file/128MB-way. Files smaller than a split are unaffected.
-      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
       // FAIR task scheduling: the HTTP server assigns each request its
       // own pool (QueryServer), so short queries get cluster share
       // alongside a long-running one instead of queueing behind its

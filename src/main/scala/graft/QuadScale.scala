@@ -485,9 +485,10 @@ object QuadScale {
             ("post_append_object", "SELECT ?x WHERE { ?x wdt:P1 wd:Q0 }", class0)
           ).map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
           val (tCmp, nCmp) = time("compact_index") {
-            // threshold under the 4-batch debt, above the base
-            // layout's ~1-2 files per bucket: only append-fragmented
-            // partitions move
+            // threshold under the 4-batch SMALL-file debt (compaction
+            // counts only sub-target files, so the build writer's
+            // size-aware hot-bucket files never re-compact): only
+            // append-fragmented partitions move
             graft.ingest.IndexMaintenance.compactIndex(spark, idx, maxFilesPerPartition = 3)
           }
           val postCompact = Seq(

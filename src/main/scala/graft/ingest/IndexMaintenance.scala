@@ -241,22 +241,35 @@ object IndexMaintenance {
   /** Leaf partition directories (`col=value[/col2=value2/…]`) under
     * `base`, with their parquet file counts.
     */
-  private def leafPartitions(base: File): Seq[(File, Int)] = {
-    def walk(f: File): Seq[(File, Int)] = {
+  /** Leaf partition dirs under `base` with (small-file count, total
+    * bytes). "Small" = under half a target file
+    * ([[WikidataIngest.TargetFileBytes]]/2): the build writer's
+    * size-aware range partitioning legitimately gives a hot bucket
+    * MANY ~target-size files (that IS its scan parallelism — merging
+    * them would serialize reads again), so fragmentation is measured
+    * by small-file count only; appends write small delta files, which
+    * is exactly the debt compaction exists to retire.
+    */
+  private def leafPartitions(base: File): Seq[(File, Int, Long)] = {
+    def walk(f: File): Seq[(File, Int, Long)] = {
       val children = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
       val subParts = children.filter(c => c.isDirectory && c.getName.contains("="))
       if (subParts.nonEmpty) subParts.flatMap(walk)
       else {
-        val n = children.count(c => c.isFile && c.getName.endsWith(".parquet"))
-        if (n > 0 && f.getName.contains("=")) Seq((f, n)) else Nil
+        val fs = children.filter(c => c.isFile && c.getName.endsWith(".parquet"))
+        val small = fs.count(_.length < WikidataIngest.TargetFileBytes / 2)
+        if (fs.nonEmpty && f.getName.contains("="))
+          Seq((f, small, fs.map(_.length).sum)) else Nil
       }
     }
     walk(base)
   }
 
-  /** Rewrite every partition whose parquet file count exceeds
-    * `maxFilesPerPartition` into one sorted file (per partition),
-    * leaving all other partitions untouched (dynamic partition
+  /** Rewrite every partition whose SMALL-file count (under half a
+    * target file — append-batch debt, not the build writer's sized
+    * files) exceeds `maxFilesPerPartition`, range-repartitioned so hot
+    * partitions keep ~target-size sorted files and small ones collapse
+    * to one; all other partitions stay untouched (dynamic partition
     * overwrite). Returns the number of partitions compacted across all
     * copies + labels.
     *
@@ -288,9 +301,14 @@ object IndexMaintenance {
             "spark.sql.sources.partitionOverwriteMode", "static")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           try {
-            // one task per partition value → one sorted file each;
-            // only the partitions present in df are replaced
-            df.repartition(todo.size, partCols.map(col): _*)
+            // range-partition on (partition cols, sort keys), sized so
+            // a rewritten hot partition stays MANY ~target-size sorted
+            // files (its scan parallelism), never one huge file; a
+            // small partition still gets exactly one. Only the
+            // partitions present in df are replaced
+            val parts = math.max(todo.size,
+              (todo.map(_._3).sum / WikidataIngest.TargetFileBytes + 1).toInt)
+            df.repartitionByRange(parts, (partCols ++ sortKeys).map(col): _*)
               .sortWithinPartitions((partCols ++ sortKeys).map(col): _*)
               .write.mode(SaveMode.Overwrite)
               .option("parquet.block.size",

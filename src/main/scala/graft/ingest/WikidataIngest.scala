@@ -146,18 +146,30 @@ object WikidataIngest {
   val NumPredBuckets = 64
 
   /** Parquet row-group size for the permutation copies (16 MB, vs the
-    * 128 MB default). A globally-sorted bucket is 1-2 large files and
-    * the row group is the smallest unit a read task can own, so the
-    * default caps a hot bucket's scan parallelism at file/128MB tasks —
-    * measured 5-8x slowdowns on big shuffled joins once the
-    * range-partitioned layout landed. 16 MB restores ~32-way reads on
-    * a 0.5 GB bucket and tightens min/max pruning on the sorted keys;
-    * GraftSession pairs it with a 32 MB `files.maxPartitionBytes`.
-    * Used by [[buildPartitioned]]/[[createIndex]] and by
-    * [[IndexMaintenance]]'s append/compaction writes, so maintained
-    * partitions keep the same read parallelism as built ones.
+    * 128 MB default): finer min/max statistics on the globally-sorted
+    * keys prune point lookups tighter, and no file region larger than
+    * this is ever forced onto a single read task. Used by
+    * [[buildPartitioned]]/[[createIndex]] and by [[IndexMaintenance]]'s
+    * append/compaction writes.
     */
   val PermutationBlockBytes: Long = 16L * 1024 * 1024
+
+  /** Target on-disk size of one permutation file (one default read
+    * split): the size-aware range-partition count in the build and
+    * compaction writers aims here, so a hot bucket's scan parallelism
+    * tracks its data size instead of being capped by file count.
+    */
+  val TargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Total bytes of the parquet files under `path` (recursive). */
+  private[ingest] def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long = {
+      val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+      cs.collect { case c if c.isFile && c.getName.endsWith(".parquet") => c.length }.sum +
+        cs.filter(_.isDirectory).map(walk).sum
+    }
+    walk(new java.io.File(path))
+  }
 
   /** Bucket of a term's numeric id under a `buckets`-way layout
     * (non-entity terms — label/description/alias language edges —
@@ -221,7 +233,10 @@ object WikidataIngest {
       new java.io.File(outDir).getCanonicalPath,
       "create-index cannot overwrite its input store; pick a different outDir")
     writePartitioned(spark, statements(spark, flatDir)
-      .drop("p_bucket", "s_bucket", "o_bucket"), outDir, buckets, zorder)
+      .drop("p_bucket", "s_bucket", "o_bucket"), outDir, buckets, zorder,
+      // size the range-partition count from the flat store's on-disk
+      // bytes (each permutation carries the same columns)
+      inputBytes = Some(dirBytes(s"$flatDir/statements.parquet")))
   }
 
   /** Bucket column for `term` under a `buckets`-way layout. Shared by
@@ -237,7 +252,8 @@ object WikidataIngest {
 
   private def writePartitioned(spark: SparkSession, quads: DataFrame,
                                dir: String, buckets: Int,
-                               zorder: Option[(String, String)] = None): Unit = {
+                               zorder: Option[(String, String)] = None,
+                               inputBytes: Option[Long] = None): Unit = {
     val rendered = quads
     def bucketOf(term: String) = bucketColumn(term, buckets)
     // Main-copy layout: predicate-major (p.key, s.key) clustering by
@@ -253,22 +269,24 @@ object WikidataIngest {
     // Each permutation is RANGE-partitioned on (bucket, sort keys)
     // before the within-partition sort: the written copy is then
     // GLOBALLY sorted per bucket (the reference's sorted-permutation
-    // property, `storage_engine/mod.rs:127-154`) with file count per
-    // bucket proportional to bucket size (~1-2 at 64 buckets) instead
-    // of one file per (input task × bucket). Fewer, non-overlapping
-    // sorted files mean tighter row-group pruning and a meaningful
-    // file-count threshold for IndexMaintenance.compactIndex.
+    // property, `storage_engine/mod.rs:127-154`) with non-overlapping
+    // sorted files instead of one file per (input task × bucket).
+    // The partition count is SIZE-AWARE, not fixed: a read task owns
+    // at least one file split, so a hot bucket written as 1-2 huge
+    // files serializes its scans behind file/128MB tasks at ANY
+    // cluster size (measured 5-8x on the 128M qualifier_join when the
+    // count was fixed at max(cores, buckets)). Targeting
+    // ~TargetFileBytes per range partition keeps every file inside
+    // one default read split, so scan parallelism tracks data size
+    // while cold buckets still get exactly one file.
     val rangeParts = math.max(
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, buckets)
+      math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, buckets),
+      inputBytes.map(b => (b / TargetFileBytes + 1).toInt).getOrElse(0))
     def sorted(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
       df.repartitionByRange(rangeParts, keys: _*).sortWithinPartitions(keys: _*)
-    // a globally-sorted bucket is 1-2 LARGE files; the parquet row
-    // group is the read-split quantum, so at the default 128 MB block
-    // size a hot bucket caps scan parallelism at file/128MB tasks —
-    // measured 5-8x slowdowns on big shuffled joins (qualifier_join)
-    // after the range-partitioned layout landed. Small row groups
-    // restore the parallelism (maxPartitionBytes in GraftSession sizes
-    // the splits) and, on sorted data, TIGHTEN min/max pruning.
+    // 16 MB row groups (vs the 128 MB default): with ≤128 MB sorted
+    // files this no longer gates parallelism, but on sorted keys the
+    // finer min/max statistics prune point lookups tighter
     val blockOpt = ("parquet.block.size", PermutationBlockBytes.toString)
     val mainSorted = zorder match {
       case Some((a, b)) =>
