@@ -350,13 +350,28 @@ object QuadScale {
       val total = totalQuads(nE, skew)
       val flat = s"$baseDir/flat_${mode}_$nE"
       val idx = s"$baseDir/idx_${mode}_$nE"
-      // store reuse, keyed on the success marker ALONE (a crashed
-      // build leaves directories but no marker → rebuilt, not
-      // half-read). A WARM sitting re-measures the query ladder on the
-      // already-built — and, for uniform/skew, already-appended —
-      // store without the build/maintenance tiers: the reproduced
+      // Store reuse: the index marker says create-index completed (a
+      // crashed build leaves directories but no marker → rebuilt, not
+      // half-read), and the HARNESS-owned append marker says this
+      // harness's append+compaction tier ALSO completed — warm
+      // sittings assert append-adjusted planted counts, so an index
+      // marker alone (a run interrupted between create_index and the
+      // appends) must trigger a rebuild, not a permanently-failing
+      // warm sitting. Pressure mode runs no append tier and keys on
+      // the index marker alone. A WARM sitting re-measures the query
+      // ladder without the build/maintenance tiers: the reproduced
       // companion for any fresh-sitting number that paid cold IO.
-      val warm = new java.io.File(s"$idx/_SUCCESS_GRAFT_INDEX").exists()
+      val idxDone = new java.io.File(s"$idx/_SUCCESS_GRAFT_INDEX").exists()
+      val appendsDone = new java.io.File(s"$idx/_QUADSCALE_APPENDED").exists()
+      val warm = idxDone && (mode == "pressure" || appendsDone)
+      if (idxDone && !warm) {
+        System.err.println(s"[quadscale $mode] $idx built but append tier " +
+          "incomplete: rebuilding from scratch")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(idx))
+      }
 
       def time[A](name: String)(f: => A): (Double, A) = {
         val t0 = System.nanoTime()
@@ -494,6 +509,11 @@ object QuadScale {
           val postCompact = Seq(
             ("post_compact_pred_scan", "SELECT ?x ?c WHERE { ?x wdt:P1 ?c }", nE + nD))
             .map { case (n, q, exp) => runPlanted(n, q, exp, _ => ()) }
+          // harness-owned marker: warm sittings key on THIS (plus the
+          // index marker), because their planted counts assume the
+          // append tier ran exactly once
+          val am = new java.io.PrintWriter(s"$idx/_QUADSCALE_APPENDED")
+          try am.write("ok") finally am.close()
           (qs, Seq(("append_index", tApp, appended),
             ("compact_index", tCmp, nCmp.toLong)) ++ postAppend ++ postCompact)
         }

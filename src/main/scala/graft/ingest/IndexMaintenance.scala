@@ -160,8 +160,15 @@ object IndexMaintenance {
           .write.mode(SaveMode.Append)
           .partitionBy("kind", "lang")
           .parquet(s"$dir/labels.parquet")
-        mergePredCounts(spark, dir, d)
-        mergePredFanout(spark, dir, d)
+        // pre-append statistics read ONCE and passed explicitly: the
+        // fanout merge must see the counts as they were BEFORE the
+        // count merge rewrites the file (relying on the epoch-keyed
+        // cache still serving the old parse would be an implicit
+        // ordering dependency)
+        val preCounts = WikidataIngest.predCounts(dir).getOrElse(Map.empty)
+        val preFloor = WikidataIngest.predCountsFloor(dir)
+        mergePredCounts(spark, dir, d, preCounts, preFloor)
+        mergePredFanout(spark, dir, d, preCounts, preFloor)
         writeMeta(dir, meta.copy(generation = meta.generation + 1L,
           maxOrd = newMaxOrd,
           lastBatch = batchId.getOrElse(meta.lastBatch)))
@@ -176,21 +183,27 @@ object IndexMaintenance {
 
   /** Merge the delta's per-predicate counts into the store's
     * `pred_counts.json` (the translator's BGP-ordering statistics) —
-    * O(|delta|), never a store rescan.
+    * O(|delta|), never a store rescan. On a TRUNCATED table
+    * (floor > 0) a delta predicate absent from the table may already
+    * hold up to `floor` quads in the store, so its merged entry is
+    * `floor + delta` — the entries stay sound upper bounds. The floor
+    * itself is preserved: predicates still absent after the merge
+    * remain bounded by it.
     */
   private def mergePredCounts(spark: SparkSession, dir: String,
-                              delta: DataFrame): Unit = {
+                              delta: DataFrame,
+                              existing: Map[String, Long],
+                              floor: Long): Unit = {
     if (!new File(s"$dir/pred_counts.json").exists()) return
-    val existing = WikidataIngest.predCounts(dir).getOrElse(Map.empty)
     val deltaCounts = delta.groupBy(col("p.key").as("k")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val merged = (existing.keySet ++ deltaCounts.keySet).map(k =>
-      k -> (existing.getOrElse(k, 0L) + deltaCounts.getOrElse(k, 0L))).toMap
+      k -> (existing.getOrElse(k, floor) + deltaCounts.getOrElse(k, 0L))).toMap
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = merged.toSeq.sortBy(-_._2)
       .map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
     val w = new java.io.PrintWriter(s"$dir/pred_counts.json")
-    try w.write(s"""{"counts": $body}""") finally w.close()
+    try w.write(s"""{"floor": $floor, "counts": $body}""") finally w.close()
   }
 
   /** Maintain the per-predicate degree bounds (`pred_fanout.json`)
@@ -200,14 +213,20 @@ object IndexMaintenance {
     * loose — the translator's broadcast hints only need soundness; a
     * full create-index re-tightens). A predicate absent from the old
     * fanout table is included with its delta-only max ONLY when it is
-    * also new to the count table (truly new to the store); otherwise
-    * its bound stays unknown rather than risk an under-estimate.
+    * also new to the count table AND that table is COMPLETE
+    * (floor == 0): on a truncated table "absent from the counts" only
+    * means "rarer than the 100k-th-hottest", not "new to the store" —
+    * a delta-only degree bound there would UNDER-estimate a predicate
+    * the store already holds. `preCounts` is the pre-append counts
+    * table, passed explicitly by [[appendToIndex]].
     */
   private def mergePredFanout(spark: SparkSession, dir: String,
-                              delta: DataFrame): Unit = {
+                              delta: DataFrame,
+                              preCounts: Map[String, Long],
+                              floor: Long): Unit = {
     if (!new File(s"$dir/pred_fanout.json").exists()) return
     val existing = WikidataIngest.predFanout(dir).getOrElse(Map.empty)
-    val known = WikidataIngest.predCounts(dir).getOrElse(Map.empty)
+    val known = preCounts
     def deltaMax(side: String): Map[String, Long] = delta
       .groupBy(col("p.key").as("k"), col(s"$side.key").as("g")).count()
       .groupBy(col("k")).agg(max(col("count")).as("m"))
@@ -215,8 +234,9 @@ object IndexMaintenance {
     val (dS, dO) = (deltaMax("s"), deltaMax("o"))
     def addSat(a: Long, b: Long): Long =
       if (a == Long.MaxValue || a > Long.MaxValue - b) Long.MaxValue else a + b
+    val admitNew = floor == 0L // counts table complete ⇒ absent = new
     val merged = (existing.keySet ++ (dS.keySet ++ dO.keySet)
-      .filterNot(known.contains)).map { k =>
+      .filter(k => admitNew && !known.contains(k))).map { k =>
       val (oldS, oldO) = existing.getOrElse(k, (0L, 0L))
       k -> (addSat(oldS, dS.getOrElse(k, 0L)), addSat(oldO, dO.getOrElse(k, 0L)))
     }.toMap

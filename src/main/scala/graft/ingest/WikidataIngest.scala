@@ -371,19 +371,32 @@ object WikidataIngest {
     * (wdt:P31→Q5 holds ~10M on real Wikidata) and broadcast something
     * huge; the max cannot. Two extra store-wide aggregations at build
     * time, both map-side-combined on (p,s)/(p,o).
+    *
+    * The counts table caps at the hottest 100k predicates. When the
+    * cap TRUNCATES (a >100k-predicate store), the file records the
+    * smallest retained count as `"floor"`: an absent predicate is then
+    * known only to hold ≤ floor quads, and the translator bounds it by
+    * the floor instead of 0 — without this, the 100,001-st-hottest
+    * predicate (possibly millions of rows) would read as empty and get
+    * a broadcast() hint, an executor-OOM by construction at exactly
+    * the scale the cap exists for. A complete table writes floor 0
+    * (absent ⇒ truly absent).
     */
   private[ingest] def writePredCounts(spark: SparkSession, dir: String): Unit = {
     val stmts = spark.read.parquet(s"$dir/statements.parquet")
     val rows = stmts
       .groupBy(col("p.key").as("k")).count()
       .orderBy(col("count").desc)
-      .limit(100000)
+      .limit(100001)
       .collect()
+    val truncated = rows.length > 100000
+    val kept = if (truncated) rows.take(100000) else rows
+    val floor = if (truncated) kept.last.getLong(1) else 0L
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val body = rows.map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""")
+    val body = kept.map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""")
       .mkString("{", ", ", "}")
     val w = new java.io.PrintWriter(s"$dir/pred_counts.json")
-    try w.write(s"""{"counts": $body}""") finally w.close()
+    try w.write(s"""{"floor": $floor, "counts": $body}""") finally w.close()
     def maxDegree(side: String): Array[(String, Long)] = stmts
       .groupBy(col("p.key").as("k"), col(s"$side.key").as("g")).count()
       .groupBy(col("k")).agg(max(col("count")).as("m"))
@@ -399,27 +412,50 @@ object WikidataIngest {
   // pred-count tables are tiny and read per-query at translate time —
   // cache per (dir, epoch) so a rebuild/append refreshes them
   private val predCountCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Map[String, Long]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[(Long, Map[String, Long])]]
+
+  private def parsePredCounts(dir: String): Option[(Long, Map[String, Long])] = {
+    val f = new java.io.File(s"$dir/pred_counts.json")
+    if (!f.exists()) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      // minimal parse of the flat {"key": n, ...} object this module
+      // writes (keys escape only \ and ")
+      val entry = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
+      val all = entry.findAllMatchIn(txt).map { m =>
+        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+      }.toSeq
+      val counts = all.collect {
+        case (k, v) if k != "counts" && k != "floor" => k -> v
+      }.toMap
+      // legacy files (no floor field) recorded the top-100k without a
+      // completeness marker: a full table (< cap entries) is provably
+      // complete, an exactly-at-cap table may be truncated — the
+      // smallest retained count is then the sound absent-predicate
+      // bound (absent ⇒ rarer than every retained entry)
+      val floor = all.collectFirst { case ("floor", v) => v }.getOrElse(
+        if (counts.size >= 100000) counts.values.min else 0L)
+      Some((floor, counts))
+    }
+  }
 
   /** Per-predicate quad counts persisted by [[writePredCounts]]; None
     * for flat/older stores (ordering falls back to pure boundness).
     */
   def predCounts(dir: String): Option[Map[String, Long]] =
-    predCountCache.getOrElseUpdate((dir, storeEpoch(dir)), {
-      val f = new java.io.File(s"$dir/pred_counts.json")
-      if (!f.exists()) None
-      else {
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        val txt = try src.mkString finally src.close()
-        // minimal parse of the flat {"key": n, ...} object this module
-        // writes (keys escape only \ and ")
-        val entry = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
-        Some(entry.findAllMatchIn(txt).collect {
-          case m if m.group(1) != "counts" =>
-            m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
-        }.toMap)
-      }
-    })
+    predCountCache.getOrElseUpdate((dir, storeEpoch(dir)), parsePredCounts(dir))
+      .map(_._2)
+
+  /** Truncation floor of `pred_counts.json`: 0 when the table is
+    * complete; otherwise the smallest retained count, i.e. a sound
+    * upper bound for any predicate ABSENT from the table. The
+    * translator's broadcast hints and ordering tie-breaks use this as
+    * the absent-predicate cardinality instead of assuming 0.
+    */
+  def predCountsFloor(dir: String): Long =
+    predCountCache.getOrElseUpdate((dir, storeEpoch(dir)), parsePredCounts(dir))
+      .map(_._1).getOrElse(0L)
 
   private val predFanoutCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Map[String, (Long, Long)]]]

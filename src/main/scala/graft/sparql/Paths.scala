@@ -223,18 +223,30 @@ object Paths {
   private def identityPairs(st: DataFrame, mode: NodeMode): DataFrame = {
     val ids0 = mode.nodes(st).distinct()
     val budget = maxRowsBudget(st)
-    val ids = if (budget < Long.MaxValue) {
-      // Materialize the distinct node set ONCE (localCheckpoint) so the
-      // budget count and the downstream union/distinct both read the
-      // same blocks — the finite default must not cost an extra full
-      // distinct pass on every `p?`/`p*` query.
-      val mat = ids0.localCheckpoint()
-      val n = mat.count()
-      if (n > budget) throw new PathBudgetExceeded(
-        s"zero-length path identity set has $n nodes > spark.graft.path.maxRows=$budget")
-      mat
-    } else ids0
-    ids.select(col(S), col(S).as(O))
+    if (budget < Long.MaxValue) {
+      // Two-tier budget check, cheapest test first. The identity set
+      // has at most 2·|st| members (one subject + one object per
+      // quad), and st.count() is near-free (parquet metadata on a
+      // pruned scan) — a store that provably fits skips the check
+      // entirely, paying NO extra pass (the r14 localCheckpoint here
+      // materialized the whole set up front and cost more at small
+      // scale than the double distinct pass it saved; measured on
+      // sp41). Only a store that COULD exceed the budget pays a
+      // bounded probe: limit(budget+1) needs just one row past the
+      // budget to prove the overrun, never the full distinct count.
+      val quads = st.count()
+      if (quads > budget / 2) {
+        // limit() takes an Int; a budget beyond Int.MaxValue falls
+        // back to the exact distinct count (budgets that large are an
+        // explicit operator override, not the 10M default)
+        val n = if (budget + 1L <= Int.MaxValue)
+          ids0.limit((budget + 1L).toInt).count()
+        else ids0.count()
+        if (n > budget) throw new PathBudgetExceeded(
+          s"zero-length path identity set exceeds spark.graft.path.maxRows=$budget nodes")
+      }
+    }
+    ids0.select(col(S), col(S).as(O))
   }
 
   /** Directed BFS from a bound start node over the compiled inner-path

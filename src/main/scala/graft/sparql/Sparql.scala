@@ -28,7 +28,8 @@ object Sparql {
       WikidataIngest.storeBuckets(dir).getOrElse(WikidataIngest.NumPredBuckets),
       WikidataIngest.statementsGr(spark, dir),
       WikidataIngest.predCounts(dir),
-      WikidataIngest.predFanout(dir))
+      WikidataIngest.predFanout(dir),
+      WikidataIngest.predCountsFloor(dir))
       .translate(Parser.parse(text))
   }
 

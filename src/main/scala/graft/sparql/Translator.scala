@@ -29,7 +29,8 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
                        buckets: Int = graft.ingest.WikidataIngest.NumPredBuckets,
                        statementsGr: Option[DataFrame] = None,
                        predCounts: Option[Map[String, Long]] = None,
-                       predFanout: Option[Map[String, (Long, Long)]] = None) {
+                       predFanout: Option[Map[String, (Long, Long)]] = None,
+                       predCountFloor: Long = 0L) {
 
   import TermOps._
 
@@ -436,20 +437,29 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     *     per-shared-variable degree of the incoming pattern (the
     *     degree-constrained worst-case join size) — max, not average,
     *     so a hot key cannot slip a huge build side past the hint.
-    * A predicate absent from the stats is either truly absent or rarer
-    * than the 100k-th-hottest entry — tiny either way, so its total
-    * reads as 0. Patterns with variable predicates, and stores without
-    * statistics, bound to Long.MaxValue (never hinted). Hints bound
-    * BUILD sides only; an un-hinted side always stays distributed.
+    * A predicate absent from the stats bounds to the table's
+    * TRUNCATION FLOOR (`predCountFloor`): 0 when the table is complete
+    * (absent ⇒ truly absent), else the smallest retained count — on a
+    * >100k-predicate store the 100,001-st-hottest predicate can still
+    * be huge, and reading it as 0 would broadcast-hint an arbitrarily
+    * large scan (executor OOM / broadcast timeout at exactly the scale
+    * the hints target). Patterns with variable predicates, and stores
+    * without statistics, bound to Long.MaxValue (never hinted). Hints
+    * bound BUILD sides only; an un-hinted side always stays
+    * distributed, and the FINAL accumulated join is never hinted — its
+    * bound was a decision about joins INSIDE this BGP, not about
+    * whatever enclosing operator (OPTIONAL/MINUS/parent join) consumes
+    * the result.
     */
   private def joinBgp(ordered: Seq[Triple], scanOf: Triple => DataFrame): DataFrame = {
     val hintRows =
       TranslateFlags.get(spark, TranslateFlags.BgpBroadcastRows).toLong
     val useHints = ordered.size > 1 && hintRows > 0 && statsEnabled
-    // absent-from-stats ⇒ 0 (rarer than the 100k-th-hottest entry);
+    // absent-from-stats ⇒ the truncation floor (0 for a complete
+    // table; the smallest retained count for a truncated one);
     // no stats at all ⇒ unknown (MaxValue, never hinted)
     def count(pv: graft.model.TermValue): Long =
-      predCounts.map(_.getOrElse(pv.key, 0L)).getOrElse(Long.MaxValue)
+      predCounts.map(_.getOrElse(pv.key, predCountFloor)).getOrElse(Long.MaxValue)
     def fanout(pv: graft.model.TermValue): (Long, Long) =
       predFanout.flatMap(_.get(pv.key)).getOrElse((Long.MaxValue, Long.MaxValue))
     def mulSat(a: Long, b: Long): Long =
@@ -484,11 +494,17 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     var acc = hint(scanOf(first), scanBound(first))
     var bound = scanBound(first)
     var seen = vars(first)
-    for (t <- ordered.tail) {
+    val rest = ordered.tail
+    for ((t, i) <- rest.zipWithIndex) {
       val next = hint(scanOf(t), scanBound(t))
       bound = mulSat(bound, perRowBound(t, seen))
       seen ++= vars(t)
-      acc = hint(naturalJoin(acc, next, "inner"), bound)
+      val joined = naturalJoin(acc, next, "inner")
+      // hint the accumulator only while another pattern remains: the
+      // hint marks it as the BUILD side of the NEXT in-BGP join, and
+      // a hint on the final result would leak into the enclosing
+      // operator's planning
+      acc = if (i < rest.size - 1) hint(joined, bound) else joined
     }
     acc
   }
@@ -498,13 +514,14 @@ final class Translator(spark: SparkSession, statements: DataFrame, labels: DataF
     val useStats = statsEnabled
     def boundCount(t: Triple) = Seq(t.s, t.p, t.o).count(_.isInstanceOf[Const])
     // estimated scan cardinality: a bound predicate's measured count
-    // (absent from the stats table ⇒ 0 rows); an unbound predicate
-    // scans everything. Bound s/o halve the estimate's WEIGHT only via
-    // boundCount — the tie-break compares same-boundness shapes.
+    // (absent from the stats table ⇒ the truncation floor — 0 rows for
+    // a complete table); an unbound predicate scans everything. Bound
+    // s/o halve the estimate's WEIGHT only via boundCount — the
+    // tie-break compares same-boundness shapes.
     def estCard(t: Triple): Long =
       if (!useStats) 0L
       else t.p match {
-        case Const(pv) => predCounts.get.getOrElse(pv.key, 0L)
+        case Const(pv) => predCounts.get.getOrElse(pv.key, predCountFloor)
         case _ => Long.MaxValue
       }
     def vars(t: Triple) = Seq(t.s, t.p, t.o).collect { case Var(n) => n }.toSet

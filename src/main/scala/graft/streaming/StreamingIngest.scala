@@ -32,6 +32,56 @@ object StreamingIngest {
     lines.flatMap(line => WikidataParser.parseLine(line)).toDF()
   }
 
+  /** Like [[quadStream]] but each quad also carries `__lh`, the
+    * xxhash64 of its source LINE — the stable per-line key
+    * [[stampDeterministicOrd]] ranks on. Content-derived, so the same
+    * lines produce the same keys at any read parallelism.
+    */
+  private[graft] def quadStreamKeyed(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.toDF("value")
+      .withColumn("__lh", xxhash64(col("value")))
+      .as[(String, Long)]
+      .flatMap { case (line, h) => WikidataParser.parseLine(line).map(q => (h, q)) }
+      .toDF()
+      .select(col("_2.*"), col("_1").as("__lh"))
+  }
+
+  /** Fixed shuffle width for [[stampDeterministicOrd]]: part of the
+    * ord ASSIGNMENT, so it must not track session parallelism — a
+    * replayed batch under a different `spark.sql.shuffle.partitions`
+    * has to land every row in the same partition to get the same ord.
+    */
+  private val OrdRankPartitions = 64
+
+  /** Replace the per-line `ord` with a batch-global, DETERMINISTIC
+    * dense ordinal: rows are hash-distributed on the line key over a
+    * FIXED partition count, sorted within partitions on
+    * (line key, in-line ord, quad content), and ranked by
+    * zipWithIndex. Every step is a pure function of row content, so a
+    * replayed batch — at any parallelism — produces bit-identical
+    * ords, which is what makes the maintained store's
+    * GROUP_CONCAT/SAMPLE insertion-order tie-breaks reproducible
+    * (`monotonically_increasing_id` was partition-layout-dependent).
+    * The content sort keys make even a 64-bit line-hash collision
+    * deterministic. Dense (0..n-1), so [[graft.ingest.IndexMaintenance]]'s
+    * `maxOrd` offset arithmetic never overflows.
+    */
+  private[graft] def stampDeterministicOrd(quads: DataFrame): DataFrame = {
+    val spark = quads.sparkSession
+    val ranked = quads
+      .repartition(OrdRankPartitions, col("__lh"))
+      .sortWithinPartitions(col("__lh"), col("ord"),
+        col("s.key"), col("p.key"), col("o.key"), col("id.key"))
+    val schema = ranked.schema
+    val ordIdx = schema.fieldIndex("ord")
+    val rdd = ranked.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(ordIdx, i))
+    }
+    spark.createDataFrame(rdd, schema).drop("__lh")
+  }
+
   /** Start an incremental ingest from a directory of dump-line files
     * into an append-mode parquet store.
     */
@@ -61,12 +111,12 @@ object StreamingIngest {
   def startIngestToIndex(spark: SparkSession, inDir: String, storeDir: String,
                          checkpoint: String): StreamingQuery = {
     import spark.implicits._
-    quadStream(spark.readStream.textFile(inDir))
+    quadStreamKeyed(spark.readStream.textFile(inDir))
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ingest.IndexMaintenance.appendToIndex(
           batch.sparkSession, storeDir,
-          batch.toDF().withColumn("ord", monotonically_increasing_id()),
+          stampDeterministicOrd(batch.toDF()),
           batchId = Some(batchId))
         ()
       }

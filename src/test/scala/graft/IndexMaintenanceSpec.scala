@@ -153,6 +153,69 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(IndexMaintenance.appendToIndex(spark, idx, delta) > 0L)
   }
 
+  test("truncated stats survive appends soundly (floor kept, no under-bounds)") {
+    val idx = buildBaseIdx()
+    // simulate a >100k-predicate store: rewrite the stats files so the
+    // tables keep ONLY the hottest predicate, with a truncation floor
+    // of 5 (any absent predicate may hold up to 5 quads). Computed
+    // directly from parquet — the epoch-keyed caches must never see
+    // the pre-rewrite parse.
+    val trueCounts = spark.read.parquet(s"$idx/statements.parquet")
+      .groupBy(col("p.key").as("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (hotK, hotV) = trueCounts.maxBy(_._2)
+    val floor = 5L
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val wc = new java.io.PrintWriter(s"$idx/pred_counts.json")
+    try wc.write(s"""{"floor": $floor, "counts": {"${esc(hotK)}": $hotV}}""")
+    finally wc.close()
+    val wf = new java.io.PrintWriter(s"$idx/pred_fanout.json")
+    try wf.write(s"""{"fanout": {"${esc(hotK)}|s": $hotV, "${esc(hotK)}|o": $hotV}}""")
+    finally wf.close()
+
+    IndexMaintenance.appendToIndex(spark, idx, delta)
+
+    // floor preserved across the merge
+    assert(WikidataIngest.predCountsFloor(idx) === floor)
+    val merged = WikidataIngest.predCounts(idx).get
+    val mergedFan = WikidataIngest.predFanout(idx).get
+    val deltaCounts = delta.groupBy(col("p.key").as("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a delta predicate ABSENT from the truncated table merges as
+    // floor + delta (it may already hold up to `floor` quads in the
+    // store), and gets NO delta-only fanout bound (absent-from-counts
+    // no longer means new-to-store when the table is truncated)
+    val absent = deltaCounts.keySet.filter(_ != hotK)
+    assert(absent.nonEmpty, "fixture delta must carry non-hot predicates")
+    for (k <- absent) {
+      assert(merged(k) === floor + deltaCounts(k), s"count bound for $k")
+      assert(!mergedFan.contains(k),
+        s"$k admitted a delta-only fanout bound on a truncated table")
+    }
+  }
+
+  test("streaming ord stamp is deterministic across read parallelism") {
+    import graft.streaming.StreamingIngest
+    val lines = spark.read.textFile(WikidataIngest.fixturePath)
+    def stamped(parts: Int): DataFrame = StreamingIngest.stampDeterministicOrd(
+      StreamingIngest.quadStreamKeyed(lines.repartition(parts)))
+    def sig(df: DataFrame): Seq[String] = df
+      .select(col("ord"), col("s.key"), col("p.key"), col("o.key"),
+        col("id.key"), col("graph.key"))
+      .collect().map(_.toString).sorted.toSeq
+    // same lines, different read layouts → bit-identical ord
+    // assignment (monotonically_increasing_id here would differ, and a
+    // replayed micro-batch would break GROUP_CONCAT tie-break
+    // determinism)
+    val a = sig(stamped(1))
+    val b = sig(stamped(7))
+    assert(a === b)
+    // dense 0..n-1: maxOrd offset arithmetic in appendToIndex stays
+    // bounded by the true row count
+    val ords = stamped(3).select(col("ord")).collect().map(_.getLong(0)).sorted
+    assert(ords.toSeq === (0L until ords.length).toSeq)
+  }
+
   test("replayed streaming micro-batch is skipped (idempotent recovery)") {
     val idx = buildBaseIdx()
     val n1 = IndexMaintenance.appendToIndex(spark, idx, delta, batchId = Some(7L))

@@ -113,4 +113,68 @@ class BgpOrderingSpec extends graft.SparkTestBase {
       assert(rows.length === 1)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("a TRUNCATED stats table refuses hints for absent predicates") {
+    // Simulates a >100k-predicate store: the counts table kept only
+    // P:2, and the truncation floor records that any ABSENT predicate
+    // may still hold up to 90k rows. P:5 (100 real rows here) must NOT
+    // be hinted — on a truncated table the translator cannot tell it
+    // from the 100,001-st-hottest predicate with millions of rows, and
+    // a wrong hint is an executor OOM at scale, not just a slow plan.
+    val stats = Map("P:2" -> 100000L)
+    val fan = Map("P:2" -> ((3L, 500L)))
+    val trTrunc = new Translator(spark, statements, statements.limit(0),
+      predCounts = Some(stats), predFanout = Some(fan), predCountFloor = 90000L)
+    val rare = Triple(Var("a"), Const(TermValue.propDirect(5)), Var("b"))
+    val hot = Triple(Var("b"), Const(TermValue.propDirect(2)), Var("c"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(TranslateFlags.BgpBroadcastRows, "1000")
+    try {
+      val plan = trTrunc.exec(Bgp(Seq(rare, hot))).queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      // the same shape with a COMPLETE table (floor 0) hints the join —
+      // the refusal above is the floor's doing, not the threshold's
+      val trFull = new Translator(spark, statements, statements.limit(0),
+        predCounts = Some(stats + ("P:5" -> 100L)),
+        predFanout = Some(fan + ("P:5" -> ((2L, 2L)))))
+      val plan2 = trFull.exec(Bgp(Seq(rare, hot))).queryExecution.sparkPlan.toString
+      assert(plan2.contains("BroadcastHashJoin"), plan2)
+      // ordering uses the floor too: an absent predicate ranks at the
+      // floor, so with floor above the hot count it no longer leads
+      val trBigFloor = new Translator(spark, statements, statements.limit(0),
+        predCounts = Some(stats), predCountFloor = 200000L)
+      val ghost = Triple(Var("a"), Const(TermValue.propDirect(9)), Var("b"))
+      assert(trBigFloor.orderPatterns(Seq(ghost, hot)) === Seq(hot, ghost))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(TranslateFlags.BgpBroadcastRows)
+    }
+  }
+
+  test("the final BGP result never carries a broadcast hint (no leak)") {
+    // every join INSIDE the chain may be hinted, but the accumulated
+    // RESULT must not be: its bound was a decision about in-BGP joins,
+    // and a hint on the output would leak into the planning of
+    // whatever enclosing operator (OPTIONAL / MINUS / parent join)
+    // consumes it
+    val stats = Map("P:2" -> 100000L, "P:5" -> 100L)
+    val fan = Map("P:2" -> ((3L, 500L)), "P:5" -> ((2L, 2L)))
+    val trStats = new Translator(spark, statements, statements.limit(0),
+      predCounts = Some(stats), predFanout = Some(fan))
+    val rare = Triple(Var("a"), Const(TermValue.propDirect(5)), Var("b"))
+    val hot = Triple(Var("b"), Const(TermValue.propDirect(2)), Var("c"))
+    val out = trStats.exec(Bgp(Seq(rare, hot)))
+    def isHint(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ResolvedHint]
+    // walk down through non-join operators (projections etc.): no hint
+    // node may sit ABOVE the topmost join
+    var node = out.queryExecution.logical
+    while (!node.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] &&
+           node.children.size == 1) {
+      assert(!isHint(node), s"hint leaked above the BGP result:\n$node")
+      node = node.children.head
+    }
+    assert(!isHint(node))
+  }
 }
