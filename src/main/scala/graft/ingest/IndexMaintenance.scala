@@ -354,6 +354,15 @@ object IndexMaintenance {
   def repairCheck(spark: SparkSession, dir: String): Map[String, Long] =
     (Copies.map(_._1) :+ "labels.parquet")
       .filter(f => new File(s"$dir/$f").exists())
-      .map(f => f -> spark.read.parquet(s"$dir/$f").count())
-      .toMap
+      .map { f =>
+        // a copy directory with no data files (e.g. the labels table
+        // of a labels-free store) has no readable schema — that is 0
+        // rows, not a forensics failure
+        val n = try spark.read.parquet(s"$dir/$f").count()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => 0L
+        }
+        f -> n
+      }.toMap
 }

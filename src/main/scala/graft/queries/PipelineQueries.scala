@@ -1086,6 +1086,62 @@ object PipelineQueries {
         s"$root/idx")
     }),
 
+    // The crash contract of incremental store maintenance: plant a
+    // TORN append (extra rows landed in the main permutation only,
+    // pending marker still on disk — exactly what a crash mid-append
+    // leaves) and verify the operator story end-to-end: repairCheck
+    // quantifies the divergence per copy, and further maintenance
+    // REFUSES to run until a rebuild clears the marker. At 100 TB the
+    // marker is what stands between a torn append and silently
+    // inconsistent pruned access paths.
+    "p85_store_repair_check" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      import graft.ingest.{IndexMaintenance, WikidataIngest}
+      import graft.model.Term
+      val nulStr = lit(null).cast("string")
+      val nulNum = lit(null).cast("double")
+      def qEnt(e: Column) = Term.struct_(lit(Term.Kind.Q), e.cast("double"),
+        nulStr, nulStr, concat(lit("Q:"), e.cast("long").cast("string")))
+      def strT(v: Column) = Term.struct_(lit(Term.Kind.Str), nulNum, v,
+        nulStr, concat(lit("s:"), v))
+      val e = col("doc_id") + lit(1L)
+      val quads = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(
+          qEnt(e).as("s"),
+          Term.struct_(lit(Term.Kind.P), lit(1.0), nulStr, nulStr,
+            lit("P:1")).as("p"),
+          strT(col("lang")).as("o"),
+          Term.struct_(lit(Term.Kind.NamedEdge), nulNum,
+            concat(lit("D"), col("doc_id").cast("string")), nulStr,
+            concat(lit("NE:D"), col("doc_id").cast("string"))).as("id"),
+          qEnt(e).as("graph"),
+          col("doc_id").as("ord"))
+      val root = java.nio.file.Files.createTempDirectory("graft-p85")
+        .toFile.getAbsolutePath
+      WikidataIngest.writeStore(s, quads, s"$root/flat")
+      WikidataIngest.createIndex(s, s"$root/flat", s"$root/idx")
+      // tear the store: 10 duplicate rows appended to the MAIN copy
+      // only, marker left behind — the other three permutations and
+      // the labels table never saw them
+      val extra = s.read.parquet(s"$root/idx/statements.parquet")
+        .orderBy(col("ord")).limit(10)
+      extra.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("p_bucket").parquet(s"$root/idx/statements.parquet")
+      new java.io.File(s"$root/idx", IndexMaintenance.PendingMarker)
+        .createNewFile()
+      val counts = IndexMaintenance.repairCheck(s, s"$root/idx")
+      val refused = try {
+        IndexMaintenance.appendToIndex(s, s"$root/idx", quads.limit(1)); 0L
+      } catch { case _: IllegalArgumentException => 1L }
+      val compactRefused = try {
+        IndexMaintenance.compactIndex(s, s"$root/idx"); 0L
+      } catch { case _: IllegalArgumentException => 1L }
+      import s.implicits._
+      (counts.toSeq.map { case (copy, n) => (copy, n) } ++
+        Seq(("append_refused", refused), ("compact_refused", compactRefused)))
+        .toDF("metric", "n").orderBy("metric")
+    }),
+
     // BM25 keyword retrieval, fully oracle-checked: queries are the
     // first 8 tokens of docs 0-2 (self-retrieval — each query's source
     // doc should surface), scores round to 6 dp BEFORE ranking so the
@@ -1545,6 +1601,20 @@ object PipelineQueries {
     "p83_store_append" ->
       """SELECT lang, CAST(count(*) AS VARCHAR) AS n
         |FROM documents WHERE doc_id < 2000 GROUP BY lang""".stripMargin,
+
+    // torn-append forensics: the main copy carries the 10 planted
+    // extras, every other copy holds exactly the base rows, and both
+    // maintenance entry points refuse while the marker stands
+    "p85_store_repair_check" ->
+      """WITH b AS (SELECT count(*) AS n FROM documents WHERE doc_id < 200)
+        |SELECT 'append_refused' AS metric, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'compact_refused', 1
+        |UNION ALL SELECT 'labels.parquet', 0
+        |UNION ALL SELECT 'statements.parquet', n + 10 FROM b
+        |UNION ALL SELECT 'statements_gr.parquet', n FROM b
+        |UNION ALL SELECT 'statements_obj.parquet', n FROM b
+        |UNION ALL SELECT 'statements_sub.parquet', n FROM b
+        |ORDER BY metric""".stripMargin,
 
     // constructed-fact pairs: clips sharing ≥2 luma buckets by design
     "p71_video_neardup" ->
