@@ -2,27 +2,37 @@ package graft.pipeline
 
 import java.awt.image.BufferedImage
 
-/** Pure-JVM H.264/AVC BASELINE-INTRA codec (ITU-T Rec. H.264 / ISO/IEC
-  * 14496-10): a decoder for IDR/I slices in CAVLC entropy mode —
-  * I_4x4 (all 9 prediction modes), I_16x16 (all 4), I_PCM, chroma
-  * DC/H/V/Plane, 4:2:0, frame cropping — plus a fixture ENCODER
-  * (I_16x16 / I_4x4 / I_PCM, CAVLC) and an `avc1` MP4 writer, so the
+/** Pure-JVM H.264/AVC codec (ITU-T Rec. H.264 / ISO/IEC 14496-10): a
+  * decoder for IDR/I slices in CAVLC entropy mode — I_4x4 (all 9
+  * prediction modes), I_16x16 (all 4), I_PCM, chroma DC/H/V/Plane,
+  * 4:2:0, frame cropping — AND for single-reference P slices (CAVLC):
+  * P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 / P_Skip with median +
+  * directional MV prediction (§8.4.1.3), full quarter-sample luma
+  * interpolation (6-tap + averaged positions, §8.4.2.2.1) and
+  * eighth-sample bilinear chroma, referencing the previous decoded
+  * picture. Plus a fixture ENCODER (I_16x16 / I_4x4 / I_PCM and
+  * P_L0_16x16 / P_Skip GOPs, CAVLC) and an `avc1` MP4 writer, so the
   * video pipeline's H.264 arm is exercised end-to-end without any
-  * native codec. This fills the `avc1` decode seam the MP4 demux left
-  * open (the keyframe slice of a real corpus — frame-sampled near-dup
-  * pipelines decode IDR frames and skip P/B by design).
+  * native codec. Real-corpus MP4s are mostly inter-coded: with P
+  * decode, an I+P GOP yields every frame up to the first unsupported
+  * construct instead of keyframes only.
   *
-  * Includes the in-loop deblocking filter (§8.7) for intra pictures —
-  * bS 4/3 edges, strong+normal luma filters, chroma, per-MB qp,
-  * slice alpha/beta offsets — so real-world streams (which virtually
-  * all enable the filter) decode to conforming pixels.
+  * Includes the in-loop deblocking filter (§8.7) — intra bS 4/3 plus
+  * the inter grades (2 on residual, 1 on motion/reference mismatch,
+  * 0 skip) with the full Table 8-17 tc0, strong+normal luma filters,
+  * chroma, per-MB qp, slice alpha/beta offsets — so real-world
+  * streams (which virtually all enable the filter) decode to
+  * conforming pixels, and P pictures reference DEBLOCKED frames.
   *
   * CABAC entropy mode for I slices is supported through
   * [[H264Cabac]] (the Main/High-profile keyframe arm — most real-world
   * MP4s), with its own validation-boundary note. CEILING (documented,
-  * honest): inter-coded slices (P/B) and high-profile tools (8x8
-  * transform, scaling lists, MBAFF) are NOT implemented — payloads
-  * needing them yield no frames (degradation, never garbage). VALIDATION
+  * honest): B slices, P_8x8 sub-partitions, multi-reference /
+  * reordered lists, weighted prediction, CABAC-coded P slices, and
+  * high-profile tools (8x8 transform, scaling lists, MBAFF) are NOT
+  * implemented — payloads needing them yield no frames (degradation,
+  * never garbage), and a GOP's reference chain BREAKS at such a
+  * sample so later P frames are skipped rather than mispredicted. VALIDATION
   * BOUNDARY: with no external H.264 implementation available in this
   * environment (zero egress, no ffmpeg/JCodec), the entropy tables
   * are transcribed from the published standard and validated
@@ -162,7 +172,11 @@ object H264 {
   private[pipeline] final case class Pps(
       cabac: Boolean, bottomFieldPoc: Boolean, picInitQp: Int,
       chromaQpOff: Int, deblockCtrl: Boolean, constrainedIntra: Boolean,
-      redundantPicCnt: Boolean)
+      redundantPicCnt: Boolean,
+      // P-slice fields: weighted prediction is out of the supported
+      // ceiling (a P slice under it would need the pred_weight_table),
+      // and only one active L0 reference is supported
+      weightedPred: Boolean = false, numRefIdxL0Default: Int = 0)
 
   /** Parse seq_parameter_set_rbsp (§7.3.2.1). None = uses tools beyond
     * the supported baseline-intra subset.
@@ -207,8 +221,9 @@ object H264 {
       val cabac = r.read1() == 1
       val bottomPoc = r.read1() == 1
       if (r.ue() != 0) return None // slice groups (FMO) unsupported
-      r.ue(); r.ue() // num_ref_idx defaults
-      r.read1() // weighted_pred
+      val numRefL0 = r.ue()
+      r.ue() // num_ref_idx_l1_default
+      val weightedPred = r.read1() == 1
       r.read(2) // weighted_bipred
       val qp = r.se() + 26
       r.se() // qs
@@ -216,7 +231,8 @@ object H264 {
       val deblockCtrl = r.read1() == 1
       val constrainedIntra = r.read1() == 1
       val redundant = r.read1() == 1
-      Some(Pps(cabac, bottomPoc, qp, chromaQpOff, deblockCtrl, constrainedIntra, redundant))
+      Some(Pps(cabac, bottomPoc, qp, chromaQpOff, deblockCtrl, constrainedIntra,
+        redundant, weightedPred, numRefL0))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------ CAVLC tables
@@ -356,6 +372,21 @@ object H264 {
   private[pipeline] val CbpIntraInv: Array[Int] = {
     val inv = new Array[Int](48)
     for (i <- CbpIntra.indices) inv(CbpIntra(i)) = i
+    inv
+  }
+
+  /** Table 9-4 (inter): coded_block_pattern me(v) mapping for
+    * inter-predicted MBs, codeNum → cbp. TRANSCRIBED FROM THE SPEC; a
+    * permutation of 0..47 (asserted in H264Spec) that front-loads the
+    * inter-typical patterns (0, chroma-DC-only, single 8x8).
+    */
+  private[pipeline] val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  private[pipeline] val CbpInterInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    for (i <- CbpInter.indices) inv(CbpInter(i)) = i
     inv
   }
 
@@ -696,6 +727,26 @@ object H264 {
     Array.fill(16)(0) ++ Array(0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
       3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25)
 
+  /** Table 8-17 t'C0 rows for bS = 1 and 2 — needed once inter (P)
+    * pictures deblock: inter edges grade down to bS 2 (either side has
+    * residual coefficients), bS 1 (motion differs by ≥ one integer
+    * sample or references differ) or bS 0 (no filtering). TRANSCRIBED
+    * FROM THE SPEC; H264Spec pins the structural invariants (zero
+    * head, monotone rows, bS3 ≥ bS2 ≥ bS1 pointwise).
+    */
+  private[pipeline] val Tc0Bs1: Array[Int] =
+    Array.fill(16)(0) ++ Array(0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+      1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9)
+  private[pipeline] val Tc0Bs2: Array[Int] =
+    Array.fill(16)(0) ++ Array(0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+      1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 6, 6, 7, 8, 8, 10, 11, 12, 13)
+
+  private[pipeline] def tc0Of(bS: Int, idxA: Int): Int = bS match {
+    case 1 => Tc0Bs1(idxA)
+    case 2 => Tc0Bs2(idxA)
+    case _ => Tc0Bs3(idxA)
+  }
+
   private def clip3(lo: Int, hi: Int, v: Int): Int =
     if (v < lo) lo else if (v > hi) hi else v
 
@@ -773,6 +824,32 @@ object H264 {
   private[pipeline] def deblockPicture(st: PicState): Unit = {
     val w = st.w
     val cw = w / 2
+    val wB4 = st.wMbs * 4
+    // Boundary strength at 4x4-block granularity (§8.7.2.1, frame
+    // pictures): an intra block on either side keeps the intra rule
+    // (4 at MB edges, 3 inside — bit-identical to the previous
+    // intra-only pass); inter/inter edges grade down to 2 (either
+    // side has residual coefficients), 1 (references differ or motion
+    // differs by ≥ 4 quarter samples) or 0 (skip the lines). `blkE` is
+    // the edge's offset from the MB origin in 4x4-block units along
+    // the edge normal; `group` indexes 4x4 blocks along the edge.
+    def bSAt(mb: Int, vertical: Boolean, blkE: Int, group: Int): Int = {
+      val mbX = mb % st.wMbs
+      val mbY = mb / st.wMbs
+      val (qbx, qby) =
+        if (vertical) (mbX * 4 + blkE, mbY * 4 + group)
+        else (mbX * 4 + group, mbY * 4 + blkE)
+      val (pbx, pby) = if (vertical) (qbx - 1, qby) else (qbx, qby - 1)
+      val qi = qby * wB4 + qbx
+      val pi = pby * wB4 + pbx
+      if (st.refOfBlk(qi) < 0 || st.refOfBlk(pi) < 0) {
+        if (blkE == 0) 4 else 3 // an intra side
+      } else if (st.lumaNz(pi) > 0 || st.lumaNz(qi) > 0) 2
+      else if (st.refOfBlk(pi) != st.refOfBlk(qi) ||
+        math.abs(st.mvxOfBlk(pi) - st.mvxOfBlk(qi)) >= 4 ||
+        math.abs(st.mvyOfBlk(pi) - st.mvyOfBlk(qi)) >= 4) 1
+      else 0
+    }
     for (mb <- 0 until st.wMbs * st.hMbs if st.deblockOnOfMb(mb)) {
       val offA = st.deblockAOfMb(mb)
       val offB = st.deblockBOfMb(mb)
@@ -787,7 +864,6 @@ object H264 {
       for (vertical <- Seq(true, false); e <- 0 to 3) {
         val mbEdge = e == 0
         if (!(mbEdge && (if (vertical) mbX == 0 else mbY == 0))) {
-          val bS = if (mbEdge) 4 else 3
           val qpav =
             if (mbEdge) {
               val other = st.qpOfMb(if (vertical) mb - 1 else mb - st.wMbs)
@@ -795,17 +871,20 @@ object H264 {
             } else qp
           val a = AlphaTable(idxA(qpav))
           val b = BetaTable(idxB(qpav))
-          val t0 = Tc0Bs3(idxA(qpav))
           if (a > 0) {
             for (line <- 0 until 16) {
-              if (vertical) {
-                val base = (py + line) * w + px + 4 * e
-                filterLine(i => st.y(base + i), (i, v) => st.y(base + i) = v,
-                  bS, a, b, t0, chroma = false)
-              } else {
-                val base = (py + 4 * e) * w + px + line
-                filterLine(i => st.y(base + i * w), (i, v) => st.y(base + i * w) = v,
-                  bS, a, b, t0, chroma = false)
+              val bS = bSAt(mb, vertical, e, line / 4)
+              if (bS > 0) {
+                val t0 = tc0Of(bS, idxA(qpav))
+                if (vertical) {
+                  val base = (py + line) * w + px + 4 * e
+                  filterLine(i => st.y(base + i), (i, v) => st.y(base + i) = v,
+                    bS, a, b, t0, chroma = false)
+                } else {
+                  val base = (py + 4 * e) * w + px + line
+                  filterLine(i => st.y(base + i * w), (i, v) => st.y(base + i * w) = v,
+                    bS, a, b, t0, chroma = false)
+                }
               }
             }
           }
@@ -817,7 +896,6 @@ object H264 {
       for (plane <- Seq(st.cb, st.cr); vertical <- Seq(true, false); e <- 0 to 1) {
         val mbEdge = e == 0
         if (!(mbEdge && (if (vertical) mbX == 0 else mbY == 0))) {
-          val bS = if (mbEdge) 4 else 3
           val qpcThis = chromaQp(qp, st.cqpOffOfMb(mb))
           val qpav =
             if (mbEdge) {
@@ -828,17 +906,23 @@ object H264 {
             } else qpcThis
           val a = AlphaTable(idxA(qpav))
           val b = BetaTable(idxB(qpav))
-          val t0 = Tc0Bs3(idxA(qpav))
           if (a > 0) {
             for (line <- 0 until 8) {
-              if (vertical) {
-                val base = (cpy + line) * cw + cpx + 4 * e
-                filterLine(i => plane(base + i), (i, v) => plane(base + i) = v,
-                  bS, a, b, t0, chroma = true)
-              } else {
-                val base = (cpy + 4 * e) * cw + cpx + line
-                filterLine(i => plane(base + i * cw), (i, v) => plane(base + i * cw) = v,
-                  bS, a, b, t0, chroma = true)
+              // chroma bS comes from the CO-LOCATED luma blocks: edge
+              // e is 2e blocks from the MB origin, chroma line pairs
+              // share one luma 4x4 row (§8.7.2.1)
+              val bS = bSAt(mb, vertical, 2 * e, line / 2)
+              if (bS > 0) {
+                val t0 = tc0Of(bS, idxA(qpav))
+                if (vertical) {
+                  val base = (cpy + line) * cw + cpx + 4 * e
+                  filterLine(i => plane(base + i), (i, v) => plane(base + i) = v,
+                    bS, a, b, t0, chroma = true)
+                } else {
+                  val base = (cpy + 4 * e) * cw + cpx + line
+                  filterLine(i => plane(base + i * cw), (i, v) => plane(base + i * cw) = v,
+                    bS, a, b, t0, chroma = true)
+                }
               }
             }
           }
@@ -907,6 +991,15 @@ object H264 {
     val crNz: Array[Int] = Array.fill(wMbs * 2 * hMbs * 2)(-1)
     // per-4x4-block intra mode (-1 = unavailable/not I4x4) for mode pred
     val i4Modes: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
+    // per-4x4-block L0 motion (quarter-sample units) and reference
+    // index; ref -1 = intra-coded or not decoded (an intra neighbor
+    // contributes mv (0,0) / ref -1 to median MV prediction, §8.4.1.3)
+    val mvxOfBlk: Array[Int] = new Array[Int](wMbs * 4 * hMbs * 4)
+    val mvyOfBlk: Array[Int] = new Array[Int](wMbs * 4 * hMbs * 4)
+    val refOfBlk: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
+    // decoded reference picture (the PREVIOUS picture, post loop
+    // filter, uncropped planes) — the single-reference P-slice model
+    var refPic: PicState = null
     val mbDecoded: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
     // slice id of each decoded MB (0 default suits the single-slice
     // encoder). A neighbor MB in a DIFFERENT slice is unavailable for
@@ -1209,12 +1302,29 @@ object H264 {
     var mb = firstMb
     val nMbs = st.wMbs * st.hMbs
     while (mb < nMbs && (mb == firstMb || r.moreRbspData())) {
+      val mbType = r.ue()
+      if (mbType > 25) return false // non-I mb in an I slice
+      decodeIntraMb(r, st, pps, mb, mbType, qp) match {
+        case Some(q) => qp = q; mb += 1
+        case None => return false
+      }
+    }
+    mb >= nMbs || !r.moreRbspData()
+  }
+
+  /** Decode one intra macroblock (I_4x4 / I_16x16 / I_PCM, mbType as
+    * coded in an I slice) at `mb`, returning the updated running QP —
+    * shared by I-slice and P-slice decoding (a P slice codes intra MBs
+    * as mb_type ≥ 5, mapped to this numbering by the caller).
+    */
+  private def decodeIntraMb(r: BitReader, st: PicState, pps: Pps,
+                            mb: Int, mbType: Int, qpIn: Int): Option[Int] = {
+    var qp = qpIn
+    locally {
       val mbX = mb % st.wMbs
       val mbY = mb / st.wMbs
       val px = mbX * 16
       val py = mbY * 16
-      val mbType = r.ue()
-      if (mbType > 25) return false // non-I mb in an I slice
       if (mbType == 25) {
         // I_PCM
         r.byteAlign()
@@ -1237,7 +1347,7 @@ object H264 {
         st.qpOfMb(mb) = 0
         st.mbDecoded(mb) = true
         st.sliceOfMb(mb) = st.currentSlice
-        mb += 1
+        return Some(qp)
       } else if (mbType == 0) {
         // I_4x4 (I_NxN)
         val modes = new Array[Int](16)
@@ -1263,8 +1373,8 @@ object H264 {
           st.i4Modes(by * wB + bx) = mode
         }
         val chromaMode = r.ue()
-        if (chromaMode > 3) return false
-        val cbp = { val cn = r.ue(); if (cn > 47) return false; CbpIntra(cn) }
+        if (chromaMode > 3) return None
+        val cbp = { val cn = r.ue(); if (cn > 47) return None; CbpIntra(cn) }
         val cbpLuma = cbp & 15
         val cbpChroma = cbp >> 4
         if (cbp != 0) qp = ((qp + r.se() + 52) % 52 + 52) % 52
@@ -1292,7 +1402,7 @@ object H264 {
         st.qpOfMb(mb) = qp
         st.mbDecoded(mb) = true
         st.sliceOfMb(mb) = st.currentSlice
-        mb += 1
+        return Some(qp)
       } else {
         // I_16x16: mbType 1..24 encodes predMode, cbpChroma, cbpLuma
         val t = mbType - 1
@@ -1300,7 +1410,7 @@ object H264 {
         val cbpChroma = (t / 4) % 3
         val cbpLuma = if (t >= 12) 15 else 0
         val chromaMode = r.ue()
-        if (chromaMode > 3) return false
+        if (chromaMode > 3) return None
         qp = ((qp + r.se() + 52) % 52 + 52) % 52
         // spec 8.3.1.1: I_16x16 blocks contribute mode 2 (DC) to later
         // I_4x4 neighbors' Min(A, B) predictor, not "unavailable"
@@ -1340,16 +1450,21 @@ object H264 {
         st.qpOfMb(mb) = qp
         st.mbDecoded(mb) = true
         st.sliceOfMb(mb) = st.currentSlice
-        mb += 1
+        return Some(qp)
       }
     }
-    mb >= nMbs || !r.moreRbspData()
+    Some(qp)
   }
 
-  /** Chroma residual + reconstruction for one MB (both components). */
+  /** Chroma residual + reconstruction for one MB (both components).
+    * `interPred` carries the motion-compensated 8x8 prediction blocks
+    * (cb, cr) of an inter MB — intra prediction (and `chromaMode`) is
+    * bypassed then, matching §8.4 vs §8.3 ordering.
+    */
   private def decodeChroma(r: BitReader, st: PicState, pps: Pps, mb: Int,
                            mbX: Int, mbY: Int, chromaMode: Int,
-                           cbpChroma: Int, qp: Int): Unit = {
+                           cbpChroma: Int, qp: Int,
+                           interPred: Option[(Array[Int], Array[Int])] = None): Unit = {
     val qpc = chromaQp(qp, pps.chromaQpOff)
     val cw = st.w / 2
     val px = mbX * 8
@@ -1364,7 +1479,8 @@ object H264 {
     for (c <- 0 until 2) {
       val plane = if (c == 0) st.cb else st.cr
       val nzPlane = if (c == 0) st.cbNz else st.crNz
-      val pred = predictChroma(st, plane, chromaMode, px, py, mb)
+      val pred = interPred.map(p => if (c == 0) p._1 else p._2)
+        .getOrElse(predictChroma(st, plane, chromaMode, px, py, mb))
       val dc = if (cbpChroma != 0) dequantChromaDc(dcs(c), qpc) else Array(0, 0, 0, 0)
       for (b <- 0 until 4) {
         val lx = b % 2
@@ -1392,6 +1508,374 @@ object H264 {
     }
   }
 
+  // ------------------------------------------------------- inter (P)
+
+  /** Clamped full-sample luma fetch — H.264 motion vectors may point
+    * outside the picture; edge samples repeat (§8.4.2.2.1's clipping
+    * of xInt/yInt).
+    */
+  @inline private def refL(ref: PicState, x: Int, y: Int): Int =
+    ref.y(clip3(0, ref.h - 1, y) * ref.w + clip3(0, ref.w - 1, x))
+
+  // unnormalized 6-tap (1,-5,20,20,-5,1) half-sample intermediates
+  @inline private def rawHalfH(ref: PicState, x: Int, y: Int): Int =
+    refL(ref, x - 2, y) - 5 * refL(ref, x - 1, y) + 20 * refL(ref, x, y) +
+      20 * refL(ref, x + 1, y) - 5 * refL(ref, x + 2, y) + refL(ref, x + 3, y)
+  @inline private def rawHalfV(ref: PicState, x: Int, y: Int): Int =
+    refL(ref, x, y - 2) - 5 * refL(ref, x, y - 1) + 20 * refL(ref, x, y) +
+      20 * refL(ref, x, y + 1) - 5 * refL(ref, x, y + 2) + refL(ref, x, y + 3)
+
+  /** One luma prediction sample at quarter-sample precision
+    * (§8.4.2.2.1, Figure 8-4): integer base (x, y), fractional offset
+    * (xF, yF) in quarter samples. The center position j filters the
+    * UNROUNDED vertical half-sample intermediates, per spec. A
+    * straightforward per-sample reference implementation — the
+    * fixture/oracle path values exactness over throughput.
+    */
+  private[pipeline] def lumaSample(ref: PicState, x: Int, y: Int,
+                                   xF: Int, yF: Int): Int = {
+    @inline def b(px: Int, py: Int) = clip255((rawHalfH(ref, px, py) + 16) >> 5)
+    @inline def hh(px: Int, py: Int) = clip255((rawHalfV(ref, px, py) + 16) >> 5)
+    @inline def j(px: Int, py: Int) = {
+      val raw = rawHalfV(ref, px - 2, py) - 5 * rawHalfV(ref, px - 1, py) +
+        20 * rawHalfV(ref, px, py) + 20 * rawHalfV(ref, px + 1, py) -
+        5 * rawHalfV(ref, px + 2, py) + rawHalfV(ref, px + 3, py)
+      clip255((raw + 512) >> 10)
+    }
+    @inline def avg(a: Int, bb: Int) = (a + bb + 1) >> 1
+    (xF, yF) match {
+      case (0, 0) => refL(ref, x, y)
+      case (1, 0) => avg(refL(ref, x, y), b(x, y))
+      case (2, 0) => b(x, y)
+      case (3, 0) => avg(b(x, y), refL(ref, x + 1, y))
+      case (0, 1) => avg(refL(ref, x, y), hh(x, y))
+      case (0, 2) => hh(x, y)
+      case (0, 3) => avg(hh(x, y), refL(ref, x, y + 1))
+      case (1, 1) => avg(b(x, y), hh(x, y))
+      case (3, 1) => avg(b(x, y), hh(x + 1, y))
+      case (1, 3) => avg(hh(x, y), b(x, y + 1))
+      case (3, 3) => avg(hh(x + 1, y), b(x, y + 1))
+      case (2, 1) => avg(b(x, y), j(x, y))
+      case (1, 2) => avg(hh(x, y), j(x, y))
+      case (3, 2) => avg(j(x, y), hh(x + 1, y))
+      case (2, 3) => avg(j(x, y), b(x, y + 1))
+      case _      => j(x, y) // (2, 2)
+    }
+  }
+
+  /** Motion-compensated luma prediction: block (bw × bh) at picture
+    * position (px, py), motion (mvx, mvy) in quarter samples, written
+    * row-major into `out`.
+    */
+  private[pipeline] def mcLuma(ref: PicState, px: Int, py: Int,
+                               bw: Int, bh: Int, mvx: Int, mvy: Int,
+                               out: Array[Int], outStride: Int,
+                               outX: Int, outY: Int): Unit = {
+    val x0 = px + (mvx >> 2)
+    val y0 = py + (mvy >> 2)
+    val xF = mvx & 3
+    val yF = mvy & 3
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        out((outY + y) * outStride + outX + x) =
+          lumaSample(ref, x0 + x, y0 + y, xF, yF)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Motion-compensated chroma prediction (§8.4.2.2.2): eighth-sample
+    * bilinear; 4:2:0 chroma reuses the luma vector (quarter-luma =
+    * eighth-chroma sample units).
+    */
+  private[pipeline] def mcChroma(refPlane: Array[Int], cw: Int, ch: Int,
+                                 cpx: Int, cpy: Int, bw: Int, bh: Int,
+                                 mvx: Int, mvy: Int,
+                                 out: Array[Int], outStride: Int,
+                                 outX: Int, outY: Int): Unit = {
+    val x0 = cpx + (mvx >> 3)
+    val y0 = cpy + (mvy >> 3)
+    val xF = mvx & 7
+    val yF = mvy & 7
+    @inline def s(x: Int, y: Int) =
+      refPlane(clip3(0, ch - 1, y) * cw + clip3(0, cw - 1, x))
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        val a = s(x0 + x, y0 + y); val b = s(x0 + x + 1, y0 + y)
+        val c = s(x0 + x, y0 + y + 1); val d = s(x0 + x + 1, y0 + y + 1)
+        out((outY + y) * outStride + outX + x) =
+          ((8 - xF) * (8 - yF) * a + xF * (8 - yF) * b +
+            (8 - xF) * yF * c + xF * yF * d + 32) >> 6
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Neighbor motion info for MV prediction: (available, refIdx, mvx,
+    * mvy) of the 4x4 block at absolute block coords — a cross-slice or
+    * out-of-picture block is unavailable; an intra block is available
+    * with ref -1 / mv 0 (§8.4.1.3's treatment). Blocks INSIDE the
+    * current MB count once their partition has been assigned
+    * (refOfBlk ≥ 0) — a P MB's partitions are all inter, so an
+    * unassigned block still reads ref -1 and, per the spec's decode
+    * order, is never a legal neighbor anyway.
+    */
+  private[pipeline] def mvNeighbor(st: PicState, mb: Int, bx: Int,
+                         by: Int): (Boolean, Int, Int, Int) = {
+    val wB = st.wMbs * 4
+    if (bx < 0 || by < 0 || bx >= wB) return (false, -1, 0, 0)
+    val nMb = (by / 4) * st.wMbs + (bx / 4)
+    val idx = by * wB + bx
+    if (nMb == mb) {
+      if (st.refOfBlk(idx) < 0) (false, -1, 0, 0)
+      else (true, st.refOfBlk(idx), st.mvxOfBlk(idx), st.mvyOfBlk(idx))
+    } else if (!st.mbUsable(nMb)) (false, -1, 0, 0)
+    else (true, st.refOfBlk(idx), st.mvxOfBlk(idx), st.mvyOfBlk(idx))
+  }
+
+  /** Median (with the spec's special cases) L0 motion vector predictor
+    * for a partition at block coords (bx, by), size (bw4 × bh4) in 4x4
+    * units (§8.4.1.3): `partKind` selects the directional predictors —
+    * 0 none (16x16 / skip), 1 = 16x8 top, 2 = 16x8 bottom, 3 = 8x16
+    * left, 4 = 8x16 right.
+    */
+  private[pipeline] def mvPred(st: PicState, mb: Int, refIdx: Int,
+                     bx: Int, by: Int, bw4: Int, bh4: Int,
+                     partKind: Int): (Int, Int) = {
+    val a = mvNeighbor(st, mb, bx - 1, by)
+    val b = mvNeighbor(st, mb, bx, by - 1)
+    val c0 = mvNeighbor(st, mb, bx + bw4, by - 1)
+    val c = if (c0._1) c0 else mvNeighbor(st, mb, bx - 1, by - 1) // D fallback
+    partKind match {
+      case 1 if b._1 && b._2 == refIdx => return (b._3, b._4)
+      case 2 if a._1 && a._2 == refIdx => return (a._3, a._4)
+      case 3 if a._1 && a._2 == refIdx => return (a._3, a._4)
+      case 4 if c._1 && c._2 == refIdx => return (c._3, c._4)
+      case _ => ()
+    }
+    if (!b._1 && !c._1 && a._1) return (a._3, a._4)
+    val ns = Seq(a, b, c)
+    val matching = ns.filter(n => n._1 && n._2 == refIdx)
+    if (matching.size == 1) (matching.head._3, matching.head._4)
+    else {
+      def med(x: Int, y: Int, z: Int) = math.max(math.min(x, y),
+        math.min(math.max(x, y), z))
+      (med(a._3, b._3, c._3), med(a._4, b._4, c._4))
+    }
+  }
+
+  /** Assign one partition's motion to its 4x4 blocks and
+    * motion-compensate it from the reference picture.
+    */
+  private[pipeline] def applyPartition(st: PicState, ref: PicState, mb: Int,
+                             bx: Int, by: Int, bw4: Int, bh4: Int,
+                             mvx: Int, mvy: Int,
+                             predY: Array[Int], predCb: Array[Int],
+                             predCr: Array[Int]): Unit = {
+    val wB = st.wMbs * 4
+    for (yy <- by until by + bh4; xx <- bx until bx + bw4) {
+      st.refOfBlk(yy * wB + xx) = 0
+      st.mvxOfBlk(yy * wB + xx) = mvx
+      st.mvyOfBlk(yy * wB + xx) = mvy
+    }
+    val mbX = mb % st.wMbs
+    val mbY = mb / st.wMbs
+    val ox = bx * 4 - mbX * 16
+    val oy = by * 4 - mbY * 16
+    mcLuma(ref, bx * 4, by * 4, bw4 * 4, bh4 * 4, mvx, mvy, predY, 16, ox, oy)
+    mcChroma(ref.cb, ref.w / 2, ref.h / 2, bx * 2, by * 2, bw4 * 2, bh4 * 2,
+      mvx, mvy, predCb, 8, ox / 2, oy / 2)
+    mcChroma(ref.cr, ref.w / 2, ref.h / 2, bx * 2, by * 2, bw4 * 2, bh4 * 2,
+      mvx, mvy, predCr, 8, ox / 2, oy / 2)
+  }
+
+  /** Reconstruct an inter MB from its 16x16 prediction planes + CAVLC
+    * residual: luma 4x4 blocks per the CBP's 8x8 groups, then chroma
+    * through the shared [[decodeChroma]] with the MC prediction.
+    * Returns the updated running QP.
+    */
+  private def reconInterMb(r: BitReader, st: PicState, pps: Pps, mb: Int,
+                           qpIn: Int, predY: Array[Int], predCb: Array[Int],
+                           predCr: Array[Int]): Option[Int] = {
+    var qp = qpIn
+    val mbX = mb % st.wMbs
+    val mbY = mb / st.wMbs
+    val px = mbX * 16
+    val py = mbY * 16
+    val cn = r.ue()
+    if (cn > 47) return None
+    val cbp = CbpInter(cn)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    if (cbpChroma == 3) return None // 4:2:0 cbp chroma is 0..2
+    if (cbp != 0) qp = ((qp + r.se() + 52) % 52 + 52) % 52
+    for (b <- 0 until 16) {
+      val (lx, ly) = Blk4x4Pos(b)
+      val bx = mbX * 4 + lx
+      val by = mbY * 4 + ly
+      val (scan, nz) =
+        if ((cbpLuma & (1 << (b / 4))) != 0)
+          decodeResidualBlock(r, 16, lumaNc(st, bx, by))
+        else (new Array[Int](16), 0)
+      st.lumaNz(by * st.wMbs * 4 + bx) = nz
+      val res =
+        if (nz == 0) new Array[Int](16)
+        else {
+          val raster = new Array[Int](16)
+          for (i <- 0 until 16) raster(Zigzag4x4(i)) = scan(i)
+          inverseTransform4x4(dequant4x4(raster, qp, skipDc = false))
+        }
+      for (y <- 0 until 4; x <- 0 until 4)
+        st.y((py + ly * 4 + y) * st.w + px + lx * 4 + x) =
+          clip255(predY((ly * 4 + y) * 16 + lx * 4 + x) + res(y * 4 + x))
+    }
+    decodeChroma(r, st, pps, mb, mbX, mbY, 0, cbpChroma, qp,
+      interPred = Some((predCb, predCr)))
+    // an inter MB contributes DC (2) to later I_4x4 neighbors, like
+    // any non-Intra4x4 MB (spec 8.3.1.1)
+    for (b <- 0 until 16) {
+      val (lx, ly) = Blk4x4Pos(b)
+      st.i4Modes((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 2
+    }
+    st.qpOfMb(mb) = qp
+    st.mbDecoded(mb) = true
+    st.sliceOfMb(mb) = st.currentSlice
+    Some(qp)
+  }
+
+  /** Reconstruct a P_Skip MB: motion from the skip predictor
+    * (§8.4.1.1), no residual, all coefficient counts zero.
+    */
+  private def decodeSkipMb(st: PicState, ref: PicState, mb: Int,
+                           sliceQp: Int): Unit = {
+    val mbX = mb % st.wMbs
+    val mbY = mb / st.wMbs
+    val bx = mbX * 4
+    val by = mbY * 4
+    val a = mvNeighbor(st, mb, bx - 1, by)
+    val b = mvNeighbor(st, mb, bx, by - 1)
+    val (mvx, mvy) =
+      if (!a._1 || !b._1 ||
+        (a._2 == 0 && a._3 == 0 && a._4 == 0) ||
+        (b._2 == 0 && b._3 == 0 && b._4 == 0)) (0, 0)
+      else mvPred(st, mb, 0, bx, by, 4, 4, partKind = 0)
+    val predY = new Array[Int](256)
+    val predCb = new Array[Int](64)
+    val predCr = new Array[Int](64)
+    applyPartition(st, ref, mb, bx, by, 4, 4, mvx, mvy, predY, predCb, predCr)
+    val px = mbX * 16
+    val py = mbY * 16
+    for (y <- 0 until 16; x <- 0 until 16)
+      st.y((py + y) * st.w + px + x) = predY(y * 16 + x)
+    val cw = st.w / 2
+    for (y <- 0 until 8; x <- 0 until 8) {
+      st.cb((py / 2 + y) * cw + px / 2 + x) = predCb(y * 8 + x)
+      st.cr((py / 2 + y) * cw + px / 2 + x) = predCr(y * 8 + x)
+    }
+    for (bb <- 0 until 16) {
+      val (lx, ly) = Blk4x4Pos(bb)
+      st.lumaNz((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 0
+      st.i4Modes((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 2
+    }
+    for (bb <- 0 until 4) {
+      val cIdx = (mbY * 2 + bb / 2) * st.wMbs * 2 + mbX * 2 + bb % 2
+      st.cbNz(cIdx) = 0
+      st.crNz(cIdx) = 0
+    }
+    st.qpOfMb(mb) = sliceQp
+    st.mbDecoded(mb) = true
+    st.sliceOfMb(mb) = st.currentSlice
+  }
+
+  /** P-slice data (CAVLC): mb_skip_run before every coded MB, inter
+    * MB types P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 with median MV
+    * prediction, intra MBs via the shared [[decodeIntraMb]]. The
+    * single active reference is the previous decoded picture
+    * (`st.refPic`). P_8x8 sub-partitions are the documented ceiling —
+    * false (→ None upstream), never garbage.
+    */
+  private def decodeSliceDataP(r: BitReader, st: PicState, pps: Pps,
+                               firstMb: Int, sliceQp: Int): Boolean = {
+    val ref = st.refPic
+    if (ref == null || ref.w != st.w || ref.h != st.h) return false
+    var qp = sliceQp
+    var mb = firstMb
+    val nMbs = st.wMbs * st.hMbs
+    var first = true
+    while (mb < nMbs && (first || r.moreRbspData())) {
+      first = false
+      var skipRun = r.ue()
+      if (skipRun > nMbs - mb) return false
+      while (skipRun > 0) {
+        decodeSkipMb(st, ref, mb, qp)
+        mb += 1
+        skipRun -= 1
+      }
+      // a slice may END on a skip run: then only trailing bits remain
+      if (mb < nMbs && r.moreRbspData()) {
+        val mbType = r.ue()
+        if (mbType <= 4) {
+          if (mbType == 3 || mbType == 4) return false // P_8x8: ceiling
+          val mbX = mb % st.wMbs
+          val mbY = mb / st.wMbs
+          val bx = mbX * 4
+          val by = mbY * 4
+          val predY = new Array[Int](256)
+          val predCb = new Array[Int](64)
+          val predCr = new Array[Int](64)
+          // ref_idx_l0 is not coded with one active reference (te()
+          // with cMax 0 has zero bits); mvd per partition
+          mbType match {
+            case 0 => // P_L0_16x16
+              val (px0, py0) = mvPred(st, mb, 0, bx, by, 4, 4, 0)
+              val mvx = px0 + r.se()
+              val mvy = py0 + r.se()
+              applyPartition(st, ref, mb, bx, by, 4, 4, mvx, mvy,
+                predY, predCb, predCr)
+            case 1 => // P_L0_L0_16x8: top then bottom
+              val (tx, ty) = mvPred(st, mb, 0, bx, by, 4, 2, 1)
+              val mvdT = (r.se(), r.se())
+              val (bx2, by2) = (bx, by + 2)
+              // top partition's motion must be assigned before the
+              // bottom's predictor reads neighbor B inside this MB
+              applyPartition(st, ref, mb, bx, by, 4, 2,
+                tx + mvdT._1, ty + mvdT._2, predY, predCb, predCr)
+              val (lx, lyv) = mvPred(st, mb, 0, bx2, by2, 4, 2, 2)
+              applyPartition(st, ref, mb, bx2, by2, 4, 2,
+                lx + r.se(), lyv + r.se(), predY, predCb, predCr)
+            case _ => // P_L0_L0_8x16: left then right
+              val (lx0, ly0) = mvPred(st, mb, 0, bx, by, 2, 4, 3)
+              val mvdL = (r.se(), r.se())
+              applyPartition(st, ref, mb, bx, by, 2, 4,
+                lx0 + mvdL._1, ly0 + mvdL._2, predY, predCb, predCr)
+              val (rx0, ry0) = mvPred(st, mb, 0, bx + 2, by, 2, 4, 4)
+              applyPartition(st, ref, mb, bx + 2, by, 2, 4,
+                rx0 + r.se(), ry0 + r.se(), predY, predCb, predCr)
+          }
+          reconInterMb(r, st, pps, mb, qp, predY, predCb, predCr) match {
+            case Some(q) => qp = q; mb += 1
+            case None => return false
+          }
+        } else {
+          // intra MB in a P slice: types shift by 5 (Table 7-10)
+          val intraType = mbType - 5
+          if (intraType > 25) return false
+          decodeIntraMb(r, st, pps, mb, intraType, qp) match {
+            case Some(q) => qp = q; mb += 1
+            case None => return false
+          }
+        }
+      }
+    }
+    mb >= nMbs || !r.moreRbspData()
+  }
+
   /** Decode the IDR/I frame carried by a sequence of NAL units
     * (payloads WITHOUT start codes / length prefixes). SPS/PPS NALs
     * update the parameter sets; the first I/IDR slice group decodes.
@@ -1401,13 +1885,26 @@ object H264 {
                  sps0: Option[Sps] = None, pps0: Option[Pps] = None): Option[Frame] =
     decodeNalsState(nals, sps0, pps0).map(_.cropped)
 
+  /** Like [[decodeNals]] with an inter-prediction reference: `ref` is
+    * the previous decoded picture's state (post loop filter), the
+    * single reference a P slice may use. Callers decoding a GOP thread
+    * each result back in as the next call's reference and drop it on
+    * any failed sample (a broken chain must not fabricate pixels).
+    */
+  private[pipeline] def decodeNalsRef(nals: Seq[Array[Byte]],
+                    ref: Option[PicState],
+                    sps0: Option[Sps] = None,
+                    pps0: Option[Pps] = None): Option[PicState] =
+    decodeNalsState(nals, sps0, pps0, ref)
+
   /** Like [[decodeNals]] but returns the full decoder state (post
     * loop filter) — lets the test suite assert internal per-MB facts
     * (mode-prediction substitutions, per-slice deblock settings)
     * directly instead of only via pixels.
     */
   private[pipeline] def decodeNalsState(nals: Seq[Array[Byte]],
-                 sps0: Option[Sps] = None, pps0: Option[Pps] = None): Option[PicState] =
+                 sps0: Option[Sps] = None, pps0: Option[Pps] = None,
+                 refIn: Option[PicState] = None): Option[PicState] =
     try {
       var sps = sps0
       var pps = pps0
@@ -1426,7 +1923,12 @@ object H264 {
                 val r = new BitReader(rbsp)
                 val firstMb = r.ue()
                 val sliceType = r.ue()
-                if (sliceType != 2 && sliceType != 7) return None // I slices only
+                val isI = sliceType == 2 || sliceType == 7
+                val isP = sliceType == 0 || sliceType == 5
+                if (!isI && !isP) return None // B/SP/SI unsupported
+                // P ceiling: CAVLC only, never IDR, needs a reference
+                if (isP && (p.cabac || nalType == 5 || refIn.isEmpty ||
+                  p.weightedPred)) return None
                 r.ue() // pps_id
                 r.read(s.log2MaxFrameNum) // frame_num
                 if (nalType == 5) r.ue() // idr_pic_id
@@ -1435,6 +1937,15 @@ object H264 {
                   if (p.bottomFieldPoc) r.se()
                 }
                 if (p.redundantPicCnt) r.ue()
+                if (isP) {
+                  // exactly ONE active L0 reference (the previous
+                  // picture): the PPS default or an override must say
+                  // so, and the reference list must stay unmodified
+                  val active =
+                    if (r.read1() == 1) r.ue() else p.numRefIdxL0Default
+                  if (active != 0) return None
+                  if (r.read1() == 1) return None // ref_pic_list_modification
+                }
                 if (nalType == 5) { r.read1(); r.read1() } // dec_ref_pic_marking (IDR)
                 else if (nalRefIdc != 0 && r.read1() == 1)
                   return None // adaptive marking unsupported
@@ -1456,15 +1967,18 @@ object H264 {
                       (true, a, b)
                     } else (false, 0, 0)
                   } else (true, 0, 0)
-                if (st == null) st = new PicState(s)
-                else st.currentSlice += 1 // new slice: prior MBs unusable as neighbors (§6.4.8)
+                if (st == null) {
+                  st = new PicState(s)
+                  st.refPic = refIn.orNull
+                } else st.currentSlice += 1 // new slice: prior MBs unusable as neighbors (§6.4.8)
                 val before = st.mbDecoded.clone()
                 val sliceOk =
                   if (p.cabac) {
                     // cabac_alignment_one_bit then the arithmetic layer
                     r.byteAlign()
                     H264Cabac.decodeSliceData(rbsp, r.bitPos / 8, st, p, firstMb, qp)
-                  } else decodeSliceData(r, st, p, firstMb, qp)
+                  } else if (isP) decodeSliceDataP(r, st, p, firstMb, qp)
+                  else decodeSliceData(r, st, p, firstMb, qp)
                 if (!sliceOk) return None
                 var m = 0
                 while (m < before.length) {

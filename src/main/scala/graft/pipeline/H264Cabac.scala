@@ -6,7 +6,8 @@ import H264._
   * profile keyframe arm the CAVLC decoder ([[H264]]) cannot read.
   * Covers the same macroblock surface as the CAVLC arm (I_4x4,
   * I_16x16, I_PCM, 4:2:0 chroma, per-slice QP deltas, multi-slice);
-  * P/B slices and the 8x8 transform remain the documented ceiling.
+  * CABAC-coded P/B slices and the 8x8 transform remain the documented
+  * ceiling (CAVLC P slices decode through [[H264]]'s inter path).
   *
   * VALIDATION BOUNDARY (same contract as the CAVLC tables, see the
   * [[H264]] module scaladoc): no external H.264 decoder or conformance

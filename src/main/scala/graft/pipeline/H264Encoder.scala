@@ -140,6 +140,173 @@ object H264Encoder {
     (spsNal(sps), ppsNal(pps), sliceNals, st.cropped)
   }
 
+  /** Encode an I + P group of pictures: frame 0 as an IDR I_16x16
+    * picture, every later frame as a P picture whose macroblocks are
+    * P_L0_16x16 (or P_Skip where the target motion equals the skip
+    * predictor and every quantized residual is zero) over the SINGLE
+    * reference of the previously reconstructed picture — the encoder
+    * counterpart of the decoder's P ceiling, so roundtrips stay
+    * self-contained. `mvOf(frameIdx)(mbX, mbY)` supplies the motion
+    * vector in QUARTER-sample units for each P macroblock; fractional
+    * vectors exercise the decoder's 6-tap/bilinear interpolation
+    * because the encoder predicts through the SAME [[H264.mcLuma]] /
+    * [[H264.mcChroma]] the decoder uses. Returns (SPS NAL, PPS NAL,
+    * one slice NAL per frame, per-frame reconstructions) — the recons
+    * are bit-exact decode targets.
+    */
+  def encodeIpGop(frames: Seq[(Array[Int], Array[Int], Array[Int])],
+                  widthMbs: Int, heightMbs: Int, qp: Int,
+                  mvOf: Int => (Int, Int) => (Int, Int),
+                  deblock: Boolean = false)
+      : (Array[Byte], Array[Byte], Seq[Array[Byte]], Seq[Frame]) = {
+    require(frames.nonEmpty && qp >= 0 && qp <= 51)
+    val sps = Sps(66, 20, 4, 2, 0, widthMbs, heightMbs, 0, 0, 0, 0)
+    val pps = Pps(cabac = false, bottomFieldPoc = false, picInitQp = qp,
+      chromaQpOff = 0, deblockCtrl = true, constrainedIntra = false,
+      redundantPicCnt = false)
+    val nMbs = widthMbs * heightMbs
+    val qbits = 15 + qp / 6
+    val fIntra = (1 << qbits) / 3
+    val fInter = (1 << qbits) / 6 // spec-typical inter rounding
+    val mf = QuantMf(qp % 6)
+    val qpc = chromaQp(qp, 0)
+    val qbitsC = 15 + qpc / 6
+    val fC = (1 << qbitsC) / 3
+    val mfC = QuantMf(qpc % 6)
+    var ref: PicState = null
+    val out = frames.zipWithIndex.map { case ((y, cb, cr), idx) =>
+      val st = new PicState(sps)
+      val w = new BitWriter()
+      if (idx == 0) {
+        w.ue(0); w.ue(7); w.ue(0) // first_mb, slice_type I, pps_id
+        w.put(0, sps.log2MaxFrameNum) // frame_num
+        w.ue(0) // idr_pic_id
+        w.put(0, 2) // dec_ref_pic_marking (IDR)
+        w.se(0) // slice_qp_delta
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
+        for (mb <- 0 until nMbs) {
+          encodeI16x16(w, st, y, cb, cr, mb, mb % widthMbs, mb / widthMbs,
+            qp, qbits, fIntra, mf, qpc, qbitsC, fC, mfC)
+          st.qpOfMb(mb) = qp
+          st.mbDecoded(mb) = true
+          st.deblockOnOfMb(mb) = deblock
+        }
+      } else {
+        st.refPic = ref
+        w.ue(0); w.ue(5); w.ue(0) // first_mb, slice_type P, pps_id
+        w.put(idx % (1 << sps.log2MaxFrameNum), sps.log2MaxFrameNum)
+        w.put(0, 1) // num_ref_idx_active_override_flag (default: 1 ref)
+        w.put(0, 1) // ref_pic_list_modification_flag_l0
+        w.put(0, 1) // adaptive_ref_pic_marking_mode_flag
+        w.se(0) // slice_qp_delta
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
+        var skipRun = 0
+        for (mb <- 0 until nMbs) {
+          val mbX = mb % widthMbs
+          val mbY = mb / widthMbs
+          val (bx, by) = (mbX * 4, mbY * 4)
+          val (px, py) = (mbX * 16, mbY * 16)
+          val (mvx, mvy) = mvOf(idx)(mbX, mbY)
+          // predictors BEFORE this MB's blocks are assigned — the
+          // decoder-visible neighbor state
+          val a = mvNeighbor(st, mb, bx - 1, by)
+          val b = mvNeighbor(st, mb, bx, by - 1)
+          val skipMv =
+            if (!a._1 || !b._1 ||
+              (a._2 == 0 && a._3 == 0 && a._4 == 0) ||
+              (b._2 == 0 && b._3 == 0 && b._4 == 0)) (0, 0)
+            else mvPred(st, mb, 0, bx, by, 4, 4, 0)
+          val mvp = mvPred(st, mb, 0, bx, by, 4, 4, 0)
+          val predY = new Array[Int](256)
+          val predCb = new Array[Int](64)
+          val predCr = new Array[Int](64)
+          applyPartition(st, ref, mb, bx, by, 4, 4, mvx, mvy,
+            predY, predCb, predCr)
+          // luma residual: quantize all 16 blocks against the MC pred
+          val qBlk = Array.ofDim[Int](16, 16)
+          val nzAny = new Array[Boolean](16)
+          for (bIdx <- 0 until 16) {
+            val (lx, ly) = Blk4x4Pos(bIdx)
+            val blk = new Array[Int](16)
+            for (yy <- 0 until 4; xx <- 0 until 4)
+              blk(yy * 4 + xx) =
+                y((py + ly * 4 + yy) * st.w + px + lx * 4 + xx) -
+                  predY((ly * 4 + yy) * 16 + lx * 4 + xx)
+            val tw = forwardTransform4x4(blk)
+            for (i <- 0 until 16) {
+              val q = quant(tw(i), mf(posClass(i)), fInter, qbits)
+              qBlk(bIdx)(i) = q
+              if (q != 0) nzAny(bIdx) = true
+            }
+          }
+          val cbpLuma = (0 until 4).map { g =>
+            if ((g * 4 until g * 4 + 4).exists(nzAny(_))) 1 << g else 0
+          }.sum
+          val chroma = codeChroma(st, cb, cr, mb, mbX, mbY, qpc,
+            qbitsC, fC, mfC, interPred = Some((predCb, predCr)))
+          val cbp = cbpLuma | (chroma.cbpChroma << 4)
+          if (cbp == 0 && (mvx, mvy) == skipMv) {
+            // P_Skip: prediction is the reconstruction
+            skipRun += 1
+            for (yy <- 0 until 16; xx <- 0 until 16)
+              st.y((py + yy) * st.w + px + xx) = predY(yy * 16 + xx)
+            // codeChroma already wrote pred+0 into the chroma planes
+            for (bIdx <- 0 until 16) {
+              val (lx, ly) = Blk4x4Pos(bIdx)
+              st.lumaNz((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 0
+              st.i4Modes((mbY * 4 + ly) * st.wMbs * 4 + mbX * 4 + lx) = 2
+            }
+            for (bIdx <- 0 until 4) {
+              val cIdx = (mbY * 2 + bIdx / 2) * st.wMbs * 2 + mbX * 2 + bIdx % 2
+              st.cbNz(cIdx) = 0
+              st.crNz(cIdx) = 0
+            }
+          } else {
+            w.ue(skipRun)
+            skipRun = 0
+            w.ue(0) // mb_type P_L0_16x16
+            w.se(mvx - mvp._1)
+            w.se(mvy - mvp._2)
+            w.ue(CbpInterInv(cbp))
+            if (cbp != 0) w.se(0) // mb_qp_delta
+            for (bIdx <- 0 until 16) {
+              val (lx, ly) = Blk4x4Pos(bIdx)
+              val bax = mbX * 4 + lx
+              val bay = mbY * 4 + ly
+              val nz =
+                if ((cbpLuma & (1 << (bIdx / 4))) != 0) {
+                  val scan = new Array[Int](16)
+                  for (i <- 0 until 16) scan(i) = qBlk(bIdx)(Zigzag4x4(i))
+                  encodeResidualBlock(w, scan, lumaNc(st, bax, bay))
+                } else 0
+              st.lumaNz(bay * st.wMbs * 4 + bax) = nz
+              st.i4Modes(bay * st.wMbs * 4 + bax) = 2
+              // reconstruct with exactly the transmitted levels
+              val res =
+                if (nz == 0 && (cbpLuma & (1 << (bIdx / 4))) == 0)
+                  new Array[Int](16)
+                else inverseTransform4x4(dequant4x4(qBlk(bIdx), qp, skipDc = false))
+              for (yy <- 0 until 4; xx <- 0 until 4)
+                st.y((py + ly * 4 + yy) * st.w + px + lx * 4 + xx) =
+                  clip255(predY((ly * 4 + yy) * 16 + lx * 4 + xx) + res(yy * 4 + xx))
+            }
+            writeChroma(w, st, chroma, mbX, mbY)
+          }
+          st.qpOfMb(mb) = qp
+          st.mbDecoded(mb) = true
+          st.deblockOnOfMb(mb) = deblock
+        }
+        if (skipRun > 0) w.ue(skipRun) // slice may end on a skip run
+      }
+      w.rbspTrailing()
+      if (st.deblockOnOfMb.exists(identity)) deblockPicture(st)
+      ref = st
+      val header = if (idx == 0) 0x65.toByte else 0x41.toByte // IDR / P ref
+      (Array(header) ++ addEmulation(w.toBytes), st.cropped)
+    }
+    (spsNal(sps), ppsNal(pps), out.map(_._1), out.map(_._2))
+  }
+
   /** Chroma encode shared by both predicted modes: returns cbpChroma
     * after writing NOTHING (caller writes residuals later via the
     * returned closures' data). Reconstruction mirrors the decoder for
@@ -151,7 +318,8 @@ object H264Encoder {
 
   private[pipeline] def codeChroma(st: PicState, cb: Array[Int], cr: Array[Int],
                          mb: Int, mbX: Int, mbY: Int, qpc: Int,
-                         qbitsC: Int, fC: Int, mfC: Array[Int]): ChromaCoded = {
+                         qbitsC: Int, fC: Int, mfC: Array[Int],
+                         interPred: Option[(Array[Int], Array[Int])] = None): ChromaCoded = {
     val cw = st.w / 2
     val px = mbX * 8
     val py = mbY * 8
@@ -165,7 +333,8 @@ object H264Encoder {
     for (c <- 0 until 2) {
       val src = if (c == 0) cb else cr
       val plane = if (c == 0) st.cb else st.cr
-      val pred = predictChroma(st, plane, 0, px, py, mb)
+      val pred = interPred.map(p => if (c == 0) p._1 else p._2)
+        .getOrElse(predictChroma(st, plane, 0, px, py, mb))
       preds(c) = pred
       val dcW = new Array[Int](4)
       for (b <- 0 until 4) {

@@ -786,14 +786,18 @@ object Multimodal {
     }
 
   /** REAL pixel decode for `avc1` (H.264) MP4 tracks via the in-repo
-    * intra decoder ([[H264]], CAVLC + CABAC via [[H264Cabac]]):
-    * SPS/PPS from the track's avcC record, each sample's
-    * length-prefixed NALs decoded as an intra frame. Samples the
-    * decoder cannot handle (P/B slices, 8x8-transform streams — the
-    * documented ceiling on [[H264]]) are SKIPPED, which is the
-    * production keyframe-sampling shape: near-dup signatures come from
-    * the IDR frames a frame-sampler would pick anyway. Returns empty
-    * on anything malformed.
+    * decoder ([[H264]], CAVLC + CABAC via [[H264Cabac]]): SPS/PPS from
+    * the track's avcC record, each sample's length-prefixed NALs
+    * decoded in sample order. I/IDR samples decode standalone; P
+    * samples motion-compensate from the PREVIOUS decoded picture
+    * (single-reference chains, the [[H264]] inter ceiling). A sample
+    * the decoder cannot handle (B slices, P_8x8, 8x8-transform,
+    * CABAC-P) is SKIPPED and — crucially — BREAKS the reference
+    * chain: subsequent P samples are also skipped until the next
+    * decodable I picture, so a gap never fabricates pixels from the
+    * wrong reference. On B-frame-bearing corpora this degrades to
+    * keyframe(+leading-P) sampling, the production frame-sampler
+    * shape. Returns empty on anything malformed.
     */
   private[graft] def mp4AvcFrames(payload: Array[Byte],
                                   maxFrames: Int): Seq[java.awt.image.BufferedImage] =
@@ -802,11 +806,15 @@ object Multimodal {
         H264.parseAvcC(t.avcc.get) match {
           case Some((lengthSize, spsList, ppsList)) =>
             val paramNals = spsList ++ ppsList
+            var ref: Option[H264.PicState] = None
             t.samples.iterator.map { case (off, len) =>
-              if (off < 0 || off + len > payload.length) None
+              if (off < 0 || off + len > payload.length) { ref = None; None }
               else {
                 val sample = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + len)
-                H264.decodeNals(paramNals ++ H264.splitAvccSample(sample, lengthSize))
+                val st = H264.decodeNalsRef(
+                  paramNals ++ H264.splitAvccSample(sample, lengthSize), ref)
+                ref = st // a failed sample drops the chain until the next I
+                st.map(_.cropped)
               }
             }.collect { case Some(f) => f.toImage }.take(maxFrames).toSeq
           case None => Seq.empty

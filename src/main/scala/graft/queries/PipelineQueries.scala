@@ -1024,6 +1024,60 @@ object PipelineQueries {
           col("frame_width"), col("frame_height"), pct(1), pct(2), pct(3), pct(4))
     }),
 
+    // Inter-coded (P-slice) H.264 decode — the p82 shape with MOTION:
+    // I+P GOPs where each P picture motion-compensates from the
+    // previous decoded picture (P_L0_16x16 + P_Skip, integer and
+    // quarter-sample vectors, inter deblocking), plus the
+    // chain-break contract: an undecodable mid-GOP sample must drop
+    // the reference so later P samples are skipped, never predicted
+    // from the wrong picture. Constructed-fact oracle (flat planes →
+    // exact luma buckets); the p82 caveat applies (CONFORMANCE).
+    "p86_h264_inter_decode" -> ((s, _) => {
+      import graft.pipeline.{H264Encoder => Enc}
+      def planes(g: Int) = Enc.flatPlanes(2, 1, g)
+      def gop(grays: Seq[Int], qp: Int, mv: (Int, Int),
+              deblock: Boolean = false): (Array[Byte], Seq[Array[Byte]]) = {
+        val (sps, pps, slices, _) = Enc.encodeIpGop(grays.map(planes), 2, 1,
+          qp, _ => (_, _) => mv, deblock)
+        (Enc.avcC(sps, pps), slices.map(sl => Enc.avccSample(sl)))
+      }
+      def mp4(cs: (Array[Byte], Seq[Array[Byte]])): Array[Byte] =
+        Multimodal.avc1Mp4(cs._2, 32, 16, cs._1)
+      // skip clip: P sources ARE the intra reconstruction, so every
+      // MB is a P_Skip and the slice collapses to one skip run
+      val skipClip = {
+        val (_, _, _, rc) = Enc.encodeIpGop(Seq(planes(96)), 2, 1, 10,
+          _ => (_, _) => (0, 0))
+        val r0 = rc.head
+        val (sps, pps, slices, _) = Enc.encodeIpGop(
+          Seq(planes(96), (r0.y, r0.cb, r0.cr)), 2, 1, 10, _ => (_, _) => (0, 0))
+        Multimodal.avc1Mp4(slices.map(Enc.avccSample(_)), 32, 16,
+          Enc.avcC(sps, pps))
+      }
+      // broken chain: the middle sample is corrupt, so the trailing P
+      // sample has no reference and must be skipped too
+      val brokenClip = {
+        val (cfg, samples) = gop(Seq(96, 160, 224), 10, (0, 0))
+        Multimodal.avc1Mp4(
+          Seq(samples(0), samples(1).take(3), samples(2)), 32, 16, cfg)
+      }
+      val g1 = mp4(gop(Seq(96, 160, 224), 10, (0, 0))) // residual-only P chain
+      val clips = Seq(
+        (1L, g1),
+        (2L, skipClip),
+        (3L, mp4(gop(Seq(96, 160), 10, (5, 7)))), // quarter-sample motion
+        (4L, brokenClip),
+        (5L, mp4(gop(Seq(96, 160), 30, (2, 3), deblock = true))), // inter loop filter
+        (6L, g1.take(g1.length / 2))) // truncated container → nulls
+      import s.implicits._
+      def pct(i: Int) =
+        round(element_at(col("video_features"), i) * 100).cast("int").as(s"b${i - 1}")
+      Multimodal.decodeVideo(clips.toDF("media_id", "payload"),
+          dims = 4, maxFrames = 3)
+        .select(col("media_id"), col("decoded_frames"),
+          col("frame_width"), col("frame_height"), pct(1), pct(2), pct(3), pct(4))
+    }),
+
     // incremental four-permutation store maintenance, oracle-checked
     // end to end: documents become quads (doc entity --P1--> language
     // literal), the 90% base builds the partitioned index, the 10%
@@ -1592,6 +1646,19 @@ object PipelineQueries {
         |  (3, 1, 32, 16, 0, 100, 0, 0),
         |  (4, 1, 32, 16, 0, 0, 100, 0),
         |  (5, 1, 32, 16, 0, 100, 0, 0),
+        |  (6, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+        |  t(media_id, decoded_frames, frame_width, frame_height, b0, b1, b2, b3)""".stripMargin,
+
+    // constructed facts: frame counts, dims and luma buckets of the
+    // I+P GOPs — clip 4 pins the chain-break contract (1 frame, not
+    // 2: the P after the corrupt sample must NOT decode)
+    "p86_h264_inter_decode" ->
+      """SELECT * FROM (VALUES
+        |  (1, 3, 32, 16, 0, 33, 33, 33),
+        |  (2, 2, 32, 16, 0, 100, 0, 0),
+        |  (3, 2, 32, 16, 0, 50, 50, 0),
+        |  (4, 1, 32, 16, 0, 100, 0, 0),
+        |  (5, 2, 32, 16, 0, 50, 50, 0),
         |  (6, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
         |  t(media_id, decoded_frames, frame_width, frame_height, b0, b1, b2, b3)""".stripMargin,
 

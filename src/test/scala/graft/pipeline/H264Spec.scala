@@ -498,4 +498,172 @@ class H264Spec extends AnyFunSuite {
     assertFrameEquals(stMixed.cropped, recMixed)
     assert(stMixed.deblockOnOfMb.toSeq === Seq(true, false))
   }
+
+  // ------------------------------------------------------ P (inter)
+
+  test("inter tables: CBP inter permutation; tc0 rows ordered by bS") {
+    assert(CbpInter.sorted.toSeq === (0 until 48))
+    // spec Table 9-4 anchors: the all-zero pattern leads, then
+    // chroma-DC-only, then the single-8x8 patterns
+    assert(CbpInter(0) === 0 && CbpInter(1) === 16 && CbpInter(2) === 1)
+    for (i <- 0 until 48) assert(CbpInterInv(CbpInter(i)) === i)
+    for ((name, tab) <- Seq(("tc0/bS1", Tc0Bs1), ("tc0/bS2", Tc0Bs2))) {
+      assert(tab.length === 52, name)
+      assert(tab.take(16).forall(_ === 0), s"$name head")
+      assert(tab.sliding(2).forall(p => p(0) <= p(1)), s"$name monotone")
+    }
+    for (i <- 0 until 52) {
+      assert(Tc0Bs1(i) <= Tc0Bs2(i), s"bS1 <= bS2 at $i")
+      assert(Tc0Bs2(i) <= Tc0Bs3(i), s"bS2 <= bS3 at $i")
+    }
+  }
+
+  private def decodeGop(sps: Array[Byte], pps: Array[Byte],
+                        slices: Seq[Array[Byte]]): Seq[PicState] = {
+    var ref: Option[PicState] = None
+    slices.map { sl =>
+      val st = H264.decodeNalsState(Seq(sps, pps, sl), refIn = ref)
+      assert(st.isDefined, "GOP frame failed to decode")
+      ref = st
+      st.get
+    }
+  }
+
+  test("P-frame roundtrip: I+P chain at zero, integer, half and quarter-pel motion") {
+    for ((mvs, qp) <- Seq(
+      (Seq((0, 0), (0, 0)), 24),   // pure-residual P frames
+      (Seq((8, 4), (-4, 8)), 20),  // integer-sample motion
+      (Seq((2, 0), (0, 2)), 28),   // half-sample: 6-tap interpolation
+      (Seq((1, 3), (3, 5)), 16))) { // quarter-sample: averaged positions
+      val frames = (0 until 3).map(i => gradientPlanes(3, 2, 40 + i))
+      val (sps, pps, slices, recons) = H264Encoder.encodeIpGop(
+        frames, 3, 2, qp, i => (_, _) => mvs(i - 1))
+      val sts = decodeGop(sps, pps, slices)
+      for (i <- 0 until 3)
+        assertFrameEquals(sts(i).cropped, recons(i))
+      // the P pictures really are inter: their blocks carry ref 0
+      assert(sts(1).refOfBlk.forall(_ === 0))
+      assert(sts(0).refOfBlk.forall(_ === -1))
+    }
+  }
+
+  test("P-frame roundtrip with the loop filter: inter bS grades apply") {
+    val frames = (0 until 3).map(i => gradientPlanes(3, 2, 90 + 7 * i))
+    val (sps, pps, slices, recons) = H264Encoder.encodeIpGop(
+      frames, 3, 2, 30, i => (_, _) => (4 * i, -4), deblock = true)
+    val sts = decodeGop(sps, pps, slices)
+    for (i <- 0 until 3) assertFrameEquals(sts(i).cropped, recons(i))
+  }
+
+  test("P_Skip: a static scene codes as one skip run and copies the reference") {
+    val (y, cb, cr) = gradientPlanes(3, 2, 7)
+    val (_, _, _, rc0) = H264Encoder.encodeIpGop(
+      Seq((y, cb, cr)), 3, 2, 20, _ => (_, _) => (0, 0))
+    val r0 = rc0.head
+    // frames 1 and 2 ARE the intra reconstruction: with mv (0, 0) the
+    // prediction is exact, every residual quantizes to zero, and each
+    // P slice collapses to a single mb_skip_run
+    val frames = Seq((y, cb, cr), (r0.y, r0.cb, r0.cr), (r0.y, r0.cb, r0.cr))
+    val (sps, pps, slices, recons) = H264Encoder.encodeIpGop(
+      frames, 3, 2, 20, _ => (_, _) => (0, 0))
+    assert(slices(1).length <= 8,
+      s"static P slice should be a bare skip run, got ${slices(1).length} bytes")
+    val sts = decodeGop(sps, pps, slices)
+    assertFrameEquals(sts(1).cropped, recons(1))
+    assertFrameEquals(sts(1).cropped, recons(0)) // skip == reference copy
+    assert(sts(1).lumaNz.forall(_ === 0))
+  }
+
+  /** Hand-written single-MB P slice with the given payload bits. */
+  private def handPSlice(body: BitWriter => Unit): Array[Byte] = {
+    val w = new BitWriter()
+    w.ue(0); w.ue(5); w.ue(0) // first_mb, slice_type P, pps_id
+    w.put(1, 4) // frame_num
+    w.put(0, 1); w.put(0, 1) // no override, no list modification
+    w.put(0, 1) // dec_ref_pic_marking: sliding window
+    w.se(0) // slice_qp_delta
+    w.ue(1) // deblocking off
+    body(w)
+    w.rbspTrailing()
+    Array(0x41.toByte) ++ H264.addEmulation(w.toBytes)
+  }
+
+  test("P_16x8 / P_8x16 partitions: per-partition motion, directional MV predictors") {
+    val (y, cb, cr) = gradientPlanes(1, 1, 55)
+    val (sps, pps, slI, _) = H264Encoder.encodeIpGop(
+      Seq((y, cb, cr)), 1, 1, 12, _ => (_, _) => (0, 0))
+    val ref = H264.decodeNalsState(Seq(sps, pps, slI.head)).get
+    def shifted(dx: Int, dy: Int, fromY: Int, untilY: Int): Seq[Int] =
+      for (yy <- fromY until untilY; xx <- 0 until 16) yield {
+        val sy = math.max(0, math.min(15, yy + dy))
+        val sx = math.max(0, math.min(15, xx + dx))
+        ref.y(sy * 16 + sx)
+      }
+    // 16x8: top moves (+2, -2), bottom (-2, +2); integer-sample mvds
+    // in quarter units. Top: A/B/C all unavailable → predictor (0,0);
+    // bottom: neighbor B is the top partition → predictor = top mv.
+    val p16x8 = handPSlice { w =>
+      w.ue(0) // mb_skip_run
+      w.ue(1) // P_L0_L0_16x8
+      w.se(8); w.se(-8) // top mvd → mv (8, -8) = (+2, -2) px
+      w.se(-16); w.se(16) // bottom mvd from top pred → mv (-8, 8) = (-2, +2) px
+      w.ue(CbpInterInv(0))
+    }
+    val st1 = H264.decodeNalsState(Seq(sps, pps, p16x8), refIn = Some(ref))
+    assert(st1.isDefined, "P_16x8 failed to decode")
+    assert(st1.get.y.slice(0, 128).toSeq === shifted(2, -2, 0, 8))
+    assert(st1.get.y.slice(128, 256).toSeq === shifted(-2, 2, 8, 16))
+    // 8x16: left (+2, 0), right (-2, 0). Left: predictor (0,0);
+    // right: neighbor C unavailable → D → left partition? D is
+    // (bx-1, by-1) — out of picture; matching set is then {A = left
+    // partition} → predictor = left mv.
+    val p8x16 = handPSlice { w =>
+      w.ue(0)
+      w.ue(2) // P_L0_L0_8x16
+      w.se(8); w.se(0) // left mv (8, 0)
+      w.se(-16); w.se(0) // right mvd → mv (-8, 0)
+      w.ue(CbpInterInv(0))
+    }
+    val st2 = H264.decodeNalsState(Seq(sps, pps, p8x16), refIn = Some(ref))
+    assert(st2.isDefined, "P_8x16 failed to decode")
+    for (yy <- 0 until 16; xx <- 0 until 16) {
+      val dx = if (xx < 8) 2 else -2
+      val sx = math.max(0, math.min(15, xx + dx))
+      assert(st2.get.y(yy * 16 + xx) === ref.y(yy * 16 + sx),
+        s"8x16 pixel ($xx, $yy)")
+    }
+  }
+
+  test("P degradation: no reference, P_8x8, weighted prediction, CABAC-P → None") {
+    val (y, cb, cr) = gradientPlanes(2, 1, 3)
+    val (sps, pps, slices, _) = H264Encoder.encodeIpGop(
+      (0 until 2).map(_ => (y, cb, cr)), 2, 1, 20, _ => (_, _) => (0, 0))
+    val ref = H264.decodeNalsState(Seq(sps, pps, slices(0)))
+    // a P slice with no reference picture must not decode
+    assert(H264.decodeNals(Seq(sps, pps, slices(1))).isEmpty)
+    // P_8x8 (mb_type 3) is the documented ceiling
+    val p8x8 = handPSlice { w => w.ue(0); w.ue(3) }
+    assert(H264.decodeNalsState(Seq(sps, pps, p8x8), refIn = ref).isEmpty)
+    // weighted prediction needs the pred_weight_table we do not parse
+    val weightedPps = {
+      val w = new BitWriter()
+      w.ue(0); w.ue(0); w.put(0, 1); w.put(0, 1); w.ue(0); w.ue(0); w.ue(0)
+      w.put(1, 1) // weighted_pred_flag = 1
+      w.put(0, 2); w.se(0); w.se(0); w.se(0)
+      w.put(1, 1); w.put(0, 1); w.put(0, 1); w.rbspTrailing()
+      Array(0x68.toByte) ++ H264.addEmulation(w.toBytes)
+    }
+    assert(H264.decodeNalsState(Seq(sps, weightedPps, slices(1)), refIn = ref).isEmpty)
+    // an I slice under the weighted PPS is unaffected
+    assert(H264.decodeNalsState(Seq(sps, weightedPps, slices(0))).isDefined)
+    // CABAC P slices are out of ceiling: entropy_coding_mode=1 PPS
+    val cabacPps = {
+      val w = new BitWriter()
+      w.ue(0); w.ue(0); w.put(1, 1); w.put(0, 1); w.ue(0); w.ue(0); w.ue(0)
+      w.put(0, 1); w.put(0, 2); w.se(0); w.se(0); w.se(0)
+      w.put(1, 1); w.put(0, 1); w.put(0, 1); w.rbspTrailing()
+      Array(0x68.toByte) ++ H264.addEmulation(w.toBytes)
+    }
+    assert(H264.decodeNalsState(Seq(sps, cabacPps, slices(1)), refIn = ref).isEmpty)
+  }
 }
