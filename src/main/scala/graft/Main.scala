@@ -22,6 +22,8 @@ object Main {
       |  create-index <flatDbDir> <outDir> [--buckets=N] [--zorder=colA,colB]
       |  append-index <dump> <dbDir> [--no-qualifiers] [--lang=en,de,...] [--lexemes]
       |  compact-index <dbDir> [--max-files=N]
+      |  update <dbDir> "<sparql-update>"
+      |  vacuum <dbDir>
       |  server [port] [dbDir]
       |  cli ["<sparql>"] [dbDir]""".stripMargin
 
@@ -85,6 +87,23 @@ object Main {
       val n = ingest.IndexMaintenance.compactIndex(GraftSession.get(),
         positional(0), intFlag(args.tail, "max-files", 8))
       println(s"compacted $n partitions in ${positional(0)}")
+      0
+    case Some("update") =>
+      val positional = args.tail.filterNot(_.startsWith("--"))
+      if (positional.length < 2) { System.err.println(usage); return 2 }
+      val r = try sparql.Update.execute(GraftSession.get(), positional(1), positional(0))
+      catch {
+        case e: sparql.Parser.ParseException =>
+          System.err.println(s"update parse error: ${e.getMessage}"); return 2
+      }
+      println(s"inserted ${r.inserted}, deleted ${r.deleted}, " +
+        s"undeleted ${r.undeleted} in ${positional(0)}")
+      0
+    case Some("vacuum") =>
+      val positional = args.tail.filterNot(_.startsWith("--"))
+      if (positional.isEmpty) { System.err.println(usage); return 2 }
+      val n = ingest.IndexMaintenance.vacuumIndex(GraftSession.get(), positional(0))
+      println(s"vacuumed $n partitions in ${positional(0)}")
       0
     case Some("server") => server.QueryServer.main(args.tail); 0
     case Some("cli") => cli.Query.main(args.tail); 0

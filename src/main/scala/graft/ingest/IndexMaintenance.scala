@@ -347,6 +347,156 @@ object IndexMaintenance {
     compacted
   }
 
+  /** Bump the persisted mutation generation (no other field changes).
+    * Used by [[graft.sparql.Update]] after tombstone-only mutations, so
+    * external readers and epoch guards observe the change.
+    */
+  def bumpGeneration(spark: SparkSession, dir: String): Unit = {
+    val m = readMeta(spark, dir)
+    writeMeta(dir, m.copy(generation = m.generation + 1L))
+  }
+
+  /** Fold the store's deletion tombstones ([[Tombstones]]) into the
+    * data files and clear them — the delete path's analog of
+    * [[compactIndex]]. Only the partitions that can contain a
+    * tombstoned quad are rewritten: each permutation's affected bucket
+    * set is computed from the tombstones' term payloads through the
+    * same [[WikidataIngest.bucketColumn]] routing the writers use
+    * (an un-GRAPHed delete can sit in any graph bucket, so it marks
+    * the graph copy's whole bucket set). Rewrites keep the sorted
+    * range-partitioned layout; a partition whose every row was deleted
+    * is removed outright (dynamic partition overwrite cannot replace a
+    * partition with nothing). Returns the number of partition
+    * directories rewritten or removed across all copies.
+    *
+    * At 100 TB this is the steady-state story for deletes: reads pay a
+    * broadcast anti-join between vacuums, and vacuum cost scales with
+    * the AFFECTED partitions, not the store.
+    */
+  def vacuumIndex(spark: SparkSession, dir: String): Int = {
+    requireNotPending(dir)
+    if (!Tombstones.exists(dir)) return 0
+    val meta = readMeta(spark, dir)
+    val tomb = Tombstones.read(spark, dir).get
+    val flat = !new File(s"$dir/statements_sub.parquet").exists()
+
+    val pending = new File(dir, PendingMarker)
+    pending.createNewFile()
+    var touched = 0
+    try {
+      if (flat) {
+        // flat store: no partitions to prune — rewrite both tables via
+        // a staged swap (cannot overwrite a path being read)
+        for ((file, filter) <- Seq(
+          ("statements.parquet",
+            (df: org.apache.spark.sql.DataFrame) => Tombstones.filterStatements(spark, dir, df)),
+          ("labels.parquet",
+            (df: org.apache.spark.sql.DataFrame) => Tombstones.filterLabels(spark, dir, df)))
+             if new File(s"$dir/$file").exists()) {
+          val tmp = new File(s"$dir/$file.tmp")
+          Tombstones.deleteRecursively(tmp)
+          val out = filter(spark.read.parquet(s"$dir/$file"))
+          val sorted = if (file.startsWith("statements"))
+            out.sortWithinPartitions(col("p.key"), col("s.key")) else out
+          sorted.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+          val live = new File(s"$dir/$file")
+          Tombstones.deleteRecursively(live)
+          require(tmp.renameTo(live), s"could not swap $tmp into place")
+          touched += 1
+        }
+      } else {
+        // permutation copies: prune to affected buckets
+        val numOf = Map("p" -> "p_num", "o" -> "o_num", "s" -> "s_num",
+          "graph" -> "g_num")
+        for ((file, bucketCol, term, sortKeys) <- Copies
+             if new File(s"$dir/$file").exists()) {
+          val base = new File(s"$dir/$file")
+          val allBuckets = leafPartitions(base).map { case (d, _, bytes) =>
+            d.getName.stripPrefix(s"$bucketCol=").toInt -> bytes
+          }.toMap
+          val graphAny = term == "graph" &&
+            tomb.filter(col("g_any")).limit(1).count() > 0
+          val affected: Set[Int] =
+            if (graphAny) allBuckets.keySet
+            else tomb.select(
+              when(col(numOf(term)).isNotNull,
+                pmod(col(numOf(term)).cast("long"), lit(meta.buckets.toLong)))
+                .otherwise(lit(meta.buckets.toLong)).cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+          val present = affected.intersect(allBuckets.keySet)
+          if (present.nonEmpty) {
+            val df = spark.read.parquet(base.getAbsolutePath)
+              .filter(col(bucketCol).isin(present.toSeq: _*))
+            val out = Tombstones.filterStatements(spark, dir, df)
+            val survivors = out.select(bucketCol).distinct()
+              .collect().map(_.getInt(0)).toSet
+            if (survivors.nonEmpty) {
+              val bytes = present.toSeq.map(allBuckets).sum
+              val parts = math.max(present.size,
+                (bytes / WikidataIngest.TargetFileBytes + 1).toInt)
+              val prevMode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+              try Tombstones.filterStatements(spark, dir, df)
+                .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*)
+                .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
+                .write.mode(SaveMode.Overwrite)
+                .option("parquet.block.size",
+                  WikidataIngest.PermutationBlockBytes.toString)
+                .partitionBy(bucketCol)
+                .parquet(base.getAbsolutePath)
+              finally spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prevMode)
+            }
+            for (dead <- present -- survivors)
+              Tombstones.deleteRecursively(new File(base, s"$bucketCol=$dead"))
+            touched += present.size
+          }
+        }
+        // labels: affected (kind, lang) partitions from label-kind
+        // tombstones (the label view is graph-agnostic, see
+        // Tombstones.filterLabels)
+        val labelBase = new File(s"$dir/labels.parquet")
+        if (labelBase.exists()) {
+          val labelKinds = Seq(graft.model.Term.Kind.Label,
+            graft.model.Term.Kind.Desc, graft.model.Term.Kind.Alias)
+          val parts = tomb.filter(col("p_kind").isin(labelKinds: _*))
+            .select(col("p_kind"), col("p_str")).distinct().collect()
+            .map(r => (r.getString(0), r.getString(1)))
+          if (parts.nonEmpty) {
+            val cond = parts.map { case (k, l) =>
+              col("kind") === k && (col("lang") <=> l)
+            }.reduce(_ || _)
+            val df = spark.read.parquet(labelBase.getAbsolutePath).filter(cond)
+            val out = Tombstones.filterLabels(spark, dir, df)
+            val survivors = out.select("kind", "lang").distinct().collect()
+              .map(r => (r.getString(0), r.getString(1))).toSet
+            if (survivors.nonEmpty) {
+              val prevMode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+              try Tombstones.filterLabels(spark, dir, df)
+                .repartition(col("kind"), col("lang"))
+                .write.mode(SaveMode.Overwrite)
+                .partitionBy("kind", "lang")
+                .parquet(labelBase.getAbsolutePath)
+              finally spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prevMode)
+            }
+            for ((k, l) <- parts.toSet -- survivors)
+              Tombstones.deleteRecursively(new File(labelBase, s"kind=$k/lang=$l"))
+            touched += parts.length
+          }
+        }
+      }
+      Tombstones.clear(dir)
+      writeMeta(dir, meta.copy(generation = meta.generation + 1L))
+    } finally WikidataIngest.invalidate(dir)
+    // reached only on success (an exception leaves the marker)
+    pending.delete()
+    touched
+  }
+
   /** Quantify a suspect store (e.g. after a crashed append): per-copy
     * row counts, which must all be equal on a consistent store. Does
     * NOT clear the pending marker — only a rebuild does.

@@ -128,7 +128,7 @@ object WikidataIngest {
   /** Pre-rendered lexical columns used by the result sink (computed
     * once at build time instead of per query).
     */
-  private[ingest] def rendered(statements: DataFrame): DataFrame = {
+  private[graft] def rendered(statements: DataFrame): DataFrame = {
     import graft.model.Render
     statements
       .withColumn("s_lex", Render.lex(col("s")))
@@ -498,7 +498,7 @@ object WikidataIngest {
     * (QueryServer's translated-plan LRU) stop serving plans over the
     * old file listing.
     */
-  private[ingest] def invalidate(dir: String): Unit = {
+  private[graft] def invalidate(dir: String): Unit = {
     readCache.keys.filter(_._2.startsWith(dir)).foreach(readCache.remove)
     epochs.updateWith(dir) { v => Some(v.getOrElse(0L) + 1L) }
   }
@@ -521,36 +521,54 @@ object WikidataIngest {
     readCache.getOrElseUpdate((spark, s"$dir/statements.parquet"), {
       val p = new java.io.File(s"$dir/statements.parquet")
       if (!p.exists()) build(spark, fixturePath, dir)
-      spark.read.parquet(s"$dir/statements.parquet")
+      Tombstones.filterStatements(spark, dir,
+        spark.read.parquet(s"$dir/statements.parquet"))
     })
 
   def labels(spark: SparkSession, dir: String = defaultDir): DataFrame =
     readCache.getOrElseUpdate((spark, s"$dir/labels.parquet"), {
       val p = new java.io.File(s"$dir/labels.parquet")
       if (!p.exists()) build(spark, fixturePath, dir)
-      spark.read.parquet(s"$dir/labels.parquet")
+      // a labels-free store's partitioned labels table holds no data
+      // files and therefore no readable schema (partitionBy of an
+      // empty frame writes nothing): that is an EMPTY labels table,
+      // not an error — same tolerance as IndexMaintenance.repairCheck
+      val raw = try spark.read.parquet(s"$dir/labels.parquet")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("entity_key", StringType),
+              StructField("kind", StringType), StructField("lang", StringType),
+              StructField("text", StringType), StructField("ord", LongType))))
+      }
+      Tombstones.filterLabels(spark, dir, raw)
     })
 
   /** The object-partitioned copy, when the store has one (only
     * [[buildPartitioned]] writes it — the flat fixture store doesn't).
     */
   def statementsObj(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
-    optionalCopy(spark, s"$dir/statements_obj.parquet")
+    optionalCopy(spark, dir, "statements_obj.parquet")
 
   /** The subject-partitioned copy (see [[statementsObj]]). */
   def statementsSub(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
-    optionalCopy(spark, s"$dir/statements_sub.parquet")
+    optionalCopy(spark, dir, "statements_sub.parquet")
 
   /** The graph-partitioned copy (see [[statementsObj]]; stores built
     * by earlier create-index versions simply lack it and constant-GRAPH
     * scans fall back to the main copy's key filter).
     */
   def statementsGr(spark: SparkSession, dir: String = defaultDir): Option[DataFrame] =
-    optionalCopy(spark, s"$dir/statements_gr.parquet")
+    optionalCopy(spark, dir, "statements_gr.parquet")
 
-  private def optionalCopy(spark: SparkSession, path: String): Option[DataFrame] =
+  private def optionalCopy(spark: SparkSession, dir: String, file: String): Option[DataFrame] = {
+    val path = s"$dir/$file"
     if (!new java.io.File(path).exists()) None
-    else Some(readCache.getOrElseUpdate((spark, path), spark.read.parquet(path)))
+    else Some(readCache.getOrElseUpdate((spark, path),
+      Tombstones.filterStatements(spark, dir, spark.read.parquet(path))))
+  }
 
   /** `runMain graft.ingest.WikidataIngest [path] [dir] [--partitioned]`
     * — the create-db / create-index analog (reference `src/main.rs`).

@@ -176,7 +176,12 @@ object H264 {
       // P-slice fields: weighted prediction is out of the supported
       // ceiling (a P slice under it would need the pred_weight_table),
       // and only one active L0 reference is supported
-      weightedPred: Boolean = false, numRefIdxL0Default: Int = 0)
+      weightedPred: Boolean = false, numRefIdxL0Default: Int = 0,
+      // §7.3.2.2 tail (High profile): Cr gets its own QP offset. The
+      // in-loop filter keeps using the Cb offset for both planes when
+      // they differ (the encoder emits equal offsets; divergence only
+      // shifts the filter's clip strength, never reconstruction)
+      chromaQpOffCr: Int = 0)
 
   /** Parse seq_parameter_set_rbsp (§7.3.2.1). None = uses tools beyond
     * the supported baseline-intra subset.
@@ -231,8 +236,21 @@ object H264 {
       val deblockCtrl = r.read1() == 1
       val constrainedIntra = r.read1() == 1
       val redundant = r.read1() == 1
+      // §7.3.2.2 High-profile tail. Parsed rather than ignored: a PPS
+      // with transform_8x8_mode_flag=1 would let macroblocks code
+      // transform_size_8x8_flag, which this decoder does not read —
+      // continuing would DESYNC the slice bitstream and reconstruct
+      // garbage. Refusing the PPS keeps the degradation contract
+      // honest (no frames, never wrong frames). Scaling matrices
+      // likewise change every dequant.
+      var chromaQpOffCr = chromaQpOff
+      if (r.moreRbspData()) {
+        if (r.read1() == 1) return None // transform_8x8_mode unsupported
+        if (r.read1() == 1) return None // pic scaling matrices unsupported
+        chromaQpOffCr = r.se()
+      }
       Some(Pps(cabac, bottomPoc, qp, chromaQpOff, deblockCtrl, constrainedIntra,
-        redundant, weightedPred, numRefL0))
+        redundant, weightedPred, numRefL0, chromaQpOffCr))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------ CAVLC tables
@@ -1465,7 +1483,10 @@ object H264 {
                            mbX: Int, mbY: Int, chromaMode: Int,
                            cbpChroma: Int, qp: Int,
                            interPred: Option[(Array[Int], Array[Int])] = None): Unit = {
-    val qpc = chromaQp(qp, pps.chromaQpOff)
+    // per-plane QP: Cb uses chroma_qp_index_offset, Cr the High-profile
+    // second offset (equal unless the PPS tail set them apart)
+    def qpcOf(c: Int): Int =
+      chromaQp(qp, if (c == 0) pps.chromaQpOff else pps.chromaQpOffCr)
     val cw = st.w / 2
     val px = mbX * 8
     val py = mbY * 8
@@ -1481,6 +1502,7 @@ object H264 {
       val nzPlane = if (c == 0) st.cbNz else st.crNz
       val pred = interPred.map(p => if (c == 0) p._1 else p._2)
         .getOrElse(predictChroma(st, plane, chromaMode, px, py, mb))
+      val qpc = qpcOf(c)
       val dc = if (cbpChroma != 0) dequantChromaDc(dcs(c), qpc) else Array(0, 0, 0, 0)
       for (b <- 0 until 4) {
         val lx = b % 2

@@ -785,7 +785,10 @@ object H264Cabac {
   private def decodeChromaCabac(dec: Decoder, sc: SliceCtx, st: PicState,
                                 pps: Pps, mb: Int, mbX: Int, mbY: Int,
                                 chromaMode: Int, cbpChroma: Int, qp: Int): Unit = {
-    val qpc = chromaQp(qp, pps.chromaQpOff)
+    // per-plane QP: Cb uses chroma_qp_index_offset, Cr the High-profile
+    // second offset (equal unless the PPS tail set them apart)
+    def qpcOf(c: Int): Int =
+      chromaQp(qp, if (c == 0) pps.chromaQpOff else pps.chromaQpOffCr)
     val cw = st.w / 2
     val px = mbX * 8
     val py = mbY * 8
@@ -801,6 +804,7 @@ object H264Cabac {
       val nzPlane = if (c == 0) st.cbNz else st.crNz
       val cbfGrid = if (c == 0) sc.cbfCb else sc.cbfCr
       val pred = predictChroma(st, plane, chromaMode, px, py, mb)
+      val qpc = qpcOf(c)
       val dc = if (cbpChroma != 0) dequantChromaDc(dcs(c), qpc) else Array(0, 0, 0, 0)
       for (b <- 0 until 4) {
         val lx = b % 2

@@ -1196,6 +1196,66 @@ object PipelineQueries {
         .toDF("metric", "n").orderBy("metric")
     }),
 
+    // SPARQL Update end-to-end over the partitioned store (the
+    // reference is read-only — its only write path is a full rebuild,
+    // src/main.rs:50-66): INSERT DATA appends through the incremental
+    // path, DELETE WHERE tombstones a whole predicate-value slice, a
+    // re-INSERT of one deleted quad cancels its tombstone instead of
+    // duplicating the row, and vacuum folds the tombstones into the
+    // data files — the per-language counts read back through the
+    // SPARQL engine must equal the raw table's arithmetic BEFORE AND
+    // AFTER the vacuum (asserted engine-side; a mismatch on any of the
+    // four permutations' routes breaks the hash)
+    "p87_sparql_update" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      import graft.ingest.{IndexMaintenance, WikidataIngest}
+      import graft.model.Term
+      import graft.sparql.Update
+      val nulStr = lit(null).cast("string")
+      val nulNum = lit(null).cast("double")
+      def qEnt(e: Column) = Term.struct_(lit(Term.Kind.Q), e.cast("double"),
+        nulStr, nulStr, concat(lit("Q:"), e.cast("long").cast("string")))
+      def strT(v: Column) = Term.struct_(lit(Term.Kind.Str), nulNum, v,
+        nulStr, concat(lit("s:"), v))
+      val e = col("doc_id") + lit(1L)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      val quads = docs.select(
+        qEnt(e).as("s"),
+        Term.struct_(lit(Term.Kind.P), lit(1.0), nulStr, nulStr,
+          lit("P:1")).as("p"),
+        strT(col("lang")).as("o"),
+        Term.struct_(lit(Term.Kind.NamedEdge), nulNum,
+          concat(lit("D"), col("doc_id").cast("string")), nulStr,
+          concat(lit("NE:D"), col("doc_id").cast("string"))).as("id"),
+        qEnt(e).as("graph"),
+        col("doc_id").as("ord"))
+      val root = java.nio.file.Files.createTempDirectory("graft-p87")
+        .toFile.getAbsolutePath
+      WikidataIngest.writeStore(s, quads, s"$root/flat")
+      WikidataIngest.createIndex(s, s"$root/flat", s"$root/idx")
+      val idx = s"$root/idx"
+      // lowest-id English doc: its quad is deleted with the rest, then
+      // re-inserted (the un-delete path)
+      val minEn = docs.filter(col("lang") === "en")
+        .agg(min(col("doc_id"))).head().getLong(0) + 1L
+      val r1 = Update.execute(s,
+        """INSERT DATA { wd:Q900001 wdt:P1 "zz" .
+          |              wd:Q900001 rdfs:label "planted"@en }""".stripMargin, idx)
+      require(r1.inserted == 2, s"insert data appended ${r1.inserted}")
+      val r2 = Update.execute(s, """DELETE WHERE { ?s wdt:P1 "en" }""", idx)
+      require(r2.deleted > 0, "delete-where removed nothing")
+      val r3 = Update.execute(s, s"""INSERT DATA { wd:Q$minEn wdt:P1 "en" }""", idx)
+      require(r3 == Update.Result(0, 0, 1),
+        s"re-insert of a tombstoned quad must un-delete, got $r3")
+      val q = "SELECT ?lang (COUNT(?s) AS ?n) WHERE { ?s wdt:P1 ?lang } " +
+        "GROUP BY ?lang"
+      val before = graft.sparql.Sparql.rendered(s, q, idx).collect().toSet
+      require(IndexMaintenance.vacuumIndex(s, idx) > 0, "vacuum folded nothing")
+      val after = graft.sparql.Sparql.rendered(s, q, idx)
+      require(after.collect().toSet == before, "vacuum changed query results")
+      after
+    }),
+
     // BM25 keyword retrieval, fully oracle-checked: queries are the
     // first 8 tokens of docs 0-2 (self-retrieval — each query's source
     // doc should surface), scores round to 6 dp BEFORE ranking so the
@@ -1682,6 +1742,16 @@ object PipelineQueries {
         |UNION ALL SELECT 'statements_obj.parquet', n FROM b
         |UNION ALL SELECT 'statements_sub.parquet', n FROM b
         |ORDER BY metric""".stripMargin,
+
+    // SPARQL-updated store: every language keeps its raw count except
+    // 'en' (deleted wholesale, one quad re-inserted) and 'zz' (the
+    // INSERT DATA plant); identical before and after vacuum
+    "p87_sparql_update" ->
+      """WITH d AS (SELECT lang FROM documents WHERE doc_id < 1000)
+        |SELECT lang, CAST(count(*) AS VARCHAR) AS n FROM d
+        |WHERE lang <> 'en' GROUP BY lang
+        |UNION ALL SELECT 'en', '1'
+        |UNION ALL SELECT 'zz', '1'""".stripMargin,
 
     // constructed-fact pairs: clips sharing ≥2 luma buckets by design
     "p71_video_neardup" ->

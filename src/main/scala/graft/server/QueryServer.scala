@@ -148,6 +148,7 @@ object QueryServer {
     }
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query", (ex: HttpExchange) => handle(spark, dir, ex))
+    server.createContext("/update", (ex: HttpExchange) => handleUpdate(spark, dir, ex))
     // static query UI (reference frontend/ parity; original page)
     server.createContext("/", (ex: HttpExchange) => {
       val bytes =
@@ -244,6 +245,82 @@ object QueryServer {
       try os.close() catch { case _: Throwable => }
     }
   }
+
+  /** SPARQL 1.1 Protocol §2.2 update endpoint (POST only): the request
+    * carries the update either as a urlencoded form field `update` or
+    * directly as `application/sparql-update`. Responds with a small
+    * JSON summary `{"inserted":…,"deleted":…,"undeleted":…}`. Updates
+    * are serialized per server (one writer at a time — the store's
+    * maintenance operations are single-writer by contract); queries
+    * keep running concurrently and see each committed update via the
+    * store-epoch plan-cache key.
+    */
+  private def handleUpdate(spark: SparkSession, dir: String, ex: HttpExchange): Unit = {
+    def respond(code: Int, body: String, contentType: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+      ex.getResponseHeaders.add("Content-Type", contentType)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    try {
+      if (ex.getRequestMethod == "OPTIONS") {
+        ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+        ex.getResponseHeaders.add("Access-Control-Allow-Methods", "POST, OPTIONS")
+        ex.getResponseHeaders.add("Access-Control-Allow-Headers", "Content-Type")
+        ex.sendResponseHeaders(204, -1L)
+        ex.close()
+        return
+      }
+      if (ex.getRequestMethod != "POST") {
+        respond(405, "updates require POST (SPARQL 1.1 Protocol §2.2)", "text/plain")
+        return
+      }
+      val maxBody = spark.conf
+        .get("spark.graft.server.maxBodyBytes", (1 << 20).toString)
+        .toIntOption.filter(_ > 0).getOrElse(1 << 20)
+      val bytes = ex.getRequestBody
+        .readNBytes(math.min(maxBody.toLong + 1, Int.MaxValue.toLong).toInt)
+      if (bytes.length > maxBody) {
+        respond(413, s"request body exceeds " +
+          s"spark.graft.server.maxBodyBytes=$maxBody", "text/plain")
+        return
+      }
+      val body = new String(bytes, StandardCharsets.UTF_8)
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val updateText =
+        if (ct.split(';').head.trim.equalsIgnoreCase("application/sparql-update"))
+          Some(body)
+        else body.split('&').iterator.map(_.split("=", 2))
+          .collectFirst { case Array(k, v)
+              if URLDecoder.decode(k, "UTF-8") == "update" =>
+            URLDecoder.decode(v, "UTF-8")
+          }
+      updateText match {
+        case None => respond(400, "missing 'update' parameter", "text/plain")
+        case Some(u) =>
+          val r = updateLock.synchronized {
+            graft.sparql.Update.execute(spark, u, dir)
+          }
+          respond(200, s"""{"inserted": ${r.inserted}, "deleted": ${r.deleted}, """ +
+            s""""undeleted": ${r.undeleted}}""", "application/json")
+      }
+    } catch {
+      case e: graft.sparql.Parser.ParseException =>
+        respond(400, s"update parse error: ${e.getMessage}", "text/plain")
+      case e: IllegalArgumentException =>
+        respond(409, s"store not updatable: ${e.getMessage}", "text/plain")
+      case scala.util.control.NonFatal(e) =>
+        respond(500, s"update failed: ${e.getClass.getSimpleName}: ${e.getMessage}",
+          "text/plain")
+    } finally ex.close()
+  }
+
+  /** One writer at a time ([[handleUpdate]]); the store's maintenance
+    * primitives (tombstone swap, meta write) assume a single mutator.
+    */
+  private val updateLock = new Object
 
   private def handle(spark: SparkSession, dir: String, ex: HttpExchange): Unit = {
     def respond(code: Int, body: String, contentType: String): Unit = {

@@ -143,6 +143,31 @@ object Ast {
     def root: Op = pattern.getOrElse(Bgp(Nil))
   }
 
+  // ---- updates (Spark-first extension — the reference engine is
+  // read-only: its only write path is the full `create-db` rebuild,
+  // `src/main.rs:50-66`; SPARQL 1.1 Update §3.1 forms mapped onto the
+  // incrementally-maintained store instead) ------------------------------
+
+  /** One quad in an update template or data block. `g = None` targets
+    * the default graph (stored as a null graph term).
+    */
+  final case class Quad(s: TermPat, p: TermPat, o: TermPat, g: Option[TermPat])
+
+  /** One update operation; a request is a `;`-separated sequence. */
+  sealed trait UpdateOp
+  /** `INSERT DATA { quads }` — concrete quads only (enforced at parse). */
+  final case class InsertData(quads: Seq[Quad]) extends UpdateOp
+  /** `DELETE DATA { quads }` — concrete quads only. */
+  final case class DeleteData(quads: Seq[Quad]) extends UpdateOp
+  /** `DELETE {tpl} INSERT {tpl} WHERE {pattern}` and its sugar forms
+    * (`DELETE WHERE {pats}` sets `deleteTpl = pats, where = pats`).
+    * Templates may contain variables bound by `where`; a template quad
+    * with any unbound / ill-formed position is skipped per SPARQL 1.1
+    * Update §3.1.3.
+    */
+  final case class Modify(deleteTpl: Seq[Quad], insertTpl: Seq[Quad],
+                          where: Op) extends UpdateOp
+
   /** Prefix for internal pseudo-variables (blank-node columns, unnamed
     * group keys, synthesized aggregate slots). `#` cannot appear in a
     * lexed variable name (the lexer admits letters, digits, `_`, `-`),

@@ -37,6 +37,19 @@ object Parser {
         throw ParseException(s"malformed query (${e.getClass.getSimpleName}: ${e.getMessage})")
     }
 
+  /** Parse a SPARQL 1.1 Update request (a `;`-separated sequence of
+    * INSERT DATA / DELETE DATA / DELETE WHERE / DELETE-INSERT-WHERE
+    * operations). The reference engine has no update surface at all —
+    * this is a Spark-first extension executed by [[Update]].
+    */
+  def parseUpdate(update: String): Seq[UpdateOp] =
+    try new Parser(tokenize(update)).parseUpdateRequest()
+    catch {
+      case e: ParseException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw ParseException(s"malformed update (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
   // ---------------------------------------------------------------- lexer
 
   sealed trait Tok
@@ -171,7 +184,7 @@ object Parser {
       }
 
     // -- entry ---------------------------------------------------------
-    def parseQuery(): Query = {
+    private def parsePrologue(): Unit = {
       while (isWord("PREFIX") || isWord("BASE")) {
         if (eatWord("PREFIX")) {
           val (p, _) = next() match {
@@ -185,6 +198,10 @@ object Parser {
           prefixes = prefixes + (p -> iri)
         } else { next(); next() } // BASE <iri> — accepted, unused
       }
+    }
+
+    def parseQuery(): Query = {
+      parsePrologue()
       if (eatWord("ASK")) {
         val ds = parseDatasetClauses()
         eatWord("WHERE") // ASK DatasetClause* WhereClause; WHERE optional
@@ -262,6 +279,107 @@ object Parser {
         expectWord("SELECT")
         parseSelectRest()
       }
+    }
+
+    // -- update entry ----------------------------------------------------
+
+    /** UpdateRequest ::= Prologue UpdateOp (';' Prologue UpdateOp?)*
+      * (SPARQL 1.1 Update §3; prefixes accumulate across operations).
+      */
+    def parseUpdateRequest(): Seq[UpdateOp] = {
+      val ops = ArrayBuffer.empty[UpdateOp]
+      var more = true
+      while (more) {
+        parsePrologue()
+        if (peek.isEmpty) more = false
+        else {
+          ops += parseUpdateOp()
+          if (eatPunct(";")) more = peek.nonEmpty
+          else if (peek.nonEmpty)
+            throw ParseException(s"unexpected token $peek after update operation")
+          else more = false
+        }
+      }
+      if (ops.isEmpty) throw ParseException("empty update request")
+      ops.toSeq
+    }
+
+    private def parseUpdateOp(): UpdateOp =
+      if (eatWord("INSERT")) {
+        if (eatWord("DATA")) InsertData(parseQuadBlock(requireConst = true))
+        else {
+          val ins = parseQuadBlock(requireConst = false)
+          expectWord("WHERE")
+          Modify(Nil, ins, parseGroupGraphPattern())
+        }
+      } else if (eatWord("DELETE")) {
+        if (eatWord("DATA")) DeleteData(parseQuadBlock(requireConst = true))
+        else if (isWord("WHERE")) {
+          // DELETE WHERE { pats }: the pattern is also the template
+          next()
+          val pats = parseQuadBlock(requireConst = false)
+          Modify(pats, Nil, quadsAsPattern(pats))
+        } else {
+          val del = parseQuadBlock(requireConst = false)
+          val ins = if (eatWord("INSERT")) parseQuadBlock(requireConst = false) else Nil
+          expectWord("WHERE")
+          Modify(del, ins, parseGroupGraphPattern())
+        }
+      } else throw ParseException(s"expected INSERT or DELETE, got $peek")
+
+    /** QuadData / QuadPattern ::= '{' (TriplesBlock | GRAPH iri|var
+      * '{' TriplesBlock? '}')* '}'. Property paths are not triples and
+      * blank nodes are forbidden in every update template (we reject
+      * the INSERT-mints-fresh-bnodes case rather than half-support it);
+      * `requireConst` additionally rejects variables (DATA forms).
+      */
+    private def parseQuadBlock(requireConst: Boolean): Seq[Quad] = {
+      expectPunct("{")
+      val out = ArrayBuffer.empty[Quad]
+      def checked(p: TermPat, pos: String): TermPat = p match {
+        case Var(n) if n.startsWith(BnodePrefix) =>
+          throw ParseException("blank nodes are not allowed in update quads")
+        case Var(n) if requireConst =>
+          throw ParseException(s"variable ?$n in $pos of a DATA block (concrete terms only)")
+        case other => other
+      }
+      def add(ts: Seq[Triple], g: Option[TermPat]): Unit =
+        out ++= ts.map(t => Quad(checked(t.s, "subject"), checked(t.p, "predicate"),
+          checked(t.o, "object"), g.map(checked(_, "graph"))))
+      var done = false
+      while (!done) {
+        if (isPunct("}")) { next(); done = true }
+        else if (eatWord("GRAPH")) {
+          val g: TermPat = peek match {
+            case Some(TVar(v)) if !requireConst => next(); Var(v)
+            case _ => Const(parseIriTerm())
+          }
+          expectPunct("{")
+          if (!isPunct("}")) parseTriplesBlock() match {
+            case Bgp(ts) => add(ts, Some(g))
+            case _ => throw ParseException("property paths are not allowed in update quads")
+          }
+          expectPunct("}")
+        } else parseTriplesBlock() match {
+          case Bgp(ts) => add(ts, None)
+          case _ => throw ParseException("property paths are not allowed in update quads")
+        }
+        eatPunct(".")
+      }
+      out.toSeq
+    }
+
+    /** The WHERE op implied by `DELETE WHERE { pats }`: default-graph
+      * quads form one BGP, each named-graph group scans under its
+      * GRAPH.
+      */
+    private def quadsAsPattern(pats: Seq[Quad]): Op = {
+      val groups = pats.groupBy(_.g).toSeq.sortBy(_._1.toString)
+      val ops = groups.map {
+        case (None, qs) => Bgp(qs.map(q => Triple(q.s, q.p, q.o)))
+        case (Some(g), qs) => GraphOp(g, Bgp(qs.map(q => Triple(q.s, q.p, q.o))))
+      }
+      ops.reduce(Join(_, _))
     }
 
     /** SELECT tail (after the SELECT keyword). `stopAtBrace` bounds the

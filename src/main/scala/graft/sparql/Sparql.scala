@@ -20,7 +20,14 @@ object Sparql {
     * returns one term-struct column per projected variable
     * (ASK → single boolean column).
     */
-  def query(spark: SparkSession, text: String, dir: String = WikidataIngest.defaultDir): DataFrame = {
+  def query(spark: SparkSession, text: String, dir: String = WikidataIngest.defaultDir): DataFrame =
+    translator(spark, dir).translate(Parser.parse(text))
+
+  /** A translator over the store at `dir` (fresh per call — the
+    * underlying DataFrames and statistics are cached by
+    * [[WikidataIngest]] and invalidated on store mutation).
+    */
+  private[sparql] def translator(spark: SparkSession, dir: String): Translator = {
     val statements = WikidataIngest.statements(spark, dir)
     val labels = WikidataIngest.labels(spark, dir)
     new Translator(spark, statements, labels,
@@ -30,7 +37,6 @@ object Sparql {
       WikidataIngest.predCounts(dir),
       WikidataIngest.predFanout(dir),
       WikidataIngest.predCountsFloor(dir))
-      .translate(Parser.parse(text))
   }
 
   /** Like [[query]], but with every variable rendered to its lexical

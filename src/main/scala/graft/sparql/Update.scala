@@ -1,0 +1,310 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+import graft.ingest.{IndexMaintenance, Tombstones, WikidataIngest}
+import graft.model.{Term, TermValue}
+import Ast._
+
+/** SPARQL 1.1 Update over the quad store — a Spark-first extension.
+  *
+  * The reference engine is READ-ONLY: its only write path is the full
+  * `create-db` / `create-index` rebuild (`/root/reference/src/main.rs:
+  * 50-66`), so "update" there means re-ingesting the dump. Here the
+  * four standard forms (INSERT DATA, DELETE DATA, DELETE WHERE,
+  * DELETE/INSERT WHERE) execute incrementally against either store
+  * layout:
+  *
+  *   - **inserts** are O(|delta|): new quads go through
+  *     [[IndexMaintenance.appendToIndex]] on a partitioned store (all
+  *     four permutations + labels, correct buckets, bounded file
+  *     counts) or a plain append on a flat store;
+  *   - **deletes** are O(|delta|): deleted quads' identity keys land in
+  *     the store's tombstone table ([[Tombstones]]) and every read path
+  *     anti-joins them out — no store file is rewritten until
+  *     [[IndexMaintenance.vacuumIndex]] folds the tombstones in.
+  *
+  * Semantics follow SPARQL 1.1 Update §3.1 with the store's dataset
+  * model (default graph = union of the named graphs, see
+  * [[Ast.GraphOp]]) applied consistently:
+  *
+  *   - graphs are SETS: inserting a quad that is already visible is a
+  *     no-op; a template quad without GRAPH is already-present if the
+  *     triple exists in ANY graph (it is visible in the default graph),
+  *     and deleting it hides every graph's copy;
+  *   - within one operation the WHERE bindings and both templates are
+  *     evaluated against the PRE-update state (templates are
+  *     materialized before any mutation), delete applies before insert;
+  *   - operations in a `;`-sequence see each other's effects;
+  *   - template solutions that leave any of s/p/o unbound (or bind them
+  *     to the error marker) instantiate nothing, per §3.1.3;
+  *   - re-inserting a tombstoned quad cancels the tombstone instead of
+  *     appending a second physical copy (an "un-delete" — the store
+  *     stays duplicate-free without ever rewriting data files).
+  *
+  * Label edges: an inserted `rdfs:label` / `schema:description` /
+  * `skos:altLabel` triple with a language-tagged object is normalized
+  * to the ingest shape (`p = (kind, str = lang)`, `o = plain string`,
+  * `src/parser.rs:441-474` analog `WikidataParser.addLangMap`), so the
+  * label service sees updates exactly as it sees ingested labels.
+  *
+  * Statistics: `pred_counts.json` / `pred_fanout.json` stay sound upper
+  * bounds across updates — appends merge deltas in
+  * ([[IndexMaintenance]]), deletes only shrink true counts. A full
+  * `create-index` re-tightens.
+  *
+  * Concurrency contract: one writer at a time (the HTTP surface
+  * serializes updates; CLI callers own the store). Readers are
+  * snapshot-consistent against APPENDS (a planned scan holds its file
+  * listing), but the tombstone-table SWAP in the un-delete path — like
+  * vacuum and create-index — can fail a query planned before the swap
+  * with a missing-file error; such queries retry. Same live-rebuild
+  * contract the store has always had.
+  */
+object Update {
+
+  /** Outcome of an update request. `inserted` counts physically
+    * appended quads, `undeleted` re-inserts that only cancelled a
+    * tombstone, `deleted` newly tombstoned quads.
+    */
+  final case class Result(inserted: Long, deleted: Long, undeleted: Long) {
+    def +(o: Result): Result =
+      Result(inserted + o.inserted, deleted + o.deleted, undeleted + o.undeleted)
+  }
+
+  /** Parse and execute an update request (a `;`-separated sequence)
+    * against the store at `dir`.
+    */
+  def execute(spark: SparkSession, text: String,
+              dir: String = WikidataIngest.defaultDir): Result = {
+    require(!new java.io.File(dir, IndexMaintenance.PendingMarker).exists(),
+      s"$dir carries ${IndexMaintenance.PendingMarker}: a previous " +
+        "append/compaction/vacuum did not complete — run repairCheck, then " +
+        "rebuild with create-index before updating")
+    Parser.parseUpdate(text)
+      .map(applyOp(spark, dir, _))
+      .foldLeft(Result(0, 0, 0))(_ + _)
+  }
+
+  private def applyOp(spark: SparkSession, dir: String, op: UpdateOp): Result =
+    op match {
+      case InsertData(quads) => applyModify(spark, dir, Nil, quads, None)
+      case DeleteData(quads) => applyModify(spark, dir, quads, Nil, None)
+      case Modify(del, ins, where) => applyModify(spark, dir, del, ins, Some(where))
+    }
+
+  private def applyModify(spark: SparkSession, dir: String,
+                          deleteTpl: Seq[Quad], insertTpl: Seq[Quad],
+                          where: Option[Op]): Result = {
+    // 1. bindings for the template variables, against the pre-update
+    //    store. Both templates instantiate from the SAME binding set.
+    val tplVars = (deleteTpl ++ insertTpl).flatMap(q =>
+      Seq(q.s, q.p, q.o) ++ q.g.toSeq).collect { case v: Var => v }.distinct
+    val bindings: Option[DataFrame] = where match {
+      case None => Some(oneEmptySolution(spark))
+      case Some(w) =>
+        val inScope = Ast.scopeVars(w).toSet
+        val proj = tplVars.filter(inScope)
+        if (proj.nonEmpty)
+          Some(Sparql.translator(spark, dir).translate(SelectQuery(Project(w, proj))))
+        else {
+          // const-only templates: instantiate once iff WHERE has any
+          // solution (ASK)
+          val any = Sparql.translator(spark, dir).translate(AskQuery(w))
+            .head().getBoolean(0)
+          if (any) Some(oneEmptySolution(spark)) else None
+        }
+    }
+    bindings match {
+      case None => Result(0, 0, 0)
+      case Some(b) =>
+        // 2. materialize both instantiated deltas BEFORE mutating: the
+        //    lazily-planned binding scan must not observe its own
+        //    operation's tombstones/appends
+        val toDelete = instantiate(spark, b, deleteTpl).map(_.localCheckpoint())
+        val toInsert = instantiate(spark, b, insertTpl).map(_.localCheckpoint())
+        val deleted = toDelete.map(applyDelete(spark, dir, _)).getOrElse(0L)
+        val (inserted, undeleted) =
+          toInsert.map(applyInsert(spark, dir, _)).getOrElse((0L, 0L))
+        Result(inserted, deleted, undeleted)
+    }
+  }
+
+  /** The unit binding (one solution, no variables). */
+  private def oneEmptySolution(spark: SparkSession): DataFrame = spark.range(1).toDF()
+
+  /** Instantiate template quads over the binding set: term-struct
+    * columns `s, p, o, graph` (graph null = no GRAPH clause),
+    * deduplicated on quad identity, ill-formed solutions dropped.
+    * None when the template is empty.
+    */
+  private def instantiate(spark: SparkSession, bindings: DataFrame,
+                          tpl: Seq[Quad]): Option[DataFrame] = {
+    if (tpl.isEmpty) return None
+    def termCol(p: TermPat): Column = p match {
+      case Const(v) => v.toColumn
+      case Var(n) if bindings.columns.contains(n) => bindings(n)
+      case Var(_) => Term.nullTerm
+    }
+    def bound(c: Column): Column =
+      c.isNotNull && c.getField("key").isNotNull && c.getField("kind") =!= Term.Kind.Null
+    val parts = tpl.map { q =>
+      val (pCol, oCol) = normalizeLabelEdge(q.p, termCol(q.p), termCol(q.o))
+      val gCol = q.g.map(termCol).getOrElse(Term.nullTerm)
+      // a quad WITH a GRAPH clause whose term is unbound instantiates
+      // nothing (§3.1.3) — it must NOT collapse into a null graph,
+      // which here means "default graph" (= every graph on delete)
+      val gOk = if (q.g.isDefined) bound(col("graph")) else lit(true)
+      bindings.select(termCol(q.s).as("s"), pCol.as("p"), oCol.as("o"), gCol.as("graph"))
+        .filter(bound(col("s")) && bound(col("p")) && bound(col("o")) && gOk)
+    }
+    val all = parts.reduce(_.unionByName(_))
+      .withColumn("__sk", col("s.key")).withColumn("__pk", col("p.key"))
+      .withColumn("__ok", col("o.key")).withColumn("__gk", col("graph.key"))
+      .dropDuplicates("__sk", "__pk", "__ok", "__gk")
+      .drop("__sk", "__pk", "__ok", "__gk")
+    Some(all)
+  }
+
+  /** Rewrite a label/description/alias edge into the ingest shape
+    * (see [[WikidataIngest.labelsView]] /
+    * `WikidataParser.addLangMap`): predicate carries the language, the
+    * object becomes a plain string. Applies only when the predicate is
+    * the constant well-known IRI and the object is language-tagged.
+    */
+  private def normalizeLabelEdge(p: TermPat, pCol: Column, oCol: Column): (Column, Column) = {
+    val kindAndPrefix = p match {
+      case Const(v) => v.key match {
+        case "s:http://www.w3.org/2000/01/rdf-schema#label" => Some((Term.Kind.Label, "lab"))
+        case "s:http://schema.org/description" => Some((Term.Kind.Desc, "des"))
+        case "s:http://www.w3.org/2004/02/skos/core#altLabel" => Some((Term.Kind.Alias, "ali"))
+        case _ => None
+      }
+      case _ => None
+    }
+    kindAndPrefix match {
+      case None => (pCol, oCol)
+      case Some((kind, prefix)) =>
+        val isMono = oCol.getField("kind") === Term.Kind.Mono
+        val lang = oCol.getField("lang")
+        val labelP = Term.struct_(lit(kind), lit(null).cast(DoubleType), lang,
+          lit(null).cast(StringType), concat(lit(prefix + ":"), lang))
+        val strO = Term.struct_(lit(Term.Kind.Str), lit(null).cast(DoubleType),
+          oCol.getField("str"), lit(null).cast(StringType),
+          concat(lit("s:"), oCol.getField("str")))
+        (when(isMono, labelP).otherwise(pCol), when(isMono, strO).otherwise(oCol))
+    }
+  }
+
+  /** Covering condition between a template quad (alias `tp`) and a
+    * store quad (alias `st`), both term-struct columns: equal s/p/o
+    * keys; a GRAPH-less template covers every graph (union
+    * default-graph model), a GRAPH-scoped one exactly that graph.
+    */
+  private def covers: Column =
+    col("tp.s").getField("key") === col("st.s").getField("key") &&
+      col("tp.p").getField("key") === col("st.p").getField("key") &&
+      col("tp.o").getField("key") === col("st.o").getField("key") &&
+      (col("tp.graph").getField("key").isNull ||
+        (col("tp.graph").getField("key") <=> col("st.graph").getField("key")))
+
+  /** Tombstone the template quads that are currently visible. Returns
+    * the number of distinct quads newly hidden.
+    */
+  private def applyDelete(spark: SparkSession, dir: String, tpl: DataFrame): Long = {
+    val visible = WikidataIngest.statements(spark, dir).alias("st")
+    // only tombstone templates that hide something: keeps the table
+    // minimal and the returned count honest (already-absent quads are
+    // no-ops, already-tombstoned ones are not visible)
+    val hiding = tpl.alias("tp").join(visible, covers, "left_semi").localCheckpoint()
+    val n = hiding.count()
+    if (n > 0) {
+      Tombstones.append(spark, dir, hiding, n)
+      bump(spark, dir)
+    }
+    n
+  }
+
+  /** Insert the template quads that are not yet visible: cancel any
+    * tombstone covering them, and physically append only the ones with
+    * no hidden copy already on disk. Returns (appended, undeleted).
+    */
+  private def applyInsert(spark: SparkSession, dir: String, tpl: DataFrame): (Long, Long) = {
+    val visible = WikidataIngest.statements(spark, dir).alias("st")
+    val fresh = tpl.alias("tp").join(visible, covers, "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return (0L, 0L)
+
+    // physical rows hidden by a tombstone: un-delete instead of
+    // re-appending (raw read on purpose — the cached view is filtered)
+    val raw = spark.read.parquet(s"$dir/statements.parquet").alias("st")
+    val hidden = fresh.alias("tp").join(raw, covers, "left_semi")
+    val toAppend = fresh.alias("tp").join(raw, covers, "left_anti")
+      .localCheckpoint()
+    val undeleted = hidden.count()
+    if (undeleted > 0) {
+      // drop every tombstone covered by an inserted quad (match the
+      // tombstone's own scope: g_any rows cancel on key identity)
+      val remaining = Tombstones.read(spark, dir).get.alias("tb")
+        .join(fresh.alias("tp"),
+          col("tb.s_key") === col("tp.s").getField("key") &&
+            col("tb.p_key") === col("tp.p").getField("key") &&
+            col("tb.o_key") === col("tp.o").getField("key") &&
+            (col("tp.graph").getField("key").isNull || col("tb.g_any") ||
+              (col("tb.g_key") <=> col("tp.graph").getField("key"))),
+          "left_anti")
+      Tombstones.replace(spark, dir, remaining)
+    }
+
+    val appended = if (toAppend.isEmpty) 0L else {
+      // deterministic per-delta insertion order: one ordered pass over
+      // the (usually small) delta; a huge INSERT WHERE pays a single
+      // range-partitioned sort, same trade as ingest's zipWithIndex
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("graph.key").asc_nulls_first, col("s.key"), col("p.key"), col("o.key"))
+      val delta = toAppend
+        .withColumn("id", Term.nullTerm)
+        .withColumn("ord", row_number().over(w).cast("long") - 1L)
+      if (new java.io.File(s"$dir/statements_sub.parquet").exists())
+        IndexMaintenance.appendToIndex(spark, dir, delta)
+      else appendToFlatStore(spark, dir, delta)
+    }
+    if (appended > 0 || undeleted > 0) bump(spark, dir)
+    (appended, undeleted)
+  }
+
+  /** Append a delta to a flat (non-permutation) store: statements +
+    * labels tables, ords offset past the store's max — the same
+    * contract as [[IndexMaintenance.appendToIndex]] minus the
+    * permutations.
+    */
+  private def appendToFlatStore(spark: SparkSession, dir: String, delta: DataFrame): Long = {
+    val raw = spark.read.parquet(s"$dir/statements.parquet")
+    val maxOrdRow = raw.agg(max(col("ord"))).head()
+    val maxOrd = if (maxOrdRow.isNullAt(0)) -1L else maxOrdRow.getLong(0)
+    val d = WikidataIngest.rendered(delta.withColumn("ord", col("ord") + lit(maxOrd + 1L)))
+      .localCheckpoint()
+    val n = d.count()
+    if (n > 0) {
+      d.sortWithinPartitions(col("p.key"), col("s.key"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$dir/statements.parquet")
+      WikidataIngest.labelsView(d)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$dir/labels.parquet")
+    }
+    n
+  }
+
+  /** Invalidate in-JVM read/plan caches and (on a partitioned store)
+    * bump the persisted generation, so epoch-keyed caches and external
+    * readers observe the mutation.
+    */
+  private def bump(spark: SparkSession, dir: String): Unit = {
+    WikidataIngest.invalidate(dir)
+    if (new java.io.File(s"$dir/statements_sub.parquet").exists())
+      IndexMaintenance.bumpGeneration(spark, dir)
+  }
+}

@@ -289,6 +289,58 @@ class ServerSpec extends SparkTestBase {
     (code, b, headers)
   }
 
+  test("POST /update mutates its store; queries on the same server observe it") {
+    // a server over a PRIVATE store copy — updates must not touch the
+    // shared fixture store other suites assert counts on
+    val upDir = java.nio.file.Files.createTempDirectory("graft-srv-up")
+      .toFile.getAbsolutePath
+    graft.ingest.WikidataIngest.writeStore(spark,
+      graft.ingest.WikidataIngest.ingest(spark, graft.ingest.WikidataIngest.fixturePath),
+      upDir)
+    val srv = QueryServer.start(spark, upDir, 0)
+    val uport = srv.getAddress.getPort
+    def upost(path: String, body: String, ct: String): (Int, String) = {
+      val conn = new URL(s"http://localhost:$uport$path").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(120000)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", ct)
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      (code, if (stream == null) "" else Source.fromInputStream(stream, "UTF-8").mkString)
+    }
+    def uget(q: String): String = {
+      val enc = java.net.URLEncoder.encode(q, "UTF-8")
+      val conn = new URL(s"http://localhost:$uport/query?query=$enc").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(120000)
+      Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+    }
+    try {
+      // §2.2.2: raw application/sparql-update body
+      val (c1, b1) = upost("/update",
+        "INSERT DATA { wd:Q900 wdt:P900 wd:Q901 }", "application/sparql-update")
+      assert(c1 === 200 && b1.contains("\"inserted\": 1"))
+      assert(uget("SELECT ?o WHERE { wd:Q900 wdt:P900 ?o }").contains("Q901"))
+      // §2.2.1: urlencoded form field
+      val enc = java.net.URLEncoder.encode(
+        "DELETE DATA { wd:Q900 wdt:P900 wd:Q901 }", "UTF-8")
+      val (c2, b2) = upost("/update", s"update=$enc",
+        "application/x-www-form-urlencoded")
+      assert(c2 === 200 && b2.contains("\"deleted\": 1"))
+      assert(!uget("SELECT ?o WHERE { wd:Q900 wdt:P900 ?o }").contains("Q901"))
+      // GET is not an update method; parse errors are 400s
+      val conn = new URL(s"http://localhost:$uport/update").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode === 405)
+      val (c4, b4) = upost("/update", "INSERT broken", "application/sparql-update")
+      assert(c4 === 400 && b4.contains("update parse error"))
+    } finally srv.stop(0)
+  }
+
   test("POST /query accepts urlencoded form and raw sparql-query bodies") {
     val q = "SELECT ?p ?b WHERE { wdt:Q31 ?p ?b . } LIMIT 2"
     val enc = java.net.URLEncoder.encode(q, "UTF-8")

@@ -294,6 +294,37 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeNals(Seq(Array.tabulate[Byte](40)(i => (i * 37).toByte))).isEmpty)
   }
 
+  test("PPS tail (§7.3.2.2 High profile): 8x8/scaling refuse, Cr offset parses") {
+    def ppsBytes(tail: Option[(Int, Int, Int)]): Array[Byte] = {
+      val w = new BitWriter()
+      w.ue(0); w.ue(0) // pps_id, sps_id
+      w.put(0, 1) // cabac
+      w.put(0, 1) // bottom_field_pic_order
+      w.ue(0) // num_slice_groups - 1
+      w.ue(0); w.ue(0) // num_ref_idx defaults
+      w.put(0, 1); w.put(0, 2) // weighted_pred, weighted_bipred
+      w.se(0); w.se(0) // pic_init_qp/qs - 26
+      w.se(1) // chroma_qp_index_offset
+      w.put(1, 1); w.put(0, 1); w.put(0, 1) // deblock, constrained, redundant
+      tail.foreach { case (t8, scal, cr) =>
+        w.put(t8, 1); w.put(scal, 1); w.se(cr)
+      }
+      w.rbspTrailing()
+      w.toBytes
+    }
+    // no tail → Cr offset inherits Cb's
+    val p0 = parsePps(ppsBytes(None)).get
+    assert(p0.chromaQpOff === 1 && p0.chromaQpOffCr === 1)
+    // tail with its own Cr offset
+    val p1 = parsePps(ppsBytes(Some((0, 0, -3)))).get
+    assert(p1.chromaQpOff === 1 && p1.chromaQpOffCr === -3)
+    // transform_8x8_mode / scaling matrices: refuse the PPS outright —
+    // macroblocks would code transform_size_8x8_flag that this decoder
+    // does not read, and continuing would desync the slice bitstream
+    assert(parsePps(ppsBytes(Some((1, 0, 0)))).isEmpty)
+    assert(parsePps(ppsBytes(Some((0, 1, 0)))).isEmpty)
+  }
+
   test("deblocking tables: arity, zero head, monotone nondecreasing") {
     for ((name, tab) <- Seq(("alpha", AlphaTable), ("beta", BetaTable), ("tc0/bS3", Tc0Bs3))) {
       assert(tab.length === 52, name)
