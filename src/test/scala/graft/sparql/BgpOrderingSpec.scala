@@ -151,6 +151,32 @@ class BgpOrderingSpec extends graft.SparkTestBase {
     }
   }
 
+  test("statement-view predicates bound by their DIRECT view's stats (no alias hint)") {
+    // `?x p:P1 ?stmt` scans exactly the P:1 rows (EqualTo(p.key, P:1))
+    // but the pattern term's own key is PS:1 — absent from a COMPLETE
+    // counts table. Before the statsKey fix that bounded the scan to
+    // floor = 0 and broadcast-hinted a scan holding EVERY P1 claim
+    // (QuadScale 32M qualifier_join: 0.92 -> 3.1 s). The hot direct
+    // count must carry over to the statement view and refuse the hint.
+    val stats = Map("P:2" -> 5000000L, "P:5" -> 5000000L)
+    val fan = Map("P:2" -> ((2L, 2L)), "P:5" -> ((1L, 100L)))
+    val tr = new Translator(spark, statements, statements.limit(0),
+      predCounts = Some(stats), predFanout = Some(fan))
+    val stmtView = Triple(Var("x"), Const(TermValue.propStmt(2)), Var("stmt"))
+    val qual = Triple(Var("stmt"), Const(TermValue.propDirect(5)), Var("v"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = tr.exec(Bgp(Seq(stmtView, qual))).queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      // a genuinely tiny direct count still hints the statement view
+      val trTiny = new Translator(spark, statements, statements.limit(0),
+        predCounts = Some(Map("P:2" -> 50L, "P:5" -> 5000000L)),
+        predFanout = Some(fan))
+      val plan2 = trTiny.exec(Bgp(Seq(stmtView, qual))).queryExecution.sparkPlan.toString
+      assert(plan2.contains("BroadcastHashJoin"), plan2)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("the final BGP result never carries a broadcast hint (no leak)") {
     // every join INSIDE the chain may be hinted, but the accumulated
     // RESULT must not be: its bound was a decision about in-BGP joins,
