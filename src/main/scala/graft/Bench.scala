@@ -30,9 +30,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // local iteration only: SPARK_GRAFT_BENCH_ONLY=p83,p85 runs a
+    // subset with the identical methodology (the driver never sets it,
+    // so driver sittings always time the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try {
         timeOnce(fn) // warmup: JVM/codegen/IO cache
         timings(name) = Seq.fill(5)(timeOnce(fn)).min

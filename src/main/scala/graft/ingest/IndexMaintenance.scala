@@ -132,31 +132,53 @@ object IndexMaintenance {
       val d = WikidataIngest.rendered(
         delta.withColumn("ord", col("ord") + lit(meta.maxOrd + 1L)))
         .localCheckpoint()
-      val statsRow = d.agg(count(lit(1)), max(col("ord"))).head()
-      val rows = statsRow.getLong(0)
+      // ONE pass over the checkpointed delta yields row count, max
+      // ordinal, per-predicate totals AND both degree maxima (was four
+      // separate jobs — pure fixed overhead per append batch); both
+      // degree sides ride one explode, map-side combine applies after
+      // it, and the collect is bounded by the delta's predicate
+      // vocabulary
+      val perPred = d.select(col("p.key").as("k"), col("ord"),
+          explode(array(
+            struct(lit("s").as("side"), col("s.key").as("g")),
+            struct(lit("o").as("side"), col("o.key").as("g")))).as("sg"))
+        .groupBy(col("k"), col("sg.side").as("side"), col("sg.g").as("g"))
+        .agg(count(lit(1)).as("c"), max(col("ord")).as("mo"))
+        .groupBy(col("k"), col("side"))
+        .agg(sum(col("c")).as("total"), max(col("c")).as("m"), max(col("mo")).as("mo"))
+        .collect()
+      val rows = perPred.filter(_.getString(1) == "s").map(_.getLong(2)).sum
       if (rows == 0L) {
         // nothing to write; still advance the batch watermark
         writeMeta(dir, meta.copy(lastBatch = batchId.getOrElse(meta.lastBatch)))
       } else {
-        val newMaxOrd = statsRow.getLong(1)
+        val newMaxOrd = perPred.map(_.getLong(4)).max
         val hasGraph = d.columns.contains("graph")
+        // one-file-per-touched-bucket per append (the small-file
+        // invariant compaction relies on) needs each bucket's rows in
+        // ONE task: a small delta gets that from coalesce(1) — no
+        // shuffle exchange, no extra AQE stage job per copy — while a
+        // large one pays the hash repartition that spreads buckets
+        // across writers
+        val smallDelta = rows <= 1000000L
+        def oneFilePerBucket(df: DataFrame, bucketCol: String,
+                             sortKeys: Seq[String]): DataFrame =
+          (if (smallDelta) df.coalesce(1)
+           else df.repartition(col(bucketCol)))
+            .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
         for ((file, bucketCol, term, sortKeys) <- Copies
              if new File(s"$dir/$file").exists() && (term != "graph" || hasGraph)) {
-          // repartition BY BUCKET before the write: each touched
-          // bucket then receives exactly one file per append, not one
-          // per (input task × bucket) — the small-file explosion that
-          // would otherwise make compaction urgent after every batch
-          d.withColumn(bucketCol, WikidataIngest.bucketColumn(term, meta.buckets))
-            .repartition(col(bucketCol))
-            .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
+          oneFilePerBucket(
+            d.withColumn(bucketCol, WikidataIngest.bucketColumn(term, meta.buckets)),
+            bucketCol, sortKeys)
             .write.mode(SaveMode.Append)
             .option("parquet.block.size",
               WikidataIngest.PermutationBlockBytes.toString)
             .partitionBy(bucketCol)
             .parquet(s"$dir/$file")
         }
-        WikidataIngest.labelsView(d)
-          .repartition(col("kind"), col("lang"))
+        (if (smallDelta) WikidataIngest.labelsView(d).coalesce(1)
+         else WikidataIngest.labelsView(d).repartition(col("kind"), col("lang")))
           .write.mode(SaveMode.Append)
           .partitionBy("kind", "lang")
           .parquet(s"$dir/labels.parquet")
@@ -167,8 +189,14 @@ object IndexMaintenance {
         // ordering dependency)
         val preCounts = WikidataIngest.predCounts(dir).getOrElse(Map.empty)
         val preFloor = WikidataIngest.predCountsFloor(dir)
-        mergePredCounts(spark, dir, d, preCounts, preFloor)
-        mergePredFanout(spark, dir, d, preCounts, preFloor)
+        val deltaCounts = perPred.filter(_.getString(1) == "s")
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        val dS = perPred.filter(_.getString(1) == "s")
+          .map(r => r.getString(0) -> r.getLong(3)).toMap
+        val dO = perPred.filter(_.getString(1) == "o")
+          .map(r => r.getString(0) -> r.getLong(3)).toMap
+        mergePredCounts(dir, deltaCounts, preCounts, preFloor)
+        mergePredFanout(dir, dS, dO, preCounts, preFloor)
         writeMeta(dir, meta.copy(generation = meta.generation + 1L,
           maxOrd = newMaxOrd,
           lastBatch = batchId.getOrElse(meta.lastBatch)))
@@ -190,13 +218,11 @@ object IndexMaintenance {
     * itself is preserved: predicates still absent after the merge
     * remain bounded by it.
     */
-  private def mergePredCounts(spark: SparkSession, dir: String,
-                              delta: DataFrame,
+  private def mergePredCounts(dir: String,
+                              deltaCounts: Map[String, Long],
                               existing: Map[String, Long],
                               floor: Long): Unit = {
     if (!new File(s"$dir/pred_counts.json").exists()) return
-    val deltaCounts = delta.groupBy(col("p.key").as("k")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val merged = (existing.keySet ++ deltaCounts.keySet).map(k =>
       k -> (existing.getOrElse(k, floor) + deltaCounts.getOrElse(k, 0L))).toMap
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -220,18 +246,13 @@ object IndexMaintenance {
     * the store already holds. `preCounts` is the pre-append counts
     * table, passed explicitly by [[appendToIndex]].
     */
-  private def mergePredFanout(spark: SparkSession, dir: String,
-                              delta: DataFrame,
+  private def mergePredFanout(dir: String,
+                              dS: Map[String, Long], dO: Map[String, Long],
                               preCounts: Map[String, Long],
                               floor: Long): Unit = {
     if (!new File(s"$dir/pred_fanout.json").exists()) return
     val existing = WikidataIngest.predFanout(dir).getOrElse(Map.empty)
     val known = preCounts
-    def deltaMax(side: String): Map[String, Long] = delta
-      .groupBy(col("p.key").as("k"), col(s"$side.key").as("g")).count()
-      .groupBy(col("k")).agg(max(col("count")).as("m"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (dS, dO) = (deltaMax("s"), deltaMax("o"))
     def addSat(a: Long, b: Long): Long =
       if (a == Long.MaxValue || a > Long.MaxValue - b) Long.MaxValue else a + b
     val admitNew = floor == 0L // counts table complete ⇒ absent = new
@@ -326,9 +347,10 @@ object IndexMaintenance {
             // files (its scan parallelism), never one huge file; a
             // small partition still gets exactly one. Only the
             // partitions present in df are replaced
-            val parts = math.max(todo.size,
-              (todo.map(_._3).sum / WikidataIngest.TargetFileBytes + 1).toInt)
-            df.repartitionByRange(parts, (partCols ++ sortKeys).map(col): _*)
+            val parts = WikidataIngest.sizedRangeParts(
+              todo.map(_._3).sum, todo.size)
+            (if (parts == 1) df.coalesce(1)
+             else df.repartitionByRange(parts, (partCols ++ sortKeys).map(col): _*))
               .sortWithinPartitions((partCols ++ sortKeys).map(col): _*)
               .write.mode(SaveMode.Overwrite)
               .option("parquet.block.size",
@@ -405,24 +427,42 @@ object IndexMaintenance {
           touched += 1
         }
       } else {
-        // permutation copies: prune to affected buckets
+        // permutation copies: prune to affected buckets. EVERY copy's
+        // bucket set (plus the any-graph flag) comes from ONE pass over
+        // the tombstone table — the per-copy distinct-collect and the
+        // g_any probe were five separate jobs over the same small table
         val numOf = Map("p" -> "p_num", "o" -> "o_num", "s" -> "s_num",
           "graph" -> "g_num")
+        def bucketOf(c: String) =
+          when(col(c).isNotNull,
+            pmod(col(c).cast("long"), lit(meta.buckets.toLong)))
+            .otherwise(lit(meta.buckets.toLong)).cast("int")
+        val labelKinds = Seq(graft.model.Term.Kind.Label,
+          graft.model.Term.Kind.Desc, graft.model.Term.Kind.Alias)
+        val bucketRow = tomb.agg(
+          collect_set(bucketOf("p_num")).as("p"),
+          collect_set(bucketOf("o_num")).as("o"),
+          collect_set(bucketOf("s_num")).as("s"),
+          collect_set(bucketOf("g_num")).as("graph"),
+          max(col("g_any")).as("g_any"),
+          // label-table partitions touched by label-kind tombstones —
+          // rides the same pass (collect_set drops the null rows the
+          // `when` leaves for non-label tombstones)
+          collect_set(when(col("p_kind").isin(labelKinds: _*),
+            struct(col("p_kind"), col("p_str")))).as("lab")).head()
+        val bucketSets: Map[String, Set[Int]] = Seq("p", "o", "s", "graph")
+          .map(t => t -> bucketRow.getSeq[Int](
+            Seq("p", "o", "s", "graph").indexOf(t)).toSet).toMap
+        val anyGraphTomb = !bucketRow.isNullAt(4) && bucketRow.getBoolean(4)
         for ((file, bucketCol, term, sortKeys) <- Copies
              if new File(s"$dir/$file").exists()) {
           val base = new File(s"$dir/$file")
           val allBuckets = leafPartitions(base).map { case (d, _, bytes) =>
             d.getName.stripPrefix(s"$bucketCol=").toInt -> bytes
           }.toMap
-          val graphAny = term == "graph" &&
-            tomb.filter(col("g_any")).limit(1).count() > 0
+          val graphAny = term == "graph" && anyGraphTomb
           val affected: Set[Int] =
-            if (graphAny) allBuckets.keySet
-            else tomb.select(
-              when(col(numOf(term)).isNotNull,
-                pmod(col(numOf(term)).cast("long"), lit(meta.buckets.toLong)))
-                .otherwise(lit(meta.buckets.toLong)).cast("int").as("b"))
-              .distinct().collect().map(_.getInt(0)).toSet
+            if (graphAny) allBuckets.keySet else bucketSets(term)
           val present = affected.intersect(allBuckets.keySet)
           if (present.nonEmpty) {
             val df = spark.read.parquet(base.getAbsolutePath)
@@ -432,13 +472,14 @@ object IndexMaintenance {
               .collect().map(_.getInt(0)).toSet
             if (survivors.nonEmpty) {
               val bytes = present.toSeq.map(allBuckets).sum
-              val parts = math.max(present.size,
-                (bytes / WikidataIngest.TargetFileBytes + 1).toInt)
+              val parts = WikidataIngest.sizedRangeParts(bytes, present.size)
               val prevMode = spark.conf.get(
                 "spark.sql.sources.partitionOverwriteMode", "static")
               spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-              try Tombstones.filterStatements(spark, dir, df)
-                .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*)
+              try (if (parts == 1)
+                     Tombstones.filterStatements(spark, dir, df).coalesce(1)
+                   else Tombstones.filterStatements(spark, dir, df)
+                     .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*))
                 .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
                 .write.mode(SaveMode.Overwrite)
                 .option("parquet.block.size",
@@ -458,11 +499,8 @@ object IndexMaintenance {
         // Tombstones.filterLabels)
         val labelBase = new File(s"$dir/labels.parquet")
         if (labelBase.exists()) {
-          val labelKinds = Seq(graft.model.Term.Kind.Label,
-            graft.model.Term.Kind.Desc, graft.model.Term.Kind.Alias)
-          val parts = tomb.filter(col("p_kind").isin(labelKinds: _*))
-            .select(col("p_kind"), col("p_str")).distinct().collect()
-            .map(r => (r.getString(0), r.getString(1)))
+          val parts = bucketRow.getSeq[org.apache.spark.sql.Row](5)
+            .map(r => (r.getString(0), r.getString(1))).toArray
           if (parts.nonEmpty) {
             val cond = parts.map { case (k, l) =>
               col("kind") === k && (col("lang") <=> l)

@@ -71,9 +71,13 @@ object Tombstones {
       col("o.str").as("o_str"))
   }
 
-  /** The tombstone table, if the store has one. */
+  /** The tombstone table, if the store has one. Cached per (session,
+    * path) alongside the store's other reads — mutators call
+    * [[WikidataIngest.invalidate]], which drops it.
+    */
   def read(spark: SparkSession, store: String): Option[DataFrame] =
-    if (!exists(store)) None else Some(spark.read.parquet(dirOf(store)))
+    if (!exists(store)) None
+    else Some(WikidataIngest.cachedRead(spark, dirOf(store)))
 
   private def maybeBroadcast(store: String, t: DataFrame): DataFrame =
     if (WikidataIngest.dirBytes(dirOf(store)) <= BroadcastBudgetBytes) broadcast(t)
@@ -125,6 +129,7 @@ object Tombstones {
     val parts = math.max(1L, rows / 8000000L).toInt
     project(quads).repartition(parts)
       .write.mode(SaveMode.Append).parquet(dirOf(store))
+    WikidataIngest.invalidate(store)
   }
 
   /** Replace the tombstone table with `remaining` (already in tombstone
@@ -149,10 +154,14 @@ object Tombstones {
       deleteRecursively(dir)
       require(tmp.renameTo(dir), s"could not swap ${tmp} into place")
     }
+    WikidataIngest.invalidate(store)
   }
 
   /** Drop the tombstone table (vacuum's final step). */
-  def clear(store: String): Unit = deleteRecursively(new File(dirOf(store)))
+  def clear(store: String): Unit = {
+    deleteRecursively(new File(dirOf(store)))
+    WikidataIngest.invalidate(store)
+  }
 
   private[ingest] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

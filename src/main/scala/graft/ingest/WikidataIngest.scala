@@ -161,6 +161,28 @@ object WikidataIngest {
     */
   val TargetFileBytes: Long = 128L * 1024 * 1024
 
+  /** Floor on the bytes one range partition should hold in the
+    * permutation writers: below this, more partitions only buy
+    * task-scheduling and small-file overhead, never parallelism worth
+    * having. Used to scale the partition-count FLOOR down on small
+    * inputs (guide §2: partitioning derives from input size, not a
+    * constant tuned for one machine shape); at ≥ floor × this the
+    * writers behave exactly as before.
+    */
+  val MinPartitionBytes: Long = 4L * 1024 * 1024
+
+  /** Size-aware range-partition count shared by the build, compaction
+    * and vacuum writers: at least one partition per TargetFileBytes
+    * (a hot bucket's scan parallelism tracks its bytes), at most the
+    * legacy `floor` (cores/buckets/rewritten-dir count), and never more
+    * than one partition per [[MinPartitionBytes]] — so a tiny store
+    * writes 1 partition instead of 64+ near-empty shuffle tasks and
+    * sampling passes, while stores ≥ floor×4 MB plan exactly as before.
+    */
+  private[ingest] def sizedRangeParts(bytes: Long, floor: Int): Int =
+    math.max((bytes / TargetFileBytes + 1).toInt,
+      math.min(floor, math.max(1, (bytes / MinPartitionBytes + 1).toInt)))
+
   /** Total bytes of the parquet files under `path` (recursive). */
   private[ingest] def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long = {
@@ -226,17 +248,35 @@ object WikidataIngest {
     * carries the rendered lex columns) and write the partitioned
     * layout to `outDir`.
     */
+  /** Bytes of store per predicate bucket under the size-adaptive
+    * default: buckets = clamp(bytes/16 MB, 1, [[NumPredBuckets]]). A
+    * bucket is a physical partition directory every permutation write,
+    * append and compaction touches — on a KB-scale store 64 of them
+    * mean 65 near-empty files per copy and per maintenance batch (file
+    * open/commit dominated the measured build), while pruning gains
+    * nothing because the whole store is one read split anyway.
+    */
+  val BucketBytes: Long = 16L * 1024 * 1024
+
   def createIndex(spark: SparkSession, flatDir: String, outDir: String,
-                  buckets: Int = NumPredBuckets,
+                  buckets: Int = 0,
                   zorder: Option[(String, String)] = None): Unit = {
     require(new java.io.File(flatDir).getCanonicalPath !=
       new java.io.File(outDir).getCanonicalPath,
       "create-index cannot overwrite its input store; pick a different outDir")
+    val inBytes = dirBytes(s"$flatDir/statements.parquet")
+    // buckets <= 0 → size-adaptive count (callers that pin a count —
+    // tests, stores that must match an existing layout — still can);
+    // the chosen count is persisted in meta.json so readers always
+    // bucket exactly as the writer did, whatever the count
+    val b = if (buckets > 0) buckets
+            else math.min(NumPredBuckets.toLong,
+              inBytes / BucketBytes + 1L).toInt
     writePartitioned(spark, statements(spark, flatDir)
-      .drop("p_bucket", "s_bucket", "o_bucket"), outDir, buckets, zorder,
+      .drop("p_bucket", "s_bucket", "o_bucket"), outDir, b, zorder,
       // size the range-partition count from the flat store's on-disk
       // bytes (each permutation carries the same columns)
-      inputBytes = Some(dirBytes(s"$flatDir/statements.parquet")))
+      inputBytes = Some(inBytes))
   }
 
   /** Bucket column for `term` under a `buckets`-way layout. Shared by
@@ -279,11 +319,22 @@ object WikidataIngest {
     // ~TargetFileBytes per range partition keeps every file inside
     // one default read split, so scan parallelism tracks data size
     // while cold buckets still get exactly one file.
-    val rangeParts = math.max(
-      math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, buckets),
-      inputBytes.map(b => (b / TargetFileBytes + 1).toInt).getOrElse(0))
+    val legacyFloor =
+      math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, buckets)
+    val rangeParts = inputBytes match {
+      // size known: scale the floor down on small inputs (a 40 KB
+      // fixture store was paying 64-way sampled range shuffles per
+      // permutation); ≥ floor×MinPartitionBytes behaves as before
+      case Some(b) => sizedRangeParts(b, legacyFloor)
+      case None => legacyFloor
+    }
+    // one range partition degenerates to a single globally-sorted
+    // partition — coalesce(1) + sort produces the identical file
+    // without the shuffle exchange (and its extra AQE stage job)
     def sorted(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
-      df.repartitionByRange(rangeParts, keys: _*).sortWithinPartitions(keys: _*)
+      (if (rangeParts == 1) df.coalesce(1)
+       else df.repartitionByRange(rangeParts, keys: _*))
+        .sortWithinPartitions(keys: _*)
     // 16 MB row groups (vs the 128 MB default): with ≤128 MB sorted
     // files this no longer gates parallelism, but on sorted keys the
     // finer min/max statistics prune point lookups tighter
@@ -343,10 +394,14 @@ object WikidataIngest {
     // the property vocabulary (~10⁴ for full Wikidata), and the file
     // caps at the hottest 100k predicates — ties beyond that order as
     // before
-    writePredCounts(spark, dir)
-    // persist the layout so readers bucket exactly as the writer did
+    val maxOrd = writePredCounts(spark, dir)
+    // persist the layout so readers bucket exactly as the writer did.
+    // maxOrd rides along (it falls out of the stats pass for free) so
+    // the FIRST append no longer bootstraps it with a store-wide agg —
+    // at 100 TB that was a full ord-column scan per fresh store.
     val w = new java.io.PrintWriter(s"$dir/meta.json")
-    try w.write(s"""{"buckets": $buckets}""") finally w.close()
+    try w.write(s"""{"buckets": $buckets, "generation": 0, """ +
+      s""""maxOrd": $maxOrd, "lastBatch": -1}""") finally w.close()
     // success marker, written LAST: harnesses that reuse an on-disk
     // store (ConcurrencyBench, QuadScale warm sittings) key on this
     // file alone — a crashed build leaves directories but no marker,
@@ -382,11 +437,28 @@ object WikidataIngest {
     * the scale the cap exists for. A complete table writes floor 0
     * (absent ⇒ truly absent).
     */
-  private[ingest] def writePredCounts(spark: SparkSession, dir: String): Unit = {
+  private[ingest] def writePredCounts(spark: SparkSession, dir: String): Long = {
     val stmts = spark.read.parquet(s"$dir/statements.parquet")
-    val rows = stmts
-      .groupBy(col("p.key").as("k")).count()
-      .orderBy(col("count").desc)
+    // ONE pass over the store computes totals, both degree bounds and
+    // the max insertion ordinal (the old shape was three store-wide
+    // aggregations — at 100 TB that is two redundant full scans; guide
+    // §1.2 step 1, "don't compute things twice"). The subject/object
+    // sides ride one explode (map-side combine applies after it), and
+    // the per-predicate aggregate is tiny (property vocabulary), so the
+    // ordered top-k collects below run on a localCheckpointed copy.
+    val perPred = stmts
+      .select(col("p.key").as("k"), col("ord"),
+        explode(array(
+          struct(lit("s").as("side"), col("s.key").as("g")),
+          struct(lit("o").as("side"), col("o.key").as("g")))).as("sg"))
+      .groupBy(col("k"), col("sg.side").as("side"), col("sg.g").as("g"))
+      .agg(count(lit(1)).as("c"), max(col("ord")).as("mo"))
+      .groupBy(col("k"), col("side"))
+      .agg(sum(col("c")).as("total"), max(col("c")).as("m"), max(col("mo")).as("mo"))
+      .localCheckpoint()
+    val rows = perPred.filter(col("side") === "s")
+      .select(col("k"), col("total"))
+      .orderBy(col("total").desc)
       .limit(100001)
       .collect()
     val truncated = rows.length > 100000
@@ -397,9 +469,8 @@ object WikidataIngest {
       .mkString("{", ", ", "}")
     val w = new java.io.PrintWriter(s"$dir/pred_counts.json")
     try w.write(s"""{"floor": $floor, "counts": $body}""") finally w.close()
-    def maxDegree(side: String): Array[(String, Long)] = stmts
-      .groupBy(col("p.key").as("k"), col(s"$side.key").as("g")).count()
-      .groupBy(col("k")).agg(max(col("count")).as("m"))
+    def maxDegree(side: String): Array[(String, Long)] = perPred
+      .filter(col("side") === side).select(col("k"), col("m"))
       .orderBy(col("m").desc).limit(100000)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val fan = (maxDegree("s").map { case (k, m) => s""""${esc(k)}|s": $m""" } ++
@@ -407,6 +478,8 @@ object WikidataIngest {
       .mkString("{", ", ", "}")
     val wf = new java.io.PrintWriter(s"$dir/pred_fanout.json")
     try wf.write(s"""{"fanout": $fan}""") finally wf.close()
+    val moRow = perPred.agg(max(col("mo"))).head()
+    if (moRow.isNullAt(0)) -1L else moRow.getLong(0)
   }
 
   // pred-count tables are tiny and read per-query at translate time —
@@ -491,6 +564,15 @@ object WikidataIngest {
   // per-query planning cost that grows with the store's file count.
   private val readCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Cached `spark.read.parquet(path)` for side tables that live under
+    * a store directory (e.g. the tombstone table): shares [[readCache]]
+    * so [[invalidate]] of the store drops it with the rest — without
+    * this, every read-path filter re-listed and re-footer-read the
+    * side table (a schema-inference job per query).
+    */
+  private[ingest] def cachedRead(spark: SparkSession, path: String): DataFrame =
+    readCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
 
   /** Drop cached reads under `dir` after a rebuild (the cached file
     * listing would otherwise point at deleted parquet parts), and bump

@@ -217,8 +217,20 @@ object Update {
     val visible = WikidataIngest.statements(spark, dir).alias("st")
     // only tombstone templates that hide something: keeps the table
     // minimal and the returned count honest (already-absent quads are
-    // no-ops, already-tombstoned ones are not visible)
-    val hiding = tpl.alias("tp").join(visible, covers, "left_semi").localCheckpoint()
+    // no-ops, already-tombstoned ones are not visible).
+    // Join shape: the STORE is always the probe (left) side and the
+    // already-materialized template set the build (right) side — the
+    // old `tpl semi-join store` built the hash on the STORE, which at
+    // scale means shuffling/hashing every quad to answer a few-row
+    // delete. With the sides swapped the planner builds on the
+    // localCheckpointed templates (accurately sized, so AQE broadcasts
+    // them whenever they are small, and a mass DELETE WHERE still
+    // degrades gracefully to a shuffle bounded by the delete size).
+    // The covered store keys collapse to a distinct set bounded by the
+    // match count before the template-side semi join.
+    val covered = coveredKeys(visible, tpl)
+    val hiding = tpl.alias("tp").join(covered, coversKey, "left_semi")
+      .localCheckpoint()
     val n = hiding.count()
     if (n > 0) {
       Tombstones.append(spark, dir, hiding, n)
@@ -231,17 +243,42 @@ object Update {
     * tombstone covering them, and physically append only the ones with
     * no hidden copy already on disk. Returns (appended, undeleted).
     */
+  /** Distinct (s,p,o,g) keys of `store` rows covered by a template in
+    * `tpl` — the store stays the probe side (see [[applyDelete]]'s
+    * join-shape note; the same `tpl anti/semi store` would build the
+    * hash on the store). The result is bounded by the match count, so
+    * the follow-up template-side semi/anti joins are small-vs-small.
+    */
+  private def coveredKeys(store: DataFrame, tpl: DataFrame): DataFrame =
+    store.join(tpl.alias("tp"), covers, "left_semi")
+      .select(col("s.key").as("c_s"), col("p.key").as("c_p"),
+        col("o.key").as("c_o"), col("graph.key").as("c_g"))
+      .dropDuplicates("c_s", "c_p", "c_o", "c_g")
+
+  /** Condition between a template quad (alias `tp`) and a covered-key
+    * row ([[coveredKeys]] output) — [[covers]] restated over the
+    * projected keys.
+    */
+  private def coversKey: Column =
+    col("tp.s").getField("key") === col("c_s") &&
+      col("tp.p").getField("key") === col("c_p") &&
+      col("tp.o").getField("key") === col("c_o") &&
+      (col("tp.graph").getField("key").isNull ||
+        (col("tp.graph").getField("key") <=> col("c_g")))
+
   private def applyInsert(spark: SparkSession, dir: String, tpl: DataFrame): (Long, Long) = {
     val visible = WikidataIngest.statements(spark, dir).alias("st")
-    val fresh = tpl.alias("tp").join(visible, covers, "left_anti")
+    val fresh = tpl.alias("tp")
+      .join(coveredKeys(visible, tpl), coversKey, "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return (0L, 0L)
 
     // physical rows hidden by a tombstone: un-delete instead of
     // re-appending (raw read on purpose — the cached view is filtered)
     val raw = spark.read.parquet(s"$dir/statements.parquet").alias("st")
-    val hidden = fresh.alias("tp").join(raw, covers, "left_semi")
-    val toAppend = fresh.alias("tp").join(raw, covers, "left_anti")
+    val rawCovered = coveredKeys(raw, fresh).localCheckpoint()
+    val hidden = fresh.alias("tp").join(rawCovered, coversKey, "left_semi")
+    val toAppend = fresh.alias("tp").join(rawCovered, coversKey, "left_anti")
       .localCheckpoint()
     val undeleted = hidden.count()
     if (undeleted > 0) {
