@@ -51,7 +51,13 @@ object StoreProfile {
     }
     for (rep <- 0 until reps) {
       println(s"=== rep $rep ===")
-      if (mode == "p87") runP87(spark, sfDir, runner)
+      if (mode.startsWith("query:")) {
+        val name = mode.stripPrefix("query:")
+        val fn = SparkEntry.queries(name)
+        val df = runner.run("build")(fn(spark, sfDir))
+        runner.run("exec")(df.write.format("noop").mode("overwrite").save())
+      }
+      else if (mode == "p87") runP87(spark, sfDir, runner)
       else runP83(spark, sfDir, runner)
     }
     spark.stop()

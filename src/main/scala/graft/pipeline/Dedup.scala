@@ -655,6 +655,21 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint(true) // reused every round
+    // Measured-size plan choice (the Paths.scala pattern): a pair set
+    // under the budget is solved by union-find on the driver — one
+    // bounded collect instead of O(log diameter) shuffle rounds, same
+    // (doc_id, min-reachable-id) rows. The edge set is already
+    // materialized, so the count is free; above the budget (or for id
+    // types without a `least()`-compatible JVM ordering) the
+    // distributed fixpoint below runs unchanged.
+    val budget = edges.sparkSession.conf
+      .get("spark.graft.clusters.driverMaxEdges", (1 << 20).toString).toLong
+    if (edges.count() <= budget) {
+      driverComponents(edges) match {
+        case Some(df) => return df
+        case None => // unsupported id type — take the distributed path
+      }
+    }
     var labels = edges.groupBy("src").agg(min("dst").as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("cid"))
       .localCheckpoint(true)
@@ -686,6 +701,50 @@ object Dedup {
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+  }
+
+  /** Exact connected components over an already-materialized,
+    * budget-bounded edge list, on the driver: union-find with path
+    * compression, roots kept at the component minimum so the output
+    * rows — `(doc_id, min reachable id)` for every edge endpoint — are
+    * identical to the distributed fixpoint's. None when the id type has
+    * no ordering matching SQL `least` (caller then runs distributed).
+    */
+  private def driverComponents(edges: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    val dt = edges.schema("src").dataType
+    val ord: Ordering[Any] = dt match {
+      case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
+      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case _ => return None
+    }
+    val rows = edges.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val u = r.get(0); val v = r.get(1)
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (a, b) = (find(u), find(v))
+      if (a != b) {
+        // the smaller root absorbs the larger: every root stays the
+        // minimum of its component, matching the fixpoint's min labels
+        if (ord.lt(a, b)) parent(b) = a else parent(a) = b
+      }
+    }
+    val out: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList
+    parent.keys.foreach(id => out.add(org.apache.spark.sql.Row(id, find(id))))
+    Some(spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", dt), StructField("cluster_id", dt)))))
   }
 
   // Type-agnostic label checksum: sum of per-row (id, cid) hashes,

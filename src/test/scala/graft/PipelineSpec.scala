@@ -165,6 +165,28 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("driver union-find and distributed fixpoint produce identical clusters") {
+    // the measured-size plan choice must be invisible: same rows from
+    // the under-budget driver path and the forced distributed loop,
+    // for numeric AND string ids (and a string chain exercises the
+    // lexicographic min)
+    val rnd = new scala.util.Random(11)
+    val longPairs = Seq.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val strPairs = Seq(("d", "b"), ("b", "c"), ("x", "y"), ("c", "a"))
+      .toDF("id_a", "id_b")
+    for (pairs <- Seq(longPairs, strPairs)) {
+      val viaDriver = Dedup.nearDupClusters(pairs).collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+      spark.conf.set("spark.graft.clusters.driverMaxEdges", "0")
+      val viaLoop = try Dedup.nearDupClusters(pairs).collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+      finally spark.conf.unset("spark.graft.clusters.driverMaxEdges")
+      assert(viaDriver === viaLoop)
+      assert(viaDriver.nonEmpty)
+    }
+  }
+
   test("near-dup clustering and dedup handle an empty pair set") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.nearDupClusters(noPairs).count() === 0L)
