@@ -276,12 +276,16 @@ object Paths {
     // per-round overhead for a 32-node answer; the reference answers
     // this with an in-memory traversal for the same reason). Above the
     // threshold — edge sets that genuinely need the cluster — the
-    // distributed frontier fixpoint below is unchanged. PlainMode only:
-    // in GraphMode the SEED is one row per distinct named graph (a
-    // dump-provenance store has millions), so the edge count alone does
-    // not bound what the driver would collect — GraphMode always takes
-    // the distributed plan.
-    if ((mode eq PlainMode) && edges.count() < smallRowsBudget(st))
+    // distributed frontier fixpoint below is unchanged. In GraphMode
+    // the SEED is one row per distinct named graph (a dump-provenance
+    // store has millions), so the edge count alone does not bound what
+    // the driver would collect — but the seed is ALSO already
+    // materialized (localCheckpoint above), so its size is one cheap
+    // count away: the driver plan applies whenever BOTH measured sets
+    // are small, and a million-graph store still takes the distributed
+    // plan.
+    if (edges.count() < smallRowsBudget(st) &&
+        ((mode eq PlainMode) || seed.count() < smallRowsBudget(st)))
       return reachableFromDriver(edges, seed, start, includeStart, mode, budget)
     var rows = 0L
     var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step
@@ -391,6 +395,62 @@ object Paths {
     * localCheckpoint per round to cut lineage (SURVEY §7.5) — the
     * both-endpoints-free case; bound endpoints take [[reachableFrom]].
     */
+  /** Edge-count ceiling for [[driverClosure]] (conf-overridable):
+    * small enough that the worst-case all-sources BFS
+    * (|nodes| × |edges|) is milliseconds and the collected rows KBs.
+    */
+  private def driverClosureEdges(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.path.driverClosureEdges", "4096").toLong
+
+  /** Cap on driver-held closure pairs, far under the 10M default row
+    * budget: past it the distributed plan takes over (None) rather
+    * than growing driver memory; past the QUERY budget the same
+    * [[PathBudgetExceeded]] the distributed plan throws is thrown.
+    */
+  private val DriverClosurePairs = 2000000L
+
+  /** Full transitive closure of a measured-tiny edge set on the
+    * driver: BFS from every source node. Output rows are identical to
+    * the distributed fixpoint's — every (s, o) with a ≥1-step path,
+    * deduplicated on keys.
+    */
+  private def driverClosure(total: DataFrame, budget: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    val spark = total.sparkSession
+    val rows = total.select(col(S), col(O), col("__ks"), col("__ko")).collect()
+    val term = new scala.collection.mutable.HashMap[String, Any]()
+    val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+    rows.foreach { r =>
+      if (!r.isNullAt(2) && !r.isNullAt(3)) {
+        val ks = r.getString(2); val ko = r.getString(3)
+        term.getOrElseUpdate(ks, r.get(0))
+        term.getOrElseUpdate(ko, r.get(1))
+        adj.getOrElseUpdate(ks, scala.collection.mutable.ArrayBuffer.empty) += ko
+      }
+    }
+    val out = new java.util.ArrayList[Row]()
+    var pairs = 0L
+    for (src <- adj.keysIterator) {
+      val reached = new scala.collection.mutable.LinkedHashSet[String]()
+      var frontier: Seq[String] = Seq(src)
+      while (frontier.nonEmpty) {
+        val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+        frontier.foreach(k => adj.getOrElse(k, Nil).foreach { ko =>
+          if (reached.add(ko)) fresh += ko
+        })
+        frontier = fresh.toSeq
+      }
+      pairs += reached.size
+      if (pairs > budget) throw new PathBudgetExceeded(
+        s"path closure reached $pairs pairs > spark.graft.path.maxRows=$budget")
+      if (pairs > DriverClosurePairs) return None
+      reached.foreach(ko => out.add(Row(term(src), term(ko))))
+    }
+    val sf = total.schema
+    Some(spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+      Seq(sf(S), sf(O)))))
+  }
+
   private def closure(edges0: DataFrame, maxIters: Int = 64): DataFrame = {
     val budget = maxRowsBudget(edges0)
     var total = edges0.select(
@@ -401,6 +461,19 @@ object Paths {
     var rows = total.count()
     if (rows > budget) throw new PathBudgetExceeded(
       s"path closure edge set has $rows rows > spark.graft.path.maxRows=$budget")
+    // Measured-size plan choice, one tier below the broadcast rounds:
+    // a FEW-THOUSAND-edge set (the compiled path predicate is usually
+    // that selective) computes its whole closure on the driver — zero
+    // jobs per level instead of a join+anti-join+checkpoint round trip
+    // each. The pair budget still applies; a closure that outgrows the
+    // driver's own cap (rare: dense tiny graph) falls through and the
+    // distributed fixpoint below runs unchanged.
+    if (rows <= driverClosureEdges(edges0)) {
+      driverClosure(total, budget) match {
+        case Some(df) => return df
+        case None => // outgrew the driver cap — run distributed
+      }
+    }
     val smallThr = smallRowsBudget(edges0)
     var frontier = total
     var iter = 0
