@@ -166,22 +166,28 @@ object IndexMaintenance {
           (if (smallDelta) df.coalesce(1)
            else df.repartition(col(bucketCol)))
             .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
-        for ((file, bucketCol, term, sortKeys) <- Copies
-             if new File(s"$dir/$file").exists() && (term != "graph" || hasGraph)) {
-          oneFilePerBucket(
-            d.withColumn(bucketCol, WikidataIngest.bucketColumn(term, meta.buckets)),
-            bucketCol, sortKeys)
-            .write.mode(SaveMode.Append)
-            .option("parquet.block.size",
-              WikidataIngest.PermutationBlockBytes.toString)
-            .partitionBy(bucketCol)
-            .parquet(s"$dir/$file")
-        }
-        (if (smallDelta) WikidataIngest.labelsView(d).coalesce(1)
-         else WikidataIngest.labelsView(d).repartition(col("kind"), col("lang")))
-          .write.mode(SaveMode.Append)
-          .partitionBy("kind", "lang")
-          .parquet(s"$dir/labels.parquet")
+        // the five appends are independent jobs over the checkpointed
+        // delta — submitted concurrently (guide §2.6) so their
+        // plan/commit latencies overlap instead of serializing
+        val writes = (for ((file, bucketCol, term, sortKeys) <- Copies
+             if new File(s"$dir/$file").exists() && (term != "graph" || hasGraph))
+          yield { () =>
+            oneFilePerBucket(
+              d.withColumn(bucketCol, WikidataIngest.bucketColumn(term, meta.buckets)),
+              bucketCol, sortKeys)
+              .write.mode(SaveMode.Append)
+              .option("parquet.block.size",
+                WikidataIngest.PermutationBlockBytes.toString)
+              .partitionBy(bucketCol)
+              .parquet(s"$dir/$file"): Unit
+          }) :+ { () =>
+            (if (smallDelta) WikidataIngest.labelsView(d).coalesce(1)
+             else WikidataIngest.labelsView(d).repartition(col("kind"), col("lang")))
+              .write.mode(SaveMode.Append)
+              .partitionBy("kind", "lang")
+              .parquet(s"$dir/labels.parquet"): Unit
+          }
+        WikidataIngest.inParallel(spark, writes)
         // pre-append statistics read ONCE and passed explicitly: the
         // fanout merge must see the counts as they were BEFORE the
         // count merge rewrites the file (relying on the epoch-keyed
@@ -330,37 +336,45 @@ object IndexMaintenance {
     pending.createNewFile()
     var compacted = 0
     try {
-      for ((file, partCols, sortKeys) <- targets
-           if new File(s"$dir/$file").exists()) {
-        val base = new File(s"$dir/$file")
-        val todo = leafPartitions(base).filter(_._2 > maxFilesPerPartition)
-        if (todo.nonEmpty) {
+      // per-copy rewrites are independent (different directories) —
+      // gather them first, then submit concurrently (guide §2.6) under
+      // one dynamic-overwrite window
+      val rewrites = for {
+        (file, partCols, sortKeys) <- targets
+        if new File(s"$dir/$file").exists()
+        base = new File(s"$dir/$file")
+        todo = leafPartitions(base).filter(_._2 > maxFilesPerPartition)
+        if todo.nonEmpty
+      } yield {
+        compacted += todo.size
+        () => {
           val df = spark.read
             .option("basePath", base.getAbsolutePath)
             .parquet(todo.map(_._1.getAbsolutePath): _*)
-          val prevMode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try {
-            // range-partition on (partition cols, sort keys), sized so
-            // a rewritten hot partition stays MANY ~target-size sorted
-            // files (its scan parallelism), never one huge file; a
-            // small partition still gets exactly one. Only the
-            // partitions present in df are replaced
-            val parts = WikidataIngest.sizedRangeParts(
-              todo.map(_._3).sum, todo.size)
-            (if (parts == 1) df.coalesce(1)
-             else df.repartitionByRange(parts, (partCols ++ sortKeys).map(col): _*))
-              .sortWithinPartitions((partCols ++ sortKeys).map(col): _*)
-              .write.mode(SaveMode.Overwrite)
-              .option("parquet.block.size",
-                WikidataIngest.PermutationBlockBytes.toString)
-              .partitionBy(partCols: _*)
-              .parquet(base.getAbsolutePath)
-          } finally spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prevMode)
-          compacted += todo.size
+          // range-partition on (partition cols, sort keys), sized so
+          // a rewritten hot partition stays MANY ~target-size sorted
+          // files (its scan parallelism), never one huge file; a
+          // small partition still gets exactly one. Only the
+          // partitions present in df are replaced
+          val parts = WikidataIngest.sizedRangeParts(
+            todo.map(_._3).sum, todo.size)
+          (if (parts == 1) df.coalesce(1)
+           else df.repartitionByRange(parts, (partCols ++ sortKeys).map(col): _*))
+            .sortWithinPartitions((partCols ++ sortKeys).map(col): _*)
+            .write.mode(SaveMode.Overwrite)
+            .option("parquet.block.size",
+              WikidataIngest.PermutationBlockBytes.toString)
+            .partitionBy(partCols: _*)
+            .parquet(base.getAbsolutePath): Unit
         }
+      }
+      if (rewrites.nonEmpty) {
+        val prevMode = spark.conf.get(
+          "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try WikidataIngest.inParallel(spark, rewrites)
+        finally spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", prevMode)
       }
       writeMeta(dir, meta.copy(generation = meta.generation + 1L))
     } finally WikidataIngest.invalidate(dir)
@@ -454,8 +468,15 @@ object IndexMaintenance {
           .map(t => t -> bucketRow.getSeq[Int](
             Seq("p", "o", "s", "graph").indexOf(t)).toSet).toMap
         val anyGraphTomb = !bucketRow.isNullAt(4) && bucketRow.getBoolean(4)
-        for ((file, bucketCol, term, sortKeys) <- Copies
-             if new File(s"$dir/$file").exists()) {
+        // per-copy rewrites are independent (different directories):
+        // gathered as tasks and submitted concurrently (guide §2.6)
+        // under ONE dynamic-overwrite window — the old per-copy
+        // set/restore would race across threads
+        val touchedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+        val copyTasks: Seq[() => Unit] = for {
+          (file, bucketCol, term, sortKeys) <- Copies
+          if new File(s"$dir/$file").exists()
+        } yield { () =>
           val base = new File(s"$dir/$file")
           val allBuckets = leafPartitions(base).map { case (d, _, bytes) =>
             d.getName.stripPrefix(s"$bucketCol=").toInt -> bytes
@@ -473,36 +494,32 @@ object IndexMaintenance {
             if (survivors.nonEmpty) {
               val bytes = present.toSeq.map(allBuckets).sum
               val parts = WikidataIngest.sizedRangeParts(bytes, present.size)
-              val prevMode = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static")
-              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-              try (if (parts == 1)
-                     Tombstones.filterStatements(spark, dir, df).coalesce(1)
-                   else Tombstones.filterStatements(spark, dir, df)
-                     .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*))
+              (if (parts == 1)
+                 Tombstones.filterStatements(spark, dir, df).coalesce(1)
+               else Tombstones.filterStatements(spark, dir, df)
+                 .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*))
                 .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
                 .write.mode(SaveMode.Overwrite)
                 .option("parquet.block.size",
                   WikidataIngest.PermutationBlockBytes.toString)
                 .partitionBy(bucketCol)
                 .parquet(base.getAbsolutePath)
-              finally spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prevMode)
             }
             for (dead <- present -- survivors)
               Tombstones.deleteRecursively(new File(base, s"$bucketCol=$dead"))
-            touched += present.size
+            touchedCount.addAndGet(present.size): Unit
           }
         }
         // labels: affected (kind, lang) partitions from label-kind
         // tombstones (the label view is graph-agnostic, see
         // Tombstones.filterLabels)
         val labelBase = new File(s"$dir/labels.parquet")
-        if (labelBase.exists()) {
-          val parts = bucketRow.getSeq[org.apache.spark.sql.Row](5)
-            .map(r => (r.getString(0), r.getString(1))).toArray
-          if (parts.nonEmpty) {
-            val cond = parts.map { case (k, l) =>
+        val labelParts = bucketRow.getSeq[org.apache.spark.sql.Row](5)
+          .map(r => (r.getString(0), r.getString(1))).toArray
+        val labelTask: Seq[() => Unit] =
+          if (!labelBase.exists() || labelParts.isEmpty) Nil
+          else Seq { () =>
+            val cond = labelParts.map { case (k, l) =>
               col("kind") === k && (col("lang") <=> l)
             }.reduce(_ || _)
             val df = spark.read.parquet(labelBase.getAbsolutePath).filter(cond)
@@ -510,22 +527,23 @@ object IndexMaintenance {
             val survivors = out.select("kind", "lang").distinct().collect()
               .map(r => (r.getString(0), r.getString(1))).toSet
             if (survivors.nonEmpty) {
-              val prevMode = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static")
-              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-              try Tombstones.filterLabels(spark, dir, df)
+              Tombstones.filterLabels(spark, dir, df)
                 .repartition(col("kind"), col("lang"))
                 .write.mode(SaveMode.Overwrite)
                 .partitionBy("kind", "lang")
                 .parquet(labelBase.getAbsolutePath)
-              finally spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prevMode)
             }
-            for ((k, l) <- parts.toSet -- survivors)
+            for ((k, l) <- labelParts.toSet -- survivors)
               Tombstones.deleteRecursively(new File(labelBase, s"kind=$k/lang=$l"))
-            touched += parts.length
+            touchedCount.addAndGet(labelParts.length): Unit
           }
-        }
+        val prevMode = spark.conf.get(
+          "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try WikidataIngest.inParallel(spark, copyTasks ++ labelTask)
+        finally spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", prevMode)
+        touched += touchedCount.get()
       }
       Tombstones.clear(dir)
       writeMeta(dir, meta.copy(generation = meta.generation + 1L))

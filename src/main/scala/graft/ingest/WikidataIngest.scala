@@ -183,6 +183,32 @@ object WikidataIngest {
     math.max((bytes / TargetFileBytes + 1).toInt,
       math.min(floor, math.max(1, (bytes / MinPartitionBytes + 1).toInt)))
 
+  /** Run independent write/aggregate actions as concurrent Spark jobs
+    * (guide §2.6: actions are only sequential because the driver calls
+    * them sequentially — submitting independent jobs from a small pool
+    * lets one job's tasks back-fill the executors another's tail
+    * leaves idle, and overlaps the driver-side plan/commit latency
+    * that dominates small stores). Bounded by
+    * `spark.graft.build.writeConcurrency` (default 3 — enough to fill
+    * tails, not so many that concurrent full-store shuffles fight for
+    * executor memory and shuffle disk at scale). Failures propagate:
+    * the first exception aborts the await, exactly like the sequential
+    * loop it replaces.
+    */
+  private[ingest] def inParallel(spark: SparkSession, tasks: Seq[() => Unit]): Unit = {
+    val conc = math.max(1,
+      spark.conf.get("spark.graft.build.writeConcurrency", "3").toInt)
+    if (tasks.size <= 1 || conc == 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(conc, tasks.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(tasks.map(t => scala.concurrent.Future(t()))),
+      scala.concurrent.duration.Duration.Inf): Unit
+    finally pool.shutdown()
+  }
+
   /** Total bytes of the parquet files under `path` (recursive). */
   private[ingest] def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long = {
@@ -350,51 +376,61 @@ object WikidataIngest {
         sorted(rendered.withColumn("p_bucket", bucketOf("p")),
           col("p_bucket"), col("p.key"), col("s.key"))
     }
-    mainSorted
-      .write.mode(SaveMode.Overwrite)
-      .option(blockOpt._1, blockOpt._2)
-      .partitionBy("p_bucket")
-      .parquet(s"$dir/statements.parquet")
-    sorted(rendered.withColumn("o_bucket", bucketOf("o")),
-      col("o_bucket"), col("o.key"), col("p.key"))
-      .write.mode(SaveMode.Overwrite)
-      .option(blockOpt._1, blockOpt._2)
-      .partitionBy("o_bucket")
-      .parquet(s"$dir/statements_obj.parquet")
-    sorted(rendered.withColumn("s_bucket", bucketOf("s")),
-      col("s_bucket"), col("s.key"), col("p.key"))
-      .write.mode(SaveMode.Overwrite)
-      .option(blockOpt._1, blockOpt._2)
-      .partitionBy("s_bucket")
-      .parquet(s"$dir/statements_sub.parquet")
-    // fourth permutation: graph-partitioned (the reference's fourth
-    // sorted permutation; our gspo analog). A named graph is one
-    // document's quads, so a constant-GRAPH scan reads one bucket
-    // instead of the whole store — without this copy GRAPH wd:Qc is a
-    // store-wide scan with only a pushed key filter (linear in store
-    // size; a full scan at 100 TB).
-    if (rendered.columns.contains("graph"))
-      sorted(rendered.withColumn("g_bucket", bucketOf("graph")),
-        col("g_bucket"), col("graph.key"), col("p.key"))
+    // The four permutation writes are mutually independent jobs over
+    // the same input — submitted concurrently ([[inParallel]], guide
+    // §2.6) so each job's stage tail back-fills the others' idle
+    // executors instead of serializing four full passes.
+    val permWrites = Seq[() => Unit](
+      () => mainSorted
         .write.mode(SaveMode.Overwrite)
         .option(blockOpt._1, blockOpt._2)
-        .partitionBy("g_bucket")
-        .parquet(s"$dir/statements_gr.parquet")
-    // the label service always filters kind + lang, so partitioning on
-    // both prunes a full-Wikidata label table to the exact (kind, lang)
-    // slices a query's language priority list names
-    labelsView(spark.read.parquet(s"$dir/statements.parquet"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("kind", "lang")
-      .parquet(s"$dir/labels.parquet")
-    // per-predicate quad counts for the translator's statistics-driven
-    // BGP ordering (the reference orders by measured scan sizes,
-    // calc_engine.rs:116-151). Computed from the just-written main copy
-    // (one column-pruned pass over p.key); the collect is bounded by
-    // the property vocabulary (~10⁴ for full Wikidata), and the file
-    // caps at the hottest 100k predicates — ties beyond that order as
-    // before
-    val maxOrd = writePredCounts(spark, dir)
+        .partitionBy("p_bucket")
+        .parquet(s"$dir/statements.parquet"),
+      () => sorted(rendered.withColumn("o_bucket", bucketOf("o")),
+        col("o_bucket"), col("o.key"), col("p.key"))
+        .write.mode(SaveMode.Overwrite)
+        .option(blockOpt._1, blockOpt._2)
+        .partitionBy("o_bucket")
+        .parquet(s"$dir/statements_obj.parquet"),
+      () => sorted(rendered.withColumn("s_bucket", bucketOf("s")),
+        col("s_bucket"), col("s.key"), col("p.key"))
+        .write.mode(SaveMode.Overwrite)
+        .option(blockOpt._1, blockOpt._2)
+        .partitionBy("s_bucket")
+        .parquet(s"$dir/statements_sub.parquet")) ++
+      // fourth permutation: graph-partitioned (the reference's fourth
+      // sorted permutation; our gspo analog). A named graph is one
+      // document's quads, so a constant-GRAPH scan reads one bucket
+      // instead of the whole store — without this copy GRAPH wd:Qc is a
+      // store-wide scan with only a pushed key filter (linear in store
+      // size; a full scan at 100 TB).
+      (if (rendered.columns.contains("graph")) Seq[() => Unit](
+        () => sorted(rendered.withColumn("g_bucket", bucketOf("graph")),
+          col("g_bucket"), col("graph.key"), col("p.key"))
+          .write.mode(SaveMode.Overwrite)
+          .option(blockOpt._1, blockOpt._2)
+          .partitionBy("g_bucket")
+          .parquet(s"$dir/statements_gr.parquet"))
+      else Nil)
+    inParallel(spark, permWrites)
+    // labels + statistics both read the just-written main copy — two
+    // more independent jobs, overlapped the same way
+    var maxOrd = -1L
+    inParallel(spark, Seq(
+      // the label service always filters kind + lang, so partitioning
+      // on both prunes a full-Wikidata label table to the exact
+      // (kind, lang) slices a query's language priority list names
+      () => labelsView(spark.read.parquet(s"$dir/statements.parquet"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("kind", "lang")
+        .parquet(s"$dir/labels.parquet"),
+      // per-predicate quad counts for the translator's
+      // statistics-driven BGP ordering (the reference orders by
+      // measured scan sizes, calc_engine.rs:116-151). Computed from the
+      // just-written main copy; the collect is bounded by the property
+      // vocabulary (~10⁴ for full Wikidata), and the file caps at the
+      // hottest 100k predicates — ties beyond that order as before
+      () => maxOrd = writePredCounts(spark, dir)))
     // persist the layout so readers bucket exactly as the writer did.
     // maxOrd rides along (it falls out of the stats pass for free) so
     // the FIRST append no longer bootstraps it with a store-wide agg —
