@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Scan relations cached per (session, path): repeated
+  // `spark.read.parquet` re-lists files and re-reads footers on every
+  // query build — a fixed planning cost per query that grows with file
+  // count (guide §6 file-listing caching; same policy as the quad
+  // store's read cache). DataFrames are immutable, so sharing the
+  // resolved relation never shares results; the testdata tables are
+  // static for a session's lifetime.
+  private val readCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -404,16 +404,20 @@ object Dedup {
     val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         explode(array_distinct(mapHash(orderedKgrams(lower(col(textCol)), k), hashFn))).as("h"))
-      .localCheckpoint(false) // feeds three branches below
+      .localCheckpoint(false) // feeds the census and the per-doc pass
+    // dup hashes are UNIQUE per h, so a plain left join preserves gram
+    // multiplicity and ONE aggregation yields both per-doc counts —
+    // the previous shape (separate totals + semi-join + dup-count
+    // aggregations, then two assembly joins) was two extra passes over
+    // the gram stream for the same rows
     val dupHashes = grams.groupBy(col("h"))
       .agg(count_distinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val totals = grams.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
-    val dups = grams.join(dupHashes, Seq("h"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
+      .filter(col("nd") >= 2).select(col("h"), lit(1).as("__dup"))
+    val perDoc = grams.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("__dup")).as("n_dup_spans"))
     df.select(col(idCol).as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(dups, Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
