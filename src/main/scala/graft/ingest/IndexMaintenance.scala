@@ -337,8 +337,8 @@ object IndexMaintenance {
     var compacted = 0
     try {
       // per-copy rewrites are independent (different directories) —
-      // gather them first, then submit concurrently (guide §2.6) under
-      // one dynamic-overwrite window
+      // gather them first, then submit concurrently (guide §2.6); each
+      // writer carries its own dynamic-overwrite option
       val rewrites = for {
         (file, partCols, sortKeys) <- targets
         if new File(s"$dir/$file").exists()
@@ -362,20 +362,19 @@ object IndexMaintenance {
            else df.repartitionByRange(parts, (partCols ++ sortKeys).map(col): _*))
             .sortWithinPartitions((partCols ++ sortKeys).map(col): _*)
             .write.mode(SaveMode.Overwrite)
+            // per-WRITER dynamic overwrite (replaces the old session-conf
+            // set/restore window): the mode is baked into each writer's
+            // plan, so even a rewrite racing a failed sibling can never
+            // run under a restored STATIC mode and truncate the whole
+            // permutation directory
+            .option("partitionOverwriteMode", "dynamic")
             .option("parquet.block.size",
               WikidataIngest.PermutationBlockBytes.toString)
             .partitionBy(partCols: _*)
             .parquet(base.getAbsolutePath): Unit
         }
       }
-      if (rewrites.nonEmpty) {
-        val prevMode = spark.conf.get(
-          "spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try WikidataIngest.inParallel(spark, rewrites)
-        finally spark.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", prevMode)
-      }
+      if (rewrites.nonEmpty) WikidataIngest.inParallel(spark, rewrites)
       writeMeta(dir, meta.copy(generation = meta.generation + 1L))
     } finally WikidataIngest.invalidate(dir)
     // reached only on success (an exception leaves the marker)
@@ -469,9 +468,9 @@ object IndexMaintenance {
             Seq("p", "o", "s", "graph").indexOf(t)).toSet).toMap
         val anyGraphTomb = !bucketRow.isNullAt(4) && bucketRow.getBoolean(4)
         // per-copy rewrites are independent (different directories):
-        // gathered as tasks and submitted concurrently (guide §2.6)
-        // under ONE dynamic-overwrite window — the old per-copy
-        // set/restore would race across threads
+        // gathered as tasks and submitted concurrently (guide §2.6);
+        // each writer carries its own dynamic-overwrite option, so no
+        // session conf is mutated or raced
         val touchedCount = new java.util.concurrent.atomic.AtomicInteger(0)
         val copyTasks: Seq[() => Unit] = for {
           (file, bucketCol, term, sortKeys) <- Copies
@@ -500,6 +499,8 @@ object IndexMaintenance {
                  .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*))
                 .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
                 .write.mode(SaveMode.Overwrite)
+                // per-writer dynamic overwrite — see compactIndex
+                .option("partitionOverwriteMode", "dynamic")
                 .option("parquet.block.size",
                   WikidataIngest.PermutationBlockBytes.toString)
                 .partitionBy(bucketCol)
@@ -530,6 +531,8 @@ object IndexMaintenance {
               Tombstones.filterLabels(spark, dir, df)
                 .repartition(col("kind"), col("lang"))
                 .write.mode(SaveMode.Overwrite)
+                // per-writer dynamic overwrite — see compactIndex
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("kind", "lang")
                 .parquet(labelBase.getAbsolutePath)
             }
@@ -537,12 +540,7 @@ object IndexMaintenance {
               Tombstones.deleteRecursively(new File(labelBase, s"kind=$k/lang=$l"))
             touchedCount.addAndGet(labelParts.length): Unit
           }
-        val prevMode = spark.conf.get(
-          "spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try WikidataIngest.inParallel(spark, copyTasks ++ labelTask)
-        finally spark.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", prevMode)
+        WikidataIngest.inParallel(spark, copyTasks ++ labelTask)
         touched += touchedCount.get()
       }
       Tombstones.clear(dir)

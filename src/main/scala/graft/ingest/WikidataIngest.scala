@@ -193,7 +193,9 @@ object WikidataIngest {
     * tails, not so many that concurrent full-store shuffles fight for
     * executor memory and shuffle disk at scale). Failures propagate:
     * the first exception aborts the await, exactly like the sequential
-    * loop it replaces.
+    * loop it replaces — and NO task outlives the call: queued siblings
+    * are cancelled and in-flight ones waited out, so a caller's
+    * `finally` can never restore state a straggler writer still reads.
     */
   private[ingest] def inParallel(spark: SparkSession, tasks: Seq[() => Unit]): Unit = {
     val conc = math.max(1,
@@ -206,6 +208,15 @@ object WikidataIngest {
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(tasks.map(t => scala.concurrent.Future(t()))),
       scala.concurrent.duration.Duration.Inf): Unit
+    catch { case e: Throwable =>
+      // fail-fast drain: shutdownNow() drops every not-yet-started
+      // task from the queue; awaitTermination then blocks until the
+      // in-flight ones finish (their Spark writes commit or abort
+      // inside this window, never after the caller resumes)
+      pool.shutdownNow()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      throw e
+    }
     finally pool.shutdown()
   }
 

@@ -83,7 +83,7 @@ object Dedup {
     */
   private def shinglePrep(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Sizing.spreadCompute(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -366,7 +366,7 @@ object Dedup {
                        k: Int = 3, w: Int = 4, minShared: Int = 2,
                        hashFn: Column => Column = xxhash64(_),
                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val fps0 = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val fps0 = Sizing.spreadCompute(df)
       .select(col(idCol).as("id"),
         explode(winnowedFingerprints(col(textCol), k, w, hashFn)).as("fp"))
       .localCheckpoint(false)
@@ -401,7 +401,7 @@ object Dedup {
   def dupSpanProfile(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 3,
                      hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val grams = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val grams = Sizing.spreadCompute(df)
       .select(col(idCol).as("id"),
         explode(array_distinct(mapHash(orderedKgrams(lower(col(textCol)), k), hashFn))).as("h"))
       .localCheckpoint(false) // feeds the census and the per-doc pass
@@ -458,7 +458,7 @@ object Dedup {
     val wsCol = coalesce(
       filter(split(trim(lower(col(textCol))), "\\s+"), x => length(x) > 0),
       lit(Array.empty[String]))
-    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val base = Sizing.spreadCompute(df)
       .select(col(idCol).as("id"), wsCol.as("ws"))
       .localCheckpoint(false) // feeds the census and the rebuild
     val grams = base.select(col("id"),
@@ -556,7 +556,7 @@ object Dedup {
                      hashFn: Column => Column = xxhash64(_),
                      maxBucket: Int = Int.MaxValue): DataFrame =
     hammingNearDup64(
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      Sizing.spread(df)
         .withColumn("__wh", wordHashes(col(textCol), hashFn))
         .select(col(idCol).as("id"), simhashFromHashes(col("__wh")).as("h")),
       maxHamming, maxBucket)
@@ -783,7 +783,7 @@ object Dedup {
                        planes: Int = 12, threshold: Double = 0.95): DataFrame = {
     // norm staged once per row — the verify cosine then costs one dot
     // per candidate pair instead of recomputing both norms per pair
-    val withSig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val withSig = Sizing.spread(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("n"),
         Similarity.planeSignature(col(vecCol), planes).as("sig"))
@@ -812,7 +812,7 @@ object Dedup {
   def semanticNearDup(emb: DataFrame, vecCol: String, idCol: String,
                       nlist: Int = 16, threshold: Double = 0.95): DataFrame = {
     val cents = Similarity.trainCentroids(emb, vecCol, idCol, nlist)
-    val assigned = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val assigned = Sizing.spread(emb)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("n"),
         element_at(Similarity.rankedCells(cents, col(vecCol)), 1).as("cell"))

@@ -172,7 +172,7 @@ object Pq {
              m: Int = 8, ksub: Int = 16, rerank: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb = train(corpus, vecCol, idCol, m, ksub)
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Sizing.spread(corpus)
       .select(col(idCol).as("neighbor_id"),
         encode(cb, normalize(col(vecCol))).as("codes"))
     val p = probes.select(col(idCol).as("probe_id"),

@@ -183,13 +183,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // parallelize the cosine scoring across cores even for a
-    // single-split corpus file (the probes side is broadcast).
-    // Norms are STAGED once per row on each side: cosine at the join
-    // then costs ONE dot per candidate pair instead of three (the
-    // corpus-side norm would otherwise be recomputed per probe).
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.repartition(par)
+    // spread the cosine scoring proportionally to the corpus size
+    // (the probes side is broadcast). Norms are STAGED once per row on
+    // each side: cosine at the join then costs ONE dot per candidate
+    // pair instead of three (the corpus-side norm would otherwise be
+    // recomputed per probe).
+    val c = Sizing.spread(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
@@ -222,7 +221,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cSigs = array((0 until tables).map(t =>
       struct(lit(t).as("t"), planeSignature(col(vecCol), planes, t).as("sig"))): _*)
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Sizing.spread(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"), explode(cSigs).as("bucket"))
     // probe signatures are STAGED as columns: the 1-bit-flip multiprobe
@@ -749,7 +748,7 @@ object Similarity {
                   vecCol: String, idCol: String, k: Int,
                   nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Sizing.spread(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"),
         element_at(rankedCells(cents, col(vecCol)), 1).as("cell"))

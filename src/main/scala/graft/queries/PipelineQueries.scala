@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Classifier, Dedup, Incremental, Multimodal, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Web}
+import graft.pipeline.{Bpe, Classifier, Dedup, Incremental, Multimodal, Pq, Retrieval, Sampling, Similarity, Sizing, Sketches, TextAnalysis, Web}
 
 /** CORRECTNESS entries for the LLM-data-pipeline pillars (dedup,
   * similarity search, text analysis, multimodal) over the synthetic
@@ -175,7 +175,7 @@ object PipelineQueries {
     // (documents is a single parquet split at test SFs — repartition so
     // the per-row text work uses all cores)
     "p07_text_metrics" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       TextAnalysis.qualityMetrics(t, "text")
         .withColumn("ws_tokens", TextAnalysis.wsTokenCount(col("text")))
         .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(col("text")))
@@ -185,7 +185,7 @@ object PipelineQueries {
     }),
 
     "p08_lang_id" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
     }),
 
@@ -193,7 +193,7 @@ object PipelineQueries {
     // (the xxhash64 default stays the perf path; parity between the
     // two shapes is the same aggregate over different word hashes)
     "p10_fingerprint" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       t.select(col("doc_id"),
         TextAnalysis.fingerprint(col("text"), Dedup.md5Hash60).as("fingerprint"))
     }),
@@ -209,7 +209,7 @@ object PipelineQueries {
     // language, keep the rest whole
     "p16_stratified_sample" -> ((s, d) => {
       // single parquet split at test SFs — spread the langId work
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       Sampling.stratifiedSample(t, "doc_id", TextAnalysis.langId(col("text")),
         Map("en" -> 0.5, "und" -> 0.1), default = 1.0, salt = "s2")
         .select(col("doc_id"))
@@ -217,7 +217,7 @@ object PipelineQueries {
 
     // Gopher-style repetition signals over the raw documents
     "p17_repetition" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       TextAnalysis.repetitionSignals(t, "text", "doc_id")
     }),
 
@@ -226,7 +226,7 @@ object PipelineQueries {
     // share-bar in every doc, a section tag shared by ~1/7th) and the
     // op must strip exactly the planted lines, restoring the original.
     "p18_boilerplate" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           concat(col("text"), lit("\nSHARE THIS ARTICLE\nsection "),
             pmod(col("doc_id"), lit(7))).as("text"))
@@ -236,7 +236,7 @@ object PipelineQueries {
     // PII redaction over planted synthetic PII (the corpus has none);
     // the oracle states the expected redacted suffix directly
     "p19_pii_redact" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       t.select(col("doc_id"),
         TextAnalysis.redactPii(
           concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -257,7 +257,7 @@ object PipelineQueries {
 
     // benchmark decontamination against a fixed 3-gram blocklist
     "p20_decontaminate" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spread(Tables.documents(s, d))
       val grams = s.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row("slow fast table"),
           org.apache.spark.sql.Row("batch window spark")),
@@ -380,7 +380,7 @@ object PipelineQueries {
     // assignment, all chained on the same frame (each stage is one of
     // the gated operators above — this entry proves they compose)
     "p22_curation_pipeline" -> ((s, d) => {
-      val docs0 = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val docs0 = Sizing.spread(Tables.documents(s, d))
       val pairs = Dedup.minhashNearDup(docs0, "text", "doc_id",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
       val docs1 = Dedup.dropNearDups(docs0, pairs, "doc_id")
@@ -401,7 +401,7 @@ object PipelineQueries {
     // profile (portable md5 hash so the oracle re-derives every span)
     "p26_dup_spans" -> ((s, d) =>
       Dedup.dupSpanProfile(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spread(Tables.documents(s, d)),
         "text", "doc_id", k = 3, hashFn = Dedup.md5Hash60)),
 
     // span REMOVAL (p26 only profiles): remove-all policy — no copy of
@@ -419,7 +419,7 @@ object PipelineQueries {
     // corpus vocabulary: document frequency + IDF, top 100 by df
     "p27_vocab_idf" -> ((s, d) =>
       TextAnalysis.documentFrequency(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spread(Tables.documents(s, d)),
         "text", "doc_id")
         .orderBy(col("df").desc, col("word").asc).limit(100)),
 
@@ -427,20 +427,20 @@ object PipelineQueries {
     // histogram-derived discrete quantiles of document length
     "p28_corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spread(Tables.documents(s, d)),
         "text", "doc_id")),
 
     // per-document top-5 TF-IDF terms (deterministic word-asc ties)
     "p29_tfidf_topk" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spread(Tables.documents(s, d)),
         "text", "doc_id", k = 5)),
 
     // sketch accuracy gates (p23-p25 pattern: approximate and exact
     // answers computed in ONE plan, folded to a constant row the
     // oracle pins — sketches have no SQL-re-derivable output)
     "p30_hll_vocab_gate" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spread(Tables.documents(s, d))
       val w = t.select(explode(
         filter(split(trim(lower(col("text"))), "\\s+"), x => length(x) > 0)).as("w"))
       Sketches.distinctCountGate(w, "w", rsd = 0.02, bound = 0.05)
@@ -451,7 +451,7 @@ object PipelineQueries {
     // and the ratio must be sane — folded to a constant row so a broken
     // codec path fails the driver's gate, not just ScalaTest
     "p52_compress_gate" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       t.filter(length(col("text")) > 0)
         .select(TextAnalysis.compressionRatio(col("text")).as("r1"),
           TextAnalysis.compressionRatio(
@@ -469,7 +469,7 @@ object PipelineQueries {
     // EVERY document (char fallback makes encoding total — no UNK
     // loss), and ids-per-doc can never exceed normalized chars
     "p53_bpe_roundtrip" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spreadCompute(Tables.documents(s, d))
       val merges = Bpe.trainMerges(t, "text", "doc_id", numMerges = 200)
       val norm = concat_ws(" ",
         filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > 0))
@@ -484,8 +484,7 @@ object PipelineQueries {
     }),
 
     "p31_quantile_gate" -> ((s, d) => {
-      val lens = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val lens = Sizing.spread(Tables.documents(s, d))
         .select(TextAnalysis.wsTokenCount(col("text")).cast("double").as("n_words"))
       Sketches.quantileGate(lens, "n_words", q = 0.5, accuracy = 10000, bound = 0.05)
     }),
@@ -501,28 +500,27 @@ object PipelineQueries {
     // engine-portable averaging)
     "p33_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spread(Tables.documents(s, d)),
         "text", "doc_id")),
 
     // context-window chunking: 40-word windows, 10 carried words
     "p34_chunk_words" -> ((s, d) =>
       TextAnalysis.chunkWords(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spreadCompute(Tables.documents(s, d)),
         "text", "doc_id", size = 40, overlap = 10)),
 
     // sequence packing: concat-and-chop bin assignment, 512-token
     // budget, 128-doc pack groups (parallel window, oracle-exact)
     "p35_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spread(Tables.documents(s, d)),
         "text", "doc_id", budget = 512, groupSize = 128)),
 
     // exact heavy hitters above 0.2% support: bounded candidate sketch
     // + exact recount, so the output is plain-SQL re-derivable even
     // though the tail never shuffles
     "p36_heavy_hitters" -> ((s, d) => {
-      val w = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val w = Sizing.spread(Tables.documents(s, d))
         .select(explode(
           filter(split(trim(lower(col("text"))), "\\s+"), x => length(x) > 0))
           .as("word"))
@@ -532,8 +530,7 @@ object PipelineQueries {
     // approx_top_k (DataSketches frequent-items) accuracy gate vs the
     // exact top-20 words
     "p37_topk_gate" -> ((s, d) => {
-      val w = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val w = Sizing.spread(Tables.documents(s, d))
         .select(explode(
           filter(split(trim(lower(col("text"))), "\\s+"), x => length(x) > 0))
           .as("word"))
@@ -545,7 +542,7 @@ object PipelineQueries {
     // have no false negatives — n_missed is structurally 0; n_exact is
     // data-dependent and re-derived by the oracle's shingle SQL)
     "p38_bloom_decontaminate" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spread(Tables.documents(s, d))
       val grams = s.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row("slow fast table"),
           org.apache.spark.sql.Row("batch window spark")),
@@ -582,7 +579,7 @@ object PipelineQueries {
     // everything; 512 hashed buckets, portable md5 bucket hash so the
     // oracle re-derives both models and every per-doc sum exactly
     "p40_dsir_weights" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spread(Tables.documents(s, d))
       TextAnalysis.dsirLogWeights(t, t.filter(col("lang") === "en"),
         "text", "doc_id", numBuckets = 512, hashFn = Dedup.md5Hash60)
     }),
@@ -592,7 +589,7 @@ object PipelineQueries {
     // keys re-derived by the oracle)
     "p41_corpus_shuffle" -> ((s, d) =>
       Sampling.deterministicShuffle(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        Sizing.spread(Tables.documents(s, d)),
         "doc_id", salt = "epoch0")
         .select(col("doc_id"), col("shuffle_key")).limit(50)),
 
@@ -610,7 +607,7 @@ object PipelineQueries {
     // int8 embedding quantization: per-vector scale + integer code sum
     // (both engine-exact — the oracle re-derives every code)
     "p43_embed_quant" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+      val emb = Sizing.spreadCompute(Tables.embeddings(s, d))
       emb.withColumn("__q", Similarity.quantizeInt8(col("embedding")))
         .select(col("vec_id"),
           round(col("__q").getField("scale"), 6).as("scale_r"),
@@ -731,8 +728,7 @@ object PipelineQueries {
     // SQL re-derivation: exact dedup → temperature rebalance of the
     // language mixture → per-source domain cap → split assignment
     "p60_curation_v3" -> ((s, d) => {
-      val docs0 = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs0 = Sizing.spread(Tables.documents(s, d))
       val docs1 = Dedup.dropExactDups(docs0, "text", "doc_id")
       val docs2 = Sampling.temperatureResample(docs1, "doc_id", "lang",
         temperature = 0.5, salt = "v3mix")
@@ -1359,7 +1355,7 @@ object PipelineQueries {
     // DSIR, keep positive-weight docs, and emit the first 20 of the
     // deterministic training order. Fully re-derived by the oracle.
     "p45_curation_v2" -> ((s, d) => {
-      val t = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val t = Sizing.spread(Tables.documents(s, d))
       val seen = t.filter(col("doc_id") < 250)
       val incoming = t.filter(col("doc_id") >= 250)
       val flagged = Dedup.crossCorpusNearDup(incoming, seen, "text", "doc_id",
@@ -1379,7 +1375,7 @@ object PipelineQueries {
     // ---- pillar 4: multimodal ---------------------------------------
     "p09_multimodal" -> ((s, d) => {
       Multimodal.pipeline(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        Sizing.spread(Tables.documents(s, d)))
         .withColumn("feat0", round(element_at(col("features"), 1).cast("double"), 6))
         .drop("features")
     })

@@ -295,15 +295,28 @@ object Update {
       Tombstones.replace(spark, dir, remaining)
     }
 
-    val appended = if (toAppend.isEmpty) 0L else {
-      // deterministic per-delta insertion order: one ordered pass over
-      // the (usually small) delta; a huge INSERT WHERE pays a single
-      // range-partitioned sort, same trade as ingest's zipWithIndex
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("graph.key").asc_nulls_first, col("s.key"), col("p.key"), col("o.key"))
-      val delta = toAppend
+    val appendRows = toAppend.count() // checkpointed: a cheap local count
+    val appended = if (appendRows == 0L) 0L else {
+      // deterministic per-delta insertion order WITHOUT a global
+      // unpartitioned Window (which moves the whole delta through one
+      // task): sort, then stamp monotonically_increasing_id — strictly
+      // increasing in (partition, row), and partitions are ordered by
+      // the range sort, so the stamp induces exactly the sorted order.
+      // A small delta (the common case) sorts in ONE coalesced
+      // partition, where the stamp is literally 0..n-1 — bit-identical
+      // to the row_number it replaces; a huge INSERT WHERE pays a
+      // range-partitioned sort and gets order-equivalent (gapped)
+      // ordinals, the same contract ingest's own stamp provides.
+      val sortKeys = Seq(col("graph.key").asc_nulls_first,
+        col("s.key").asc, col("p.key").asc, col("o.key").asc)
+      val sorted =
+        if (appendRows <= 1000000L) toAppend.coalesce(1).sortWithinPartitions(sortKeys: _*)
+        else toAppend.repartitionByRange(
+          math.max(2, (appendRows / 1000000L).toInt), sortKeys: _*)
+          .sortWithinPartitions(sortKeys: _*)
+      val delta = sorted
         .withColumn("id", Term.nullTerm)
-        .withColumn("ord", row_number().over(w).cast("long") - 1L)
+        .withColumn("ord", monotonically_increasing_id())
       if (new java.io.File(s"$dir/statements_sub.parquet").exists())
         IndexMaintenance.appendToIndex(spark, dir, delta)
       else appendToFlatStore(spark, dir, delta)
