@@ -58,6 +58,17 @@ object IndexMaintenance {
   final case class IndexMeta(buckets: Int, generation: Long, maxOrd: Long,
                              lastBatch: Long)
 
+  /** Caller-supplied per-delta statistics for [[appendToIndex]], used
+    * when the delta already lives on the driver (Update's literal
+    * templates): `maxOrd` is the delta's OWN max ordinal (before the
+    * store offset), `counts` the per-predicate row totals, `dS`/`dO`
+    * the per-predicate maxima of rows sharing one subject/object.
+    */
+  final case class DeltaStats(rows: Long, maxOrd: Long,
+                              counts: Map[String, Long],
+                              dS: Map[String, Long],
+                              dO: Map[String, Long])
+
   def readMeta(spark: SparkSession, dir: String): IndexMeta = {
     val f = new File(s"$dir/meta.json")
     val txt = if (f.exists()) {
@@ -115,7 +126,8 @@ object IndexMaintenance {
     * existing store files are never read or rewritten.
     */
   def appendToIndex(spark: SparkSession, dir: String, delta: DataFrame,
-                    batchId: Option[Long] = None): Long = {
+                    batchId: Option[Long] = None,
+                    stats: Option[DeltaStats] = None): Long = {
     require(new File(s"$dir/statements_sub.parquet").exists(),
       s"$dir is not a partitioned index store (run create-index first)")
     requireNotPending(dir)
@@ -128,17 +140,20 @@ object IndexMaintenance {
     pending.createNewFile()
     val n = try {
       // offset ords past the store's max so insertion order equals a
-      // full rebuild over base-then-delta input; materialize once
-      val d = WikidataIngest.rendered(
+      // full rebuild over base-then-delta input; materialize once —
+      // UNLESS the caller pre-computed the stats (Update's driver tier:
+      // the delta is a LocalRelation there, free to recompute per
+      // write, so neither the checkpoint nor the stats pass runs a job)
+      val d0 = WikidataIngest.rendered(
         delta.withColumn("ord", col("ord") + lit(meta.maxOrd + 1L)))
-        .localCheckpoint()
+      val d = if (stats.isDefined) d0 else d0.localCheckpoint()
       // ONE pass over the checkpointed delta yields row count, max
       // ordinal, per-predicate totals AND both degree maxima (was four
       // separate jobs — pure fixed overhead per append batch); both
       // degree sides ride one explode, map-side combine applies after
       // it, and the collect is bounded by the delta's predicate
       // vocabulary
-      val perPred = d.select(col("p.key").as("k"), col("ord"),
+      lazy val perPred = d.select(col("p.key").as("k"), col("ord"),
           explode(array(
             struct(lit("s").as("side"), col("s.key").as("g")),
             struct(lit("o").as("side"), col("o.key").as("g")))).as("sg"))
@@ -147,12 +162,14 @@ object IndexMaintenance {
         .groupBy(col("k"), col("side"))
         .agg(sum(col("c")).as("total"), max(col("c")).as("m"), max(col("mo")).as("mo"))
         .collect()
-      val rows = perPred.filter(_.getString(1) == "s").map(_.getLong(2)).sum
+      val rows = stats.map(_.rows).getOrElse(
+        perPred.filter(_.getString(1) == "s").map(_.getLong(2)).sum)
       if (rows == 0L) {
         // nothing to write; still advance the batch watermark
         writeMeta(dir, meta.copy(lastBatch = batchId.getOrElse(meta.lastBatch)))
       } else {
-        val newMaxOrd = perPred.map(_.getLong(4)).max
+        val newMaxOrd = stats.map(_.maxOrd + meta.maxOrd + 1L).getOrElse(
+          perPred.map(_.getLong(4)).max)
         val hasGraph = d.columns.contains("graph")
         // one-file-per-touched-bucket per append (the small-file
         // invariant compaction relies on) needs each bucket's rows in
@@ -195,12 +212,15 @@ object IndexMaintenance {
         // ordering dependency)
         val preCounts = WikidataIngest.predCounts(dir).getOrElse(Map.empty)
         val preFloor = WikidataIngest.predCountsFloor(dir)
-        val deltaCounts = perPred.filter(_.getString(1) == "s")
-          .map(r => r.getString(0) -> r.getLong(2)).toMap
-        val dS = perPred.filter(_.getString(1) == "s")
-          .map(r => r.getString(0) -> r.getLong(3)).toMap
-        val dO = perPred.filter(_.getString(1) == "o")
-          .map(r => r.getString(0) -> r.getLong(3)).toMap
+        val deltaCounts = stats.map(_.counts).getOrElse(
+          perPred.filter(_.getString(1) == "s")
+            .map(r => r.getString(0) -> r.getLong(2)).toMap)
+        val dS = stats.map(_.dS).getOrElse(
+          perPred.filter(_.getString(1) == "s")
+            .map(r => r.getString(0) -> r.getLong(3)).toMap)
+        val dO = stats.map(_.dO).getOrElse(
+          perPred.filter(_.getString(1) == "o")
+            .map(r => r.getString(0) -> r.getLong(3)).toMap)
         mergePredCounts(dir, deltaCounts, preCounts, preFloor)
         mergePredFanout(dir, dS, dO, preCounts, preFloor)
         writeMeta(dir, meta.copy(generation = meta.generation + 1L,
@@ -311,6 +331,17 @@ object IndexMaintenance {
     }
     walk(base)
   }
+
+  /** Parquet file names inside the leaf partition directory
+    * `base/rel` (empty when absent). Part-file names embed the writing
+    * job's UUID, so an unchanged set across a dynamic-partition
+    * overwrite means the partition received no output rows.
+    */
+  private def partFiles(base: File, rel: String): Set[String] =
+    Option(new File(base, rel).listFiles())
+      .map(_.iterator.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet)
+      .getOrElse(Set.empty)
 
   /** Rewrite every partition whose SMALL-file count (under half a
     * target file — append-batch debt, not the build writer's sized
@@ -482,31 +513,49 @@ object IndexMaintenance {
           }.toMap
           val graphAny = term == "graph" && anyGraphTomb
           val affected: Set[Int] =
-            if (graphAny) allBuckets.keySet else bucketSets(term)
+            if (graphAny) {
+              // an un-GRAPHed delete can sit in any graph bucket. On a
+              // SMALL copy just rewrite them all; past the probe
+              // threshold, one semi-join scan finds the buckets that
+              // actually hold a tombstoned row — at 100 TB that is the
+              // difference between one pruned scan and rewriting the
+              // whole permutation
+              val copyBytes = allBuckets.valuesIterator.sum
+              val probeBytes = spark.conf
+                .get("spark.graft.vacuum.probeBytes", (256L << 20).toString).toLong
+              if (copyBytes <= probeBytes) allBuckets.keySet
+              else Tombstones.matchingStatements(spark, dir,
+                  spark.read.parquet(base.getAbsolutePath))
+                .select(bucketCol).distinct().collect()
+                .map(_.getInt(0)).toSet
+            } else bucketSets(term)
           val present = affected.intersect(allBuckets.keySet)
           if (present.nonEmpty) {
             val df = spark.read.parquet(base.getAbsolutePath)
               .filter(col(bucketCol).isin(present.toSeq: _*))
             val out = Tombstones.filterStatements(spark, dir, df)
-            val survivors = out.select(bucketCol).distinct()
-              .collect().map(_.getInt(0)).toSet
-            if (survivors.nonEmpty) {
-              val bytes = present.toSeq.map(allBuckets).sum
-              val parts = WikidataIngest.sizedRangeParts(bytes, present.size)
-              (if (parts == 1)
-                 Tombstones.filterStatements(spark, dir, df).coalesce(1)
-               else Tombstones.filterStatements(spark, dir, df)
-                 .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*))
-                .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
-                .write.mode(SaveMode.Overwrite)
-                // per-writer dynamic overwrite — see compactIndex
-                .option("partitionOverwriteMode", "dynamic")
-                .option("parquet.block.size",
-                  WikidataIngest.PermutationBlockBytes.toString)
-                .partitionBy(bucketCol)
-                .parquet(base.getAbsolutePath)
-            }
-            for (dead <- present -- survivors)
+            // snapshot each present bucket's file set BEFORE the write:
+            // part-file names are unique per job, so a bucket whose
+            // file set is unchanged afterwards received no output rows
+            // — it died. This replaces the survivors distinct+collect
+            // job per copy with a filesystem check
+            val filesBefore: Map[Int, Set[String]] =
+              present.toSeq.map(b => b -> partFiles(base, s"$bucketCol=$b")).toMap
+            val bytes = present.toSeq.map(allBuckets).sum
+            val parts = WikidataIngest.sizedRangeParts(bytes, present.size)
+            (if (parts == 1) out.coalesce(1)
+             else out
+               .repartitionByRange(parts, (bucketCol +: sortKeys).map(col): _*))
+              .sortWithinPartitions((bucketCol +: sortKeys).map(col): _*)
+              .write.mode(SaveMode.Overwrite)
+              // per-writer dynamic overwrite — see compactIndex
+              .option("partitionOverwriteMode", "dynamic")
+              .option("parquet.block.size",
+                WikidataIngest.PermutationBlockBytes.toString)
+              .partitionBy(bucketCol)
+              .parquet(base.getAbsolutePath)
+            for (dead <- present
+                 if partFiles(base, s"$bucketCol=$dead") == filesBefore(dead))
               Tombstones.deleteRecursively(new File(base, s"$bucketCol=$dead"))
             touchedCount.addAndGet(present.size): Unit
           }
@@ -525,19 +574,21 @@ object IndexMaintenance {
             }.reduce(_ || _)
             val df = spark.read.parquet(labelBase.getAbsolutePath).filter(cond)
             val out = Tombstones.filterLabels(spark, dir, df)
-            val survivors = out.select("kind", "lang").distinct().collect()
-              .map(r => (r.getString(0), r.getString(1))).toSet
-            if (survivors.nonEmpty) {
-              Tombstones.filterLabels(spark, dir, df)
-                .repartition(col("kind"), col("lang"))
-                .write.mode(SaveMode.Overwrite)
-                // per-writer dynamic overwrite — see compactIndex
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("kind", "lang")
-                .parquet(labelBase.getAbsolutePath)
-            }
-            for ((k, l) <- labelParts.toSet -- survivors)
-              Tombstones.deleteRecursively(new File(labelBase, s"kind=$k/lang=$l"))
+            // same write-first/file-set dead-partition detection as the
+            // permutation copies (see above)
+            def leaf(k: String, l: String) = s"kind=$k/lang=$l"
+            val filesBefore: Map[(String, String), Set[String]] =
+              labelParts.toSeq.map { case (k, l) =>
+                (k, l) -> partFiles(labelBase, leaf(k, l)) }.toMap
+            out.repartition(col("kind"), col("lang"))
+              .write.mode(SaveMode.Overwrite)
+              // per-writer dynamic overwrite — see compactIndex
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("kind", "lang")
+              .parquet(labelBase.getAbsolutePath)
+            for ((k, l) <- labelParts
+                 if partFiles(labelBase, leaf(k, l)) == filesBefore((k, l)))
+              Tombstones.deleteRecursively(new File(labelBase, leaf(k, l)))
             touchedCount.addAndGet(labelParts.length): Unit
           }
         WikidataIngest.inParallel(spark, copyTasks ++ labelTask)

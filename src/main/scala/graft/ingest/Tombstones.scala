@@ -100,6 +100,21 @@ object Tombstones {
         "left_anti")
     }
 
+  /** The inverse of [[filterStatements]]: the scan rows a tombstone
+    * DOES cover. Vacuum's large-copy probe uses this to find which
+    * graph buckets actually hold a deleted row before rewriting them.
+    */
+  def matchingStatements(spark: SparkSession, store: String, df: DataFrame): DataFrame =
+    read(spark, store).fold(df.limit(0)) { t0 =>
+      val t = maybeBroadcast(store,
+        t0.select("s_key", "p_key", "o_key", "g_key", "g_any"))
+      val g: Column = if (df.columns.contains("graph")) df("graph.key")
+                      else lit(null).cast("string")
+      df.join(t, df("s.key") === t("s_key") && df("p.key") === t("p_key") &&
+        df("o.key") === t("o_key") && (t("g_any") || (g <=> t("g_key"))),
+        "left_semi")
+    }
+
   /** Hide label rows whose source quad (a label/desc/alias edge) was
     * tombstoned. The labels table is a projection of the statements
     * ([[WikidataIngest.labelsView]]: `entity_key = s.key, kind = p.kind,

@@ -179,7 +179,16 @@ object WikidataIngest {
     * writes 1 partition instead of 64+ near-empty shuffle tasks and
     * sampling passes, while stores ≥ floor×4 MB plan exactly as before.
     */
-  private[ingest] def sizedRangeParts(bytes: Long, floor: Int): Int =
+  /** Size-adaptive predicate-bucket count for [[createIndex]]: one
+    * bucket per [[BucketBytes]] of flat-store bytes, clamped to the
+    * legacy [[NumPredBuckets]] — stores ≥ ~1 GB lay out exactly as
+    * before the adaptive change (ladder safety pinned by
+    * LayoutLadderSpec).
+    */
+  private[graft] def sizedBuckets(bytes: Long): Int =
+    math.min(NumPredBuckets.toLong, bytes / BucketBytes + 1L).toInt
+
+  private[graft] def sizedRangeParts(bytes: Long, floor: Int): Int =
     math.max((bytes / TargetFileBytes + 1).toInt,
       math.min(floor, math.max(1, (bytes / MinPartitionBytes + 1).toInt)))
 
@@ -306,9 +315,7 @@ object WikidataIngest {
     // tests, stores that must match an existing layout — still can);
     // the chosen count is persisted in meta.json so readers always
     // bucket exactly as the writer did, whatever the count
-    val b = if (buckets > 0) buckets
-            else math.min(NumPredBuckets.toLong,
-              inBytes / BucketBytes + 1L).toInt
+    val b = if (buckets > 0) buckets else sizedBuckets(inBytes)
     writePartitioned(spark, statements(spark, flatDir)
       .drop("p_bucket", "s_bucket", "o_bucket"), outDir, b, zorder,
       // size the range-partition count from the flat store's on-disk
@@ -618,8 +625,18 @@ object WikidataIngest {
     * this, every read-path filter re-listed and re-footer-read the
     * side table (a schema-inference job per query).
     */
-  private[ingest] def cachedRead(spark: SparkSession, path: String): DataFrame =
+  private[graft] def cachedRead(spark: SparkSession, path: String): DataFrame =
     readCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
+
+  /** Cached RAW scan of the main statements copy — tombstones NOT
+    * filtered (unlike [[statements]], which caches the filtered view
+    * under the bare path key). The un-delete path probes this for
+    * physically-present-but-hidden rows. The `#raw` key suffix still
+    * starts with `dir`, so [[invalidate]] drops it with the rest.
+    */
+  private[graft] def rawStatements(spark: SparkSession, dir: String): DataFrame =
+    readCache.getOrElseUpdate((spark, s"$dir/statements.parquet#raw"),
+      spark.read.parquet(s"$dir/statements.parquet"))
 
   /** Drop cached reads under `dir` after a rebuild (the cached file
     * listing would otherwise point at deleted parquet parts), and bump

@@ -101,6 +101,24 @@ object Dedup {
     * buckets, and pairwise Jaccard exactly 1.0 — so all-pairs work can
     * run once per distinct set and expand back to members afterwards.
     */
+  /** Build-and-materialize two INDEPENDENT checkpoint chains as
+    * concurrent Spark jobs (guide §2.6: actions are only sequential
+    * because the driver calls them sequentially). Used where an
+    * operator stages two unrelated inputs; both sides are read-only
+    * materializations, so a failure on one side simply propagates.
+    */
+  private def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fa = scala.concurrent.Future(a)
+      val fb = scala.concurrent.Future(b)
+      (scala.concurrent.Await.result(fa, scala.concurrent.duration.Duration.Inf),
+        scala.concurrent.Await.result(fb, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   private def keyedShinglePrep(df: DataFrame, textCol: String, idCol: String,
                                shingleN: Int): DataFrame =
     shinglePrep(df, textCol, idCol, shingleN)
@@ -254,13 +272,19 @@ object Dedup {
     // representative election on BOTH corpora (see [[minhashNearDup]]):
     // replicated boilerplate on either side collapses to one signature
     // group, so bucket collisions and verification scale with distinct
-    // content; member expansion restores every incoming×seen pair
-    val in = keyedShinglePrep(incoming, textCol, idCol, shingleN)
-      .localCheckpoint(false)
-    val sn = keyedShinglePrep(seen, textCol, idCol, shingleN)
-      .localCheckpoint(false)
-    val gIn = electGroups(in).localCheckpoint(false)
-    val gSn = electGroups(sn).localCheckpoint(false)
+    // content; member expansion restores every incoming×seen pair.
+    // The two per-corpus prep→election chains are independent, so
+    // their checkpoint materializations run as concurrent jobs (guide
+    // §2.6) instead of four serial job latencies
+    val ((in, gIn), (sn, gSn)) = concurrently({
+      val k = keyedShinglePrep(incoming, textCol, idCol, shingleN)
+        .localCheckpoint(false)
+      (k, electGroups(k).localCheckpoint(false))
+    }, {
+      val k = keyedShinglePrep(seen, textCol, idCol, shingleN)
+        .localCheckpoint(false)
+      (k, electGroups(k).localCheckpoint(false))
+    })
     // no a.id < b.id here: the two corpora are distinct relations (ids
     // may even collide across them), so every incoming×seen collision
     // is a candidate exactly once
@@ -666,10 +690,16 @@ object Dedup {
     // materialized, so the count is free; above the budget (or for id
     // types without a `least()`-compatible JVM ordering) the
     // distributed fixpoint below runs unchanged.
-    val budget = edges.sparkSession.conf
-      .get("spark.graft.clusters.driverMaxEdges", (1 << 20).toString).toLong
-    if (edges.count() <= budget) {
-      driverComponents(edges) match {
+    val budget = math.min(edges.sparkSession.conf
+      .get("spark.graft.clusters.driverMaxEdges", (1 << 20).toString).toLong,
+      Int.MaxValue - 1L).toInt
+    // ONE bounded limit-collect both measures and fetches: at most
+    // budget+1 rows come back (limit early-terminates above it), so
+    // the driver path no longer pays a separate count job and the
+    // distributed path pays a truncated probe instead of a full count
+    val probe = edges.limit(budget + 1).collect()
+    if (probe.length <= budget) {
+      driverComponents(edges, probe) match {
         case Some(df) => return df
         case None => // unsupported id type — take the distributed path
       }
@@ -714,7 +744,8 @@ object Dedup {
     * identical to the distributed fixpoint's. None when the id type has
     * no ordering matching SQL `least` (caller then runs distributed).
     */
-  private def driverComponents(edges: DataFrame): Option[DataFrame] = {
+  private def driverComponents(edges: DataFrame,
+                               rows: Array[org.apache.spark.sql.Row]): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val spark = edges.sparkSession
     val dt = edges.schema("src").dataType
@@ -725,7 +756,6 @@ object Dedup {
       case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
       case _ => return None
     }
-    val rows = edges.collect()
     if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {

@@ -260,12 +260,11 @@ object Paths {
                             start: graft.model.TermValue, includeStart: Boolean,
                             maxIters: Int = 64,
                             mode: NodeMode = PlainMode): DataFrame = {
-    val edges = compile(tr, st, inner, mode).select(
+    val edges0 = compile(tr, st, inner, mode).select(
         col(S), col(O),
         col(S).getField("key").as("__ks"), col(O).getField("key").as("__ko"))
       .dropDuplicates("__ks", "__ko")
-      .localCheckpoint(true)
-    val seed = mode.seed(st, start).localCheckpoint(true)
+    val seed0 = mode.seed(st, start)
     val budget = maxRowsBudget(st)
     // MEASURED-size plan choice: the edge relation is pre-filtered (the
     // path predicate pushed into the scan) and already materialized, so
@@ -279,14 +278,28 @@ object Paths {
     // distributed frontier fixpoint below is unchanged. In GraphMode
     // the SEED is one row per distinct named graph (a dump-provenance
     // store has millions), so the edge count alone does not bound what
-    // the driver would collect — but the seed is ALSO already
-    // materialized (localCheckpoint above), so its size is one cheap
-    // count away: the driver plan applies whenever BOTH measured sets
-    // are small, and a million-graph store still takes the distributed
-    // plan.
-    if (edges.count() < smallRowsBudget(st) &&
-        ((mode eq PlainMode) || seed.count() < smallRowsBudget(st)))
-      return reachableFromDriver(edges, seed, start, includeStart, mode, budget)
+    // the driver would collect — the seed's size is probed the same
+    // way: the driver plan applies whenever BOTH measured sets are
+    // small, and a million-graph store still takes the distributed
+    // plan. ONE bounded limit-collect per set both measures it and
+    // fetches it for the driver BFS (the former checkpoint + count +
+    // collect chain was three jobs per set for the same bytes); a set
+    // at or past the threshold early-terminates the probe and runs
+    // distributed, checkpointed exactly as before.
+    val small = math.min(smallRowsBudget(st), Int.MaxValue.toLong).toInt
+    val edgeProbe = edges0.select(col("__ks"), col("__ko"), col(O))
+      .limit(small).collect()
+    if (edgeProbe.length < small) {
+      val seedSel = seed0.select(col(O), col("__ko"))
+      val seedProbe =
+        if (mode eq PlainMode) seedSel.collect() // bound start: 1 row
+        else seedSel.limit(small).collect()
+      if ((mode eq PlainMode) || seedProbe.length < small)
+        return reachableFromDriver(edges0, edgeProbe, seedProbe,
+          start, includeStart, mode, budget)
+    }
+    val edges = edges0.localCheckpoint(true)
+    val seed = seed0.localCheckpoint(true)
     var rows = 0L
     var reached = seed.limit(0).localCheckpoint(true) // nodes hit in >= 1 step
     var frontier = seed
@@ -340,7 +353,9 @@ object Paths {
     * `spark.graft.path.smallRows` edge rows — the same order as one
     * executor's working set for the distributed plan.
     */
-  private def reachableFromDriver(edges: DataFrame, seed: DataFrame,
+  private def reachableFromDriver(edges: DataFrame,
+                                  edgeRows: Array[org.apache.spark.sql.Row],
+                                  seedRows0: Array[org.apache.spark.sql.Row],
                                   start: graft.model.TermValue,
                                   includeStart: Boolean, mode: NodeMode,
                                   budget: Long): DataFrame = {
@@ -354,12 +369,12 @@ object Paths {
       case GraphMode => !ko.endsWith("\u0000" + start.key)
     }
     val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[(String, Any)]]()
-    edges.select(col("__ks"), col("__ko"), col(O)).collect().foreach { r =>
+    edgeRows.foreach { r =>
       if (!r.isNullAt(0) && !r.isNullAt(1))
         adj.getOrElseUpdate(r.getString(0), scala.collection.mutable.ArrayBuffer.empty)
           .append((r.getString(1), r.get(2)))
     }
-    val seedRows = seed.select(col(O), col("__ko")).collect()
+    val seedRows = seedRows0
       .filter(!_.isNullAt(1)).map(r => (r.getString(1), r.get(0)))
     val reached = new scala.collection.mutable.LinkedHashMap[String, Any]()
     var frontier: Seq[String] = seedRows.map(_._1).distinct
@@ -414,10 +429,11 @@ object Paths {
     * the distributed fixpoint's — every (s, o) with a ≥1-step path,
     * deduplicated on keys.
     */
-  private def driverClosure(total: DataFrame, budget: Long): Option[DataFrame] = {
+  private def driverClosure(total: DataFrame,
+                            rows: Array[org.apache.spark.sql.Row],
+                            budget: Long): Option[DataFrame] = {
     import org.apache.spark.sql.Row
     val spark = total.sparkSession
-    val rows = total.select(col(S), col(O), col("__ks"), col("__ko")).collect()
     val term = new scala.collection.mutable.HashMap[String, Any]()
     val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
     rows.foreach { r =>
@@ -453,27 +469,31 @@ object Paths {
 
   private def closure(edges0: DataFrame, maxIters: Int = 64): DataFrame = {
     val budget = maxRowsBudget(edges0)
-    var total = edges0.select(
+    val dedup = edges0.select(
       col(S), col(O),
       col(S).getField("key").as("__ks"), col(O).getField("key").as("__ko"))
       .dropDuplicates("__ks", "__ko")
-      .localCheckpoint(true)
-    var rows = total.count()
-    if (rows > budget) throw new PathBudgetExceeded(
-      s"path closure edge set has $rows rows > spark.graft.path.maxRows=$budget")
     // Measured-size plan choice, one tier below the broadcast rounds:
     // a FEW-THOUSAND-edge set (the compiled path predicate is usually
     // that selective) computes its whole closure on the driver — zero
     // jobs per level instead of a join+anti-join+checkpoint round trip
-    // each. The pair budget still applies; a closure that outgrows the
-    // driver's own cap (rare: dense tiny graph) falls through and the
-    // distributed fixpoint below runs unchanged.
-    if (rows <= driverClosureEdges(edges0)) {
-      driverClosure(total, budget) match {
+    // each. ONE bounded limit-collect both measures the set and fetches
+    // it (the former checkpoint + count + collect chain was three jobs
+    // for the same bytes). The pair budget still applies; a closure
+    // that outgrows the driver's own cap (rare: dense tiny graph) falls
+    // through and the distributed fixpoint below runs unchanged.
+    val dMax = math.min(driverClosureEdges(edges0), Int.MaxValue - 1L).toInt
+    val probe = dedup.limit(dMax + 1).collect()
+    if (probe.length <= dMax) {
+      driverClosure(dedup, probe, budget) match {
         case Some(df) => return df
         case None => // outgrew the driver cap — run distributed
       }
     }
+    var total = dedup.localCheckpoint(true)
+    var rows = total.count()
+    if (rows > budget) throw new PathBudgetExceeded(
+      s"path closure edge set has $rows rows > spark.graft.path.maxRows=$budget")
     val smallThr = smallRowsBudget(edges0)
     var frontier = total
     var iter = 0

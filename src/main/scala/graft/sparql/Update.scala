@@ -1,6 +1,6 @@
 package graft.sparql
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType}
 
@@ -102,23 +102,45 @@ object Update {
     //    store. Both templates instantiate from the SAME binding set.
     val tplVars = (deleteTpl ++ insertTpl).flatMap(q =>
       Seq(q.s, q.p, q.o) ++ q.g.toSeq).collect { case v: Var => v }.distinct
-    val bindings: Option[DataFrame] = where match {
-      case None => Some(oneEmptySolution(spark))
+    // `unit` marks the one-solution/no-variables case (INSERT DATA /
+    // DELETE DATA, and const-template modifies): the instantiated
+    // delta is then bounded by the TEMPLATE size, known at parse time
+    val (bindings, unit): (Option[DataFrame], Boolean) = where match {
+      case None => (Some(oneEmptySolution(spark)), true)
       case Some(w) =>
         val inScope = Ast.scopeVars(w).toSet
         val proj = tplVars.filter(inScope)
         if (proj.nonEmpty)
-          Some(Sparql.translator(spark, dir).translate(SelectQuery(Project(w, proj))))
+          (Some(Sparql.translator(spark, dir).translate(SelectQuery(Project(w, proj)))), false)
         else {
           // const-only templates: instantiate once iff WHERE has any
           // solution (ASK)
           val any = Sparql.translator(spark, dir).translate(AskQuery(w))
             .head().getBoolean(0)
-          if (any) Some(oneEmptySolution(spark)) else None
+          (if (any) Some(oneEmptySolution(spark)) else None, true)
         }
     }
     bindings match {
       case None => Result(0, 0, 0)
+      case Some(b) if unit &&
+          (deleteTpl.size + insertTpl.size) <= driverMaxTemplates(spark) =>
+        // measured-size driver plan (same tier pattern as Paths/Dedup):
+        // a literal-template update's set algebra runs on the driver —
+        // one pruned covered-keys probe per side instead of the
+        // checkpoint/count job chain, with LocalRelation deltas. The
+        // gate is the parse-time template count, so no probe job is
+        // ever paid to choose the tier.
+        val delRows = instantiate(spark, b, deleteTpl)
+          .map(df => (df.collect().toSeq, df.schema)).getOrElse((Nil, null))
+        val insRows = instantiate(spark, b, insertTpl)
+          .map(df => (df.collect().toSeq, df.schema)).getOrElse((Nil, null))
+        val deleted =
+          if (delRows._1.isEmpty) 0L
+          else driverDelete(spark, dir, delRows._1, delRows._2)
+        val (inserted, undeleted) =
+          if (insRows._1.isEmpty) (0L, 0L)
+          else driverInsert(spark, dir, insRows._1, insRows._2)
+        Result(inserted, deleted, undeleted)
       case Some(b) =>
         // 2. materialize both instantiated deltas BEFORE mutating: the
         //    lazily-planned binding scan must not observe its own
@@ -131,6 +153,13 @@ object Update {
         Result(inserted, deleted, undeleted)
     }
   }
+
+  /** Template-count bound for the driver tier of [[applyModify]]
+    * (0 disables it). Unit-binding templates collect to at most this
+    * many rows, so the driver copy is always tiny.
+    */
+  private def driverMaxTemplates(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.update.driverMaxTemplates", "64").toInt
 
   /** The unit binding (one solution, no variables). */
   private def oneEmptySolution(spark: SparkSession): DataFrame = spark.range(1).toDF()
@@ -266,6 +295,158 @@ object Update {
       (col("tp.graph").getField("key").isNull ||
         (col("tp.graph").getField("key") <=> col("c_g")))
 
+  // ------------------------------------------------------ driver tier
+  // Literal-template updates (INSERT DATA / DELETE DATA and
+  // const-template modifies) run the covers/coversKey algebra on the
+  // driver: the template is a handful of parse-time quads, so the only
+  // cluster work is one pruned covered-keys probe per store side and
+  // the writes themselves. Semantics restate [[covers]]/[[coversKey]]
+  // exactly; UpdateSpec pins driver/distributed equality.
+
+  /** A template quad's identity keys (graph None = no GRAPH clause —
+    * covers every graph).
+    */
+  private final case class QuadKey(s: String, p: String, o: String,
+                                   g: Option[String])
+
+  private def keyOf(r: Row): QuadKey = {
+    def k(field: String): Option[String] =
+      Option(r.getAs[Row](field)).flatMap(t => Option(t.getAs[String]("key")))
+    QuadKey(k("s").orNull, k("p").orNull, k("o").orNull, k("graph"))
+  }
+
+  /** [[covers]] with the template side inlined as literals: matches
+    * store rows covered by ANY of the template keys.
+    */
+  private def coversLit(keys: Seq[QuadKey], s: Column, p: Column,
+                        o: Column, g: Column): Column =
+    keys.map { q =>
+      val base = s === lit(q.s) && p === lit(q.p) && o === lit(q.o)
+      q.g.fold(base)(gk => base && (g <=> lit(gk)))
+    }.reduce(_ || _)
+
+  /** [[coversKey]] on driver values: does template `q` cover the
+    * collected store key `(cs, cp, co, cg)`?
+    */
+  private def coversVal(q: QuadKey,
+                        cs: String, cp: String, co: String,
+                        cg: Option[String]): Boolean =
+    q.s == cs && q.p == cp && q.o == co && (q.g.isEmpty || q.g == cg)
+
+  /** Spark compares strings in UTF-8 binary order (UTF8String); the
+    * driver sort must match it exactly, not String's UTF-16 order.
+    */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** Collect the distinct (s,p,o,g) keys of `store` rows covered by the
+    * literal templates — [[coveredKeys]] with the probe filter pushed
+    * into the scan (one job, prunable predicates).
+    */
+  private def coveredKeysLit(store: DataFrame, keys: Seq[QuadKey])
+      : Array[(String, String, String, Option[String])] =
+    store.filter(coversLit(keys, col("s.key"), col("p.key"), col("o.key"),
+        col("graph.key")))
+      .select(col("s.key"), col("p.key"), col("o.key"), col("graph.key"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3))))
+
+  /** Driver-tier [[applyDelete]]: identical tombstones, two jobs total
+    * (covered-keys probe + tombstone append).
+    */
+  private def driverDelete(spark: SparkSession, dir: String,
+                           rows: Seq[Row],
+                           schema: org.apache.spark.sql.types.StructType): Long = {
+    val keys = rows.map(keyOf)
+    val covered = coveredKeysLit(WikidataIngest.statements(spark, dir), keys)
+    val hiding = rows.zip(keys).collect { case (r, q)
+      if covered.exists(c => coversVal(q, c._1, c._2, c._3, c._4)) => r }
+    if (hiding.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      Tombstones.append(spark, dir,
+        spark.createDataFrame(hiding.asJava, schema), hiding.size.toLong)
+      bump(spark, dir)
+    }
+    hiding.size.toLong
+  }
+
+  /** Driver-tier [[applyInsert]]: identical appended rows (same sorted
+    * 0..n-1 ordinals) and tombstone cancellations, with the fresh /
+    * hidden / toAppend splits computed from two covered-keys probes.
+    */
+  private def driverInsert(spark: SparkSession, dir: String,
+                           rows: Seq[Row],
+                           schema: org.apache.spark.sql.types.StructType): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val keys = rows.map(keyOf)
+    val covered1 = coveredKeysLit(WikidataIngest.statements(spark, dir), keys)
+    val fresh = rows.zip(keys).filterNot { case (_, q) =>
+      covered1.exists(c => coversVal(q, c._1, c._2, c._3, c._4)) }
+    if (fresh.isEmpty) return (0L, 0L)
+
+    // physical rows hidden by a tombstone: un-delete instead of
+    // re-appending (raw read on purpose — the cached view is filtered)
+    val raw = WikidataIngest.rawStatements(spark, dir)
+    val covered2 = coveredKeysLit(raw, fresh.map(_._2))
+    val (hidden, toAppend) = fresh.partition { case (_, q) =>
+      covered2.exists(c => coversVal(q, c._1, c._2, c._3, c._4)) }
+    val undeleted = hidden.size.toLong
+    if (undeleted > 0) {
+      // drop every tombstone covered by an inserted quad (match the
+      // tombstone's own scope: g_any rows cancel on key identity)
+      val cancel = fresh.map { case (_, q) =>
+        val base = col("s_key") === lit(q.s) && col("p_key") === lit(q.p) &&
+          col("o_key") === lit(q.o)
+        q.g.fold(base)(gk =>
+          base && (col("g_any") || (col("g_key") <=> lit(gk))))
+      }.reduce(_ || _)
+      Tombstones.replace(spark, dir,
+        Tombstones.read(spark, dir).get.filter(!cancel))
+    }
+
+    val appended = if (toAppend.isEmpty) 0L else {
+      // same deterministic insertion order as the distributed path:
+      // (graph nulls-first, s, p, o) keys in Spark's binary string
+      // order, ordinals 0..n-1
+      implicit val so: Ordering[String] = utf8Order
+      val sortedRows = toAppend.sortBy { case (_, q) =>
+        (q.g, q.s, q.p, q.o) }.map(_._1)
+      val withOrd = sortedRows.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i.toLong) }
+      val deltaSchema = schema.add("ord", org.apache.spark.sql.types.LongType)
+      val delta = spark.createDataFrame(withOrd.asJava, deltaSchema)
+        .withColumn("id", Term.nullTerm)
+      if (new java.io.File(s"$dir/statements_sub.parquet").exists()) {
+        // the delta is driver-local: hand appendToIndex its statistics
+        // so neither the checkpoint nor the stats-aggregation job runs
+        val ks = toAppend.map(_._2)
+        def maxGroup(of: QuadKey => String): Map[String, Long] =
+          ks.groupBy(_.p).map { case (p, g) =>
+            p -> g.groupBy(of).valuesIterator.map(_.size.toLong).max }
+        val stats = IndexMaintenance.DeltaStats(
+          rows = ks.size.toLong, maxOrd = ks.size.toLong - 1L,
+          counts = ks.groupBy(_.p).map { case (p, g) => p -> g.size.toLong },
+          dS = maxGroup(_.s), dO = maxGroup(_.o))
+        IndexMaintenance.appendToIndex(spark, dir, delta, stats = Some(stats))
+      } else appendToFlatStore(spark, dir, delta)
+    }
+    if (appended > 0 || undeleted > 0) bump(spark, dir)
+    (appended, undeleted)
+  }
+
   private def applyInsert(spark: SparkSession, dir: String, tpl: DataFrame): (Long, Long) = {
     val visible = WikidataIngest.statements(spark, dir).alias("st")
     val fresh = tpl.alias("tp")
@@ -275,7 +456,7 @@ object Update {
 
     // physical rows hidden by a tombstone: un-delete instead of
     // re-appending (raw read on purpose — the cached view is filtered)
-    val raw = spark.read.parquet(s"$dir/statements.parquet").alias("st")
+    val raw = WikidataIngest.rawStatements(spark, dir).alias("st")
     val rawCovered = coveredKeys(raw, fresh).localCheckpoint()
     val hidden = fresh.alias("tp").join(rawCovered, coversKey, "left_semi")
     val toAppend = fresh.alias("tp").join(rawCovered, coversKey, "left_anti")

@@ -279,4 +279,47 @@ class UpdateSpec extends SparkTestBase {
     assert(r2 == Update.Result(0, 0, 0))
     assert(rows("SELECT ?o WHERE { wd:Q602 wdt:P1 ?o }", idx).isEmpty)
   }
+
+  test("driver-tier DATA updates equal the distributed path (bit-equal stores)") {
+    // the same sequence through both tiers must leave byte-equivalent
+    // state: result counts, every access path, tombstones, raw ords.
+    // Covers: multi-quad insert (label normalization + GRAPH clause),
+    // graph-scoped AND union-default deletes, and a mixed re-insert
+    // (one undelete + one fresh append in ONE op, which exercises the
+    // fresh/hidden/toAppend split and the sorted ordinal stamp).
+    val updates = Seq(
+      """INSERT DATA { wd:Q900 wdt:P9 "zz" .
+        |  wd:Q901 rdfs:label "planted"@en .
+        |  GRAPH wd:Q3 { wd:Q902 wdt:P9 wd:Q900 } }""".stripMargin,
+      """DELETE DATA { wd:Q1 wdt:P2 wd:Q1001 .
+        |  GRAPH wd:Q2 { wd:Q2 wdt:P3 wd:Q1002 } }""".stripMargin,
+      "INSERT DATA { wd:Q1 wdt:P2 wd:Q1001 . wd:Q950 wdt:P9 wd:Q951 }")
+    def runAll(idx: String): Seq[Update.Result] =
+      updates.map(u => Update.execute(spark, u, idx))
+    val a = buildIdx(30)
+    val b = buildIdx(30)
+    val ra = runAll(a) // driver tier (templates under the default bound)
+    val rb = try {
+      spark.conf.set("spark.graft.update.driverMaxTemplates", "0")
+      runAll(b) // distributed tier, forced
+    } finally spark.conf.unset("spark.graft.update.driverMaxTemplates")
+    assert(ra === rb)
+    for (q <- Seq(
+      "SELECT ?s ?p ?o WHERE { ?s ?p ?o }",
+      "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ?p ?o } }",
+      """SELECT ?l WHERE { VALUES ?x { wd:Q901 } SERVICE wikibase:label {
+        | bd:serviceParam wikibase:language "en". }
+        | BIND(?xLabel AS ?l) }""".stripMargin))
+      assert(rows(q, a) === rows(q, b), s"mismatch for: $q")
+    def tomb(idx: String): Seq[String] =
+      Tombstones.read(spark, idx)
+        .map(_.collect().map(_.toString).sorted.toSeq).getOrElse(Nil)
+    assert(tomb(a) === tomb(b))
+    def raw(idx: String): Seq[String] =
+      spark.read.parquet(s"$idx/statements.parquet")
+        .select(col("s.key"), col("p.key"), col("o.key"),
+          col("graph.key"), col("ord"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(raw(a) === raw(b))
+  }
 }
